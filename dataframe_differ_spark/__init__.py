@@ -1,0 +1,30 @@
+"""dataframe_differ_spark — a PySpark-native analytics engine.
+
+Rebuilds the capability surface of the public ``menorah84/dataframe_differ``
+utility (DataFrame diffing: keyed/unkeyed row diffs, schema diffs, per-column
+mismatch statistics, tolerant numeric comparison) idiomatically on the PySpark
+DataFrame API, and extends it with the relational + LLM-data-pipeline operator
+surface described in SURVEY.md §2 (joins, aggregations, windows, set ops,
+dedup, similarity search, text analysis, streaming semantics).
+
+Design rules (100 TB first):
+- Everything is a ``pyspark.sql.DataFrame``; planning/execution is delegated
+  to Catalyst/Tungsten. No RDD code, no driver-side row loops.
+- No Python row-at-a-time UDFs on hot paths; vector math uses native
+  higher-order functions; pandas/Arrow UDFs only where built-ins genuinely
+  cannot express the semantics.
+- Broadcast small dimensions, let AQE handle skew/coalescing, keep
+  expressions inside whole-stage codegen.
+
+NOTE on citations: the reference checkout at /root/reference is empty
+(SURVEY.md §0); semantics are reconstructed from public knowledge of
+dataframe-diff tools with the same surface. Docstrings cite SURVEY.md
+sections instead of reference file:line.
+"""
+
+from dataframe_differ_spark.session import get_spark, configure_session
+from dataframe_differ_spark.tables import load_tables, TABLE_NAMES
+
+__all__ = ["get_spark", "configure_session", "load_tables", "TABLE_NAMES"]
+
+__version__ = "0.1.0"

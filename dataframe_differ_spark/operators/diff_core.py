@@ -1,0 +1,240 @@
+"""Diff core — the reference's own capability surface (SURVEY.md §2.A).
+
+Semantics reconstructed from the public dataframe-diff tool family
+(menorah84/dataframe_differ; cf. capitalone/datacompy and the
+G-Research spark-extension ``diff`` convention). The reference checkout is
+empty (SURVEY.md §0), so the binding contract here is SURVEY.md §1.3:
+
+Output schema of a keyed diff::
+
+    diff_status: string in {'N','C','I','D'}   # N=no-change C=changed
+                                               # I=insert(right-only)
+                                               # D=delete(left-only)
+    <key columns...>                           # coalesced left/right
+    <col>_left, <col>_right                    # for every compared column
+
+Scale design (100 TB): one null-safe full-outer shuffle join on the key
+columns is the whole cost; every comparison is a Catalyst expression
+(whole-stage-codegen'd, no Python). Summaries are map-side-combinable
+aggregations. Nothing collects row-level data to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATUS_COL = "diff_status"
+INSERT, DELETE, CHANGE, NOCHANGE = "I", "D", "C", "N"
+
+
+def _compared_columns(
+    left: DataFrame, right: DataFrame, keys: Sequence[str]
+) -> list[str]:
+    """Non-key columns present on BOTH sides, in left's column order."""
+    rcols = set(right.columns)
+    return [c for c in left.columns if c not in set(keys) and c in rcols]
+
+
+def _neq(lc: Column, rc: Column, atol: float = 0.0, rtol: float = 0.0,
+         dtype: T.DataType | None = None) -> Column:
+    """Null-safe "values differ" predicate; optionally tolerant for numerics.
+
+    Tolerant comparison (SURVEY.md §2.A6): equal iff
+    ``abs(l - r) <= atol + rtol * abs(r)``; null==null; exact elsewhere.
+    """
+    if (atol or rtol) and isinstance(dtype, T.NumericType):
+        both_null = lc.isNull() & rc.isNull()
+        within = F.abs(lc - rc) <= (F.lit(atol) + F.lit(rtol) * F.abs(rc))
+        eq = both_null | (lc.isNotNull() & rc.isNotNull() & within)
+        return ~eq
+    return ~lc.eqNullSafe(rc)
+
+
+def diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    *,
+    atol: float = 0.0,
+    rtol: float = 0.0,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keyed row diff (SURVEY.md §2.A2/§2.A6).
+
+    One null-safe full-outer equi-join on ``keys``; per-column comparison as
+    codegen'd expressions. ``atol``/``rtol`` make numeric columns tolerant.
+    """
+    keys = list(keys)
+    cols = list(columns) if columns is not None else _compared_columns(left, right, keys)
+    ltypes = dict(left.dtypes)
+    schema = {f.name: f.dataType for f in left.schema.fields}
+
+    # Presence markers survive the outer join even when key columns are null
+    # (eqNullSafe matches null==null keys, so key-nullness is not a valid
+    # side-presence test).
+    l = left.withColumn("__p_l", F.lit(True)).alias("l")
+    r = right.withColumn("__p_r", F.lit(True)).alias("r")
+    # eqNullSafe keeps semantics correct when key columns contain nulls;
+    # Catalyst still plans a hash-partitioned SMJ/SHJ on the keys.
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = l.join(r, on=cond, how="full_outer")
+
+    l_present = F.col("l.__p_l").isNotNull()
+    r_present = F.col("r.__p_r").isNotNull()
+
+    any_change = F.lit(False)
+    for c in cols:
+        any_change = any_change | _neq(
+            F.col(f"l.{c}"), F.col(f"r.{c}"), atol, rtol, schema.get(c)
+        )
+
+    status = (
+        F.when(~l_present, F.lit(INSERT))
+        .when(~r_present, F.lit(DELETE))
+        .when(any_change, F.lit(CHANGE))
+        .otherwise(F.lit(NOCHANGE))
+    )
+
+    out = [status.alias(STATUS_COL)]
+    out += [F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k) for k in keys]
+    for c in cols:
+        out.append(F.col(f"l.{c}").alias(f"{c}_left"))
+        out.append(F.col(f"r.{c}").alias(f"{c}_right"))
+    return joined.select(*out)
+
+
+def diff_summary(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], **kw
+) -> DataFrame:
+    """Counts per diff status (SURVEY.md §2.A4). Map-side combinable."""
+    d = diff(left, right, keys, **kw)
+    return d.groupBy(STATUS_COL).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def schema_diff(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Schema diff (SURVEY.md §2.A1): driver-side StructType walk, no job.
+
+    Result: one row per column that exists on either side, with its type on
+    each side and a status in {added, removed, type_changed, same}.
+    """
+    spark = left.sparkSession
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    rows = []
+    seen = []
+    for c in left.columns:
+        seen.append(c)
+        if c not in rtypes:
+            rows.append((c, ltypes[c], None, "removed"))
+        elif ltypes[c] != rtypes[c]:
+            rows.append((c, ltypes[c], rtypes[c], "type_changed"))
+        else:
+            rows.append((c, ltypes[c], rtypes[c], "same"))
+    for c in right.columns:
+        if c not in ltypes:
+            rows.append((c, None, rtypes[c], "added"))
+    schema = T.StructType(
+        [
+            T.StructField("column_name", T.StringType()),
+            T.StructField("left_type", T.StringType()),
+            T.StructField("right_type", T.StringType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def diff_unkeyed(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Unkeyed multiset diff (SURVEY.md §2.A3).
+
+    Bag semantics: count per full-row on each side, null-safe full outer
+    join on all columns, report rows whose multiplicities differ with
+    ``left_count``/``right_count``. Scale: groupBy(all cols) is one shuffle
+    per side with map-side partial counts; the join keys are the grouped
+    rows themselves (already unique per side).
+    """
+    cols = [c for c in left.columns if c in set(right.columns)]
+    lc = (
+        left.select(*cols)
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("left_count"))
+        .alias("lc")
+    )
+    rc = (
+        right.select(*cols)
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("right_count"))
+        .alias("rc")
+    )
+    cond = None
+    for c in cols:
+        e = F.col(f"lc.{c}").eqNullSafe(F.col(f"rc.{c}"))
+        cond = e if cond is None else (cond & e)
+    j = lc.join(rc, on=cond, how="full_outer")
+    out = [F.coalesce(F.col(f"lc.{c}"), F.col(f"rc.{c}")).alias(c) for c in cols]
+    out.append(F.coalesce(F.col("lc.left_count"), F.lit(0)).alias("left_count"))
+    out.append(F.coalesce(F.col("rc.right_count"), F.lit(0)).alias("right_count"))
+    return (
+        j.select(*out)
+        .filter(F.col("left_count") != F.col("right_count"))
+    )
+
+
+def column_mismatch_stats(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], **kw
+) -> DataFrame:
+    """Per-column mismatch stats among matched keys (SURVEY.md §2.A5).
+
+    For every compared column: number of matched rows where values are
+    equal, differ, or exactly one side is null. Implemented as one
+    conditional aggregation over the diff (no per-column jobs), unpivoted
+    via ``stack`` so the result is long-form: (column_name, n_equal,
+    n_different, n_null_mismatch).
+    """
+    keys = list(keys)
+    cols = _compared_columns(left, right, keys)
+    d = diff(left, right, keys, **kw).filter(F.col(STATUS_COL).isin(CHANGE, NOCHANGE))
+    aggs = []
+    for c in cols:
+        lc, rc = F.col(f"{c}_left"), F.col(f"{c}_right")
+        aggs.append(F.sum(lc.eqNullSafe(rc).cast("long")).alias(f"eq_{c}"))
+        aggs.append(F.sum((~lc.eqNullSafe(rc)).cast("long")).alias(f"ne_{c}"))
+        aggs.append(
+            F.sum((lc.isNull() != rc.isNull()).cast("long")).alias(f"nm_{c}")
+        )
+    wide = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', eq_{c}, ne_{c}, nm_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as "
+        "(column_name, n_equal, n_different, n_null_mismatch)"
+    )
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Keys violating uniqueness (SURVEY.md §2.A7) — diff precondition."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def changed_sample(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], n: int = 20, **kw
+) -> DataFrame:
+    """Deterministic sample of changed rows (SURVEY.md §2.A8).
+
+    orderBy(keys).limit(n) compiles to TakeOrderedAndProject — per-partition
+    top-n then a single driver merge; no global sort materialization.
+    """
+    d = diff(left, right, keys, **kw)
+    return d.filter(F.col(STATUS_COL) == CHANGE).orderBy(*keys).limit(n)

@@ -1,0 +1,40 @@
+"""Table loading for the driver-generated parquet corpus (TESTDATA.md).
+
+``spark.read.parquet`` gives us columnar scans with predicate pushdown and
+column pruning for free — every query should show ``PushedFilters`` /
+``ReadSchema`` pruning in ``explain`` (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataframe_differ_spark.session import configure_session
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast (≤ ~20k rows at sf0.1);
+# fact tables (orders, lineitem, events) shuffle on join keys.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_session(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every corpus table as a lazy DataFrame keyed by name."""
+    configure_session(spark)
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLE_NAMES}

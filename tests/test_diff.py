@@ -1,0 +1,112 @@
+"""Unit + invariant tests for the diff core (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import dataframe_differ_spark.operators.diff_core as D
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, a="x", v=1.0),
+            Row(k=2, a="y", v=2.0),
+            Row(k=3, a="z", v=3.0),
+            Row(k=None, a="nullkey", v=9.0),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, a="x", v=1.0),       # unchanged
+            Row(k=2, a="y", v=2.5),       # changed
+            Row(k=4, a="w", v=4.0),       # insert
+            Row(k=None, a="nullkey", v=9.0),  # unchanged (null key matches null)
+        ]
+    )
+    return left, right
+
+
+def _status_map(df):
+    return {r["k"]: r["diff_status"] for r in df.collect()}
+
+
+def test_keyed_diff_statuses(pair):
+    left, right = pair
+    sm = _status_map(D.diff(left, right, ["k"]))
+    assert sm[1] == "N"
+    assert sm[2] == "C"
+    assert sm[3] == "D"
+    assert sm[4] == "I"
+    assert sm[None] == "N"  # null-safe key match
+
+
+def test_diff_self_all_nochange(spark, sf_small):
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    d = D.diff(orders, orders, ["o_orderkey"])
+    assert d.filter(F.col("diff_status") != "N").count() == 0
+
+
+def test_diff_swap_symmetry(pair):
+    left, right = pair
+    fwd = _status_map(D.diff(left, right, ["k"]))
+    rev = _status_map(D.diff(right, left, ["k"]))
+    swap = {"I": "D", "D": "I", "C": "C", "N": "N"}
+    assert rev == {k: swap[v] for k, v in fwd.items()}
+
+
+def test_diff_counts_partition_inputs(pair):
+    left, right = pair
+    counts = dict(
+        D.diff(left, right, ["k"])
+        .groupBy("diff_status")
+        .count()
+        .collect()
+    )
+    n, c = counts.get("N", 0), counts.get("C", 0)
+    assert n + c + counts.get("D", 0) == left.count()
+    assert n + c + counts.get("I", 0) == right.count()
+
+
+def test_tolerant_diff_monotone(pair):
+    left, right = pair
+    exact_c = D.diff(left, right, ["k"]).filter("diff_status = 'C'").count()
+    tol_c = D.diff(left, right, ["k"], atol=1.0).filter("diff_status = 'C'").count()
+    assert tol_c <= exact_c
+    assert tol_c == 0  # 2.0 vs 2.5 within atol=1.0
+
+
+def test_unkeyed_diff(spark):
+    left = spark.createDataFrame([Row(a=1), Row(a=1), Row(a=2)])
+    right = spark.createDataFrame([Row(a=1), Row(a=3)])
+    rows = {r["a"]: (r["left_count"], r["right_count"])
+            for r in D.diff_unkeyed(left, right).collect()}
+    assert rows == {1: (2, 1), 2: (1, 0), 3: (0, 1)}
+
+
+def test_schema_diff(spark, sf_small):
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    mutated = orders.drop("o_custkey").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("string")
+    )
+    st = {r["column_name"]: r["status"] for r in D.schema_diff(orders, mutated).collect()}
+    assert st["o_custkey"] == "removed"
+    assert st["o_totalprice"] == "type_changed"
+    assert st["o_orderkey"] == "same"
+
+
+def test_duplicate_keys(spark):
+    df = spark.createDataFrame([Row(k=1), Row(k=1), Row(k=2)])
+    assert D.duplicate_keys(df, ["k"]).collect() == [Row(k=1, cnt=2)]
+
+
+def test_column_mismatch_stats(pair):
+    left, right = pair
+    stats = {r["column_name"]: r for r in
+             D.column_mismatch_stats(left, right, ["k"]).collect()}
+    # matched keys: 1, 2, None → 3 rows
+    assert stats["a"]["n_equal"] == 3
+    assert stats["v"]["n_different"] == 1
