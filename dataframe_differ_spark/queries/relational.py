@@ -1,1 +1,609 @@
-"""Placeholder — populated in later stages."""
+"""Layer B/C/D/F — scans, joins, aggregations, set ops (SURVEY.md §2).
+
+Oracle-parity recipe for double aggregates (SURVEY.md §5.4): IEEE double
+summation is order-dependent, and Spark's partial aggregation order differs
+from DuckDB's. Both engines therefore sum via exact decimals —
+``SUM(CAST(x AS DECIMAL(p,s)))`` — then cast the exact result to double:
+bit-identical on both sides, no rounding-boundary roulette.
+
+Scale notes are on each query: what broadcasts, what shuffles, and why the
+plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.tables import load_table
+
+
+def dsum(c, alias, scale="18,2"):
+    """Exact (decimal) sum of a double column, returned as double."""
+    return F.sum(c.cast(f"decimal({scale})")).cast("double").alias(alias)
+
+
+def SQL_DSUM(expr, alias, scale="18,2"):
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({scale}))) AS DOUBLE) AS {alias}"
+
+
+# --------------------------------------------------------------------------
+# C. Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+SELECT n_name,
+       COUNT(*) AS num_orders,
+       {SQL_DSUM('o_totalprice', 'sum_totalprice')}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_join_broadcast(spark, sf_dir):
+    """C1: star join with explicitly broadcast dimensions.
+
+    customer (15k rows at sf0.1, ~1.5M at sf100) and nation (25) are
+    broadcast: the orders fact table never shuffles — the whole query is
+    scan → BHJ → BHJ → partial agg → single exchange on n_name (25 groups).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            dsum(F.col("o_totalprice"), "sum_totalprice"),
+        )
+    )
+
+
+@register(
+    "join_smj",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS line_cnt,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'revenue', '28,8')}
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def q_join_smj(spark, sf_dir):
+    """C2: fact-fact join (orders ⋈ lineitem) — shuffle on the key.
+
+    Both sides hash-partition on orderkey (sort-merge at scale); the status
+    filter is pushed to the orders parquet scan. At 100 TB co-locating via
+    bucketing on orderkey would remove the shuffle entirely.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                "28,8",
+            ),
+        )
+    )
+
+
+@register(
+    "join_outer",
+    oracle="""
+SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def q_join_outer(spark, sf_dir):
+    """C3: left outer join preserving order-less customers (count=0)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+)
+def q_join_semi(spark, sf_dir):
+    """C4: EXISTS as left-semi join — no fanout, build side deduped."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        f_orders, customer.c_custkey == f_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_join_anti(spark, sf_dir):
+    """C5: NOT EXISTS as left-anti join."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_range",
+    oracle="""
+SELECT b.band, COUNT(*) AS part_cnt
+FROM part p
+JOIN (VALUES ('low', 0.0, 500.0), ('mid', 500.0, 1200.0),
+             ('high', 1200.0, 100000.0)) AS b(band, lo, hi)
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band
+""",
+)
+def q_join_range(spark, sf_dir):
+    """C6: non-equi (range/theta) join against a tiny band table.
+
+    The band table is a broadcast nested-loop join build side (3 rows);
+    at any scale this stays a single pass over `part` with no shuffle
+    before the final 3-group aggregate.
+    """
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 500.0), ("mid", 500.0, 1200.0), ("high", 1200.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("part_cnt"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+           FROM events),
+     purchases AS (SELECT * FROM e WHERE event_type = 'purchase'),
+     clicks AS (SELECT * FROM e WHERE event_type = 'click')
+SELECT p.event_id,
+       p.user_id,
+       p.ts,
+       c.ts AS click_ts
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q_join_asof(spark, sf_dir):
+    """C7: as-of join — for each purchase, the latest click at-or-before it.
+
+    No native Spark primitive (SURVEY.md §4). Implemented with the
+    union-tag + window ``last(ignorenulls)`` formulation: one shuffle on
+    user_id, O(n log n) per partition, no range-explosion — this is the
+    form that survives 100 TB (a range join would be O(n·m) per user).
+    Tag ordering puts clicks before purchases at identical timestamps so
+    'at-or-before' includes ties, matching DuckDB ASOF (>=).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).withColumn(
+        "is_click", (F.col("event_type") == "click").cast("int")
+    )
+    # Window over each user's merged timeline; clicks sort before purchases
+    # at equal ts (is_click desc) so a same-instant click is visible.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = tagged.withColumn(
+        "click_ts",
+        F.last(
+            F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return timeline.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "click_ts"
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+           FROM events)
+SELECT err.event_id, err.user_id,
+       COUNT(c.event_id) AS clicks_in_hour
+FROM (SELECT * FROM e WHERE event_type = 'error') err
+LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+  ON err.user_id = c.user_id
+ AND c.ts >= err.ts - INTERVAL 1 HOUR AND c.ts <= err.ts
+GROUP BY err.event_id, err.user_id
+""",
+)
+def q_join_interval(spark, sf_dir):
+    """C8: interval-overlap join — clicks within 1h before each error.
+
+    Equi-join on user_id carries the shuffle; the interval predicate is
+    evaluated join-side. At 100 TB the per-user timelines stay bounded, so
+    the equi+range form beats a pure range join; for heavy-hitter users,
+    AQE skew-split or time-bucketing the join key bounds the fanout.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    err = e.filter(F.col("event_type") == "error").alias("err")
+    clk = e.filter(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("err.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("err.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") <= F.col("err.ts"))
+    )
+    return (
+        err.join(clk, cond, "left")
+        .groupBy(F.col("err.event_id").alias("event_id"), F.col("err.user_id").alias("user_id"))
+        .agg(F.count(F.col("c.event_id")).alias("clicks_in_hour"))
+    )
+
+
+# --------------------------------------------------------------------------
+# D. Aggregations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {SQL_DSUM('l_quantity', 'sum_qty')},
+       {SQL_DSUM('l_extendedprice', 'sum_base_price')},
+       {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'sum_disc_price', '28,8')},
+       {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', '28,12')},
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_pricing_summary(spark, sf_dir):
+    """D1: TPC-H Q1-shape multi-measure hash aggregate.
+
+    Partial (map-side) aggregation then one exchange on the 6-ish group
+    keys; the shipdate filter is pushed to the parquet scan. This is the
+    headline throughput query at 100 TB: scan-bound, no join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc, "sum_disc_price", "28,8"),
+            dsum(charge, "sum_charge", "28,12"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS distinct_custs,
+       COUNT(*) AS order_cnt
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_agg_distinct(spark, sf_dir):
+    """D2: distinct aggregation (expand+two-phase under the hood)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("distinct_custs"),
+        F.count(F.lit(1)).alias("order_cnt"),
+    )
+
+
+@register("agg_approx_distinct")  # nondeterministic vs oracle → rows-only
+def q_agg_approx_distinct(spark, sf_dir):
+    """D3: HyperLogLog++ approximate distinct — sketch, mergeable, O(1) mem.
+
+    The 100 TB answer to COUNT(DISTINCT): no expand, partials merge as
+    sketches. Rows-only check (estimate differs from DuckDB's HLL).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS cnt
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_rollup(spark, sf_dir):
+    """D4a: hierarchical rollup with 'ALL' sentinel for rolled-up levels."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COUNT(*) AS cnt
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY CUBE (o_orderstatus, l_returnflag)
+""",
+)
+def q_agg_cube(spark, sf_dir):
+    """D4b: full cube over a join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .cube("o_orderstatus", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS finished_cnt,
+       {SQL_DSUM("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END",
+                 'open_value')}
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_conditional(spark, sf_dir):
+    """D5: filtered/conditional aggregation — one pass, no self-joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_cnt"),
+        dsum(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(
+                0.0
+            ),
+            "open_value",
+        ),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS order_cnt
+FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+""",
+)
+def q_agg_having(spark, sf_dir):
+    """D6: HAVING — post-aggregation filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .filter(F.col("order_cnt") > 12)
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+       COUNT(*) AS order_cnt
+FROM orders GROUP BY o_custkey
+""",
+)
+def q_agg_collect(spark, sf_dir):
+    """D7: per-group collected set, sorted + joined for deterministic parity
+    (SURVEY.md §5.4: collect order is nondeterministic — canonicalize)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count(F.lit(1)).alias("order_cnt"),
+    )
+
+
+@register(
+    "agg_median",
+    oracle="""
+SELECT o_orderstatus,
+       MEDIAN(o_totalprice) AS median_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_agg_median(spark, sf_dir):
+    """D8a: exact median (full sort per group under the hood)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.median("o_totalprice").alias("median_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register("agg_pctl_approx")  # sketch-based → rows-only
+def q_agg_pctl_approx(spark, sf_dir):
+    """D8b: approximate percentiles via KLL-style sketch — mergeable,
+    bounded memory; the scale path for quantiles at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias(
+            "price_quartiles"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F. Sorts / limits / set ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+""",
+)
+def q_topk_global(spark, sf_dir):
+    """F1: global top-k → TakeOrderedAndProject (per-partition heap + driver
+    merge of k rows; never a full global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "set_union",
+    oracle="""
+SELECT 'customer' AS kind, c_custkey AS entity_key, c_name AS name FROM customer
+UNION ALL
+SELECT 'supplier', s_suppkey, s_name FROM supplier
+""",
+)
+def q_set_union(spark, sf_dir):
+    """F2: bag union by name — no shuffle, pure concatenation of scans."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("name"),
+    )
+    s = supplier.select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("name"),
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def q_set_intersect(spark, sf_dir):
+    """F3a: set intersect (customers having both F and O orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def q_set_except(spark, sf_dir):
+    """F3b: set except (F-order customers with no O orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)
+
+
+@register(
+    "distinct_subset",
+    oracle="""
+SELECT o_custkey, o_orderstatus, o_orderkey AS first_orderkey
+FROM (SELECT o_custkey, o_orderstatus, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+WHERE rn = 1
+""",
+)
+def q_distinct_subset(spark, sf_dir):
+    """F4: deterministic dropDuplicates — earliest row per subset key via
+    row_number (plain dropDuplicates keeps an arbitrary row; at scale the
+    window form is the reproducible one)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderstatus", F.col("o_orderkey").alias("first_orderkey")
+        )
+    )

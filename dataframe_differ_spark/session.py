@@ -32,6 +32,9 @@ _RUNTIME_CONFS = {
     # ANSI off: we want permissive casts like classic Spark (and DuckDB's
     # TRY_CAST is used on the oracle side where needed).
     "spark.sql.ansi.enabled": "false",
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively
+    # (PARQUET_TYPE_ILLEGAL); read as long and convert in the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -31,7 +31,20 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet, surfaced as nanos-since-epoch
+        # long (nanosAsLong conf). Truncate to µs exactly as DuckDB's
+        # CAST(ts AS TIMESTAMP) does, keeping both engines bit-identical.
+        from pyspark.sql import functions as F
+
+        dtypes = dict(df.dtypes)
+        if dtypes.get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
