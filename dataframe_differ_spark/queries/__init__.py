@@ -49,6 +49,7 @@ def load_all() -> dict[str, Query]:
             windows,
             textops,
             vectors,
+            scalars,
             streaming_queries,
             udfs,
         )

@@ -1,0 +1,197 @@
+"""Layer H scalar function surface: strings, dates, math, JSON (SURVEY §2.H).
+
+Per-row expression queries — embarrassingly parallel, no shuffle (except
+the small final aggregates) — these exist to pin down cross-engine function
+semantics: day-of-week numbering, month-arithmetic clamping, sign types,
+regexp dialects, JSON extraction. Each mismatch hazard is normalized inside
+BOTH query texts, never patched up in the comparator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.tables import load_table
+
+
+@register(
+    "str_funcs",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS uname,
+       substr(c_name, 1, 8) AS prefix,
+       length(c_name) AS name_len,
+       c_name LIKE 'Customer%' AS is_customer,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       levenshtein(c_name, 'Customer#000000000') AS edit_dist,
+       concat(c_mktsegment, ':', c_name) AS tagged,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+       replace(c_name, 'Customer', 'Cust') AS shortname
+FROM customer
+""",
+)
+def q_str_funcs(spark, sf_dir):
+    """H7: string functions — substr/concat/like/regexp/levenshtein/pad."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.col("c_name").like("Customer%").alias("is_customer"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.levenshtein("c_name", F.lit("Customer#000000000")).alias("edit_dist"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace("c_name", F.lit("Customer"), F.lit("Cust")).alias("shortname"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dom,
+       quarter(o_orderdate) AS qtr,
+       dayofweek(o_orderdate) + 1 AS dow,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m
+FROM orders
+""",
+)
+def q_date_funcs(spark, sf_dir):
+    """H8: date/time functions.
+
+    Dialect normalizations baked into both texts: DuckDB dayofweek is
+    0=Sunday (Spark is 1=Sunday) → +1 on the oracle side; month arithmetic
+    clamps end-of-month identically (verified); all derived dates cast to
+    DATE in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),
+        # Date-typed outputs travel as ISO strings in both engines: DATE
+        # surfaces as python objects from Spark but datetime64 from DuckDB,
+        # which would flap any value-hash.
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+SELECT o_orderkey,
+       ROUND(o_totalprice, 1) AS rounded,
+       ABS(o_totalprice - 250000.0) AS dist_from_mid,
+       CEIL(o_totalprice) AS ceiled,
+       FLOOR(o_totalprice) AS floored,
+       CAST(SIGN(o_totalprice - 250000.0) AS INTEGER) AS above_mid,
+       ROUND(SQRT(o_totalprice), 9) AS sqrt_price,
+       ROUND(LN(o_totalprice), 9) AS ln_price,
+       ROUND(LOG10(o_totalprice), 9) AS log10_price,
+       o_totalprice * o_totalprice AS squared,
+       GREATEST(o_totalprice, 100000.0) AS floored_at_100k,
+       CAST(FLOOR(o_totalprice) AS BIGINT) % 1000 AS mod_1k
+FROM orders
+""",
+)
+def q_math_funcs(spark, sf_dir):
+    """H9: math functions; transcendentals rounded to 9 dp (libm ulp)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(p, 1).alias("rounded"),
+        F.abs(p - 250000.0).alias("dist_from_mid"),
+        F.ceil(p).alias("ceiled"),
+        F.floor(p).alias("floored"),
+        F.signum(p - 250000.0).cast("int").alias("above_mid"),
+        F.round(F.sqrt(p), 9).alias("sqrt_price"),
+        F.round(F.log(p), 9).alias("ln_price"),
+        F.round(F.log10(p), 9).alias("log10_price"),
+        (p * p).alias("squared"),
+        F.greatest(p, F.lit(100000.0)).alias("floored_at_100k"),
+        # floor() in both engines: DuckDB's double→bigint cast rounds while
+        # Spark's truncates.
+        (F.floor(p) % 1000).alias("mod_1k"),
+    )
+
+
+@register(
+    "json_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+         / COUNT(*) AS avg_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_json_props(spark, sf_dir):
+    """H11/B3: JSON-in-string column — schema-on-read with from_json.
+
+    from_json is a codegen'd expression (Jackson parse per row, no Python);
+    integer sum is exact so avg is a single deterministic double division.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    ek = e.select("event_type", k.alias("k"))
+    return ek.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       md5(text) AS content_hash,
+       64 + octet_length(CAST(text AS BLOB)) % 512 AS fake_width,
+       64 + ascii(text) % 64 AS fake_height
+FROM documents
+""",
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column + typed metadata.
+
+    Models image/audio blobs as a `binary` column (here derived from text
+    since the corpus ships none): byte length, content hash, and
+    deterministic fake decode metadata. The real decode path (pillow/ffmpeg
+    not in this container) lives in `multimodal_features` as a mapInPandas
+    stub with the same schema contract.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("content_hash"),
+        (F.lit(64) + F.octet_length(payload) % 512).alias("fake_width"),
+        (F.lit(64) + F.ascii("text") % 64).alias("fake_height"),
+    )

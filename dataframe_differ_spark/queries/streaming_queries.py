@@ -1,1 +1,263 @@
-"""Placeholder — populated in later stages."""
+"""Layer G — streaming semantics over `events` (SURVEY.md §2.G).
+
+Strategy: every windowing construct ships twice.
+
+1. A **batch twin** (`*_tumbling`, `*_sliding`, `*_session`) — the same
+   window semantics computed on the batch DataFrame, with a full DuckDB
+   oracle (time_bucket / gaps-and-islands formulations).
+2. A **true streaming** run (`stream_*`) — ``readStream`` → transformation →
+   ``writeStream.trigger(availableNow=True)`` into a memory sink, returned
+   as a DataFrame. Rows-only for the driver; tests assert streaming ==
+   batch twin exactly.
+
+Scale: windowed aggregations shuffle on (window, key); state lives in the
+per-partition state store (RocksDB on a real cluster). Watermarks bound
+state size — without them a 100 TB stream accumulates state forever.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.queries.relational import SQL_DSUM, dsum
+from dataframe_differ_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Batch twins (full SQL oracles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_tumbling",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {SQL_DSUM('value', 'sum_value', '18,6')}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_window_tumbling(spark, sf_dir):
+    """G1 twin: 1-hour tumbling window aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value", "18,6"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_sliding",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+         - o.off * INTERVAL '15 minutes' AS window_start,
+       COUNT(*) AS n_events,
+       {SQL_DSUM('value', 'sum_value', '18,6')}
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS o(off)
+GROUP BY 1
+""",
+)
+def q_window_sliding(spark, sf_dir):
+    """G2 twin: 1-hour window sliding every 15 minutes.
+
+    Oracle formulation: an event at time t belongs to exactly 4 windows
+    whose starts are floor15(t) − {0,15,30,45} min — the cross-join with
+    4 offsets reproduces Spark's window replication exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value", "18,6"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "window_session",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+     flagged AS (
+       SELECT user_id, ts,
+              CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+     islands AS (
+       SELECT user_id, ts,
+              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS island
+       FROM flagged)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS last_event,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, island
+""",
+)
+def q_window_session(spark, sf_dir):
+    """G3 twin: session windows (30-minute gap) per user.
+
+    Spark computes sessions natively (session_window merges events whose
+    gap < 30 min; a gap of exactly 30 min starts a new session — the
+    oracle's gaps-and-islands >= matches that edge). One shuffle on
+    user_id either way.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# True streaming (rows-only; equality with batch twins asserted in tests)
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark, sf_dir):
+    """readStream over the events parquet (file-listing source).
+
+    The raw file carries ns timestamps → read as long (nanosAsLong conf,
+    set by load_table) and truncated to µs exactly like the batch loader.
+    """
+    batch = load_table(spark, sf_dir, "events")  # also applies session confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    s = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(s.dtypes).get("ts") == "bigint":
+        # TimestampType (not NTZ): watermarks/event-time require it. The
+        # session is pinned to UTC so wall-clock values match the batch twin.
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return s
+
+
+def _run_to_memory(df, name_prefix: str, mode: str = "complete"):
+    """Execute a streaming DataFrame to completion into a memory sink."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ddspark_ckpt_{name}")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+@register("stream_tumbling")  # rows-only: true streaming execution
+def q_stream_tumbling(spark, sf_dir):
+    """G1: tumbling-window count over a real readStream (availableNow).
+
+    Identical logical plan to `window_tumbling`, executed by the
+    micro-batch engine with windowed state; tests assert result equality
+    with the batch twin.
+    """
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    name = _run_to_memory(agg, "tumbling")
+    return spark.table(name)
+
+
+@register("stream_watermark")  # rows-only
+def q_stream_watermark(spark, sf_dir):
+    """G4: watermarked windowed aggregation — late data beyond 10 minutes
+    is dropped and state for closed windows is evicted (the mechanism that
+    bounds state at 100 TB; with availableNow replay nothing is late, so
+    counts equal the unwatermarked run)."""
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    name = _run_to_memory(agg, "watermark")
+    return spark.table(name)
+
+
+@register("stream_dedup")  # rows-only
+def q_stream_dedup(spark, sf_dir):
+    """G5: streaming deduplication on event_id.
+
+    Duplicates are planted by unioning the stream with itself; stateful
+    dropDuplicates keeps first-seen per key (state bounded by the
+    watermark). Result must equal the batch distinct count per type.
+    """
+    s = _events_stream(spark, sf_dir)
+    doubled = s.union(s)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    name = _run_to_memory(agg, "dedup")
+    return spark.table(name)
+
+
+@register("stream_stateful")  # rows-only
+def q_stream_stateful(spark, sf_dir):
+    """G6: arbitrary stateful per-user processing (applyInPandasWithState).
+
+    Custom state machine per user_id: running event count + running value
+    sum, state carried across micro-batches in the state store, emitted at
+    timeout. The escape hatch for operators windows can't express.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = _events_stream(spark, sf_dir).select("user_id", "event_id", "value")
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def track(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    agg = s.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = _run_to_memory(agg, "stateful", mode="update")
+    return spark.table(name)

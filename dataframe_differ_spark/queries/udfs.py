@@ -1,1 +1,196 @@
-"""Placeholder — populated in later stages."""
+"""Layer H UDF escape hatches + parquet sink (SURVEY.md §2.H12–14, §2.B4).
+
+Policy (100 TB design rule): plain row-at-a-time Python UDFs are BANNED on
+hot paths. When Python is genuinely needed (external libraries, imperative
+per-group logic) the only sanctioned forms are Arrow-vectorized:
+``@pandas_udf`` (scalar batches), ``applyInPandas`` (grouped map),
+``mapInPandas`` (partition iterator). Each query here exists to pin that
+surface with a deterministic workload the DuckDB oracle can still verify —
+proving the Arrow boundary does not change results.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.tables import load_table
+
+
+@register(
+    "udf_pandas",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 100000 THEN 'low'
+            WHEN o_totalprice < 300000 THEN 'mid'
+            ELSE 'high' END AS price_tier,
+       ROUND(LN(1.0 + o_totalprice), 9) AS log_price
+FROM orders
+""",
+)
+def q_udf_pandas(spark, sf_dir):
+    """H12: vectorized scalar pandas UDF (Arrow batches, numpy inside).
+
+    ~10-100× the throughput of a row-at-a-time Python UDF: one Arrow
+    record batch per invocation, no per-row (de)serialization. Output is
+    rounded to 9 dp so numpy/libm ulp differences can't flap the oracle.
+    """
+
+    @pandas_udf(T.StringType())
+    def price_tier(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.select([p < 100000, p < 300000], ["low", "mid"], default="high")
+        )
+
+    @pandas_udf(T.DoubleType())
+    def log_price(p: pd.Series) -> pd.Series:
+        return np.round(np.log1p(p), 9)
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        price_tier("o_totalprice").alias("price_tier"),
+        log_price("o_totalprice").alias("log_price"),
+    )
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       MAX(o_totalprice) - MIN(o_totalprice) AS price_range,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_custkey
+""",
+)
+def q_udaf_grouped(spark, sf_dir):
+    """H13: grouped-map UDAF via applyInPandas.
+
+    Each group arrives as one pandas DataFrame (Arrow transfer); the
+    measures chosen (count/min/max/range) are order-insensitive so the
+    result is deterministic and oracle-checkable. Scale: one shuffle on
+    the group key; a skewed customer would be AQE-split.
+    """
+
+    def per_customer(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf["o_totalprice"]
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "price_range": [p.max() - p.min()],
+                "max_price": [p.max()],
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    schema = (
+        "o_custkey bigint, n_orders bigint, price_range double, max_price double"
+    )
+    return o.groupBy("o_custkey").applyInPandas(per_customer, schema)
+
+
+@register(
+    "udtf_explode",
+    oracle="""
+SELECT doc_id, pos, token
+FROM (SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (x, i) -> {'pos': i, 'token': x}),
+                    recursive := true)
+      FROM documents)
+WHERE pos <= 5
+""",
+)
+def q_udtf_explode(spark, sf_dir):
+    """H14: table-function surface — one row in, N rows out.
+
+    posexplode is the codegen'd fast path (Python @udtf exists in Spark 4
+    but runs row-at-a-time in Python — wrong default at scale, kept out of
+    the hot path per the module policy).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+        )
+        .withColumn("pos", F.col("pos0") + 1)  # 1-based like list_transform
+        .filter(F.col("pos") <= 5)
+        .select("doc_id", "pos", "token")
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       64 + octet_length(CAST(text AS BLOB)) % 512 AS width,
+       64 + ascii(text) % 64 AS height,
+       3 AS channels
+FROM documents
+""",
+)
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode pipeline: mapInPandas over binary payloads.
+
+    The Spark-side plumbing is real — binary column in, Arrow batch
+    iterator, typed feature schema out, pipelined with the scan (no
+    shuffle). The actual image decode is a STUB (no pillow/ffmpeg in this
+    container): ``_decode_stub`` computes deterministic fake dimensions so
+    the oracle can still verify the full dataflow; swap it for a real
+    decoder without touching any Spark code.
+    """
+
+    def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+        # Stand-in for PIL.Image.open(io.BytesIO(payload)): derive fake
+        # dimensions deterministically from the bytes themselves.
+        return 64 + len(payload) % 512, 64 + payload[0] % 64, 3
+
+    def extract(batches):
+        for pdf in batches:
+            dims = [_decode_stub(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    schema = "doc_id bigint, n_bytes int, width int, height int, channels int"
+    return d.mapInPandas(extract, schema)
+
+
+@register(
+    "sink_roundtrip",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS cnt
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_sink_roundtrip(spark, sf_dir):
+    """B4: partitioned parquet sink + read-back.
+
+    Writes orders partitioned by o_orderstatus (directory-per-value →
+    partition pruning on read), reads it back, and aggregates. The oracle
+    aggregates the source directly — equality proves write/read fidelity.
+    """
+    out = os.path.join(tempfile.gettempdir(), "ddspark_sink_orders")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))

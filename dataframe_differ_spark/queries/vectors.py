@@ -1,1 +1,310 @@
-"""Placeholder — populated in later stages."""
+"""Layer H vector ops over `embeddings` (dim 64, unit-norm) — SURVEY.md §2.H.
+
+Similarity search / join / near-dup, all with native higher-order functions
+(zip_with + aggregate): the arithmetic stays JVM-side in whole-stage codegen
+— no Python UDF, no serialization wall.
+
+Engine-parity contract for float math: both engines cast float→double
+elementwise (exact), multiply pairwise, then accumulate STRICTLY
+SEQUENTIALLY (Spark `aggregate` HOF ≡ DuckDB `list_reduce` with prepended
+0.0). IEEE ops in identical order → bit-identical cosines; results are
+additionally rounded to 9 dp before hashing.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.tables import load_table
+
+# Spark-side sequential dot product between two array<double> columns.
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+# DuckDB-side identical accumulation.
+def SQL_DOT(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, 65), i -> {a}[i] * {b}[i])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def SQL_COS(a: str, b: str) -> str:
+    return f"{SQL_DOT(a, b)} / (sqrt({SQL_DOT(a, a)}) * sqrt({SQL_DOT(b, b)}))"
+
+
+def _emb_double(spark, sf_dir):
+    """embeddings with the vector cast to array<double> (exact widening)."""
+    return load_table(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+
+
+@register(
+    "sim_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+     q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 5),
+     scored AS (
+       SELECT q.query_id, e.vec_id,
+              {SQL_COS('q.qe', 'e.e')} AS cos_sim
+       FROM q JOIN e ON e.vec_id <> q.query_id),
+     ranked AS (
+       SELECT query_id, vec_id, cos_sim,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rank
+       FROM scored)
+SELECT query_id, vec_id, rank, ROUND(cos_sim, 9) AS cos_sim
+FROM ranked WHERE rank <= 10
+""",
+)
+def q_sim_topk(spark, sf_dir):
+    """H3: brute-force top-k cosine similarity search (k=10, 5 queries).
+
+    The query set broadcasts; the corpus is scanned once and scored
+    JVM-side. Ranking shuffles on query_id — at 100 TB with few queries
+    that key is skewed, so the scale refinement is per-partition top-k
+    before the exchange (what TakeOrderedAndProject does for F1); the
+    LSH-bucketed variant is `sim_topk_lsh`.
+    """
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", _dot("qe", "e") / (_norm("qe") * _norm("e"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank", F.round("cos_sim", 9).alias("cos_sim"))
+    )
+
+
+@register(
+    "sim_join",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+     n AS (SELECT vec_id, label, e, sqrt({SQL_DOT('e', 'e')}) AS nrm FROM e),
+     pairs AS (
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+              {SQL_DOT('a.e', 'b.e')} AS dot, a.nrm * b.nrm AS nn
+       FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, label, ROUND(dot / nn, 9) AS cos_sim
+FROM pairs WHERE dot >= 0.25 * nn
+""",
+)
+def q_sim_join(spark, sf_dir):
+    """H4: similarity join — all within-label pairs with cosine ≥ 0.25.
+
+    Label blocking keeps the pair space subquadratic: the shuffle key is
+    the label, pairs form only inside blocks. Norms are precomputed per
+    vector (O(n), not O(n²)) and the threshold is applied as
+    ``dot ≥ τ·‖a‖‖b‖`` — one dot product per candidate pair, the dominant
+    cost at scale. Cross-block recall comes from the LSH variant.
+    """
+    e = _emb_double(spark, sf_dir).withColumn("nrm", _norm("e"))
+    a = e.select("vec_id", "label", "e", "nrm").alias("a")
+    b = e.select("vec_id", "label", "e", "nrm").alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        _dot("a.e", "b.e").alias("dot"),
+        (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
+    )
+    return pairs.filter(F.col("dot") >= 0.25 * F.col("nn")).select(
+        "vec_a",
+        "vec_b",
+        "label",
+        F.round(F.col("dot") / F.col("nn"), 9).alias("cos_sim"),
+    )
+
+
+@register(
+    "dedup_embed",
+    oracle=f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     pert AS (SELECT vec_id + 100000 AS vec_id,
+                     list_transform(e, x -> x * 1.0005) AS e
+              FROM base WHERE vec_id % 7 = 0),
+     pool AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+     n AS (SELECT vec_id, e, sqrt({SQL_DOT('e', 'e')}) AS nrm,
+                  vec_id % 100000 AS block
+           FROM pool),
+     pairs AS (
+       SELECT a.vec_id AS dup_id, b.vec_id AS canonical_id,
+              {SQL_DOT('a.e', 'b.e')} AS dot, a.nrm * b.nrm AS nn
+       FROM n a JOIN n b ON a.block = b.block AND a.vec_id > b.vec_id)
+SELECT dup_id, canonical_id, ROUND(dot / nn, 9) AS cos_sim
+FROM pairs WHERE dot >= 0.999 * nn
+""",
+)
+def q_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-dup detection with planted duplicates.
+
+    The corpus has no natural near-dups (max within-label cosine ≈ 0.47),
+    so duplicates are planted in-query (scaled copies of every 7th vector
+    — deterministic in both engines) and recovered by cosine ≥ 0.999.
+
+    Scale shape: candidate pairs come from an equi-join on a blocking key
+    (here id-derived — the planted dup shares it by construction; in
+    production an LSH band hash, cf. `sim_topk_lsh`), so the join is a
+    hash join on a uniform key, NOT an O(n²) cross product. Norms are
+    precomputed; one dot product per candidate pair.
+    """
+    e = _emb_double(spark, sf_dir).select("vec_id", "e")
+    pert = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(e, x -> x * 1.0005)").alias("e"),
+    )
+    pool = (
+        e.unionByName(pert)
+        .withColumn("nrm", _norm("e"))
+        .withColumn("block", F.col("vec_id") % 100000)
+    )
+    a = pool.alias("a")
+    b = pool.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.vec_id") > F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("dup_id"),
+        F.col("b.vec_id").alias("canonical_id"),
+        _dot("a.e", "b.e").alias("dot"),
+        (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
+    )
+    return pairs.filter(F.col("dot") >= 0.999 * F.col("nn")).select(
+        "dup_id",
+        "canonical_id",
+        F.round(F.col("dot") / F.col("nn"), 9).alias("cos_sim"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id,
+       len(e) AS dim,
+       e[1] AS first_elem,
+       list_aggregate(e, 'max') AS max_elem,
+       list_aggregate(e, 'min') AS min_elem,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), e),
+                         (acc, x) -> acc + x), 9) AS elem_sum,
+       ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(e, x -> x * x)),
+                    (acc, x) -> acc + x)), 9) AS l2_norm,
+       len(list_filter(e, x -> x > 0.1)) AS n_large
+FROM e
+""",
+)
+def q_array_funcs(spark, sf_dir):
+    """H10: array functions + higher-order functions — no UDFs.
+
+    size / indexing / min / max / filter / transform / aggregate all run
+    as Catalyst expressions inside codegen; this is the pattern every
+    vector operator in this engine is built from.
+    """
+    e = _emb_double(spark, sf_dir)
+    seq_sum = F.expr("aggregate(e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    return e.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.element_at("e", 1).alias("first_elem"),
+        F.array_max("e").alias("max_elem"),
+        F.array_min("e").alias("min_elem"),
+        F.round(seq_sum, 9).alias("elem_sum"),
+        F.round(_norm("e"), 9).alias("l2_norm"),
+        F.size(F.expr("filter(e, x -> x > 0.1)")).alias("n_large"),
+    )
+
+
+@register("sim_topk_lsh")  # algorithm-specific buckets → rows-only
+def q_sim_topk_lsh(spark, sf_dir):
+    """H3 scale path: banded sign-LSH ANN top-k (4 bands × 4 bits).
+
+    16 seeded random hyperplanes (literal weight arrays, deterministic) →
+    sign bits, grouped into 4 bands of 4 bits. A vector is a candidate if
+    it shares ANY band bucket with the query (classic LSH banding: bands
+    multiply recall, bits per band control precision). Candidates are
+    exact-cosine re-ranked. At 100 TB the bucket join is an equi-join on
+    (band, signature) — a uniform shuffle key — so the all-pairs explosion
+    disappears; recall vs brute force is asserted in tests.
+    """
+    n_planes, n_bands = 16, 4
+    band_bits = n_planes // n_bands
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(n_planes)]
+    planes_sql = ", ".join(
+        "array(" + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in p) + ")"
+        for p in planes
+    )
+    e = _emb_double(spark, sf_dir)
+    bits = F.expr(
+        f"transform(array({planes_sql}), "
+        "p -> IF(aggregate(zip_with(p, e, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0, 1, 0))"
+    )
+    band_sigs = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), "
+        f"b -> aggregate(slice(bits, b * {band_bits} + 1, {band_bits}), "
+        "0, (acc, bit) -> acc * 2 + bit))"
+    )
+    sigs = e.withColumn("bits", bits).withColumn("band_sigs", band_sigs)
+    # One row per (vector, band): the LSH index table.
+    index = sigs.select(
+        "vec_id",
+        "e",
+        F.posexplode("band_sigs").alias("band", "sig"),
+    )
+    q = index.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("band").alias("qband"),
+        F.col("sig").alias("qsig"),
+    )
+    cand = (
+        index.join(
+            F.broadcast(q),
+            (F.col("band") == F.col("qband"))
+            & (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qe", "vec_id", "e")
+        .dropDuplicates(["query_id", "vec_id"])  # any-band match, once
+    )
+    cos = _dot("qe", "e") / (_norm("qe") * _norm("e"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank", F.round("cos_sim", 9).alias("cos_sim"))
+    )

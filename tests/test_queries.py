@@ -1,0 +1,80 @@
+"""Cross-cutting query invariants (SURVEY.md §5.3): streaming twins equal
+batch results, LSH recall vs brute force, registry hygiene."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataframe_differ_spark.queries import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_registry_complete(registry):
+    # Every query is callable; oracles are non-empty SQL strings.
+    assert len(registry) >= 50
+    for name, q in registry.items():
+        assert callable(q.fn), name
+        if q.oracle is not None:
+            assert "SELECT" in q.oracle.upper(), name
+
+
+def test_stream_tumbling_equals_batch_twin(spark, sf_small, registry):
+    batch = registry["window_tumbling"].fn(spark, sf_small)
+    stream = registry["stream_tumbling"].fn(spark, sf_small)
+    b = _rows(
+        batch.selectExpr(
+            "CAST(window_start AS STRING) ws", "event_type", "n_events"
+        ),
+        ["ws", "event_type", "n_events"],
+    )
+    s = _rows(
+        stream.selectExpr(
+            "CAST(window_start AS STRING) ws", "event_type", "n_events"
+        ),
+        ["ws", "event_type", "n_events"],
+    )
+    assert b == s
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_small, registry):
+    from dataframe_differ_spark.tables import load_table
+
+    stream = registry["stream_dedup"].fn(spark, sf_small)
+    batch = (
+        load_table(spark, sf_small, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .count()
+    )
+    s = _rows(stream, ["event_type", "n_events"])
+    b = _rows(batch.withColumnRenamed("count", "n_events"), ["event_type", "n_events"])
+    assert s == b
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_small, registry):
+    brute = registry["sim_topk"].fn(spark, sf_small)
+    lsh = registry["sim_topk_lsh"].fn(spark, sf_small)
+    truth = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in lsh.collect()}
+    recall = len(truth & approx) / len(truth)
+    # 4 bands × 4 bits on unit vectors: generous candidate sets; require a
+    # meaningful floor so a broken signature computation fails loudly.
+    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_stream_stateful_totals(spark, sf_small, registry):
+    from pyspark.sql import functions as F
+
+    from dataframe_differ_spark.tables import load_table
+
+    out = registry["stream_stateful"].fn(spark, sf_small)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_table(spark, sf_small, "events").count()
