@@ -360,3 +360,204 @@ def q_dedup_ngram(spark, sf_dir):
     return inter.filter(jac >= 0.2).select(
         "doc_a", "doc_b", F.round(jac, 9).alias("jaccard")
     )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS word_tokens,
+       list_sum(list_transform(string_split(text, ' '),
+                t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS bpe_est_tokens
+FROM documents
+""",
+)
+def q_text_token_count(spark, sf_dir):
+    """Token counting: whitespace split, regex word tokens, and a BPE-ish
+    estimate (ceil(len/4) subword pieces per token — the ~4-chars-per-token
+    heuristic used for LLM budget estimates). Per-row expressions only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias(
+            "word_tokens"
+        ),
+        F.expr(
+            "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
+            "(acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT))"
+        ).alias("bpe_est_tokens"),
+    )
+
+
+def _with_planted_near_dups(docs):
+    """Corpus ∪ truncated copies (drop last 3 tokens) of every 13th doc.
+
+    The corpus has no labeled duplicate pairs (FIXTURES.md), so near-dup
+    queries plant their own: doc_id+100000 carries ~95% of the original's
+    shingles → Jaccard well above any threshold.
+    """
+    copies = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(text, ' '), 1, "
+            "greatest(size(split(text, ' ')) - 3, 1)), ' ')"
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+@register("dedup_near")  # LSH candidate set is algorithm-defined → rows-only
+def q_dedup_near(spark, sf_dir):
+    """H2: MinHash-LSH near-duplicate text dedup (shingle→minhash→band→join).
+
+    Pipeline, all codegen'd expressions:
+      1. 3-gram shingles per doc (zip_with over shifted slices, O(n)).
+      2. 12 minhash values: min over shingles of xxhash64(seed_i ∥ shingle)
+         — a per-permutation min-wise independent sketch.
+      3. 6 bands × 2 rows: band key = hash of its minhash pair. Docs
+         sharing ANY band bucket become candidates (S-curve
+         P(candidate) = 1-(1-j^r)^b; r=2,b=6 ⇒ 98% at j=0.7, ~100% at
+         j≥0.9 — tuned so even short planted dups are caught).
+      4. Exact Jaccard verification of candidates via the inverted-index
+         join; emit pairs ≥ 0.5.
+
+    Scale: the only joins are equi-joins on (band, bucket) and on shingle —
+    uniform keys, no all-pairs stage anywhere. Tests assert every planted
+    duplicate is recovered.
+    """
+    docs = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.withColumn("toks", F.split("text", " "))
+        .withColumn("t2", F.expr("slice(toks, 2, size(toks))"))
+        .withColumn("t3", F.expr("slice(toks, 3, size(toks))"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(filter("
+                "  zip_with(zip_with(toks, t2, (a, b) -> concat_ws(' ', a, b)),"
+                "           t3, (ab, c) -> IF(c IS NULL, NULL, concat_ws(' ', ab, c))),"
+                "  x -> x IS NOT NULL))"
+            ).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
+    n_hashes, n_bands = 12, 6
+    rows_per_band = n_hashes // n_bands
+    minhashes = F.expr(
+        f"transform(sequence(0, {n_hashes - 1}), "
+        "p -> array_min(transform(shingles, "
+        "s -> xxhash64(concat(CAST(p AS STRING), ':', s)))))"
+    )
+    bands = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), "
+        f"b -> xxhash64(concat_ws(',', slice(mh, b * {rows_per_band} + 1, "
+        f"{rows_per_band}))))"
+    )
+    sig = (
+        sh.withColumn("mh", minhashes)
+        .withColumn("bands", bands)
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            "shingles",
+            F.posexplode("bands").alias("band", "bucket"),
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.withColumn("jaccard", F.round(jac, 9))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register("dedup_simhash")  # hash-defined signature → rows-only
+def q_dedup_simhash(spark, sf_dir):
+    """H2-family: SimHash near-dup detection (32-bit, hamming ≤ 6).
+
+    Each token votes ±1 on 32 signature bits (from xxhash64); the sign
+    vector is the fingerprint. Near-dups = pairs within hamming distance 6
+    (measured: planted truncation dups land at 0-6, shortest docs up to 9),
+    found by pigeonhole banding: 8 bands of 4 bits — any pair with ≤7
+    differing bits must agree on ≥1 whole band, so candidates come from an
+    equi-join on (band, nibble), then bit_count(xor) verifies. No all-pairs.
+    """
+    docs = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(32)
+            ]
+        ).alias("simhash"),
+    )
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftright("simhash", bnd * 4)
+                        .bitwiseAND(F.lit(15))
+                        .alias("byte"),
+                    )
+                    for bnd in range(8)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.byte")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 6)
+    )

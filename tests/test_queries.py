@@ -78,3 +78,35 @@ def test_stream_stateful_totals(spark, sf_small, registry):
     out = registry["stream_stateful"].fn(spark, sf_small)
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == load_table(spark, sf_small, "events").count()
+
+
+def test_minhash_recovers_planted_dups(spark, sf_small, registry):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry["dedup_near"].fn(spark, sf_small).collect()
+    }
+    planted = {
+        (r["doc_id"], r["doc_id"] + 100000)
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet")
+        .filter("doc_id % 13 = 0")
+        .select("doc_id")
+        .collect()
+    }
+    recall = len(planted & pairs) / len(planted)
+    # LSH is probabilistic by design; 6 bands x 2 rows gives ~98% capture
+    # even for the shortest planted dup (j~0.7), ~100% for typical ones.
+    assert recall >= 0.9, f"MinHash-LSH recall too low: {recall:.2f}"
+
+
+def test_simhash_recovers_planted_dups(spark, sf_small, registry):
+    out = registry["dedup_simhash"].fn(spark, sf_small)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 100000)
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet")
+        .filter("doc_id % 13 = 0")
+        .select("doc_id")
+        .collect()
+    }
+    recall = len(planted & pairs) / len(planted)
+    assert recall >= 0.8, f"SimHash recall too low: {recall:.2f}"
