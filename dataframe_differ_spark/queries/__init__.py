@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
             textops,
             vectors,
             scalars,
+            composites,
             streaming_queries,
             udfs,
         )

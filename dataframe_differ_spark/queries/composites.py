@@ -1,0 +1,224 @@
+"""Composite analytical queries — multi-join plans in TPC-H shapes, plus an
+end-to-end training-data pipeline query.
+
+These are the headline benchmark plans: they exercise join ordering,
+dimension broadcasting, pushed-down filters, and decimal-exact aggregation
+in a single Catalyst plan. (Q1's shape already ships as
+`agg_pricing_summary`.) The schema is the driver corpus's narrowed TPC-H
+(FIXTURES.md), so predicates use the columns that exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.queries.relational import SQL_DSUM, dsum
+from dataframe_differ_spark.tables import load_table
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+_SQL_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "tpch_q3_shape",
+    oracle=f"""
+SELECT l_orderkey,
+       {SQL_DSUM(_SQL_REV, 'revenue', '28,8')},
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_q3_shape(spark, sf_dir):
+    """Q3 shape: shipping-priority — segment-filtered 3-way join, top-10.
+
+    Plan shape to preserve at scale: the customer filter prunes before the
+    join (broadcast build side), both date filters push to the parquet
+    scans, lineitem⋈orders shuffles on orderkey, and the top-10 is
+    TakeOrderedAndProject (no global sort). Revenue is decimal-exact so the
+    ORDER BY is deterministic cross-engine.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_rev(), "revenue", "28,8"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_shape",
+    oracle=f"""
+SELECT n_name,
+       {SQL_DSUM(_SQL_REV, 'revenue', '28,8')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def q_tpch_q5_shape(spark, sf_dir):
+    """Q5 shape: local-supplier volume — 6-table join, region-pruned.
+
+    All four dimensions (customer, supplier, nation, region) broadcast;
+    the fact-fact orders⋈lineitem shuffle on orderkey is the only
+    exchange before the 25-group aggregate. The c_nationkey = s_nationkey
+    local-supplier condition rides the supplier broadcast join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_rev(), "revenue", "28,8"))
+    )
+
+
+@register(
+    "tpch_q10_shape",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {SQL_DSUM(_SQL_REV, 'revenue', '28,8')},
+       ANY_VALUE(n_name) AS n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_tpch_q10_shape(spark, sf_dir):
+    """Q10 shape: returned-item reporting — top-20 customers by lost revenue."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(_rev(), "revenue", "28,8"),
+            F.any_value("n_name").alias("n_name"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle="""
+WITH quality AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents),
+  passing AS (
+  SELECT * FROM quality WHERE n_tokens >= 20 AND ttr >= 0.3),
+  canonical AS (
+  SELECT MIN(doc_id) AS doc_id FROM passing GROUP BY md5(text))
+SELECT p.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(p.ttr), 9) AS avg_ttr
+FROM passing p JOIN canonical c ON p.doc_id = c.doc_id
+GROUP BY p.lang
+""",
+)
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline in ONE Catalyst plan:
+    quality-filter → exact-dedup (min-id canonical per content hash) →
+    per-language corpus statistics.
+
+    This is the composition the LLM-pipeline operators exist for; at
+    100 TB it is one scan + one dedup shuffle (md5 key, uniform) + one
+    broadcast-back join + a 5-group aggregate. avg(ttr) is a double mean
+    over a deterministic set — rounded to 9 dp for the summation-order
+    hazard (few hundred values per group keeps error << 1e-9).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "ttr"
+        ),
+    )
+    passing = quality.filter((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.3))
+    canonical = passing.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        passing.join(canonical.select("doc_id"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("ttr"), 9).alias("avg_ttr"),
+        )
+    )
