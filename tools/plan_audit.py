@@ -1,0 +1,102 @@
+"""Physical-plan audit: verify the 100 TB design rules actually hold.
+
+For every registered query this prints the operators that matter at scale
+(join strategies, exchanges, pushed filters) and enforces per-query
+expectations where they are load-bearing:
+
+- dimension joins must be BroadcastHashJoin (no shuffle of the fact side)
+- scan-heavy queries must show PushedFilters reaching parquet
+- no BatchEvalPython (row-at-a-time Python UDF) anywhere — only
+  ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas are sanctioned
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dataframe_differ_spark.queries import load_all
+from dataframe_differ_spark.session import get_spark
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+# Queries whose plan MUST contain a broadcast join (dimension side small).
+MUST_BROADCAST = {
+    "join_broadcast",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "tpch_q10_shape",
+    "text_tfidf",
+    "sim_topk",
+}
+
+# Queries whose parquet scan MUST show a pushed-down filter.
+MUST_PUSH_FILTER = {
+    "join_smj": "o_orderstatus",
+    "tpch_q3_shape": "c_mktsegment",
+    "tpch_q10_shape": "l_returnflag",
+    "agg_pricing_summary": "l_shipdate",
+}
+
+# Streaming queries execute eagerly; plan inspection not applicable.
+SKIP = {"stream_tumbling", "stream_watermark", "stream_dedup", "stream_stateful"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF
+    spark = get_spark("plan_audit")
+    registry = load_all()
+    failures: list[str] = []
+    for name, q in registry.items():
+        if name in SKIP:
+            continue
+        try:
+            df = q.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: plan build failed: {e}")
+            continue
+        ops = {
+            "bhj": plan.count("BroadcastHashJoin"),
+            "smj": plan.count("SortMergeJoin"),
+            "shj": plan.count("ShuffledHashJoin"),
+            "bnlj": plan.count("BroadcastNestedLoopJoin"),
+            "exch": plan.count("Exchange hashpartitioning"),
+            "pyrow": plan.count("BatchEvalPython"),
+            "pyarrow": plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas"),
+        }
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        pushed_all = "; ".join(p for p in pushed if p)
+        line = (
+            f"{name}: BHJ={ops['bhj']} SMJ={ops['smj']} SHJ={ops['shj']} "
+            f"BNLJ={ops['bnlj']} exchanges={ops['exch']} "
+            f"arrowPy={ops['pyarrow']}"
+        )
+        print(line)
+        if ops["pyrow"]:
+            failures.append(f"{name}: row-at-a-time Python UDF in plan (BatchEvalPython)")
+        if name in MUST_BROADCAST and ops["bhj"] + ops["bnlj"] == 0:
+            # BNLJ counts: a broadcast nested-loop (e.g. sim_topk's non-equi
+            # query fan-out) still keeps the corpus side shuffle-free.
+            failures.append(f"{name}: expected a broadcast join, found none")
+        want = MUST_PUSH_FILTER.get(name)
+        if want and want not in pushed_all:
+            failures.append(f"{name}: filter on {want} not pushed to scan")
+    print()
+    if failures:
+        for f in failures:
+            print("AUDIT FAIL:", f)
+        return 1
+    print(f"plan audit clean for {len(registry) - len(SKIP)} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
