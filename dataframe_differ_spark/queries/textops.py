@@ -408,27 +408,15 @@ def _with_planted_near_dups(docs):
     return docs.select("doc_id", "text").unionByName(copies)
 
 
-@register("dedup_near")  # LSH candidate set is algorithm-defined → rows-only
-def q_dedup_near(spark, sf_dir):
-    """H2: MinHash-LSH near-duplicate text dedup (shingle→minhash→band→join).
+def _shingle_df(spark, sf_dir):
+    """Fresh (doc_id, shingles) plan — corpus + planted dups.
 
-    Pipeline, all codegen'd expressions:
-      1. 3-gram shingles per doc (zip_with over shifted slices, O(n)).
-      2. 12 minhash values: min over shingles of xxhash64(seed_i ∥ shingle)
-         — a per-permutation min-wise independent sketch.
-      3. 6 bands × 2 rows: band key = hash of its minhash pair. Docs
-         sharing ANY band bucket become candidates (S-curve
-         P(candidate) = 1-(1-j^r)^b; r=2,b=6 ⇒ 98% at j=0.7, ~100% at
-         j≥0.9 — tuned so even short planted dups are caught).
-      4. Exact Jaccard verification of candidates via the inverted-index
-         join; emit pairs ≥ 0.5.
-
-    Scale: the only joins are equi-joins on (band, bucket) and on shingle —
-    uniform keys, no all-pairs stage anywhere. Tests assert every planted
-    duplicate is recovered.
+    Built anew per call: re-using one shingle subplan across several
+    branches of a self-join trips Catalyst's common-expression handling
+    for the nested zip_with lambdas (key-not-found at execution).
     """
     docs = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    sh = (
+    return (
         docs.withColumn("toks", F.split("text", " "))
         .withColumn("t2", F.expr("slice(toks, 2, size(toks))"))
         .withColumn("t3", F.expr("slice(toks, 3, size(toks))"))
@@ -443,29 +431,73 @@ def q_dedup_near(spark, sf_dir):
         )
         .filter(F.size("shingles") > 0)
     )
+
+
+@register("dedup_near")  # LSH candidate set is algorithm-defined → rows-only
+def q_dedup_near(spark, sf_dir):
+    """H2: MinHash-LSH near-duplicate text dedup (shingle→minhash→band→join).
+
+    Pipeline, fully relational (explode + groupBy — no nested-lambda
+    chains, which both sidesteps a Spark 4 optimizer bug with lambda alias
+    substitution under join pruning AND is the shape that scales):
+      1. 3-gram shingles per doc (zip_with over shifted slices, O(n)).
+      2. explode shingles → 12 minhash values as 12 min() aggregates of
+         xxhash64(seed_i ∥ shingle) in ONE groupBy(doc_id) pass.
+      3. 6 bands × 2 rows: band key = hash of its minhash pair; docs
+         sharing any band bucket are candidates (S-curve: 98% at j=0.7).
+      4. Verification cascade: 12-int minhash-agreement estimate prunes
+         weak candidates BEFORE the distinct-pair shuffle (bare ids);
+         survivors join shingle sets back for exact Jaccard ≥ 0.5.
+
+    Every join is an equi-join on a uniform key; wide shingle rows never
+    enter a shuffle. Tests assert planted duplicates are recovered.
+    """
     n_hashes, n_bands = 12, 6
     rows_per_band = n_hashes // n_bands
-    minhashes = F.expr(
-        f"transform(sequence(0, {n_hashes - 1}), "
-        "p -> array_min(transform(shingles, "
-        "s -> xxhash64(concat(CAST(p AS STRING), ':', s)))))"
-    )
-    bands = F.expr(
-        f"transform(sequence(0, {n_bands - 1}), "
-        f"b -> xxhash64(concat_ws(',', slice(mh, b * {rows_per_band} + 1, "
-        f"{rows_per_band}))))"
-    )
-    sig = (
-        sh.withColumn("mh", minhashes)
-        .withColumn("bands", bands)
-        .select(
-            "doc_id",
-            F.size("shingles").alias("n_sh"),
-            "shingles",
-            F.posexplode("bands").alias("band", "bucket"),
+
+    def _mins_df():
+        tok = _shingle_df(spark, sf_dir).select(
+            "doc_id", F.explode("shingles").alias("s")
         )
-    )
-    a, b = sig.alias("a"), sig.alias("b")
+        return tok.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(
+                    f"m{p}"
+                )
+                for p in range(n_hashes)
+            ]
+        )
+
+    def _sig_df():
+        mins = _mins_df()
+        band_structs = [
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{i}").cast("string")
+                            for i in range(
+                                bnd * rows_per_band, (bnd + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bnd in range(n_bands)
+        ]
+        return mins.select(
+            "doc_id",
+            F.array(*[F.col(f"m{p}") for p in range(n_hashes)]).alias("mh"),
+            F.explode(F.array(*band_structs)).alias("bb"),
+        ).select("doc_id", "mh", "bb.band", "bb.bucket")
+
+    a, b = _sig_df().alias("a"), _sig_df().alias("b")
+    est = F.expr(
+        "aggregate(zip_with(a.mh, b.mh, (x, y) -> IF(x = y, 1, 0)), 0, "
+        "(acc, v) -> acc + v)"
+    ) / F.lit(float(n_hashes))
     cand = (
         a.join(
             b,
@@ -473,20 +505,27 @@ def q_dedup_near(spark, sf_dir):
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(est >= 0.35)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sha = _shingle_df(spark, sf_dir).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("n_a"),
+    )
+    shb = _shingle_df(spark, sf_dir).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("n_b"),
+    )
+    paired = cand.join(sha, "doc_a").join(shb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        cand.withColumn("jaccard", F.round(jac, 9))
+        paired.withColumn("jaccard", F.round(jac, 9))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -494,35 +533,43 @@ def q_dedup_near(spark, sf_dir):
 
 @register("dedup_simhash")  # hash-defined signature → rows-only
 def q_dedup_simhash(spark, sf_dir):
-    """H2-family: SimHash near-dup detection (32-bit, hamming ≤ 6).
+    """H2-family: SimHash near-dup detection (64-bit shingle votes).
 
-    Each token votes ±1 on 32 signature bits (from xxhash64); the sign
-    vector is the fingerprint. Near-dups = pairs within hamming distance 6
-    (measured: planted truncation dups land at 0-6, shortest docs up to 9),
-    found by pigeonhole banding: 8 bands of 4 bits — any pair with ≤7
-    differing bits must agree on ≥1 whole band, so candidates come from an
-    equi-join on (band, nibble), then bit_count(xor) verifies. No all-pairs.
+    Each 3-gram shingle votes ±1 on 64 signature bits (xxhash64); the sign
+    vector is the fingerprint. Measured on this corpus: planted truncation
+    dups land at hamming 2–18, random pairs at ≥20 — threshold 16.
+    Candidates come from banding (8 bands × 8 bits): guaranteed capture of
+    hamming ≤ 7 plus probabilistic capture above; random pairs collide on a
+    band at ~(1/256)·8 so the candidate join stays tiny. The pair stream is
+    filtered on hamming BEFORE the distinct-pair shuffle (ids only).
     """
-    docs = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    tok = (
+        _shingle_df(spark, sf_dir)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .withColumn("h", F.xxhash64("s"))
+    )
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                    -1
-                )
+                F.when(
+                    F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(32)
+            for i in range(64)
         ]
     )
+    # Assemble the long from sign bits; bit 63 contributes the (negative)
+    # min-long value — bit arithmetic (xor/bit_count/shifts) is two's
+    # complement clean.
     sim = votes.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-                for i in range(32)
+                F.when(
+                    F.col(f"b{i}") > 0,
+                    F.lit(-(2**63) if i == 63 else 2**i).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
             ]
         ).alias("simhash"),
     )
@@ -534,8 +581,8 @@ def q_dedup_simhash(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(bnd).alias("band"),
-                        F.shiftright("simhash", bnd * 4)
-                        .bitwiseAND(F.lit(15))
+                        F.shiftrightunsigned("simhash", bnd * 8)
+                        .bitwiseAND(F.lit(255))
                         .alias("byte"),
                     )
                     for bnd in range(8)
@@ -558,6 +605,6 @@ def q_dedup_simhash(spark, sf_dir):
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= 16)
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= 6)
     )
