@@ -607,3 +607,96 @@ def q_distinct_subset(spark, sf_dir):
             "o_custkey", "o_orderstatus", F.col("o_orderkey").alias("first_orderkey")
         )
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_pivot(spark, sf_dir):
+    """Pivot: status domain → columns. Explicit value list so the plan is a
+    single-pass conditional aggregation (no extra distinct-values job)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+""",
+)
+def q_unpivot_measures(spark, sf_dir):
+    """Unpivot/melt: wide measures → long form — one scan, no shuffle
+    (Spark's Expand node), vs the oracle's 3-scan UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "sql_text_query",
+    oracle=f"""
+SELECT n_name,
+       COUNT(*) AS num_customers,
+       {SQL_DSUM('c_acctbal', 'total_acctbal')}
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY n_name
+HAVING COUNT(*) > 5
+""",
+)
+def q_sql_text_query(spark, sf_dir):
+    """SQL-text API surface: temp views + spark.sql — the same Catalyst
+    plan as the DSL, proving both front doors work."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(*) AS num_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_acctbal
+        FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY n_name
+        HAVING COUNT(*) > 5
+        """
+    )
+
+
+@register(
+    "sample_hash",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+""",
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic hash sampling (~1/16): the reproducible, engine-stable
+    alternative to rng TABLESAMPLE — at 100 TB the same rows are sampled on
+    every run and every engine, and the predicate pipelines with the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
