@@ -21,10 +21,10 @@ from dataframe_differ_spark.tables import load_table
 SELECT c_custkey,
        upper(c_name) AS uname,
        substr(c_name, 1, 8) AS prefix,
-       length(c_name) AS name_len,
+       CAST(length(c_name) AS INTEGER) AS name_len,
        c_name LIKE 'Customer%' AS is_customer,
        regexp_extract(c_name, '([0-9]+)', 1) AS digits,
-       levenshtein(c_name, 'Customer#000000000') AS edit_dist,
+       CAST(levenshtein(c_name, 'Customer#000000000') AS INTEGER) AS edit_dist,
        concat(c_mktsegment, ':', c_name) AS tagged,
        lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
        replace(c_name, 'Customer', 'Cust') AS shortname
@@ -52,14 +52,14 @@ def q_str_funcs(spark, sf_dir):
     "date_funcs",
     oracle="""
 SELECT o_orderkey,
-       year(o_orderdate) AS yr,
-       month(o_orderdate) AS mo,
-       day(o_orderdate) AS dom,
-       quarter(o_orderdate) AS qtr,
-       dayofweek(o_orderdate) + 1 AS dow,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
        strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
-       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
        strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m
 FROM orders
 """,
@@ -99,8 +99,8 @@ def q_date_funcs(spark, sf_dir):
 SELECT o_orderkey,
        ROUND(o_totalprice, 1) AS rounded,
        ABS(o_totalprice - 250000.0) AS dist_from_mid,
-       CEIL(o_totalprice) AS ceiled,
-       FLOOR(o_totalprice) AS floored,
+       CAST(CEIL(o_totalprice) AS BIGINT) AS ceiled,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS floored,
        CAST(SIGN(o_totalprice - 250000.0) AS INTEGER) AS above_mid,
        ROUND(SQRT(o_totalprice), 9) AS sqrt_price,
        ROUND(LN(o_totalprice), 9) AS ln_price,
@@ -170,9 +170,9 @@ def q_json_props(spark, sf_dir):
     "multimodal_meta",
     oracle="""
 SELECT doc_id,
-       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
        md5(text) AS content_hash,
-       64 + octet_length(CAST(text AS BLOB)) % 512 AS fake_width,
+       CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS fake_width,
        64 + ascii(text) % 64 AS fake_height
 FROM documents
 """,

@@ -174,8 +174,8 @@ def q_text_lang_id(spark, sf_dir):
     oracle="""
 WITH t AS (
   SELECT doc_id, n_chars,
-         len(string_split(text, ' ')) AS n_tokens,
-         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
          len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens
   FROM documents)
 SELECT doc_id, n_tokens, n_distinct,
@@ -366,10 +366,10 @@ def q_dedup_ngram(spark, sf_dir):
     "text_token_count",
     oracle="""
 SELECT doc_id,
-       len(string_split(text, ' ')) AS ws_tokens,
-       len(regexp_extract_all(text, '[a-z0-9]+')) AS word_tokens,
-       list_sum(list_transform(string_split(text, ' '),
-                t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS bpe_est_tokens
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS word_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est_tokens
 FROM documents
 """,
 )

@@ -101,7 +101,7 @@ def q_udaf_grouped(spark, sf_dir):
 @register(
     "udtf_explode",
     oracle="""
-SELECT doc_id, pos, token
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
 FROM (SELECT doc_id,
              unnest(list_transform(string_split(text, ' '),
                                    (x, i) -> {'pos': i, 'token': x}),
@@ -132,8 +132,8 @@ def q_udtf_explode(spark, sf_dir):
     "multimodal_features",
     oracle="""
 SELECT doc_id,
-       octet_length(CAST(text AS BLOB)) AS n_bytes,
-       64 + octet_length(CAST(text AS BLOB)) % 512 AS width,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+       CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width,
        64 + ascii(text) % 64 AS height,
        3 AS channels
 FROM documents

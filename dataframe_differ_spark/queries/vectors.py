@@ -67,7 +67,8 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
               ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY cos_sim DESC, vec_id) AS rank
        FROM scored)
-SELECT query_id, vec_id, rank, ROUND(cos_sim, 9) AS cos_sim
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos_sim, 9) AS cos_sim
 FROM ranked WHERE rank <= 10
 """,
 )
@@ -210,7 +211,7 @@ def q_dedup_embed(spark, sf_dir):
     oracle="""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT vec_id,
-       len(e) AS dim,
+       CAST(len(e) AS INTEGER) AS dim,
        e[1] AS first_elem,
        list_aggregate(e, 'max') AS max_elem,
        list_aggregate(e, 'min') AS min_elem,
@@ -219,7 +220,7 @@ SELECT vec_id,
        ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                     list_transform(e, x -> x * x)),
                     (acc, x) -> acc + x)), 9) AS l2_norm,
-       len(list_filter(e, x -> x > 0.1)) AS n_large
+       CAST(len(list_filter(e, x -> x > 0.1)) AS INTEGER) AS n_large
 FROM e
 """,
 )

@@ -20,10 +20,10 @@ from dataframe_differ_spark.tables import load_table
     "win_rank",
     oracle="""
 SELECT c_custkey, c_nationkey,
-       ROW_NUMBER() OVER w AS rn,
-       RANK() OVER w AS rnk,
-       DENSE_RANK() OVER w AS drnk,
-       NTILE(4) OVER w AS quartile
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
 """,

@@ -60,6 +60,15 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         return problems
+    # Strict dtype parity: the driver compares schemas, so int32-vs-int64 or
+    # int-vs-float divergence between engines is a failure even when the
+    # values agree numerically.
+    for c in sorted(sdf.columns):
+        sd, od = str(sdf[c].dtype), str(odf[c].dtype)
+        if sd != od and not (
+            sd.startswith("datetime64") and od.startswith("datetime64")
+        ):
+            problems.append(f"dtype {c}: spark={sd} oracle={od}")
     if len(sdf) != len(odf):
         problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
     s, o = normalize(sdf), normalize(odf)
