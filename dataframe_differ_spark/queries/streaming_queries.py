@@ -261,3 +261,38 @@ def q_stream_stateful(spark, sf_dir):
     )
     name = _run_to_memory(agg, "stateful", mode="update")
     return spark.table(name)
+
+
+@register("stream_sliding")  # rows-only: true streaming execution
+def q_stream_sliding(spark, sf_dir):
+    """G2: sliding-window aggregation on a real readStream (availableNow);
+    each event lands in 4 overlapping windows, streaming state keyed by
+    (window, —). Tests compare against the `window_sliding` batch twin."""
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    name = _run_to_memory(agg, "sliding")
+    return spark.table(name)
+
+
+@register("stream_session")  # rows-only: true streaming execution
+def q_stream_session(spark, sf_dir):
+    """G3: session windows (30-min gap) per user on a real readStream.
+    Streaming session_window requires a watermark; with availableNow replay
+    nothing is late, so sessions equal the batch twin (asserted in tests)."""
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    name = _run_to_memory(agg, "session")
+    return spark.table(name)

@@ -110,3 +110,35 @@ def test_simhash_recovers_planted_dups(spark, sf_small, registry):
     }
     recall = len(planted & pairs) / len(planted)
     assert recall >= 0.8, f"SimHash recall too low: {recall:.2f}"
+
+
+def test_stream_sliding_equals_batch_twin(spark, sf_small, registry):
+    batch = registry["window_sliding"].fn(spark, sf_small)
+    stream = registry["stream_sliding"].fn(spark, sf_small)
+    b = _rows(
+        batch.selectExpr("CAST(window_start AS STRING) ws", "n_events"),
+        ["ws", "n_events"],
+    )
+    s = _rows(
+        stream.selectExpr("CAST(window_start AS STRING) ws", "n_events"),
+        ["ws", "n_events"],
+    )
+    assert b == s
+
+
+def test_stream_session_equals_batch_twin(spark, sf_small, registry):
+    batch = registry["window_session"].fn(spark, sf_small)
+    stream = registry["stream_session"].fn(spark, sf_small)
+    b = _rows(
+        batch.selectExpr(
+            "user_id", "CAST(session_start AS STRING) ss", "n_events"
+        ),
+        ["user_id", "ss", "n_events"],
+    )
+    s = _rows(
+        stream.selectExpr(
+            "user_id", "CAST(session_start AS STRING) ss", "n_events"
+        ),
+        ["user_id", "ss", "n_events"],
+    )
+    assert b == s
