@@ -1,0 +1,81 @@
+"""Golden-file regression layer (SURVEY.md §5.3.3).
+
+Hashes every query's result at sf0.001 (column-sorted, row-sorted, floats
+rounded to 9 dp) into golden_sf0001.json. Future rounds run `--verify` to
+catch regressions in seconds without DuckDB.
+
+Usage:
+    python tools/golden.py --write    # (re)record golden hashes
+    python tools/golden.py --verify   # compare current results
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dataframe_differ_spark.queries import load_all
+from dataframe_differ_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "golden_sf0001.json")
+
+# Queries whose output is inherently unstable across sessions (memory-sink
+# names, rng-free but environment-coupled) — none currently; streaming
+# queries ARE deterministic under availableNow replay.
+SKIP: set[str] = set()
+
+
+def result_hash(pdf: pd.DataFrame) -> str:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]").astype("int64").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.round(9).map(lambda v: repr(v))
+        else:
+            pdf[c] = s.map(lambda v: repr(v))
+    rows = sorted(map(tuple, pdf.itertuples(index=False)))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return f"{len(rows)}:{h.hexdigest()[:16]}"
+
+
+def main() -> int:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "--verify"
+    spark = get_spark("golden")
+    registry = load_all()
+    current = {}
+    for name, q in registry.items():
+        if name in SKIP:
+            continue
+        current[name] = result_hash(q.fn(spark, SF_DIR).toPandas())
+    if mode == "--write":
+        with open(GOLDEN, "w") as f:
+            json.dump(current, f, indent=1, sort_keys=True)
+        print(f"wrote {len(current)} golden hashes")
+        return 0
+    with open(GOLDEN) as f:
+        golden = json.load(f)
+    bad = {k: (golden.get(k), v) for k, v in current.items() if golden.get(k) != v}
+    missing = set(golden) - set(current)
+    for k, (g, c) in bad.items():
+        print(f"REGRESSION {k}: golden={g} current={c}")
+    if missing:
+        print(f"queries removed since golden: {sorted(missing)}")
+    print(f"{len(current) - len(bad)}/{len(current)} match golden")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
