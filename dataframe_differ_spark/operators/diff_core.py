@@ -238,3 +238,64 @@ def changed_sample(
     """
     d = diff(left, right, keys, **kw)
     return d.filter(F.col(STATUS_COL) == CHANGE).orderBy(*keys).limit(n)
+
+
+def report(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    *,
+    atol: float = 0.0,
+    rtol: float = 0.0,
+    sample_n: int = 5,
+) -> str:
+    """Human-readable diff report (the reference family's `report()` UX).
+
+    Aggregates only — the row-level diff stays distributed; what crosses to
+    the driver is a handful of summary rows plus `sample_n` changed keys.
+    """
+    keys = list(keys)
+    sd = schema_diff(left, right).collect()
+    summary = {
+        r[STATUS_COL]: r["cnt"]
+        for r in diff_summary(left, right, keys, atol=atol, rtol=rtol).collect()
+    }
+    mismatches = column_mismatch_stats(left, right, keys, atol=atol, rtol=rtol)
+    mm_rows = mismatches.filter(F.col("n_different") > 0).collect()
+    sample = changed_sample(left, right, keys, n=sample_n, atol=atol, rtol=rtol)
+    sample_keys = [tuple(r[k] for k in keys) for r in sample.collect()]
+
+    lines = ["DataFrame diff report", "=" * 21, ""]
+    lines.append(f"Key columns: {', '.join(keys)}")
+    if atol or rtol:
+        lines.append(f"Numeric tolerance: atol={atol}, rtol={rtol}")
+    lines.append("")
+    lines.append("Schema changes:")
+    changed_schema = [r for r in sd if r["status"] != "same"]
+    if changed_schema:
+        for r in changed_schema:
+            lines.append(
+                f"  {r['column_name']}: {r['status']}"
+                f" ({r['left_type']} -> {r['right_type']})"
+            )
+    else:
+        lines.append("  none")
+    lines.append("")
+    lines.append("Row status counts:")
+    for st, label in (("N", "unchanged"), ("C", "changed"),
+                      ("D", "only in left"), ("I", "only in right")):
+        lines.append(f"  {label:14s} {summary.get(st, 0)}")
+    lines.append("")
+    lines.append("Columns with differences (among matched keys):")
+    if mm_rows:
+        for r in sorted(mm_rows, key=lambda r: -r["n_different"]):
+            lines.append(
+                f"  {r['column_name']}: {r['n_different']} differ"
+                f" ({r['n_null_mismatch']} null-mismatch)"
+            )
+    else:
+        lines.append("  none")
+    if sample_keys:
+        lines.append("")
+        lines.append(f"Sample changed keys (first {sample_n}): {sample_keys}")
+    return "\n".join(lines)

@@ -12,6 +12,8 @@ plan survives 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -700,3 +702,84 @@ def q_sample_hash(spark, sf_dir):
     return orders.filter(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_salted_skew(spark, sf_dir):
+    """Skew-resistant two-phase (salted) aggregation.
+
+    l_returnflag has only 3 values — a direct groupBy sends ~200k rows per
+    key to 3 reducers at sf0.1 (and ~2B rows per key at 100 TB: a straggler
+    guaranteed). Phase 1 groups by (key, salt) spreading each hot key over
+    16 reducers; phase 2 merges the 48 partials. Same result as the plain
+    aggregate (the oracle), shuffle balanced by construction. Decimal
+    partials re-sum exactly, so two-phase == one-phase bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("p_cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("p_qty"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("p_cnt").alias("cnt"),
+        F.sum("p_qty").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "join_bucketed",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS line_cnt,
+       {SQL_DSUM('l_extendedprice', 'sum_price')}
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_join_bucketed(spark, sf_dir):
+    """Shuffle-free co-located join via bucketing.
+
+    Both fact tables are written bucketed by the join key (8 buckets,
+    sorted); the subsequent join reads bucket i against bucket i with NO
+    exchange on either side — the technique that removes the dominant
+    fact-fact shuffle at 100 TB when one key is joined repeatedly. The
+    oracle computes the same join from the raw sources, proving the
+    bucketed path changes the plan, not the answer.
+    """
+    import uuid
+
+    db = "ddspark_buckets"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # Session-unique names: the warehouse directory outlives the in-memory
+    # catalog, so a fixed name from a previous session would collide with
+    # its orphaned location on disk.
+    run_tag = uuid.uuid4().hex[:8]
+    ot = f"{db}.orders_b_{sf_tag}_{run_tag}"
+    lt = f"{db}.lineitem_b_{sf_tag}_{run_tag}"
+    for tname, src, key in ((ot, "orders", "o_orderkey"), (lt, "lineitem", "l_orderkey")):
+        (
+            load_table(spark, sf_dir, src)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(tname)
+        )
+    o = spark.table(ot)
+    li = spark.table(lt)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
+        )
+    )

@@ -110,3 +110,13 @@ def test_column_mismatch_stats(pair):
     # matched keys: 1, 2, None → 3 rows
     assert stats["a"]["n_equal"] == 3
     assert stats["v"]["n_different"] == 1
+
+
+def test_report(pair):
+    left, right = pair
+    rep = D.report(left, right, ["k"], sample_n=3)
+    assert "changed        1" in rep
+    assert "only in left   1" in rep
+    assert "only in right  1" in rep
+    assert "v: 1 differ" in rep
+    assert "Sample changed keys" in rep
