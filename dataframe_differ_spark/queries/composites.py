@@ -13,21 +13,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dataframe_differ_spark.queries import register
-from dataframe_differ_spark.queries.relational import SQL_DSUM, dsum
+from dataframe_differ_spark.queries.relational import SQL_DSUM, SQL_REV_DEC, dsum, rev_dec
 from dataframe_differ_spark.tables import load_table
 
 
-def _rev():
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-_SQL_REV = "l_extendedprice * (1 - l_discount)"
+_SQL_REV_SUM = f"CAST(SUM({SQL_REV_DEC}) AS DOUBLE) AS revenue"
 
 
 @register(
     "tpch_q3_shape",
     oracle=f"""
 SELECT l_orderkey,
-       {SQL_DSUM(_SQL_REV, 'revenue', '28,8')},
+       {_SQL_REV_SUM},
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
        o_orderpriority
 FROM customer
@@ -63,7 +60,7 @@ def q_tpch_q3_shape(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(_rev(), "revenue", "28,8"))
+        .agg(F.sum(rev_dec()).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -79,7 +76,7 @@ def q_tpch_q3_shape(spark, sf_dir):
     "tpch_q5_shape",
     oracle=f"""
 SELECT n_name,
-       {SQL_DSUM(_SQL_REV, 'revenue', '28,8')}
+       {_SQL_REV_SUM}
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -119,7 +116,7 @@ def q_tpch_q5_shape(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(_rev(), "revenue", "28,8"))
+        .agg(F.sum(rev_dec()).cast("double").alias("revenue"))
     )
 
 
@@ -127,7 +124,7 @@ def q_tpch_q5_shape(spark, sf_dir):
     "tpch_q10_shape",
     oracle=f"""
 SELECT c_custkey, c_name,
-       {SQL_DSUM(_SQL_REV, 'revenue', '28,8')},
+       {_SQL_REV_SUM},
        ANY_VALUE(n_name) AS n_name
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -158,7 +155,7 @@ def q_tpch_q10_shape(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            dsum(_rev(), "revenue", "28,8"),
+            F.sum(rev_dec()).cast("double").alias("revenue"),
             F.any_value("n_name").alias("n_name"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))

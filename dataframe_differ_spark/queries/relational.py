@@ -30,6 +30,27 @@ def SQL_DSUM(expr, alias, scale="18,2"):
     return f"CAST(SUM(CAST({expr} AS DECIMAL({scale}))) AS DOUBLE) AS {alias}"
 
 
+def rev_dec():
+    """Exact-decimal revenue l_extendedprice*(1-l_discount).
+
+    Factors are cast to decimal BEFORE multiplying: a double→decimal cast
+    of a 2-dp money value can never land on a rounding half (x.xx5 has no
+    double representation), so both engines round identically; the decimal
+    multiply/sum is then exact. Casting the double PRODUCT instead can hit
+    exact halves where Spark (HALF_UP) and DuckDB disagree — observed at
+    sf0.1.
+    """
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+
+
+SQL_REV_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
 # --------------------------------------------------------------------------
 # C. Joins
 # --------------------------------------------------------------------------
@@ -73,7 +94,9 @@ def q_join_broadcast(spark, sf_dir):
     oracle=f"""
 SELECT o_orderpriority,
        COUNT(*) AS line_cnt,
-       {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'revenue', '28,8')}
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
@@ -94,11 +117,14 @@ def q_join_smj(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("line_cnt"),
-            dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "revenue",
-                "28,8",
-            ),
+            # Exact-decimal factor arithmetic: casting the double PRODUCT to
+            # decimal can land exactly on a rounding half (engines disagree);
+            # casting each 2-dp factor never can (doubles can't encode x.xx5).
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(3,2)")
+                   - F.col("l_discount").cast("decimal(3,2)"))
+            ).cast("double").alias("revenue"),
         )
     )
 
@@ -287,8 +313,10 @@ SELECT l_returnflag,
        l_linestatus,
        {SQL_DSUM('l_quantity', 'sum_qty')},
        {SQL_DSUM('l_extendedprice', 'sum_base_price')},
-       {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'sum_disc_price', '28,8')},
-       {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', '28,12')},
+       CAST(SUM({SQL_REV_DEC}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({SQL_REV_DEC}
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+            AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
        COUNT(*) AS count_order
@@ -305,16 +333,16 @@ def q_agg_pricing_summary(spark, sf_dir):
     headline throughput query at 100 TB: scan-bound, no join.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc * (1 + F.col("l_tax"))
+    disc = rev_dec()
+    charge = disc * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity"), "sum_qty"),
             dsum(F.col("l_extendedprice"), "sum_base_price"),
-            dsum(disc, "sum_disc_price", "28,8"),
-            dsum(charge, "sum_charge", "28,12"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             (
                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
                 / F.count(F.lit(1))

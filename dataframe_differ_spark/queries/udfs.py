@@ -31,7 +31,7 @@ SELECT o_orderkey,
        CASE WHEN o_totalprice < 100000 THEN 'low'
             WHEN o_totalprice < 300000 THEN 'mid'
             ELSE 'high' END AS price_tier,
-       ROUND(LN(1.0 + o_totalprice), 9) AS log_price
+       SQRT(o_totalprice) AS sqrt_price
 FROM orders
 """,
 )
@@ -50,14 +50,17 @@ def q_udf_pandas(spark, sf_dir):
         )
 
     @pandas_udf(T.DoubleType())
-    def log_price(p: pd.Series) -> pd.Series:
-        return np.round(np.log1p(p), 9)
+    def sqrt_price(p: pd.Series) -> pd.Series:
+        # sqrt is correctly rounded per IEEE-754 → bit-identical across
+        # numpy and DuckDB (log1p/ln differ in the last ulp and can flip a
+        # rounding boundary — observed at sf0.1).
+        return np.sqrt(p)
 
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         price_tier("o_totalprice").alias("price_tier"),
-        log_price("o_totalprice").alias("log_price"),
+        sqrt_price("o_totalprice").alias("sqrt_price"),
     )
 
 
