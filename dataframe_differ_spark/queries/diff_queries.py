@@ -215,3 +215,42 @@ def q_schema_diff(spark, sf_dir):
         .withColumn("o_comment", F.lit("x"))
     )
     return D.schema_diff(left, right)
+
+
+@register(
+    "diff_composite_key",
+    oracle="""
+WITH l AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           FROM lineitem),
+     r AS (SELECT l_orderkey, l_linenumber,
+                  CASE WHEN (l_orderkey + l_linenumber) % 41 = 0
+                       THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity,
+                  l_extendedprice
+           FROM lineitem
+           WHERE (l_orderkey + l_linenumber) % 83 <> 0)
+SELECT CASE WHEN l.l_orderkey IS NULL THEN 'I'
+            WHEN r.l_orderkey IS NULL THEN 'D'
+            WHEN (l.l_quantity IS DISTINCT FROM r.l_quantity)
+              OR (l.l_extendedprice IS DISTINCT FROM r.l_extendedprice)
+            THEN 'C' ELSE 'N' END AS diff_status,
+       COUNT(*) AS cnt
+FROM l FULL OUTER JOIN r
+  ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber
+GROUP BY 1
+""",
+)
+def q_diff_composite_key(spark, sf_dir):
+    """A2 with a composite key (l_orderkey, l_linenumber) — the join is on
+    both key columns; mutation derived from the key sum so both engines
+    build the identical right side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    ksum = F.col("l_orderkey") + F.col("l_linenumber")
+    right = li.filter(ksum % 83 != 0).withColumn(
+        "l_quantity",
+        F.when(ksum % 41 == 0, F.col("l_quantity") + 1.0).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    return D.diff_summary(li, right, ["l_orderkey", "l_linenumber"])

@@ -811,3 +811,33 @@ def q_join_bucketed(spark, sf_dir):
             dsum(F.col("l_extendedprice"), "sum_price"),
         )
     )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+""",
+)
+def q_subquery_correlated(spark, sf_dir):
+    """Correlated scalar subquery via the SQL front door.
+
+    Catalyst decorrelates this into an aggregate + join (no per-row
+    subquery execution) — the rewrite that makes correlated SQL viable at
+    scale. The avg is a double mean per customer; the >2x comparison sits
+    far from any rounding boundary, so cross-engine means agree.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders_v o
+        WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                                    FROM orders_v o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+        """
+    )

@@ -296,3 +296,44 @@ def q_stream_session(spark, sf_dir):
     )
     name = _run_to_memory(agg, "session")
     return spark.table(name)
+
+
+@register("stream_stream_join")  # rows-only: true streaming execution
+def q_stream_stream_join(spark, sf_dir):
+    """G-family extension: stream-stream inner join with watermarks.
+
+    Purchases joined to the same user's clicks within the preceding hour —
+    both sides are unbounded streams, so Spark buffers each side in the
+    state store and the time-range condition + watermarks bound how much
+    state is retained (without them the join would buffer both streams
+    forever at 100 TB). availableNow replay; deterministic output.
+    """
+    s1 = _events_stream(spark, sf_dir)
+    purchases = (
+        s1.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    s2 = _events_stream(spark, sf_dir)
+    clicks = (
+        s2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_id", "c_id", "p_user")
+    name = _run_to_memory(joined, "ssjoin", mode="append")
+    return spark.table(name)

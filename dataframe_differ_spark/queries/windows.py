@@ -156,3 +156,32 @@ def q_win_topk_group(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("p_brand", "p_partkey", "p_retailprice")
     )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+SELECT c_custkey,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 9) AS cume,
+       CAST(NTILE(10) OVER w AS INTEGER) AS decile
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_win_distribution(spark, sf_dir):
+    """E-family extension: distribution functions (percent_rank/cume_dist).
+
+    Unpartitioned window = single-reducer sort; fine for a ranked export,
+    but at 100 TB the partitioned form (per-nation, per-day) is the one to
+    use — this query exists to pin the semantics. Ratios are single double
+    divisions of identical integers → deterministic.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
