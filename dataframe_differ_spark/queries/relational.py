@@ -841,3 +841,53 @@ def q_subquery_correlated(spark, sf_dir):
                                     WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@register(
+    "profile_table",
+    oracle="""
+SELECT 'o_orderkey' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_val,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       MIN(o_totalprice), MAX(o_totalprice)
+FROM orders
+""",
+)
+def q_profile_table(spark, sf_dir):
+    """Column profiler — the pre-diff data-quality pass a diff tool ships.
+
+    One aggregation pass produces per-column null/distinct/min/max stats
+    (long-form via stack). distinct is exact here for oracle parity; the
+    100 TB variant swaps in approx_count_distinct (D3) — same plan shape,
+    sketch-mergeable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"rows_{c}"),
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', rows_{c}, nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) as "
+        "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"
+    )

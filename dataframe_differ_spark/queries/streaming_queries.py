@@ -337,3 +337,63 @@ def q_stream_stream_join(spark, sf_dir):
     ).select("p_id", "c_id", "p_user")
     name = _run_to_memory(joined, "ssjoin", mode="append")
     return spark.table(name)
+
+
+@register("stream_sink_parquet")  # rows-only: true streaming execution
+def q_stream_sink_parquet(spark, sf_dir):
+    """B4/G: streaming parquet sink with checkpointed exactly-once files.
+
+    readStream → filter → writeStream(parquet) with a checkpoint; the
+    commit log makes file output exactly-once across restarts (the
+    mechanism a 100 TB pipeline relies on for idempotent reruns). The
+    query returns an aggregate over the read-back files; equality with the
+    batch filter is asserted in tests.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), f"ddspark_stream_sink_{uuid.uuid4().hex[:8]}"
+    )
+    s = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct_events"),
+    )
+
+
+@register("stream_cdc_diff")  # rows-only: composition of streaming + diff core
+def q_stream_cdc_diff(spark, sf_dir):
+    """Flagship composition: the diff core validating a streaming rewrite.
+
+    The events stream is treated as CDC upserts keyed by user_id; the
+    latest state per user (max_by over (ts, event_id)) is computed twice —
+    once by the micro-batch streaming engine, once as a batch aggregate —
+    and the keyed diff proves them identical (all-'N' summary). This is
+    exactly the reference tool's migration-validation use case, applied to
+    a batch→streaming port; rows-only for the driver, all-N asserted in
+    tests.
+    """
+    import dataframe_differ_spark.operators.diff_core as D
+
+    last_state = lambda df: df.groupBy("user_id").agg(
+        F.expr("max_by(value, struct(ts, event_id))").alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    stream_state_name = _run_to_memory(
+        last_state(_events_stream(spark, sf_dir)), "cdc", "complete"
+    )
+    streaming_state = spark.table(stream_state_name)
+    batch_state = last_state(
+        load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+    )
+    return D.diff_summary(batch_state, streaming_state, ["user_id"])

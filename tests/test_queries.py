@@ -142,3 +142,22 @@ def test_stream_session_equals_batch_twin(spark, sf_small, registry):
         ["user_id", "ss", "n_events"],
     )
     assert b == s
+
+
+def test_stream_sink_parquet_equals_batch(spark, sf_small, registry):
+    from dataframe_differ_spark.tables import load_table
+
+    out = registry["stream_sink_parquet"].fn(spark, sf_small).collect()
+    batch_n = (
+        load_table(spark, sf_small, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert len(out) == 1
+    assert out[0]["n_events"] == batch_n
+    assert out[0]["n_distinct_events"] == batch_n
+
+
+def test_stream_cdc_diff_all_unchanged(spark, sf_small, registry):
+    rows = registry["stream_cdc_diff"].fn(spark, sf_small).collect()
+    assert {r["diff_status"] for r in rows} == {"N"}, rows
