@@ -30,6 +30,9 @@ def SQL_DSUM(expr, alias, scale="18,2"):
     return f"CAST(SUM(CAST({expr} AS DECIMAL({scale}))) AS DOUBLE) AS {alias}"
 
 
+_BUCKET_TABLES: dict = {}
+
+
 def rev_dec():
     """Exact-decimal revenue l_extendedprice*(1-l_discount).
 
@@ -788,19 +791,29 @@ def q_join_bucketed(spark, sf_dir):
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     # Session-unique names: the warehouse directory outlives the in-memory
     # catalog, so a fixed name from a previous session would collide with
-    # its orphaned location on disk.
-    run_tag = uuid.uuid4().hex[:8]
-    ot = f"{db}.orders_b_{sf_tag}_{run_tag}"
-    lt = f"{db}.lineitem_b_{sf_tag}_{run_tag}"
-    for tname, src, key in ((ot, "orders", "o_orderkey"), (lt, "lineitem", "l_orderkey")):
-        (
-            load_table(spark, sf_dir, src)
-            .write.bucketBy(8, key)
-            .sortBy(key)
-            .format("parquet")
-            .mode("overwrite")
-            .saveAsTable(tname)
+    # its orphaned location on disk. Cached per (session, sf) so repeated
+    # calls in one session reuse the written buckets.
+    cache_key = (id(spark), sf_dir)
+    if cache_key not in _BUCKET_TABLES:
+        run_tag = uuid.uuid4().hex[:8]
+        names = (
+            f"{db}.orders_b_{sf_tag}_{run_tag}",
+            f"{db}.lineitem_b_{sf_tag}_{run_tag}",
         )
+        for tname, src, key in (
+            (names[0], "orders", "o_orderkey"),
+            (names[1], "lineitem", "l_orderkey"),
+        ):
+            (
+                load_table(spark, sf_dir, src)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .mode("overwrite")
+                .saveAsTable(tname)
+            )
+        _BUCKET_TABLES[cache_key] = names
+    ot, lt = _BUCKET_TABLES[cache_key]
     o = spark.table(ot)
     li = spark.table(lt)
     return (
