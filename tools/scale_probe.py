@@ -1,0 +1,92 @@
+"""Scale probe: run headline queries on a synthetic ~10× blow-up of sf0.1.
+
+Writes /tmp/ddspark_sfsynth (union of 10 key-shifted copies of the sf0.1
+tables → ~6M lineitem rows), then times the headline queries against it.
+This is the local stand-in for the 100× question: does wall-clock scale
+~linearly with input (scan-bound plans), and do the shuffles stay balanced?
+
+Usage: python tools/scale_probe.py [copies]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.queries import load_all
+from dataframe_differ_spark.session import get_spark
+from dataframe_differ_spark.tables import load_table
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/ddspark_sfsynth"
+
+# key column to shift per copy so keys stay unique across copies
+SHIFT = {
+    "orders": [("o_orderkey", 10_000_000), ("o_custkey", 100_000)],
+    "lineitem": [("l_orderkey", 10_000_000)],
+    "customer": [("c_custkey", 100_000)],
+    "events": [("event_id", 10_000_000), ("user_id", 10_000)],
+    "documents": [("doc_id", 1_000_000)],
+    "embeddings": [("vec_id", 1_000_000)],
+}
+PASSTHROUGH = ["region", "nation", "supplier", "part"]
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "diff_summary",
+    "join_smj",
+    "tpch_q5_shape",
+    "dedup_near",
+    "sim_join",
+    "window_session",
+]
+
+
+def build(spark, copies: int) -> None:
+    for name, shifts in SHIFT.items():
+        base = load_table(spark, SRC, name)
+        parts = []
+        for i in range(copies):
+            df = base
+            for col, step in shifts:
+                df = df.withColumn(col, F.col(col) + F.lit(i * step))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+    for name in PASSTHROUGH:
+        load_table(spark, SRC, name).write.mode("overwrite").parquet(
+            f"{OUT}/{name}.parquet"
+        )
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    t0 = time.time()
+    build(spark, copies)
+    print(f"built {copies}x corpus in {time.time()-t0:.1f}s")
+    registry = load_all()
+    for name in HEADLINE:
+        # baseline at sf0.1
+        t0 = time.time()
+        registry[name].fn(spark, SRC).write.format("noop").mode("overwrite").save()
+        base_t = time.time() - t0
+        t0 = time.time()
+        registry[name].fn(spark, OUT).write.format("noop").mode("overwrite").save()
+        big_t = time.time() - t0
+        ratio = big_t / base_t if base_t > 0 else float("nan")
+        print(
+            f"{name}: sf0.1={base_t:.2f}s {copies}x={big_t:.2f}s "
+            f"ratio={ratio:.1f} (linear would be ~{copies})"
+        )
+
+
+if __name__ == "__main__":
+    main()
