@@ -69,8 +69,24 @@ def diff(
     codegen'd expressions. ``atol``/``rtol`` make numeric columns tolerant.
     """
     keys = list(keys)
+    if not keys:
+        raise ValueError("diff() requires at least one key column; "
+                         "use diff_unkeyed() for keyless multiset diffs")
+    for side, df in (("left", left), ("right", right)):
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise ValueError(
+                f"key column(s) {missing} not in {side} DataFrame "
+                f"(columns: {df.columns})"
+            )
     cols = list(columns) if columns is not None else _compared_columns(left, right, keys)
-    ltypes = dict(left.dtypes)
+    if columns is not None:
+        for side, df in (("left", left), ("right", right)):
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"compared column(s) {missing} not in {side} DataFrame"
+                )
     schema = {f.name: f.dataType for f in left.schema.fields}
 
     # Presence markers survive the outer join even when key columns are null

@@ -195,3 +195,61 @@ def q_multimodal_meta(spark, sf_dir):
         (F.lit(64) + F.octet_length(payload) % 512).alias("fake_width"),
         (F.lit(64) + F.ascii("text") % 64).alias("fake_height"),
     )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+SELECT event_id,
+       array_to_string(json_keys(props), ',') AS prop_keys,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+FROM events
+""",
+)
+def q_map_funcs(spark, sf_dir):
+    """MapType surface: JSON string → MAP<STRING,INT> → key/value access.
+
+    The map stays an expression (no UDF); keys are canonicalized to a
+    sorted joined string for engine-order-independent comparison.
+    """
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    )
+
+
+@register(
+    "cond_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'F' THEN 'finished'
+            WHEN 'O' THEN 'open' ELSE 'pending' END AS status_label,
+       IF(o_totalprice > 250000, 'big', 'small') AS size_label,
+       NULLIF(o_orderstatus, 'P') AS status_or_null,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'was_pending') AS coalesced
+FROM orders
+""",
+)
+def q_cond_funcs(spark, sf_dir):
+    """Conditional expressions: CASE/IF/NULLIF/COALESCE."""
+    o = load_table(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        F.when(st == "F", "finished")
+        .when(st == "O", "open")
+        .otherwise("pending")
+        .alias("status_label"),
+        F.when(F.col("o_totalprice") > 250000, "big")
+        .otherwise("small")
+        .alias("size_label"),
+        F.nullif(st, F.lit("P")).alias("status_or_null"),
+        F.coalesce(F.nullif(st, F.lit("P")), F.lit("was_pending")).alias(
+            "coalesced"
+        ),
+    )

@@ -120,3 +120,13 @@ def test_report(pair):
     assert "only in right  1" in rep
     assert "v: 1 differ" in rep
     assert "Sample changed keys" in rep
+
+
+def test_diff_validates_inputs(pair):
+    left, right = pair
+    with pytest.raises(ValueError, match="key column"):
+        D.diff(left, right, ["nope"])
+    with pytest.raises(ValueError, match="at least one key"):
+        D.diff(left, right, [])
+    with pytest.raises(ValueError, match="compared column"):
+        D.diff(left, right, ["k"], columns=["ghost"])
