@@ -62,11 +62,15 @@ def diff(
     atol: float = 0.0,
     rtol: float = 0.0,
     columns: Sequence[str] | None = None,
+    align_types: bool = False,
 ) -> DataFrame:
     """Keyed row diff (SURVEY.md §2.A2/§2.A6).
 
     One null-safe full-outer equi-join on ``keys``; per-column comparison as
     codegen'd expressions. ``atol``/``rtol`` make numeric columns tolerant.
+    ``align_types=True`` casts right-side compared columns to the left
+    side's type first (the int→bigint / float→double migration case);
+    without it, mismatched types surface as Catalyst analysis errors.
     """
     keys = list(keys)
     if not keys:
@@ -88,6 +92,11 @@ def diff(
                     f"compared column(s) {missing} not in {side} DataFrame"
                 )
     schema = {f.name: f.dataType for f in left.schema.fields}
+    if align_types:
+        rtypes = {f.name: f.dataType for f in right.schema.fields}
+        for c in cols:
+            if c in rtypes and rtypes[c] != schema[c]:
+                right = right.withColumn(c, F.col(c).cast(schema[c]))
 
     # Presence markers survive the outer join even when key columns are null
     # (eqNullSafe matches null==null keys, so key-nullness is not a valid

@@ -91,11 +91,25 @@ def q_sim_topk(spark, sf_dir):
             "cos_sim", _dot("qe", "e") / (_norm("qe") * _norm("e"))
         )
     )
+    # Two-phase top-k: rank within (query, input partition) first. With few
+    # queries the single-phase window key is maximally skewed (5 reducers
+    # sort the whole corpus); phase 1 spreads the sort over
+    # (query × partitions) reducers and emits ≤ k rows each, so the final
+    # per-query exchange+sort is tiny. Identical result (top-k of
+    # per-partition top-ks == global top-k).
+    wl = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    local = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(wl))
+        .filter(F.col("lrank") <= 10)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "rank", F.round("cos_sim", 9).alias("cos_sim"))
     )

@@ -130,3 +130,12 @@ def test_diff_validates_inputs(pair):
         D.diff(left, right, [])
     with pytest.raises(ValueError, match="compared column"):
         D.diff(left, right, ["k"], columns=["ghost"])
+
+
+def test_diff_align_types(spark):
+    left = spark.createDataFrame([(1, 10), (2, 20)], "k int, v bigint")
+    right = spark.createDataFrame([(1, 10), (2, 21)], "k int, v int")
+    d = D.diff(left, right, ["k"], align_types=True)
+    sm = {r["k"]: r["diff_status"] for r in d.collect()}
+    assert sm == {1: "N", 2: "C"}
+    assert dict(d.dtypes)["v_right"] == "bigint"
