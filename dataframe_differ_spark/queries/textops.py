@@ -608,3 +608,71 @@ def q_dedup_simhash(spark, sf_dir):
         .filter(F.col("hamming") <= 16)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+@register("dedup_clusters")  # iterative algorithm → rows-only
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-pair clustering: connected components via min-label
+    propagation — the step that turns pairwise near-dup hits into dedup
+    groups (keep min-id per component, drop the rest).
+
+    Edges: planted duplicate chains doc → copy (+100000) → copy-of-copy
+    (+200000), where the 2nd-degree copy is linked only to the 1st — so
+    components have diameter 2 and the propagation genuinely iterates.
+
+    Iterative algorithms are the one sanctioned use of a driver-side loop:
+    each iteration is a distributed join+aggregate (GraphX/GraphFrames do
+    exactly this), the loop runs O(diameter) ≈ a handful of times, and
+    convergence is checked with a count. At 100 TB the same loop runs with
+    checkpointing every few iterations to cut lineage. No SQL oracle
+    (recursion); structure asserted in tests.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    first = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 100000).alias("dst")
+    )
+    second = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("src"),
+        (F.col("doc_id") + 200000).alias("dst"),
+    )
+    edges = first.unionByName(second)
+    vertices = (
+        docs.select(F.col("doc_id").alias("v"))
+        .unionByName(edges.select(F.col("src").alias("v")))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    labels = vertices.withColumn("label", F.col("v"))
+    undirected = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    for _ in range(10):  # bound >> expected diameter
+        neighbor_min = (
+            undirected.join(labels, undirected.src == labels.v)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.dst, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .withColumnRenamed("label", "component_id")
+        .filter(F.col("cluster_size") > 1)
+    )

@@ -161,3 +161,18 @@ def test_stream_sink_parquet_equals_batch(spark, sf_small, registry):
 def test_stream_cdc_diff_all_unchanged(spark, sf_small, registry):
     rows = registry["stream_cdc_diff"].fn(spark, sf_small).collect()
     assert {r["diff_status"] for r in rows} == {"N"}, rows
+
+
+def test_dedup_clusters_structure(spark, sf_small, registry):
+    out = {r["component_id"]: r["cluster_size"]
+           for r in registry["dedup_clusters"].fn(spark, sf_small).collect()}
+    planted = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet")
+        .filter("doc_id % 13 = 0")
+        .select("doc_id")
+        .collect()
+    ]
+    # every planted chain doc -> +100000 -> +200000 is one component of 3,
+    # labeled by its minimum member (the original doc id)
+    assert out == {d: 3 for d in planted}
