@@ -219,3 +219,127 @@ def q_pipeline_clean_corpus(spark, sf_dir):
             F.round(F.avg("ttr"), 9).alias("avg_ttr"),
         )
     )
+
+
+@register(
+    "tpch_q6_shape",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6_shape(spark, sf_dir):
+    """Q6 shape: forecasting revenue change — pure scan+filter+agg.
+
+    Every predicate pushes to the parquet scan (row-group min/max pruning
+    does the heavy lifting at 100 TB); no shuffle at all before the single
+    global aggregate. The discount BETWEEN bounds compare doubles read
+    verbatim from parquet — no arithmetic, so exact in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(3,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q14_shape",
+    oracle=f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_REV_DEC}
+                             ELSE CAST(0 AS DECIMAL(16,4)) END)
+                     AS DOUBLE)
+       / CAST(SUM({SQL_REV_DEC}) AS DOUBLE) AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-02-01'
+""",
+)
+def q_tpch_q14_shape(spark, sf_dir):
+    """Q14 shape: promotion effect — broadcast dim join + conditional agg.
+
+    part broadcasts; both decimal sums are exact so the final double
+    division is a single deterministic operation in each engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = rev_dec()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_shape",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+)
+def q_tpch_q18_shape(spark, sf_dir):
+    """Q18 shape: large-volume orders — IN-subquery as aggregate + join.
+
+    The HAVING subquery becomes a first-class aggregate joined back
+    (Catalyst's rewrite of IN); quantity sums are decimal-exact so the
+    >250 threshold cannot flap.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+    )

@@ -676,3 +676,76 @@ def q_dedup_clusters(spark, sf_dir):
         .withColumnRenamed("label", "component_id")
         .filter(F.col("cluster_size") > 1)
     )
+
+
+@register(
+    "text_bm25",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+     tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM tok GROUP BY doc_id, token),
+     dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+            FROM documents),
+     stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                      CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                        / COUNT(*) AS avgdl
+               FROM documents),
+     df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM tok GROUP BY token)
+SELECT tf.doc_id, tf.token,
+       ROUND(LN(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
+         AS bm25
+FROM tf
+JOIN df ON tf.token = df.token
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+WHERE tf.tf >= 4
+""",
+)
+def q_text_bm25(spark, sf_dir):
+    """BM25 relevance scoring (k1=1.2, b=0.75) — the IR-standard upgrade
+    over TF-IDF for retrieval-quality corpus filtering.
+
+    Same plan shape as TF-IDF: one corpus shuffle for tf, broadcast df and
+    doc-length tables. The score formula is written with the IDENTICAL
+    operation order in both engines (one ln, rounded to 6 dp).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " "))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    return (
+        tf.filter(F.col("tf") >= 4)
+        .join(F.broadcast(df), "token")
+        .join(F.broadcast(dl), "doc_id")
+        .select("doc_id", "token", F.round(score, 6).alias("bm25"))
+    )
