@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
             scalars,
             composites,
             streaming_queries,
+            advanced_streaming,
             udfs,
         )
 

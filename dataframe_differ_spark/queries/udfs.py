@@ -202,3 +202,47 @@ def q_sink_roundtrip(spark, sf_dir):
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "udtf_python",
+    oracle="""
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, token,
+       CAST(length(token) AS INTEGER) AS token_len
+FROM (SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (x, i) -> {'pos': i, 'token': x}),
+                    recursive := true)
+      FROM documents)
+""",
+)
+def q_udtf_python(spark, sf_dir):
+    """H14 (real @udtf): Spark 4 Python user-defined table function.
+
+    One row in, N rows out, via a registered Python UDTF invoked with a
+    LATERAL correlated call in SQL — the full UDTF surface (class, eval
+    generator, spark.udtf.register, lateral join). Row-at-a-time Python:
+    the sanctioned escape hatch for table functions built-ins can't
+    express; `udtf_explode` is the codegen'd fast path for this same
+    workload and stays the 100 TB default.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class TokenizeWithPos:
+        def eval(self, text: str):
+            if text is None:
+                return
+            # split(' ') keeps empty tokens like DuckDB string_split;
+            # 1-based pos matches list_transform's index.
+            for i, w in enumerate(text.split(" "), start=1):
+                yield (i, w, len(w))
+
+    spark.udtf.register("tokenize_with_pos", TokenizeWithPos)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.token_len
+        FROM _udtf_docs d, LATERAL tokenize_with_pos(d.text) t
+        """
+    )

@@ -1,0 +1,75 @@
+"""Rate-limited incremental replay of the events table (SURVEY.md §8 gap).
+
+The corpus ships `events` as ONE parquet file, so ``readStream`` +
+``availableNow`` replays it in a single micro-batch — which exercises the
+streaming engine but not its *incremental* behavior (state carried across
+batches, per-batch sink commits). This module closes that gap:
+
+1. :func:`split_events_files` rewrites events into N part-files (once per
+   (sf_dir, n) per JVM, cached on disk in the session temp dir).
+2. :func:`incremental_events_stream` reads them back with
+   ``maxFilesPerTrigger`` — the file-source form of rate limiting — so an
+   ``availableNow`` run processes ceil(N / files_per_trigger) micro-batches.
+
+At cluster scale the same queries point at a Kafka source or a landing
+directory with real file arrivals; ``maxFilesPerTrigger`` /
+``maxBytesPerTrigger`` remain the backpressure knobs that keep each
+micro-batch sized to the cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.tables import load_table
+
+_SPLIT_CACHE: dict[tuple[str, int], str] = {}
+
+
+def split_events_files(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Materialize events as ``n_files`` parquet part-files; return the dir.
+
+    The ns→µs timestamp normalization is applied BEFORE writing, so the
+    split copy carries a plain timestamp column readable by the stream
+    schema without the nanosAsLong detour. Files are hash-split on
+    event_id: deterministic, and every micro-batch sees a mix of users and
+    event times (like a real arrival stream, no artificial time ordering).
+    """
+    key = (os.path.abspath(sf_dir), n_files)
+    if key in _SPLIT_CACHE and os.path.isdir(_SPLIT_CACHE[key]):
+        return _SPLIT_CACHE[key]
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ddspark_events_split_{abs(hash(key)) % 10**10}_{n_files}",
+    )
+    if not os.path.isdir(out) or not any(
+        f.endswith(".parquet") for f in os.listdir(out)
+    ):
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        e.repartition(n_files, "event_id").write.mode("overwrite").parquet(out)
+    _SPLIT_CACHE[key] = out
+    return out
+
+
+def incremental_events_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 8, files_per_trigger: int = 2
+) -> DataFrame:
+    """readStream over the split events copy, ``files_per_trigger`` per batch.
+
+    With availableNow this yields ceil(n_files / files_per_trigger)
+    micro-batches — state stores and sink commit logs are exercised across
+    batch boundaries, not just within one.
+    """
+    path = split_events_files(spark, sf_dir, n_files)
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(path)
+    )

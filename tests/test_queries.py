@@ -176,3 +176,37 @@ def test_dedup_clusters_structure(spark, sf_small, registry):
     # every planted chain doc -> +100000 -> +200000 is one component of 3,
     # labeled by its minimum member (the original doc id)
     assert out == {d: 3 for d in planted}
+
+
+def test_stream_replay_incremental_equals_batch_twin(spark, sf_small, registry):
+    # Rate-limited replay (4 micro-batches) must converge to the same
+    # windowed counts as the single-batch twin.
+    batch = registry["window_tumbling"].fn(spark, sf_small)
+    stream = registry["stream_replay_incremental"].fn(spark, sf_small)
+    cols = ["ws", "event_type", "n_events"]
+    sel = lambda df: _rows(
+        df.selectExpr("CAST(window_start AS STRING) ws", "event_type", "n_events"),
+        cols,
+    )
+    assert sel(batch) == sel(stream)
+
+
+def test_stream_foreach_batch_merges_across_batches(spark, sf_small, registry):
+    from pyspark.sql import functions as F
+
+    from dataframe_differ_spark.tables import load_table
+
+    out = registry["stream_foreach_batch"].fn(spark, sf_small)
+    # The merge must have crossed micro-batch boundaries.
+    assert out.agg(F.max("n_batches")).first()[0] > 1
+    twin = (
+        load_table(spark, sf_small, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("max_by(value, struct(ts, event_id))").alias("last_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    cols = ["user_id", "last_value", "n_events"]
+    assert _rows(out.select(*cols), cols) == _rows(twin.select(*cols), cols)
