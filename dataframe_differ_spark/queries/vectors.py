@@ -21,29 +21,13 @@ from pyspark.sql import functions as F
 from dataframe_differ_spark.queries import register
 from dataframe_differ_spark.tables import load_table
 
-# Spark-side sequential dot product between two array<double> columns.
-def _dot(a: str, b: str) -> F.Column:
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-
-
-def _norm(a: str) -> F.Column:
-    return F.sqrt(_dot(a, a))
-
-
-# DuckDB-side identical accumulation.
-def SQL_DOT(a: str, b: str) -> str:
-    return (
-        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(1, 65), i -> {a}[i] * {b}[i])), "
-        "(acc, x) -> acc + x)"
-    )
-
-
-def SQL_COS(a: str, b: str) -> str:
-    return f"{SQL_DOT(a, b)} / (sqrt({SQL_DOT(a, a)}) * sqrt({SQL_DOT(b, b)}))"
+# Spark/DuckDB twin vector expressions live in the public function surface.
+from dataframe_differ_spark.functions.vector import (  # noqa: F401
+    SQL_COS,
+    SQL_DOT,
+    dot as _dot,
+    norm as _norm,
+)
 
 
 def _emb_double(spark, sf_dir):

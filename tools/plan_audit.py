@@ -15,11 +15,11 @@ Usage: python tools/plan_audit.py [sf_dir]
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dataframe_differ_spark.plans import plan_features
 from dataframe_differ_spark.queries import load_all
 from dataframe_differ_spark.session import get_spark
 
@@ -56,35 +56,19 @@ def main() -> int:
         if name in SKIP:
             continue
         try:
-            df = q.fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            f = plan_features(q.fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: plan build failed: {e}")
             continue
-        ops = {
-            "bhj": plan.count("BroadcastHashJoin"),
-            "smj": plan.count("SortMergeJoin"),
-            "shj": plan.count("ShuffledHashJoin"),
-            "bnlj": plan.count("BroadcastNestedLoopJoin"),
-            "exch": plan.count("Exchange hashpartitioning"),
-            "pyrow": plan.count("BatchEvalPython"),
-            "pyarrow": plan.count("ArrowEvalPython")
-            + plan.count("MapInPandas")
-            + plan.count("FlatMapGroupsInPandas"),
-        }
-        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-        pushed_all = "; ".join(p for p in pushed if p)
-        line = (
-            f"{name}: BHJ={ops['bhj']} SMJ={ops['smj']} SHJ={ops['shj']} "
-            f"BNLJ={ops['bnlj']} exchanges={ops['exch']} "
-            f"arrowPy={ops['pyarrow']}"
+        pushed_all = "; ".join(f.pushed_filters)
+        print(
+            f"{name}: BHJ={f.broadcast_hash_joins} SMJ={f.sort_merge_joins} "
+            f"SHJ={f.shuffled_hash_joins} BNLJ={f.broadcast_nl_joins} "
+            f"exchanges={f.exchanges} arrowPy={f.python_arrow_evals}"
         )
-        print(line)
-        if ops["pyrow"]:
+        if f.python_row_udfs:
             failures.append(f"{name}: row-at-a-time Python UDF in plan (BatchEvalPython)")
-        if name in MUST_BROADCAST and ops["bhj"] + ops["bnlj"] == 0:
-            # BNLJ counts: a broadcast nested-loop (e.g. sim_topk's non-equi
-            # query fan-out) still keeps the corpus side shuffle-free.
+        if name in MUST_BROADCAST and f.broadcast_joins == 0:
             failures.append(f"{name}: expected a broadcast join, found none")
         want = MUST_PUSH_FILTER.get(name)
         if want and want not in pushed_all:
