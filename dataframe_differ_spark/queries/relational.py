@@ -883,3 +883,136 @@ def q_profile_table(spark, sf_dir):
         f"stack({len(cols)}, {stack}) as "
         "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    """D4c: arbitrary GROUPING SETS (not expressible as rollup/cube alone).
+
+    The SQL front door is the DSL here — Spark plans Expand + single hash
+    aggregate (one shuffle for all three grouping combinations), identical
+    to what rollup/cube lower to.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+         AS statuses,
+       COUNT(*) AS cnt
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_string_agg(spark, sf_dir):
+    """D7b: ordered string aggregation (listagg).
+
+    collect_set → array_sort → concat_ws gives a deterministic join order
+    (SURVEY.md §5.4: never hash an unordered list agg); the distinct set
+    per group is tiny even at 100 TB, so the agg state stays bounded.
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_set("o_orderstatus"))
+            ).alias("statuses"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "agg_boolean",
+    oracle="""
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_over_200k
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_agg_boolean(spark, sf_dir):
+    """D5b: boolean aggregates (every/some) + count_if."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_over_200k"),
+        )
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <
+      CASE o_orderstatus WHEN 'F' THEN '8' WHEN 'P' THEN '4' ELSE '1' END
+""",
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-stratum rates 50%/25%/6.25%.
+
+    The md5-bucket predicate gives every engine and every run the same
+    sample (rng TABLESAMPLE gives neither), the rate is set per stratum by
+    one CASE, and the filter pipelines with the scan — no shuffle, no
+    collect, valid at any scale. Used to downsample over-represented
+    strata (the training-data curation move) reproducibly.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    rate_cap = (
+        F.when(F.col("o_orderstatus") == "F", F.lit("8"))
+        .when(F.col("o_orderstatus") == "P", F.lit("4"))
+        .otherwise(F.lit("1"))
+    )
+    return o.filter(bucket < rate_cap).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""",
+)
+def q_join_cross(spark, sf_dir):
+    """Explicit cartesian product (5 × 25 rows).
+
+    Safe only because both sides are tiny dims: Spark broadcasts one side
+    (BroadcastNestedLoopJoin) so nothing shuffles. A fact-side cross join
+    is the canonical 100 TB self-DoS — the blocked-matrix pattern in
+    `sim_join` is how all-pairs work is actually done at scale.
+    """
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
