@@ -210,3 +210,14 @@ def test_stream_foreach_batch_merges_across_batches(spark, sf_small, registry):
     )
     cols = ["user_id", "last_value", "n_events"]
     assert _rows(out.select(*cols), cols) == _rows(twin.select(*cols), cols)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_small, registry):
+    brute = registry["sim_topk"].fn(spark, sf_small)
+    ivf = registry["sim_topk_ivf"].fn(spark, sf_small)
+    truth = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(truth & approx) / len(truth)
+    # nprobe=6/16 on near-random embeddings (IVF's worst case) measured
+    # ~0.7; require a floor so broken assignment/probing fails loudly.
+    assert recall >= 0.55, f"IVF recall too low: {recall:.2f}"
