@@ -343,3 +343,123 @@ def q_tpch_q18_shape(spark, sf_dir):
             "o_totalprice",
         )
     )
+
+
+@register(
+    "tpch_q4_shape",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1995-06-30')
+GROUP BY o_orderpriority
+""",
+)
+def q_tpch_q4_shape(spark, sf_dir):
+    """Q4 shape: order-priority checking — EXISTS as left-semi join.
+
+    The date filter pushes to the orders scan; the semi join never fans
+    out (one output row per qualifying order however many lines match)
+    and its build side is pre-filtered on shipdate at the lineitem scan.
+    Shuffle: both sides on orderkey, then a 5-group aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-06-30").cast("timestamp_ntz")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q19_shape",
+    oracle=f"""
+SELECT CAST(SUM({SQL_REV_DEC}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+)
+def q_tpch_q19_shape(spark, sf_dir):
+    """Q19 shape: discounted revenue under disjunctive compound predicates.
+
+    The three OR-ed (brand, size, quantity) branches can't push to either
+    scan as a simple conjunct, but part is a broadcast dim — so the plan
+    is scan lineitem → BHJ → filter → agg, one pass, no shuffle before
+    the global aggregate. Catalyst keeps the disjunction as a single
+    post-join filter inside whole-stage codegen.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(branch).agg(
+        F.sum(rev_dec()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "funnel_events",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       CAST(count_if(t_view IS NOT NULL) AS BIGINT) AS n_view,
+       CAST(count_if(t_view IS NOT NULL AND t_click > t_view) AS BIGINT) AS n_click_after_view,
+       CAST(count_if(t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click) AS BIGINT) AS n_full_funnel
+FROM stages
+""",
+)
+def q_funnel_events(spark, sf_dir):
+    """Event-funnel analysis: view → click → purchase in temporal order.
+
+    The product-analytics staple. One shuffle on user_id computes each
+    user's first time per stage (conditional MIN — no self-joins, no
+    window sort), then a single global rollup counts stage survivors.
+    Self-join formulations are O(events²) per user at 100 TB; this is
+    O(events) + a 1-row aggregate.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    stages = e.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    reached_click = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(F.col("t_view").isNotNull()).alias("n_view"),
+        F.count_if(reached_click).alias("n_click_after_view"),
+        F.count_if(reached_click & (F.col("t_purchase") > F.col("t_click"))).alias(
+            "n_full_funnel"
+        ),
+    )
