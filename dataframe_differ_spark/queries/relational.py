@@ -1016,3 +1016,40 @@ def q_join_cross(spark, sf_dir):
     r = load_table(spark, sf_dir, "region").select("r_name")
     n = load_table(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(n)
+
+
+@register(
+    "agg_mode",
+    oracle="""
+SELECT o_orderpriority,
+       mode(o_orderstatus ORDER BY o_orderstatus) AS modal_status,
+       COUNT(*) AS cnt
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_mode(spark, sf_dir):
+    """D8b: modal value per group.
+
+    Spark 4's mode() breaks frequency ties arbitrarily, so the tie is
+    resolved relationally: count per (group, value), rank by
+    (count DESC, value), take rank 1 — deterministic in both engines
+    (DuckDB's mode(... ORDER BY) does the same tie-break natively).
+    Two shuffles, both on small key spaces.
+    """
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grp = Window.partitionBy("o_orderpriority")
+    w = grp.orderBy(F.col("n").desc(), F.col("o_orderstatus"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .withColumn("cnt", F.sum("n").over(grp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("modal_status"),
+            "cnt",
+        )
+    )

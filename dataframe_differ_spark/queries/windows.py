@@ -185,3 +185,71 @@ def q_win_distribution(spark, sf_dir):
         F.round(F.cume_dist().over(w), 9).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle=f"""
+WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+     bounds AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+                FROM e),
+     days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                       AS day
+              FROM bounds),
+     spine AS (SELECT days.day, et.event_type
+               FROM days CROSS JOIN (SELECT DISTINCT event_type FROM e) AS et),
+     daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      COUNT(*) AS n_events,
+                      {SQL_DSUM('value', 'sum_value', '18,6')}
+               FROM e GROUP BY 1, 2)
+SELECT strftime(s.day, '%Y-%m-%d') AS day, s.event_type,
+       COALESCE(d.n_events, 0) AS n_events,
+       last_value(d.sum_value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.day
+               ROWS UNBOUNDED PRECEDING) AS carried_sum
+FROM spine s LEFT JOIN daily d
+  ON s.day = d.day AND s.event_type = d.event_type
+""",
+)
+def q_timeseries_gapfill(spark, sf_dir):
+    """Time-series gap fill: dense daily spine + zero-fill + carry-forward.
+
+    The resample/asfreq staple: days with no events still get a row
+    (count 0) and the last observed daily sum is carried forward
+    (last_value IGNORE NULLS). The spine is generated relationally from
+    the data's own min/max (sequence + explode — no driver collect, no
+    hardcoded range), sized |days| × |event types| — trivially small
+    relative to the events themselves at any scale, so the left join
+    broadcasts the spine at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    daily = e.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    joined = spine.join(daily, ["day", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Date-typed outputs travel as ISO strings (DATE arrives as object vs
+    # datetime64 across the Arrow/pandas boundary — established parity rule).
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("carried_sum"),
+    )
