@@ -10,6 +10,7 @@ in a single Catalyst plan. (Q1's shape already ships as
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dataframe_differ_spark.queries import register
@@ -462,4 +463,286 @@ def q_funnel_events(spark, sf_dir):
         F.count_if(reached_click & (F.col("t_purchase") > F.col("t_click"))).alias(
             "n_full_funnel"
         ),
+    )
+
+
+@register(
+    "tpch_q13_shape",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS c_count
+  FROM orders
+  WHERE o_orderpriority <> '5-LOW'
+  GROUP BY o_custkey)
+SELECT COALESCE(p.c_count, 0) AS c_count, COUNT(*) AS custdist
+FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+GROUP BY 1
+""",
+)
+def q_tpch_q13_shape(spark, sf_dir):
+    """Q13 shape: customer order-count distribution (incl. zero-order tail).
+
+    Scale-smart formulation: orders is pre-aggregated to one row per
+    customer BEFORE touching the customer table, so the only large
+    shuffle is the o_custkey aggregate; the left join then runs
+    customer-vs-|customers| (both ~1/10th of orders) and the final
+    distribution groupBy has ~tens of keys. TPC-H's o_comment exclusion
+    is re-expressed on the column that exists (o_orderpriority).
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("n", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q15_shape",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM({SQL_REV_DEC}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+)
+def q_tpch_q15_shape(spark, sf_dir):
+    """Q15 shape: top-revenue supplier for a quarter.
+
+    Revenue per supplier is an exact-decimal aggregate (equality against
+    the max is then safe cross-engine). The max is computed on the tiny
+    per-supplier aggregate (|suppliers| rows) and broadcast back — the
+    lineitem fact is scanned once with the quarter filter pushed down.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(rev_dec()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(s), s.s_suppkey == rev.l_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_shape",
+    oracle="""
+WITH j AS (
+  SELECT l_quantity, l_extendedprice, p_partkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'),
+t AS (
+  SELECT l_extendedprice, l_quantity,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY p_partkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY p_partkey) * 0.2 AS thr
+  FROM j)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_small
+FROM t WHERE l_quantity < thr
+""",
+)
+def q_tpch_q17_shape(spark, sf_dir):
+    """Q17 shape: small-quantity-order revenue (correlated per-part avg).
+
+    The correlated subquery is decorrelated into a window over the
+    already-joined set: the brand/type filter lives on part alone, so
+    every lineitem of a surviving part is present and the window avg
+    equals the correlated avg. One broadcast join (filtered part dim) +
+    one window shuffle on l_partkey. The threshold is exact-decimal-sum
+    / count * 0.2 — IEEE-identical in both engines, so boundary rows
+    can't flip.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "ECONOMY")
+    )
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey).select(
+        "l_quantity", "l_extendedprice", "p_partkey"
+    )
+    w = Window.partitionBy("p_partkey")
+    t = j.withColumn(
+        "thr",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+        * F.lit(0.2),
+    )
+    return t.filter(F.col("l_quantity") < F.col("thr")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+         / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+@register(
+    "tpch_q7_shape",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM({SQL_REV_DEC}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+""",
+)
+def q_tpch_q7_shape(spark, sf_dir):
+    """Q7 shape: bilateral trade volume between two nations by year.
+
+    supplier and nation broadcast; the nation-name filter is applied to
+    the broadcast sides BEFORE the join, so lineitem rows from other
+    supplier-nations are dropped at the first BHJ. The only repartition
+    is lineitem⋈orders on orderkey (both facts); orders⋈customer rides a
+    broadcast of the (pre-filtered-nation) customer dim.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    pair = F.col("n_name").isin("NATION_3", "NATION_7")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.filter(pair)), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n.filter(pair)), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(rev_dec()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22_shape",
+    oracle="""
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT n_name,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg_bal FROM thr)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+""",
+)
+def q_tpch_q22_shape(spark, sf_dir):
+    """Q22 shape: idle high-balance customers per nation.
+
+    TPC-H's phone-prefix predicate is re-expressed on nation (the column
+    that exists), and "never ordered" (empty in this corpus) becomes
+    "no order since 2000-01-01" — churned high-balance accounts. The
+    global average is an exact-decimal scalar computed once and joined
+    via broadcast crossJoin; NOT EXISTS is a left-anti join against
+    orders date-filtered at the scan and projected to its foreign key
+    only (shuffle carries 8 bytes/row). Boundary safety: avg is
+    exact-decimal sum / count, both IEEE-identical.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_bal")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           FROM events),
+     first_seen AS (SELECT user_id, MIN(day) AS cohort_day FROM e
+                    GROUP BY user_id)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', cohort_day, day) // 7 AS week_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM e JOIN first_seen USING (user_id)
+GROUP BY cohort_day, 2
+""",
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users active N weeks after their first-seen day.
+
+    The first-seen aggregate is one row per user (~1/60th of events at
+    sf0.1, far less at 100 TB where users repeat heavily), so the join
+    back is events ⋈ small — Spark broadcasts it under AQE once the agg
+    side's runtime size is known; both sides otherwise co-partition on
+    user_id, making the join shuffle-free after the agg. The final
+    groupBy is |days| × |weeks| — tiny.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(F.datediff("day", "cohort_day") / 7).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
     )

@@ -1053,3 +1053,35 @@ def q_agg_mode(spark, sf_dir):
             "cnt",
         )
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY 1
+""",
+)
+def q_agg_histogram(spark, sf_dir):
+    """Equi-width histogram of order value (10 buckets, top-clamped).
+
+    Bucket assignment is floor(x / width) — a single IEEE divide +
+    floor, deterministic cross-engine with no rounding-mode exposure
+    (unlike width_bucket, whose edge semantics differ between engines).
+    Map-side partial aggregation reduces each partition to <=10 rows
+    before the single tiny shuffle; min/max of doubles are exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / F.lit(50000.0)), F.lit(9).cast("bigint"))
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

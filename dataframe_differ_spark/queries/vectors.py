@@ -419,3 +419,87 @@ def q_sim_topk_ivf(spark, sf_dir):
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", F.round("cos_sim", 9).alias("cos_sim"))
     )
+
+
+@register(
+    "vec_centroid_outliers",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(64)) AS i)),
+cent AS (
+  SELECT label, pos,
+         list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)),
+                     (a, b) -> a + b) / COUNT(*) AS c
+  FROM ex GROUP BY label, pos),
+d AS (
+  SELECT ex.vec_id, ex.label, ex.pos,
+         (ex.v - cent.c) * (ex.v - cent.c) AS d2
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos),
+dist AS (
+  SELECT vec_id, label,
+         list_reduce(list_prepend(0.0, list(d2 ORDER BY pos)),
+                     (a, b) -> a + b) AS ss
+  FROM d GROUP BY vec_id, label)
+SELECT vec_id, label, SQRT(ss) AS dist
+FROM dist ORDER BY dist DESC, vec_id LIMIT 20
+""",
+)
+def q_vec_centroid_outliers(spark, sf_dir):
+    """Per-label centroid + top-20 farthest vectors (anomaly scoring).
+
+    Everything is relational — posexplode to (vec_id, label, pos, v),
+    no HOF lambdas (the Spark 4 nested-lambda/join-pruning trap). Exact
+    cross-engine floats by construction: every double summation is a
+    strict sequential fold in a defined order (Spark: running window sum
+    with ROWS UNBOUNDED PRECEDING, computed incrementally; DuckDB:
+    list_reduce over an ORDER BY'd list — its windowed SUM is a segment
+    tree and would differ by ulps), division and sqrt are single IEEE
+    ops. Scale note: the centroid table is
+    |labels|x|dims| (640 rows) and broadcasts; the window-ordered
+    centroid sum is an oracle-parity device — at 100 TB you'd use plain
+    avg() (one partial-agg pass, no window) since bit-exactness vs a
+    second engine is not a production requirement.
+    """
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+    )
+    wrun = (
+        Window.partitionBy("label", "pos")
+        .orderBy("vec_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wpart = Window.partitionBy("label", "pos")
+    cent = (
+        ex.withColumn("s", F.sum("v").over(wrun))
+        .withColumn("n", F.count(F.lit(1)).over(wpart))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("label", "pos").orderBy(F.col("vec_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("label", "pos", (F.col("s") / F.col("n")).alias("c"))
+    )
+    d = ex.join(F.broadcast(cent), ["label", "pos"]).withColumn(
+        "d2", (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+    )
+    wdist = (
+        Window.partitionBy("vec_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("ss", F.sum("d2").over(wdist))
+        .filter(F.col("pos") == 63)
+        .select("vec_id", "label", F.sqrt("ss").alias("dist"))
+        .orderBy(F.col("dist").desc(), "vec_id")
+        .limit(20)
+    )

@@ -33,6 +33,11 @@ MUST_BROADCAST = {
     "tpch_q10_shape",
     "text_tfidf",
     "sim_topk",
+    "tpch_q7_shape",
+    "tpch_q15_shape",
+    "tpch_q17_shape",
+    "tpch_q22_shape",
+    "vec_centroid_outliers",
 }
 
 # Queries whose parquet scan MUST show a pushed-down filter.
@@ -41,6 +46,9 @@ MUST_PUSH_FILTER = {
     "tpch_q3_shape": "c_mktsegment",
     "tpch_q10_shape": "l_returnflag",
     "agg_pricing_summary": "l_shipdate",
+    "tpch_q7_shape": "l_shipdate",
+    "tpch_q15_shape": "l_shipdate",
+    "tpch_q13_shape": "o_orderpriority",
 }
 
 # Streaming queries execute eagerly; plan inspection not applicable.
