@@ -746,3 +746,231 @@ def q_cohort_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "tpch_q8_shape",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         {SQL_REV_DEC} AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                     ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+FROM base GROUP BY o_year
+""",
+)
+def q_tpch_q8_shape(spark, sf_dir):
+    """Q8 shape: national market share within a region, by year.
+
+    All five dimension sides (orders' customer→nation→region filter
+    chain and supplier→nation) broadcast after their filters; lineitem
+    shuffles once to meet orders on orderkey. The share is a ratio of
+    two exact-decimal sums (numerator via CASE inside the same
+    aggregate — one pass, no self-join), divided once in double: IEEE-
+    identical cross-engine.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev_dec().alias("rev"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit("0.00").cast("decimal(18,2)")
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(zero)).cast("double")
+            / F.sum("rev").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, e.value, med.med,
+         ABS(e.value - med.med) AS adev
+  FROM events e JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, ANY_VALUE(med) AS med, MEDIAN(adev) AS mad
+  FROM dev GROUP BY event_type)
+SELECT d.event_type, ANY_VALUE(d.med) AS med, ANY_VALUE(m.mad) AS mad,
+       CAST(count_if(d.adev > 3.5 * m.mad) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+""",
+)
+def q_events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: median-absolute-deviation outliers.
+
+    MAD is the robust alternative to stddev-based z-scores (stddev sums
+    of squares are float-order-dependent; medians are order statistics —
+    exactly deterministic in both engines, so the 3.5x threshold can't
+    flip on ulps). Two grouped exact medians over 5 event-type groups +
+    a broadcast join back; the per-group median at 100 TB would switch
+    to percentile_approx, traded off in the docstring not the plan.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med2"), F.median("adev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.count_if(F.col("adev") > 3.5 * F.col("mad")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "revenue_pareto",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT o_custkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         SUM(rev) OVER () AS total_rev,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+         COUNT(*) OVER () AS n_cust
+  FROM per_cust)
+SELECT CAST(MIN(rk) AS BIGINT) AS customers_to_80pct,
+       CAST(ANY_VALUE(n_cust) AS BIGINT) AS n_customers,
+       CAST(MIN(rk) AS DOUBLE) / ANY_VALUE(n_cust) AS pareto_fraction
+FROM ranked
+WHERE CAST(cum_rev AS DOUBLE) >= 0.8 * CAST(total_rev AS DOUBLE)
+""",
+)
+def q_revenue_pareto(spark, sf_dir):
+    """Pareto concentration: how few customers produce 80% of revenue.
+
+    The running revenue share is a window cumsum over EXACT DECIMALS —
+    associative and order-independent, so DuckDB's segment-tree window
+    sum and Spark's incremental one agree bit-for-bit, and the 0.8
+    threshold row is unambiguous (ties broken by custkey). The global
+    window is over the per-customer aggregate (|customers| rows, not
+    orders); at 100 TB the single-partition window would become a
+    two-phase partial-rank merge, the aggregate below it is unchanged.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    word = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    wrun = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        F.sum("rev").over(wrun).alias("cum_rev"),
+        F.sum("rev").over(wall).alias("total_rev"),
+        F.row_number().over(word).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n_cust"),
+    )
+    return ranked.filter(
+        F.col("cum_rev").cast("double") >= 0.8 * F.col("total_rev").cast("double")
+    ).agg(
+        F.min("rk").cast("long").alias("customers_to_80pct"),
+        F.any_value("n_cust").alias("n_customers"),
+        (F.min("rk").cast("double") / F.any_value("n_cust")).alias("pareto_fraction"),
+    )
+
+
+@register(
+    "orders_rfm",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey,
+         CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS INT)
+           AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+           AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+           AS m_score
+  FROM rfm)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def q_orders_rfm(spark, sf_dir):
+    """RFM segmentation: quintile scores for recency/frequency/monetary.
+
+    One fact aggregate to per-customer RFM, then three NTILE windows
+    over that small aggregate (each fully tie-broken by custkey so both
+    engines assign identical quintiles), then the 125-cell segment
+    distribution. Exact-decimal monetary keeps the quintile ORDER BY
+    float-free. The three single-partition windows run over |customers|
+    rows — at 100 TB swap NTILE for percent_rank over a range-
+    partitioned sort; the cell distribution is unchanged.
+    """
+    rfm = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        F.ntile(5).over(Window.orderBy(F.col("last_order").desc(), "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

@@ -1085,3 +1085,103 @@ def q_agg_histogram(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "fk_orphans",
+    oracle="""
+SELECT 'lineitem->orders' AS fk, COUNT(*) AS orphans FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', COUNT(*) FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+UNION ALL
+SELECT 'lineitem->supplier', COUNT(*) FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+UNION ALL
+SELECT 'orders->customer', COUNT(*) FROM orders
+  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'customer->nation', COUNT(*) FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+""",
+)
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit: orphan counts per foreign-key edge.
+
+    Pre-diff data-quality check in the differ spirit: every FK edge is a
+    left-anti join counting child rows whose parent is missing. Parent
+    sides are projected to the key column and broadcast (every parent
+    key set here is orders of magnitude smaller than its fact child or
+    is a dim); each edge is scan -> broadcast anti -> count, no shuffle
+    of any fact table. The five counts union into one 5-row result.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    edges = [
+        ("lineitem->orders", li, "l_orderkey", o.select("o_orderkey"), "o_orderkey"),
+        ("lineitem->part", li, "l_partkey",
+         load_table(spark, sf_dir, "part").select("p_partkey"), "p_partkey"),
+        ("lineitem->supplier", li, "l_suppkey",
+         load_table(spark, sf_dir, "supplier").select("s_suppkey"), "s_suppkey"),
+        ("orders->customer", o, "o_custkey", c.select("c_custkey"), "c_custkey"),
+        ("customer->nation", c, "c_nationkey",
+         load_table(spark, sf_dir, "nation").select("n_nationkey"), "n_nationkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        parts.append(
+            child.join(
+                F.broadcast(parent), child[ck] == parent[pk], "left_anti"
+            ).agg(
+                F.lit(name).alias("fk"), F.count(F.lit(1)).alias("orphans")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register("agg_hll_merge")
+def q_agg_hll_merge(spark, sf_dir):
+    """Mergeable HLL sketches: per-nation customer sketches union-merged
+    up to region and global levels.
+
+    The 100 TB pattern for COUNT(DISTINCT) rollups: build one
+    DataSketches HLL per fine-grained group (hll_sketch_agg — one pass,
+    fixed-size state), then MERGE the binary sketches upward
+    (hll_union_agg) instead of re-scanning the fact at each level. HLL
+    register state is max-based, so estimates are insertion-order
+    independent — the output is deterministic, but no SQL oracle exists
+    for DataSketches (rows-only; accuracy vs exact counts is asserted
+    in tests/test_sketches.py).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    nation_level = per_nation.select(
+        F.lit("nation").alias("level"),
+        F.col("n_name").alias("key"),
+        F.hll_sketch_estimate("sk").alias("estimate"),
+    )
+    region_level = (
+        per_nation.groupBy("n_regionkey")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("region").alias("level"),
+            F.col("n_regionkey").cast("string").alias("key"),
+            F.hll_sketch_estimate("sk").alias("estimate"),
+        )
+    )
+    global_level = per_nation.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("global").alias("level"),
+        F.lit("all").alias("key"),
+        F.hll_sketch_estimate("sk").alias("estimate"),
+    )
+    return nation_level.unionAll(region_level).unionAll(global_level)

@@ -253,3 +253,84 @@ def q_timeseries_gapfill(spark, sf_dir):
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("sum_value", ignorenulls=True).over(w).alias("carried_sum"),
     )
+
+
+@register(
+    "scd2_build",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type IN ('signup', 'purchase'))
+SELECT user_id, event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL AS BOOLEAN) AS is_current
+FROM e
+""",
+)
+def q_scd2_build(spark, sf_dir):
+    """SCD2 dimension build: event stream -> validity intervals.
+
+    The classic warehouse transform: each state-change event opens an
+    interval [valid_from, valid_to) closed by the next event for the
+    same key (lead over the key partition); the final interval stays
+    open (is_current). One shuffle on user_id; at 100 TB the window is
+    per-user sequential so skew only matters for pathological single
+    users. Ties broken by event_id to keep both engines' LEAD aligned.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "path_trigrams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+SELECT e1, e2, e3, COUNT(*) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 10
+""",
+)
+def q_path_trigrams(spark, sf_dir):
+    """Behavioral path mining: top-10 3-event sequences across users.
+
+    Trigrams come from two LEADs over the per-user time-ordered window
+    (one shuffle on user_id, no self-joins — the naive rank-equi-join
+    formulation would shuffle the events table three times). The
+    distribution groupBy lands on |event_types|^3 <= 125 keys and the
+    global top-k is TakeOrderedAndProject, not a full sort.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(10)
+    )
