@@ -652,6 +652,10 @@ def q_dedup_clusters(spark, sf_dir):
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
         )
+        # New label + changed-flag in one pass, then eagerly localCheckpoint:
+        # truncates lineage (otherwise iteration k recomputes all k-1 prior
+        # joins — quadratic) and materializes once, so the convergence count
+        # reads cached blocks instead of replaying the plan.
         new_labels = (
             labels.join(neighbor_min, labels.v == neighbor_min.dst, "left")
             .select(
@@ -659,15 +663,14 @@ def q_dedup_clusters(spark, sf_dir):
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "__chg"
+                ),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return (

@@ -246,3 +246,93 @@ def q_udtf_python(spark, sf_dir):
         FROM _udtf_docs d, LATERAL tokenize_with_pos(d.text) t
         """
     )
+
+
+@register(
+    "sink_formats_roundtrip",
+    oracle="""
+WITH agg AS (
+  SELECT COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders)
+SELECT fmt, cnt, total
+FROM agg CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+ORDER BY fmt
+""",
+)
+def q_sink_formats_roundtrip(spark, sf_dir):
+    """B-layer format matrix: CSV / JSON / ORC sink + source round-trip.
+
+    Writes the same projection through three non-parquet formats, reads
+    each back (CSV with an explicit schema — inference at 100 TB means
+    an extra full scan), and proves value fidelity by matching the
+    source aggregate per format. Doubles survive text formats because
+    Spark writes shortest-round-trip representations; the exact-decimal
+    sum makes any single lost ulp visible.
+    """
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = os.path.join(tempfile.gettempdir(), "ddspark_sink_formats")
+    schema = "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING"
+    src.write.mode("overwrite").option("header", True).csv(base + "/csv")
+    src.write.mode("overwrite").json(base + "/json")
+    src.write.mode("overwrite").orc(base + "/orc")
+    reads = {
+        "csv": spark.read.schema(schema).option("header", True).csv(base + "/csv"),
+        "json": spark.read.schema(schema).json(base + "/json"),
+        "orc": spark.read.orc(base + "/orc"),
+    }
+    parts = [
+        df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        for fmt, df in reads.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fmt")
+
+
+@register(
+    "source_schema_merge",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(count_if(o_orderkey % 2 = 1) AS BIGINT) AS cnt_with_status,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+""",
+)
+def q_source_schema_merge(spark, sf_dir):
+    """B-layer schema evolution: mergeSchema read over heterogeneous batches.
+
+    Batch 1 (even keys) was written before the o_orderstatus column
+    existed; batch 2 (odd keys) carries it. ``mergeSchema=true`` unions
+    the file schemas and back-fills nulls — the read-back must preserve
+    every row and value, and the null pattern must match the split
+    exactly. This is the append-only data-lake evolution path: schema
+    widening without rewriting history.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.gettempdir(), "ddspark_schema_merge")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(base + "/batch=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").parquet(base + "/batch=2")
+    back = spark.read.option("mergeSchema", True).parquet(
+        base + "/batch=1", base + "/batch=2"
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_if(F.col("o_orderstatus").isNotNull()).alias("cnt_with_status"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
