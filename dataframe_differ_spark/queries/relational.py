@@ -1185,3 +1185,97 @@ def q_agg_hll_merge(spark, sf_dir):
         F.hll_sketch_estimate("sk").alias("estimate"),
     )
     return nation_level.unionAll(region_level).unionAll(global_level)
+
+
+@register(
+    "agg_percentile_cont",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 9) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 9) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 9) AS p75
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_percentile_cont(spark, sf_dir):
+    """D8c: exact interpolated (continuous) percentiles per group.
+
+    percentile() is the exact order-statistic form (sort within group,
+    lerp between neighbors) — both engines use the (n-1)*p convention;
+    results are rounded to 9 dp because the lerp arithmetic is the one
+    step whose operation order isn't pinned cross-engine. At 100 TB
+    exact grouped percentiles imply a per-group sort — the approx
+    sketch twin (`agg_pctl_approx`) is the scale path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("p", 1), 9).alias("p25"),
+            F.round(F.element_at("p", 2), 9).alias("p50"),
+            F.round(F.element_at("p", 3), 9).alias("p75"),
+        )
+    )
+
+
+@register(
+    "agg_corr_exact",
+    oracle="""
+WITH comp AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       (n * sxy - sx * sy)
+         / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+FROM comp
+""",
+)
+def q_agg_corr_exact(spark, sf_dir):
+    """Bit-exact Pearson correlation + OLS fit via decimal moment sums.
+
+    Built-in corr()/covar() accumulate doubles in partition order —
+    nondeterministic across engines AND across runs. Here every moment
+    (Σx, Σy, Σx², Σy², Σxy) is summed as an exact decimal — the inputs
+    have 2 decimal places, so products have exactly 4 and decimals are
+    EXACT (cast the factors, never the product) — then the closed-form
+    correlation/slope/intercept is a fixed sequence of IEEE double ops
+    on exact components. Same single-pass partial-aggregation plan as
+    the built-in, with determinism.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,2)")
+    dy = F.col("l_extendedprice").cast("decimal(18,2)")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    beta = cov_n / (n * sxx - sx * sx)
+    return comp.select(
+        "l_returnflag",
+        (cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        beta.alias("beta"),
+        ((sy - beta * sx) / n).alias("intercept"),
+    )

@@ -253,3 +253,47 @@ def q_cond_funcs(spark, sf_dir):
             "coalesced"
         ),
     )
+
+
+@register(
+    "dim_date_generate",
+    oracle="""
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(EXTRACT(year FROM d) AS INT) AS year,
+       CAST(EXTRACT(quarter FROM d) AS INT) AS quarter,
+       CAST(EXTRACT(month FROM d) AS INT) AS month,
+       CAST(EXTRACT(day FROM d) AS INT) AS day_of_month,
+       CAST(dayofweek(d) AS INT) AS dow_sun0,
+       CAST(weekofyear(d) AS INT) AS iso_week,
+       dayofweek(d) IN (0, 6) AS is_weekend
+FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                                    INTERVAL 1 DAY))::DATE AS d)
+""",
+)
+def q_dim_date_generate(spark, sf_dir):
+    """Generated calendar dimension (no source table): one row per 2024 day.
+
+    The standard warehouse date-spine build: sequence() generates the
+    year relationally (366 rows — generation is driver-free and the
+    result broadcasts everywhere it's joined). Engine-convention trap
+    pinned here: Spark dayofweek() is 1=Sunday..7, DuckDB's is
+    0=Sunday..6 — normalized to Sunday=0; weekofyear is ISO in both.
+    """
+    days = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(date '2024-01-01', date '2024-12-31', interval 1 day)"
+            )
+        ).alias("d")
+    )
+    dow0 = F.dayofweek("d") - 1
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.year("d").alias("year"),
+        F.quarter("d").alias("quarter"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("day_of_month"),
+        dow0.alias("dow_sun0"),
+        F.weekofyear("d").alias("iso_week"),
+        dow0.isin(0, 6).alias("is_weekend"),
+    )

@@ -336,3 +336,58 @@ def q_source_schema_merge(spark, sf_dir):
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "multimodal_framesample",
+    oracle="""
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 100 AS INTEGER) AS byte_offset,
+       md5(substr(text, i * 100 + 1, 100)) AS frame_hash
+FROM documents
+CROSS JOIN (SELECT unnest(range(3)) AS i)
+WHERE i < GREATEST(1, LEAST(3, octet_length(CAST(text AS BLOB)) // 100))
+""",
+)
+def q_multimodal_framesample(spark, sf_dir):
+    """Multimodal frame sampling: one binary payload -> N sampled frames.
+
+    The video path's plumbing: mapInPandas receives Arrow batches of
+    opaque payloads and yields a VARIABLE number of rows per input (the
+    flatMap shape decode libraries need — ffmpeg would replace
+    ``_sample_stub``). Frames are fixed-stride byte windows hashed for
+    verification; the corpus text is ASCII so the DuckDB oracle can
+    reproduce the byte slices with substr. Pipeline stays shuffle-free:
+    scan -> Arrow -> Python -> Arrow, partition-local.
+    """
+    import hashlib
+
+    def _sample_stub(payload: bytes):
+        # Stand-in for real frame extraction: up to 3 fixed-stride
+        # 100-byte windows, at least one even for short payloads.
+        n = max(1, min(3, len(payload) // 100))
+        for i in range(n):
+            yield i, i * 100, hashlib.md5(payload[i * 100 : i * 100 + 100]).hexdigest()
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode("utf-8")
+                for idx, off, h in _sample_stub(payload):
+                    rows.append((doc_id, idx, off, h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "byte_offset", "frame_hash"]
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("byte_offset", T.IntegerType()),
+            T.StructField("frame_hash", T.StringType()),
+        ]
+    )
+    return d.mapInPandas(sample, schema)
