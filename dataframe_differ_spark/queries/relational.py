@@ -1279,3 +1279,91 @@ def q_agg_corr_exact(spark, sf_dir):
         beta.alias("beta"),
         ((sy - beta * sx) / n).alias("intercept"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT n_name, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_agg_bitmap_distinct(spark, sf_dir):
+    """Exact distinct counting via mergeable bitmaps (HLL's exact sibling).
+
+    COUNT(DISTINCT) at 100 TB either double-shuffles (expand) or
+    sketches (approximate). Bitmaps are the exact middle path: keys map
+    to (bucket, bit) positions, each (group, bucket) folds into a fixed
+    32KB bitmap (bitmap_construct_agg), bitmaps OR-merge associatively
+    up the hierarchy, and popcounts sum. Two shuffles but the second
+    moves only bitmaps, not keys — and like HLL the partials are
+    reusable across rollup levels. The oracle is plain COUNT(DISTINCT):
+    the bitmap path must be EXACTLY right.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_bucket = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.bitmap_bucket_number("c_custkey").alias("bucket"),
+            F.bitmap_bit_position("c_custkey").alias("pos"),
+        )
+        .groupBy("n_name", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return per_bucket.groupBy("n_name").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct")
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+           FROM events),
+     purchases AS (SELECT * FROM e WHERE event_type = 'purchase'),
+     clicks AS (SELECT * FROM e WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.ts END AS click_ts
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """C7b: as-of join with a tolerance (pandas merge_asof semantics).
+
+    Same single-shuffle union-tag + last(ignorenulls) formulation as
+    `join_asof`, then matches older than the 2-hour lookback are nulled
+    — the nearest-match-or-nothing contract sensors/attribution need
+    (an unbounded as-of would attribute a purchase to a week-old
+    click). Tolerance is a post-filter on the matched pair, so the
+    plan cost is identical to the untolerated form.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).withColumn(
+        "is_click", (F.col("event_type") == "click").cast("int")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = tagged.withColumn(
+        "click_ts_raw",
+        F.last(
+            F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return timeline.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("click_ts_raw") >= F.col("ts") - F.expr("interval 2 hours"),
+            F.col("click_ts_raw"),
+        ).alias("click_ts"),
+    )

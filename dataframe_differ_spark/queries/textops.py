@@ -752,3 +752,74 @@ def q_text_bm25(spark, sf_dir):
         .join(F.broadcast(dl), "doc_id")
         .select("doc_id", "token", F.round(score, 6).alias("bm25"))
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+WITH tokset AS (
+  SELECT doc_id, lang, source,
+         len(list_distinct(string_split(text, ' '))) AS n_tok,
+         unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ANY_VALUE(a.n_tok) AS n_a, ANY_VALUE(b.n_tok) AS n_b,
+         COUNT(*) AS inter_n
+  FROM tokset a JOIN tokset b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter_n AS DOUBLE) / LEAST(n_a, n_b), 9) AS containment
+FROM inter
+WHERE CAST(inter_n AS DOUBLE) / LEAST(n_a, n_b) >= 0.9
+""",
+)
+def q_dedup_containment(spark, sf_dir):
+    """H2-family: containment near-dup detection (subset/truncation dups).
+
+    Jaccard misses truncation duplicates (a 10% prefix of a doc has tiny
+    Jaccard but containment 1.0) — containment |A∩B| / min(|A|,|B|)
+    catches them. Same relational shape as `dedup_ngram`: distinct
+    unigrams, (lang, source)-blocked token equi-join, grouped
+    intersection counts — explode + groupBy, no HOF lambdas, one
+    shuffle on the token join key. At 100 TB the blocking key keeps the
+    candidate matrix per-block; hot tokens would add a band-hash salt.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokset = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    ).join(
+        docs.select(
+            F.col("doc_id").alias("doc_id2"),
+            F.size(F.array_distinct(F.split("text", " "))).alias("n_tok"),
+        ),
+        F.col("doc_id") == F.col("doc_id2"),
+    ).drop("doc_id2")
+    a = tokset.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "token",
+        F.col("n_tok").alias("n_a"),
+    )
+    b = tokset.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", "token",
+        F.col("n_tok").alias("n_b"),
+    )
+    inter = (
+        a.join(b, ["lang", "source", "token"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.any_value("n_a").alias("n_a"),
+            F.any_value("n_b").alias("n_b"),
+            F.count(F.lit(1)).alias("inter_n"),
+        )
+    )
+    cont = F.col("inter_n").cast("double") / F.least("n_a", "n_b")
+    return (
+        inter.filter(cont >= 0.9)
+        .select("doc_a", "doc_b", F.round(cont, 9).alias("containment"))
+    )

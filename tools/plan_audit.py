@@ -38,6 +38,8 @@ MUST_BROADCAST = {
     "tpch_q17_shape",
     "tpch_q22_shape",
     "vec_centroid_outliers",
+    "agg_bitmap_distinct",
+    "tpch_q8_shape",
 }
 
 # Queries whose parquet scan MUST show a pushed-down filter.
