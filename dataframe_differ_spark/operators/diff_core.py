@@ -63,6 +63,7 @@ def diff(
     rtol: float = 0.0,
     columns: Sequence[str] | None = None,
     align_types: bool = False,
+    with_change_cols: bool = False,
 ) -> DataFrame:
     """Keyed row diff (SURVEY.md §2.A2/§2.A6).
 
@@ -71,6 +72,11 @@ def diff(
     ``align_types=True`` casts right-side compared columns to the left
     side's type first (the int→bigint / float→double migration case);
     without it, mismatched types surface as Catalyst analysis errors.
+    ``with_change_cols=True`` appends a ``changed_columns`` column — the
+    comma-joined names (left column order) of the columns that differ on
+    'C' rows, empty string otherwise — the drill-down a reviewer reads
+    before the per-column values (same expressions as the status, so the
+    extra column costs nothing at scale).
     """
     keys = list(keys)
     if not keys:
@@ -132,6 +138,19 @@ def diff(
     for c in cols:
         out.append(F.col(f"l.{c}").alias(f"{c}_left"))
         out.append(F.col(f"r.{c}").alias(f"{c}_right"))
+    if with_change_cols:
+        name_or_null = [
+            F.when(
+                _neq(F.col(f"l.{c}"), F.col(f"r.{c}"), atol, rtol, schema.get(c)),
+                F.lit(c),
+            )
+            for c in cols
+        ]
+        changed = F.when(
+            status == CHANGE,
+            F.array_join(F.array_compact(F.array(*name_or_null)), ","),
+        ).otherwise(F.lit(""))
+        out.append(changed.alias("changed_columns"))
     return joined.select(*out)
 
 

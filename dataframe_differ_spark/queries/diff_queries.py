@@ -254,3 +254,50 @@ def q_diff_composite_key(spark, sf_dir):
         ),
     )
     return D.diff_summary(li, right, ["l_orderkey", "l_linenumber"])
+
+
+@register(
+    "diff_changed_cols",
+    oracle=f"""
+WITH right_t AS ({MUTATED_ORDERS_SQL}),
+d AS (
+  SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+              WHEN r.o_orderkey IS NULL THEN 'D'
+              WHEN {_distinct_clause()}
+              THEN 'C' ELSE 'N' END AS diff_status,
+         COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         array_to_string(list_filter([
+           CASE WHEN l.o_custkey IS DISTINCT FROM r.o_custkey
+                THEN 'o_custkey' END,
+           CASE WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice
+                THEN 'o_totalprice' END,
+           CASE WHEN l.o_orderdate IS DISTINCT FROM r.o_orderdate
+                THEN 'o_orderdate' END,
+           CASE WHEN l.o_orderpriority IS DISTINCT FROM r.o_orderpriority
+                THEN 'o_orderpriority' END], x -> x IS NOT NULL), ',')
+           AS chg
+  FROM orders l FULL OUTER JOIN right_t r ON l.o_orderkey = r.o_orderkey)
+SELECT CASE WHEN diff_status = 'C' THEN chg ELSE '' END AS changed_columns,
+       COUNT(*) AS n_rows
+FROM d WHERE diff_status IN ('C', 'N')
+GROUP BY 1
+""",
+)
+def q_diff_changed_cols(spark, sf_dir):
+    """A2+: which columns changed, aggregated into a change fingerprint.
+
+    `diff(with_change_cols=True)` appends the comma-joined changed-column
+    names per row; grouping by it answers the first triage question of a
+    migration validation ("is the drift all in one column?") without
+    scanning value pairs. Same single-join plan as `diff_keyed` — the
+    extra column reuses the comparison expressions already computed.
+    """
+    left, right = _pair(spark, sf_dir)
+    d = D.diff(left, right, ["o_orderkey"], with_change_cols=True)
+    return (
+        d.filter(F.col("diff_status").isin("C", "N"))
+        .groupBy("changed_columns")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -779,12 +779,21 @@ def q_join_bucketed(spark, sf_dir):
             f"{db}.orders_b_{sf_tag}_{run_tag}",
             f"{db}.lineitem_b_{sf_tag}_{run_tag}",
         )
+        # Project to the columns the join consumes before bucketing: the
+        # bucketed copy is a join-specific physical layout, not a second
+        # copy of the table (at 100 TB writing all 11 lineitem columns
+        # would quintuple the one-time materialization cost).
+        cols = {
+            "orders": ["o_orderkey", "o_orderpriority"],
+            "lineitem": ["l_orderkey", "l_extendedprice"],
+        }
         for tname, src, key in (
             (names[0], "orders", "o_orderkey"),
             (names[1], "lineitem", "l_orderkey"),
         ):
             (
                 load_table(spark, sf_dir, src)
+                .select(*cols[src])
                 .write.bucketBy(8, key)
                 .sortBy(key)
                 .format("parquet")
@@ -1366,4 +1375,80 @@ def q_join_asof_tolerance(spark, sf_dir):
             F.col("click_ts_raw") >= F.col("ts") - F.expr("interval 2 hours"),
             F.col("click_ts_raw"),
         ).alias("click_ts"),
+    )
+
+
+@register(
+    "agg_winsorize",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders),
+b AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN o_totalprice END) AS p05,
+         MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN o_totalprice END) AS p95
+  FROM ranked GROUP BY o_orderpriority),
+w AS (
+  SELECT o.o_orderpriority,
+         GREATEST(b.p05, LEAST(b.p95, o.o_totalprice)) AS wv,
+         CAST(o.o_totalprice < b.p05 OR o.o_totalprice > b.p95
+              AS INTEGER) AS clipped
+  FROM orders o JOIN b USING (o_orderpriority))
+SELECT o_orderpriority,
+       CAST(SUM(CAST(wv AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum,
+       CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+       COUNT(*) AS n
+FROM w GROUP BY o_orderpriority
+""",
+)
+def q_agg_winsorize(spark, sf_dir):
+    """Robust aggregate: per-group winsorization at the 5th/95th percentile.
+
+    Outlier-resistant totals without dropping rows. The fences are
+    DISCRETE order statistics — the value at rank ceil(p*n), computed
+    with integer rank arithmetic ((n*5+99)//100, never 0.05*n in
+    floating point) — so both engines pick the exact same data value
+    and no interpolation ulp can flip a fence comparison (the lerp'd
+    `percentile_cont` form differs at the last ulp cross-engine).
+    Clipped values keep the data's 2 decimals → exact-decimal sum.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = ranked.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("o_totalprice")
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("o_totalprice")
+            )
+        ).alias("p95"),
+    )
+    w = o.join(F.broadcast(b), "o_orderpriority").select(
+        "o_orderpriority",
+        F.greatest("p05", F.least("p95", F.col("o_totalprice"))).alias("wv"),
+        (
+            (F.col("o_totalprice") < F.col("p05"))
+            | (F.col("o_totalprice") > F.col("p95"))
+        )
+        .cast("int")
+        .alias("clipped"),
+    )
+    return w.groupBy("o_orderpriority").agg(
+        F.sum(F.col("wv").cast("decimal(18,2)")).cast("double").alias("winsorized_sum"),
+        F.sum("clipped").cast("long").alias("n_clipped"),
+        F.count(F.lit(1)).alias("n"),
     )

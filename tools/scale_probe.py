@@ -44,6 +44,11 @@ HEADLINE = [
     "dedup_near",
     "sim_join",
     "window_session",
+    "diff_unkeyed",
+    "tpch_q13_shape",
+    "dedup_containment",
+    "path_trigrams",
+    "agg_bitmap_distinct",
 ]
 
 
