@@ -974,3 +974,63 @@ def q_orders_rfm(spark, sf_dir):
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           FROM events),
+     days AS (SELECT DISTINCT day FROM e),
+     dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY day),
+     wau AS (SELECT d.day, COUNT(DISTINCT e.user_id) AS wau
+             FROM days d JOIN e
+               ON e.day <= d.day AND e.day > d.day - INTERVAL 7 DAY
+             GROUP BY d.day)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 9) AS stickiness
+FROM days d JOIN dau ON d.day = dau.day JOIN wau ON d.day = wau.day
+""",
+)
+def q_events_dau_wau(spark, sf_dir):
+    """Active-user analytics: DAU, trailing-7-day WAU, stickiness.
+
+    Rolling DISTINCT counts can't use a plain window (distinct isn't
+    subtractable), so WAU joins each day against the (user, day)
+    deduped event set restricted by a 7-day range predicate — the
+    deduped set is one row per (user, active-day), orders of magnitude
+    smaller than raw events, and the day spine broadcasts. At 100 TB
+    the exact form becomes per-day HLL partials OR-merged over the
+    trailing window (`agg_hll_merge` shows the sketch plumbing);
+    exactness is traded last.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day"))
+        .distinct()
+    )
+    days = e.select("day").distinct()
+    dau = e.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    d = days.select(F.col("day").alias("d_day"))
+    wau = (
+        e.join(
+            F.broadcast(d),
+            (F.col("day") <= F.col("d_day"))
+            & (F.col("day") > F.date_sub(F.col("d_day"), 7)),
+        )
+        .groupBy("d_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.d_day)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 9).alias(
+                "stickiness"
+            ),
+        )
+    )

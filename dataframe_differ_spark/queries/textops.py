@@ -784,8 +784,17 @@ def q_dedup_containment(spark, sf_dir):
     catches them. Same relational shape as `dedup_ngram`: distinct
     unigrams, (lang, source)-blocked token equi-join, grouped
     intersection counts — explode + groupBy, no HOF lambdas, one
-    shuffle on the token join key. At 100 TB the blocking key keeps the
-    candidate matrix per-block; hot tokens would add a band-hash salt.
+    shuffle on the token join key.
+
+    Scale path, measured honestly (10× probe): on duplicate-DENSE
+    corpora the candidate set is output-bound (every true pair must be
+    emitted — quadratic in copies per dup group), so PPJoin-style
+    prefix filtering (join only each doc's ⌊(1−τ)|d|⌋+1 rarest tokens
+    against full token sets; lossless for overlap ≥ τ·min) adds a df
+    ranking + verification join without shrinking anything — we
+    benchmarked both and kept the direct join. On realistic SPARSE-dup
+    100 TB corpora the prefix form wins and drops in here unchanged;
+    hot tokens would additionally get a band-hash salt.
     """
     docs = load_table(spark, sf_dir, "documents")
     tokset = docs.select(
@@ -822,4 +831,56 @@ def q_dedup_containment(spark, sf_dir):
     return (
         inter.filter(cont >= 0.9)
         .select("doc_a", "doc_b", F.round(cont, 9).alias("containment"))
+    )
+
+
+@register(
+    "text_keywords",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+     tf AS (SELECT doc_id, token, COUNT(*) AS tf
+            FROM tok GROUP BY doc_id, token),
+     df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+     n AS (SELECT COUNT(*) AS n_docs FROM documents),
+     scored AS (
+       SELECT tf.doc_id, tf.token,
+              ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf
+       FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+     ranked AS (
+       SELECT doc_id, token, tfidf,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS rk
+       FROM scored)
+SELECT doc_id, CAST(rk AS INT) AS rk, token, tfidf
+FROM ranked WHERE rk <= 3
+""",
+)
+def q_text_keywords(spark, sf_dir):
+    """Keyword extraction: top-3 TF-IDF terms per document.
+
+    The TF-IDF scoring plan (corpus shuffle on (doc, token), broadcast
+    vocabulary join) plus a per-doc top-k window — ranked on the ROUNDED
+    score so the cross-engine ln() ulp can't reorder near-ties, with the
+    token itself as the final tie-break. Per-doc partitions keep the
+    window shuffle aligned with the tf aggregate's (both hash doc_id —
+    Catalyst reuses the partitioning, no second exchange).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "token", "tfidf")
     )
