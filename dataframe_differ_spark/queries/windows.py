@@ -334,3 +334,52 @@ def q_path_trigrams(spark, sf_dir):
         .orderBy(F.col("n").desc(), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS dst
+  FROM events),
+pairs AS (
+  SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst),
+tot AS (
+  SELECT src, SUM(n) AS n_src FROM pairs GROUP BY src)
+SELECT p.src, p.dst, CAST(p.n AS BIGINT) AS n,
+       ROUND(CAST(p.n AS DOUBLE) / t.n_src, 9) AS p_transition
+FROM pairs p JOIN tot t ON p.src = t.src
+""",
+)
+def q_events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams.
+
+    The sequence-model building block: consecutive event pairs via one
+    LEAD window (single shuffle on user_id), then a |types|² transition
+    count and per-source normalization — the row totals join is on ≤5
+    keys and broadcasts. Probability is one double division, rounded to
+    9 dp only to guard the division's last ulp in the hash compare.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    pairs = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return pairs.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_src"), 9).alias(
+            "p_transition"
+        ),
+    )

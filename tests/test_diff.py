@@ -139,3 +139,36 @@ def test_diff_align_types(spark):
     sm = {r["k"]: r["diff_status"] for r in d.collect()}
     assert sm == {1: "N", 2: "C"}
     assert dict(d.dtypes)["v_right"] == "bigint"
+
+
+def test_diff_empty_right_all_deletes(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    right = spark.createDataFrame([], "k long, v string")
+    d = D.diff(left, right, ["k"])
+    statuses = {r.diff_status for r in d.collect()}
+    assert statuses == {"D"}
+    assert d.count() == 2
+
+
+def test_diff_both_empty(spark):
+    left = spark.createDataFrame([], "k long, v string")
+    right = spark.createDataFrame([], "k long, v string")
+    assert D.diff(left, right, ["k"]).count() == 0
+    assert D.diff_unkeyed(left, right).count() == 0
+
+
+def test_diff_null_keys_match_nullsafely(spark):
+    left = spark.createDataFrame([(None, "a"), (1, "b")], "k long, v string")
+    right = spark.createDataFrame([(None, "a"), (1, "B")], "k long, v string")
+    d = D.diff(left, right, ["k"])
+    rows = {r.k: r.diff_status for r in d.collect()}
+    assert rows[None] == "N"  # null keys pair up, values equal
+    assert rows[1] == "C"
+
+
+def test_diff_unkeyed_null_rows_group_together(spark):
+    left = spark.createDataFrame([(None, None), (None, None)], "a long, b string")
+    right = spark.createDataFrame([(None, None)], "a long, b string")
+    out = D.diff_unkeyed(left, right).collect()
+    assert len(out) == 1
+    assert out[0].left_count == 2 and out[0].right_count == 1
