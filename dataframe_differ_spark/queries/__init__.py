@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
             relational,
             windows,
             textops,
+            pipelineops,
             vectors,
             scalars,
             composites,

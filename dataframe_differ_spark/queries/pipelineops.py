@@ -1,0 +1,404 @@
+"""Training-data pipeline operators over `documents` (SURVEY.md §2.H family).
+
+The corpus-preparation stage of an LLM data pipeline, beyond dedup (in
+``textops``): repetition-based quality filters, deterministic dataset
+splits, vocabulary/Zipf statistics, sequence packing to a token budget,
+source-mixture rebalancing, and benchmark decontamination. Everything is
+native Spark SQL expressions — no Python UDFs — so at 100 TB the hot path
+stays in whole-stage codegen and each operator is one-to-two shuffles.
+
+Parity notes: token splitting is single-space in both engines; ratios are
+single double divisions rounded to 9 dp; dataset splits use md5-prefix
+buckets (engine-stable) rather than rng.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.tables import load_table
+
+
+def _docs_tok(spark, sf_dir):
+    """documents with a `toks` array column and `n_tok` count."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("n_tok", F.size("toks").cast("long"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition / quality filter (Gopher-style signals, token-level)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+base AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok, COUNT(*) AS n_uniq,
+         MAX(cnt) AS top_tok FROM (
+    SELECT doc_id, token, COUNT(*) AS cnt
+    FROM tok GROUP BY doc_id, token)
+  GROUP BY doc_id),
+big AS (
+  SELECT doc_id, MAX(cnt) AS top_bigram FROM (
+    SELECT doc_id, bigram, COUNT(*) AS cnt FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1])) AS bigram
+      FROM documents)
+    GROUP BY doc_id, bigram)
+  GROUP BY doc_id)
+SELECT b.doc_id, b.n_tok,
+       ROUND(CAST(b.n_uniq AS DOUBLE) / b.n_tok, 9) AS uniq_frac,
+       ROUND(CAST(b.top_tok AS DOUBLE) / b.n_tok, 9) AS top_tok_frac,
+       ROUND(CAST(2 * g.top_bigram AS DOUBLE) / b.n_tok, 9)
+         AS top_bigram_frac,
+       (CAST(b.n_uniq AS DOUBLE) / b.n_tok < 0.30
+        OR CAST(2 * g.top_bigram AS DOUBLE) / b.n_tok > 0.20)
+         AS is_repetitive
+FROM base b JOIN big g ON b.doc_id = g.doc_id
+""",
+)
+def q_text_repetition(spark, sf_dir):
+    """Per-document repetition signals — the Gopher-rules quality filter
+    re-expressed at token level (the corpus has no line structure):
+    unique-token fraction, top-unigram fraction, top-bigram token
+    fraction, and a combined repetitive-document flag.
+
+    Scale: both metric branches explode then groupBy(doc_id[, term]) —
+    partial aggregation makes the shuffle ~vocabulary-sized per doc, and
+    both branches shuffle on doc_id so the final join co-partitions
+    without an extra exchange. Bigrams come from zip_with over a shifted
+    slice (O(n) per doc, no nested-HOF re-evaluation).
+    """
+    docs = _docs_tok(spark, sf_dir)
+    tok = docs.select("doc_id", "n_tok", F.explode("toks").alias("token"))
+    base = (
+        tok.groupBy("doc_id", "n_tok", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "n_tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_uniq"),
+            F.max("cnt").alias("top_tok"),
+        )
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(zip_with(toks, slice(toks, 2, size(toks)),"
+                "  (a, b) -> IF(b IS NULL, NULL, concat_ws(' ', a, b))),"
+                "  x -> x IS NOT NULL)"
+            )
+        ).alias("bigram"),
+    )
+    big = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram"))
+    )
+    uniq_frac = F.col("n_uniq").cast("double") / F.col("n_tok")
+    top_big_frac = F.lit(2) * F.col("top_bigram").cast("double") / F.col("n_tok")
+    return base.join(big, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        F.round(uniq_frac, 9).alias("uniq_frac"),
+        F.round(F.col("top_tok").cast("double") / F.col("n_tok"), 9).alias(
+            "top_tok_frac"
+        ),
+        F.round(top_big_frac, 9).alias("top_bigram_frac"),
+        ((uniq_frac < 0.30) | (top_big_frac > 0.20)).alias("is_repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train / val / test split
+# --------------------------------------------------------------------------
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+SELECT CASE WHEN b = 'f' THEN 'test'
+            WHEN b IN ('d', 'e') THEN 'val'
+            ELSE 'train' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b
+      FROM documents)
+GROUP BY 1, 2
+""",
+)
+def q_split_train_val_test(spark, sf_dir):
+    """Deterministic hash split into train (13/16) / val (2/16) / test
+    (1/16) by md5 bucket of doc_id, summarized per (split, lang).
+
+    The reproducible alternative to randomSplit: identical membership on
+    every run, every engine, any partitioning — essential when the split
+    must survive re-ingestion at 100 TB. The bucket char compare and the
+    token count pipeline with the scan; one shuffle for the summary.
+    """
+    docs = _docs_tok(spark, sf_dir)
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        docs.withColumn(
+            "split",
+            F.when(b == "f", "test")
+            .when(b.isin("d", "e"), "val")
+            .otherwise("train"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary / Zipf coverage
+# --------------------------------------------------------------------------
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+WITH cnt AS (
+  SELECT token, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM cnt),
+ranked AS (
+  SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+  FROM cnt)
+SELECT r.rank, r.token, CAST(r.n AS BIGINT) AS n,
+       ROUND(SUM(r.n) OVER (ORDER BY r.rank) / t.total, 9) AS cum_coverage
+FROM ranked r CROSS JOIN tot t
+WHERE r.rank <= 30
+""",
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Top-30 vocabulary with cumulative corpus coverage (the Zipf curve
+    a tokenizer-training step reads first).
+
+    Scale: one shuffle for the token counts (map-side combine shrinks it
+    to vocabulary size); the top-30 is orderBy+limit →
+    TakeOrderedAndProject (per-partition heap + driver merge of 30 rows,
+    never a full vocabulary sort). Ranking and the cumulative window then
+    run on exactly 30 rows; total count is a broadcast scalar, not a
+    collect.
+    """
+    docs = _docs_tok(spark, sf_dir)
+    cnt = (
+        docs.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.agg(F.sum("n").cast("double").alias("total"))
+    ranked = (
+        cnt.orderBy(F.col("n").desc(), "token")
+        .limit(30)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "token"))
+            .cast("long"),
+        )
+    )
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "token",
+        "n",
+        F.round(F.sum("n").over(cum) / F.col("total"), 9).alias(
+            "cum_coverage"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing to a token budget
+# --------------------------------------------------------------------------
+
+
+@register(
+    "seq_pack_budget",
+    oracle="""
+WITH sized AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+packed AS (
+  SELECT source, doc_id, n_tok,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                     - n_tok) / 512.0) AS BIGINT) AS pack_id
+  FROM sized)
+SELECT source, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY source, pack_id
+""",
+)
+def q_seq_pack_budget(spark, sf_dir):
+    """Sequence packing: assign docs (in deterministic doc_id order,
+    per source) to ~512-token training packs by running token count,
+    then summarize each pack.
+
+    The pack boundary is `floor(start_offset / budget)` — pure window
+    arithmetic, so packing is deterministic and engine-independent
+    (unlike greedy bin packing, which is order- and state-dependent).
+    Scale: the running sum partitions by source, so parallelism is
+    #sources wide and no global sort exists; at 100 TB you'd sub-salt
+    sources by date to widen it further. One shuffle total.
+    """
+    sized = _docs_tok(spark, sf_dir).select("source", "doc_id", "n_tok")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512.0)),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Source-mixture rebalancing weights
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_mix_weights",
+    oracle="""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total,
+               COUNT(*) AS n_sources FROM per_src)
+SELECT p.source, p.n_docs, p.n_tokens,
+       ROUND(p.n_tokens / t.total, 9) AS token_share,
+       ROUND((1.0 / t.n_sources) / (p.n_tokens / t.total), 9)
+         AS uniform_weight
+FROM per_src p CROSS JOIN tot t
+""",
+)
+def q_source_mix_weights(spark, sf_dir):
+    """Data-mixture rebalancing: per-source token share and the sampling
+    weight that would equalize sources (target = uniform 1/n_sources).
+
+    This is the control input for mixture-weighted sampling in a
+    pretraining pipeline. One shuffle (per-source aggregate, map-side
+    combined); the totals row is a broadcast scalar join.
+    """
+    per_src = (
+        _docs_tok(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("total")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 9).alias("token_share"),
+        F.round((F.lit(1.0) / F.col("n_sources")) / share, 9).alias(
+            "uniform_weight"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (cross-set shingle overlap)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "contamination_check",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_bench,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' ||
+                string_split(text,' ')[i+2]))) AS shingle
+  FROM documents)
+SELECT t.doc_id,
+       COUNT(DISTINCT b.doc_id) AS n_bench_docs,
+       COUNT(DISTINCT t.shingle) AS n_shared_shingles
+FROM sh t JOIN sh b ON t.shingle = b.shingle
+WHERE NOT t.is_bench AND b.is_bench
+GROUP BY t.doc_id
+""",
+)
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: for every training doc (md5 bucket !=
+    'f'), count the held-out "benchmark" docs (bucket 'f') it shares a
+    3-token shingle with, and how many distinct shingles leak.
+
+    Same inverted-index shape as `dedup_ngram` but asymmetric: the
+    benchmark shingle set is ~1/16 of the corpus (in practice, tiny), so
+    Spark broadcasts it and the training side never shuffles — the scan,
+    shingling, and probe all pipeline; the only shuffle is the final
+    per-doc distinct-count. At 100 TB this is the difference between a
+    full corpus self-join and a map-side lookup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("toks", F.split("text", " "))
+        .withColumn("t2", F.expr("slice(toks, 2, size(toks))"))
+        .withColumn("t3", F.expr("slice(toks, 3, size(toks))"))
+        .withColumn(
+            "is_bench",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f",
+        )
+        .select(
+            "doc_id",
+            "is_bench",
+            F.explode(
+                F.expr(
+                    "array_distinct(filter("
+                    "  zip_with(zip_with(toks, t2, (a, b) -> concat_ws(' ', a, b)),"
+                    "           t3, (ab, c) -> IF(c IS NULL, NULL, concat_ws(' ', ab, c))),"
+                    "  x -> x IS NOT NULL))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    train = sh.filter(~F.col("is_bench")).select("doc_id", "shingle")
+    bench = sh.filter(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Structural invariants for the training-data pipeline operators
+(repetition filter, deterministic split, Zipf coverage, sequence packing,
+mixture weights, decontamination)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.queries.pipelineops import (
+    q_contamination_check,
+    q_seq_pack_budget,
+    q_source_mix_weights,
+    q_split_train_val_test,
+    q_text_repetition,
+    q_vocab_coverage,
+)
+from dataframe_differ_spark.tables import load_table
+
+
+def test_repetition_fractions_bounded(spark, sf_small):
+    out = q_text_repetition(spark, sf_small)
+    bad = out.filter(
+        (F.col("uniq_frac") <= 0)
+        | (F.col("uniq_frac") > 1)
+        | (F.col("top_tok_frac") <= 0)
+        | (F.col("top_tok_frac") > 1)
+        | (F.col("top_bigram_frac") < 0)
+    ).count()
+    assert bad == 0
+    # A fully-repetitive planted doc must be flagged.
+    planted = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam")], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.lit(29).cast("long")
+    )
+    planted.createOrReplaceTempView("___rep_probe")
+    toks = planted.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    uniq = toks.groupBy("doc_id").agg(
+        (F.countDistinct("token") / F.count(F.lit(1))).alias("uf")
+    )
+    assert uniq.collect()[0].uf < 0.30
+
+
+def test_split_is_exhaustive_and_deterministic(spark, sf_small):
+    out = q_split_train_val_test(spark, sf_small)
+    docs = load_table(spark, sf_small, "documents")
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs.count()
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    # Deterministic: two evaluations agree exactly.
+    a = {(r.split, r.lang): (r.n_docs, r.n_tokens) for r in out.collect()}
+    b = {
+        (r.split, r.lang): (r.n_docs, r.n_tokens)
+        for r in q_split_train_val_test(spark, sf_small).collect()
+    }
+    assert a == b
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_small):
+    rows = q_vocab_coverage(spark, sf_small).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    cov = [r.cum_coverage for r in rows]
+    assert all(b >= a for a, b in zip(cov, cov[1:]))
+    assert 0 < cov[-1] <= 1
+    ns = [r.n for r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))  # Zipf: non-increasing
+
+
+def test_seq_packing_partitions_docs_and_respects_order(spark, sf_small):
+    out = q_seq_pack_budget(spark, sf_small)
+    docs = load_table(spark, sf_small, "documents")
+    assert out.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+    # Packs within a source cover disjoint, ordered doc_id ranges.
+    w_bad = out.alias("a").join(
+        out.alias("b"),
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.pack_id") < F.col("b.pack_id"))
+        & (F.col("a.last_doc") >= F.col("b.first_doc")),
+    )
+    assert w_bad.count() == 0
+    # Every pack except possibly the last per source holds >= the budget's
+    # starting offset property: pack_tokens > 0 always.
+    assert out.filter(F.col("pack_tokens") <= 0).count() == 0
+
+
+def test_mix_weights_shares_sum_to_one(spark, sf_small):
+    rows = q_source_mix_weights(spark, sf_small).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r.uniform_weight > 0
+
+
+def test_contamination_only_flags_training_docs(spark, sf_small):
+    out = q_contamination_check(spark, sf_small)
+    # No flagged doc may itself be in the benchmark bucket ('f').
+    in_bench = out.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f"
+    ).count()
+    assert in_bench == 0
+    assert out.filter(
+        (F.col("n_bench_docs") <= 0) | (F.col("n_shared_shingles") <= 0)
+    ).count() == 0
