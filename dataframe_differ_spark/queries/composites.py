@@ -1034,3 +1034,227 @@ def q_events_dau_wau(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "tpch_q12_shape",
+    oracle="""
+SELECT l_linestatus AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q_tpch_q12_shape(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority counts), adapted to the
+    narrowed schema: l_linestatus stands in for l_shipmode and the
+    date window filters l_shipdate (no commit/receipt dates exist).
+
+    The plan is Q12's: fact-fact equi-join with the date predicate
+    pushed to the lineitem scan, then a conditional aggregate on the
+    join output. At 100 TB the filter prunes before the shuffle and
+    the two CASE sums ride the same map-side partial aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_shape",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def q_tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    exists / not-exists double-correlated pattern, with "late"
+    proxied as l_shipdate > o_orderdate + 60 days (the narrowed
+    schema has no commit/receipt dates).
+
+    Spark-first decorrelation: both correlated subqueries become
+    self-joins of the SAME filtered join output — a left-semi
+    (another supplier touched the order) and a left-anti (no OTHER
+    supplier was late). All three legs share the l_orderkey shuffle
+    key, so AQE reuses one exchange; supplier is a broadcast dim.
+    Late lineitems are a small fraction, so the semi/anti probe
+    sides stay skinny at 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    l = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("interval 60 days")
+            ).alias("is_late"),
+        )
+    )
+    l1 = l.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    other = l.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_late = l.filter(F.col("is_late")).select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    waited = (
+        l1.join(
+            other,
+            (l1.l_orderkey == other.o_key) & (l1.l_suppkey != other.o_supp),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (l1.l_orderkey == F.col("o_key"))
+            & (l1.l_suppkey != F.col("o_supp")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        waited.join(F.broadcast(s), waited.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "events_ab_test",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id),
+g AS (
+  SELECT variant, COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_conv
+  FROM u GROUP BY variant),
+w AS (
+  SELECT MAX(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
+         MAX(CASE WHEN variant = 'A' THEN n_conv END) AS c_a,
+         MAX(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
+         MAX(CASE WHEN variant = 'B' THEN n_conv END) AS c_b
+  FROM g)
+SELECT n_a, c_a, n_b, c_b,
+       ROUND(CAST(c_a AS DOUBLE) / n_a, 9) AS rate_a,
+       ROUND(CAST(c_b AS DOUBLE) / n_b, 9) AS rate_b,
+       ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 9) AS z_score,
+       ABS((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+           / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b))) > 1.959963985
+         AS significant
+FROM w
+""",
+)
+def q_events_ab_test(spark, sf_dir):
+    """A/B experiment readout: deterministic 50/50 md5 user bucketing,
+    per-variant high-value-purchase conversion rates (value > 150),
+    and a two-proportion
+    pooled z-test with a 95% significance flag.
+
+    Scale: one shuffle to the per-user conversion bit (map-side
+    combined), one tiny per-variant rollup, then a 2-row pivot into a
+    single stats row — the z arithmetic is pure column math on one
+    row. Bucketing by md5 prefix (not rng) keeps assignment stable
+    across runs, engines, and re-ingestion.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.withColumn(
+            "variant",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                    *"01234567"
+                ),
+                "A",
+            ).otherwise("B"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_conv"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_conv"))).alias("c_b"),
+    )
+    rate_a = F.col("c_a").cast("double") / F.col("n_a")
+    rate_b = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return w.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(rate_a, 9).alias("rate_a"),
+        F.round(rate_b, 9).alias("rate_b"),
+        F.round(z, 9).alias("z_score"),
+        (F.abs(z) > 1.959963985).alias("significant"),
+    )
