@@ -49,6 +49,12 @@ HEADLINE = [
     "dedup_containment",
     "path_trigrams",
     "agg_bitmap_distinct",
+    "text_repetition",
+    "seq_pack_budget",
+    "split_train_val_test",
+    "contamination_check",
+    "events_markov_transitions",
+    "tpch_q21_shape",
 ]
 
 
