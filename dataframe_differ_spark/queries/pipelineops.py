@@ -402,3 +402,105 @@ def q_contamination_check(spark, sf_dir):
             F.countDistinct("shingle").alias("n_shared_shingles"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture resampling (apply the weights: deterministic replicate-and-sample)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_mixture",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+per_src AS (
+  SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS src_tokens
+  FROM sized GROUP BY source),
+tot AS (SELECT SUM(src_tokens) AS total, COUNT(*) AS n_sources FROM per_src),
+wtd AS (
+  SELECT p.source,
+         (1.0 / t.n_sources) / (p.src_tokens / t.total) AS w
+  FROM per_src p CROSS JOIN tot t),
+cop AS (
+  SELECT s.doc_id, s.source, s.n_tok,
+         CAST(FLOOR(w.w) AS BIGINT)
+         + CASE WHEN ('0x' || substr(md5('mix-' || CAST(s.doc_id AS VARCHAR)),
+                                     1, 4))::BIGINT / 65536.0
+                     < w.w - FLOOR(w.w)
+                THEN 1 ELSE 0 END AS copies
+  FROM sized s JOIN wtd w ON s.source = w.source),
+out_tok AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+         CAST(SUM(copies) AS BIGINT) AS n_docs_out,
+         CAST(SUM(copies * n_tok) AS BIGINT) AS tokens_out
+  FROM cop GROUP BY source)
+SELECT source, n_docs_in, n_docs_out, tokens_out,
+       ROUND(tokens_out / SUM(tokens_out) OVER (), 9) AS achieved_share
+FROM out_tok
+""",
+)
+def q_sample_mixture(spark, sf_dir):
+    """Apply `source_mix_weights`: deterministic replicate-and-sample to a
+    uniform source mixture. Each doc gets floor(w) guaranteed copies plus
+    one more when its md5-uniform u < frac(w) — so expected token share
+    per source converges to 1/n_sources while membership stays
+    reproducible (no rng, engine-stable).
+
+    Scale: weights are a ~n_sources-row broadcast; the copies column is
+    scan-side arithmetic; replication is explode(sequence(1, copies)) —
+    here summarized per source, in an export job it would feed the
+    writer directly. One real shuffle (per-source rollup). u is 16 bits
+    of md5 (hex→int via conv), identical across engines.
+    """
+    sized = _docs_tok(spark, sf_dir).select("doc_id", "source", "n_tok")
+    per_src = sized.groupBy("source").agg(
+        F.sum("n_tok").cast("double").alias("src_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    wtd = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        ((F.lit(1.0) / F.col("n_sources")) / (F.col("src_tokens") / F.col("total"))).alias("w"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        / 65536.0
+    )
+    cop = sized.join(F.broadcast(wtd), "source").withColumn(
+        "copies",
+        F.floor("w").cast("bigint")
+        + F.when(u < F.col("w") - F.floor("w"), 1).otherwise(0),
+    )
+    # Explode-replication round-trip: prove the copies materialize (the
+    # export path), then roll back up per source.
+    rep = cop.filter(F.col("copies") > 0).select(
+        "source",
+        "n_tok",
+        F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("_i"),
+    )
+    out = (
+        cop.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.sum("copies").alias("n_docs_out"),
+            F.sum(F.col("copies") * F.col("n_tok")).alias("tokens_out"),
+        )
+    )
+    tot_out = out.agg(F.sum("tokens_out").cast("double").alias("tot_out"))
+    return out.crossJoin(F.broadcast(tot_out)).select(
+        "source",
+        "n_docs_in",
+        "n_docs_out",
+        "tokens_out",
+        F.round(F.col("tokens_out") / F.col("tot_out"), 9).alias(
+            "achieved_share"
+        ),
+    )

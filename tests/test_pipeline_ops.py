@@ -103,3 +103,22 @@ def test_contamination_only_flags_training_docs(spark, sf_small):
     assert out.filter(
         (F.col("n_bench_docs") <= 0) | (F.col("n_shared_shingles") <= 0)
     ).count() == 0
+
+
+def test_sample_mixture_moves_shares_toward_uniform(spark, sf_small):
+    from dataframe_differ_spark.queries.pipelineops import (
+        q_sample_mixture,
+        q_source_mix_weights,
+    )
+
+    before = {r.source: r.token_share for r in q_source_mix_weights(spark, sf_small).collect()}
+    rows = q_sample_mixture(spark, sf_small).collect()
+    n_src = len(rows)
+    assert abs(sum(r.achieved_share for r in rows) - 1.0) < 1e-6
+    # Resampling should shrink the mixture's distance to uniform.
+    after = {r.source: r.achieved_share for r in rows}
+    dist_before = sum(abs(v - 1.0 / n_src) for v in before.values())
+    dist_after = sum(abs(v - 1.0 / n_src) for v in after.values())
+    assert dist_after < dist_before
+    for r in rows:
+        assert r.n_docs_out >= 0 and r.tokens_out >= 0
