@@ -504,3 +504,142 @@ def q_sample_mixture(spark, sf_dir):
             "achieved_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Flagship composite: end-to-end training-data export
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_training_export",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+qual AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+         CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS uniq_frac FROM (
+    SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY doc_id, token)
+  GROUP BY doc_id),
+sh AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_bench,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' ||
+                string_split(text,' ')[i+2]))) AS shingle
+  FROM documents),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM sh t JOIN sh b ON t.shingle = b.shingle
+  WHERE NOT t.is_bench AND b.is_bench),
+kept AS (
+  SELECT d.doc_id, d.source, q.n_tok,
+         CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) = 'f'
+                THEN 'test'
+              WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) IN ('d','e')
+                THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents d
+  JOIN qual q ON d.doc_id = q.doc_id
+  WHERE q.uniq_frac >= 0.30
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+packed AS (
+  SELECT split, source, doc_id, n_tok,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY split, source
+                                      ORDER BY doc_id)
+                     - n_tok) / 512.0) AS BIGINT) AS pack_id
+  FROM kept)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM packed GROUP BY split, source
+""",
+)
+def q_pipeline_training_export(spark, sf_dir):
+    """Flagship end-to-end training-data export: repetition-filter →
+    benchmark-decontaminate → deterministic split → sequence-pack,
+    summarized per (split, source). One Catalyst plan chains every
+    stage of the corpus-preparation pipeline this module ships.
+
+    Scale composition: the quality branch is one explode+groupBy(doc)
+    shuffle; decontamination anti-joins against a broadcast benchmark
+    shingle set (no corpus shuffle); the split is scan-side md5
+    arithmetic; packing windows partition by (split, source) so the
+    running sums stay #groups-wide parallel. Catalyst pipelines the
+    filter→anti-join→window into the minimum exchanges; nothing
+    collects to the driver.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    qual = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tok"),
+            (F.count(F.lit(1)).cast("double") / F.sum("cnt")).alias(
+                "uniq_frac"
+            ),
+        )
+    )
+    sh = (
+        docs.withColumn("toks", F.split("text", " "))
+        .withColumn("t2", F.expr("slice(toks, 2, size(toks))"))
+        .withColumn("t3", F.expr("slice(toks, 3, size(toks))"))
+        .withColumn(
+            "is_bench",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f",
+        )
+        .select(
+            "doc_id",
+            "is_bench",
+            F.explode(
+                F.expr(
+                    "array_distinct(filter("
+                    "  zip_with(zip_with(toks, t2, (a, b) -> concat_ws(' ', a, b)),"
+                    "           t3, (ab, c) -> IF(c IS NULL, NULL, concat_ws(' ', ab, c))),"
+                    "  x -> x IS NOT NULL))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    bench_shingles = (
+        sh.filter(F.col("is_bench")).select("shingle").distinct()
+    )
+    contaminated = (
+        sh.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_shingles), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    kept = (
+        docs.select("doc_id", "source")
+        .join(qual, "doc_id")
+        .filter(F.col("uniq_frac") >= 0.30)
+        .join(contaminated, "doc_id", "left_anti")
+        .withColumn(
+            "split",
+            F.when(b == "f", "test")
+            .when(b.isin("d", "e"), "val")
+            .otherwise("train"),
+        )
+    )
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = kept.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512.0)),
+    )
+    return packed.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
