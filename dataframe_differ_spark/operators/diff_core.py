@@ -336,3 +336,48 @@ def report(
         lines.append("")
         lines.append(f"Sample changed keys (first {sample_n}): {sample_keys}")
     return "\n".join(lines)
+
+
+def diff_bucket_checksums(
+    left: DataFrame,
+    right: DataFrame,
+    bucket: Column,
+    row_repr: Column,
+) -> DataFrame:
+    """Partition-pruned diff, phase 1: per-bucket row counts + additive
+    checksums for both sides, full-outer joined on the bucket.
+
+    `row_repr` must be a deterministic, engine-stable string rendering of
+    the compared row (caller casts doubles to decimals / formats dates).
+    The checksum is the per-bucket SUM of each row's 32-bit md5 prefix —
+    order-independent, mergeable, and computed map-side, so phase 1 costs
+    one scan of each side plus a #buckets-sized shuffle. Buckets with
+    `needs_full_diff = false` are PROVEN cheap to skip (counts and sums
+    both match); only flagged buckets proceed to the row-level `diff()`.
+    At 100 TB with date-bucketed tables this turns an incremental diff
+    into a scan + a diff of only the changed days.
+    """
+
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        h = F.conv(F.substring(F.md5(row_repr), 1, 8), 16, 10).cast("bigint")
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias(f"{prefix}_rows"),
+            F.sum(h).alias(f"{prefix}_checksum"),
+        )
+
+    l = side(left, "left")
+    r = side(right, "right")
+    j = l.join(r, "bucket", "full_outer")
+    return j.select(
+        "bucket",
+        F.coalesce("left_rows", F.lit(0)).alias("left_rows"),
+        F.coalesce("right_rows", F.lit(0)).alias("right_rows"),
+        "left_checksum",
+        "right_checksum",
+        (
+            ~(
+                F.col("left_rows").eqNullSafe(F.col("right_rows"))
+                & F.col("left_checksum").eqNullSafe(F.col("right_checksum"))
+            )
+        ).alias("needs_full_diff"),
+    )

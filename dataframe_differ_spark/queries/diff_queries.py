@@ -301,3 +301,68 @@ def q_diff_changed_cols(spark, sf_dir):
         .groupBy("changed_columns")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "diff_checksum_prune",
+    oracle=f"""
+WITH right_t AS ({MUTATED_ORDERS_SQL}),
+l AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS bucket,
+         COUNT(*) AS left_rows,
+         CAST(SUM(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) || '|' ||
+             o_orderpriority), 1, 8))::BIGINT) AS BIGINT) AS left_checksum
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS bucket,
+         COUNT(*) AS right_rows,
+         CAST(SUM(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) || '|' ||
+             o_orderpriority), 1, 8))::BIGINT) AS BIGINT) AS right_checksum
+  FROM right_t GROUP BY 1)
+SELECT COALESCE(l.bucket, r.bucket) AS bucket,
+       COALESCE(left_rows, 0) AS left_rows,
+       COALESCE(right_rows, 0) AS right_rows,
+       left_checksum, right_checksum,
+       NOT (COALESCE(left_rows, 0) = COALESCE(right_rows, 0)
+            AND left_checksum IS NOT DISTINCT FROM right_checksum)
+         AS needs_full_diff
+FROM l FULL OUTER JOIN r ON l.bucket = r.bucket
+""",
+)
+def q_diff_checksum_prune(spark, sf_dir):
+    """A2+ at scale: phase-1 checksum pruning for incremental diffs.
+
+    Buckets orders by month, computes order-independent additive md5
+    checksums per bucket on both sides, and flags only mismatched
+    buckets for the row-level diff. The 100 TB strategy: one scan per
+    side + a #buckets shuffle replaces the full-table outer join when
+    most partitions are unchanged — the row-level `diff()` then runs
+    only on flagged months. Doubles are rendered via DECIMAL(18,4) and
+    dates via a fixed format so the row representation is engine-stable.
+    """
+    left, right = _pair(spark, sf_dir)
+
+    def repr_of():
+        return F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,4)").cast("string"),
+            F.col("o_orderpriority"),
+        )
+
+    return D.diff_bucket_checksums(
+        left,
+        right,
+        bucket=F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"),
+        row_repr=repr_of(),
+    )

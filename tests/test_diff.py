@@ -172,3 +172,41 @@ def test_diff_unkeyed_null_rows_group_together(spark):
     out = D.diff_unkeyed(left, right).collect()
     assert len(out) == 1
     assert out[0].left_count == 2 and out[0].right_count == 1
+
+
+def test_checksum_prune_flags_every_changed_bucket(spark):
+    from dataframe_differ_spark.queries._mutation import mutated_orders
+    from dataframe_differ_spark.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    right = mutated_orders(orders)
+    pruned = D.diff_bucket_checksums(
+        orders,
+        right,
+        bucket=F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"),
+        row_repr=F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_totalprice").cast("decimal(18,4)").cast("string"),
+        ),
+    )
+    flagged = {
+        r.bucket for r in pruned.filter(F.col("needs_full_diff")).collect()
+    }
+    truth = D.diff(orders, right, ["o_orderkey"])
+    changed_buckets = {
+        r.bucket
+        for r in truth.filter(F.col("diff_status") != "N")
+        .select(
+            F.date_format(
+                F.date_trunc(
+                    "month", F.coalesce("o_orderdate_left", "o_orderdate_right")
+                ),
+                "yyyy-MM",
+            ).alias("bucket")
+        )
+        .distinct()
+        .collect()
+    }
+    # Soundness: no changed bucket escapes the prune.
+    assert changed_buckets <= flagged
