@@ -1258,3 +1258,57 @@ def q_events_ab_test(spark, sf_dir):
         F.round(z, 9).alias("z_score"),
         (F.abs(z) > 1.959963985).alias("significant"),
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         LAG(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS touch
+  FROM events)
+SELECT COALESCE(touch, '(none)') AS attributed_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS attributed_revenue
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def q_events_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase's revenue is
+    credited to the user's most recent preceding non-purchase event
+    type (IGNORE NULLS LAG over the per-user stream).
+
+    One window shuffle on user_id — the same partitioning every other
+    sequence operator here uses, so at 100 TB a shared repartition
+    serves funnel, Markov, sessionization, and attribution in one
+    exchange. Revenue sums in DECIMAL partials for cross-engine
+    exactness, surfaced as a 2-dp double.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = load_table(spark, sf_dir, "events").withColumn(
+        "touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("touch", F.lit("(none)")).alias("attributed_touch")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("attributed_revenue"),
+        )
+    )

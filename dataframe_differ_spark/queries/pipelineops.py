@@ -643,3 +643,88 @@ def q_pipeline_training_export(spark, sf_dir):
         F.countDistinct("pack_id").alias("n_packs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity quality scoring
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_perplexity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, token, pos FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+    FROM documents)),
+big AS (
+  SELECT doc_id, token AS w1,
+         LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok),
+pairs AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+bi_cnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+uni_cnt AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT token) AS vocab FROM tok),
+scored AS (
+  SELECT p.doc_id,
+         LN((b.c12 + 1.0) / (u.c1 + v.vocab)) AS lp
+  FROM pairs p
+  JOIN bi_cnt b ON p.w1 = b.w1 AND p.w2 = b.w2
+  JOIN uni_cnt u ON p.w1 = u.w1
+  CROSS JOIN v)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-AVG(lp), 6) AS avg_neg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def q_text_perplexity(spark, sf_dir):
+    """Perplexity-style quality scoring: per-doc average negative bigram
+    log-probability under the corpus's own add-one-smoothed bigram LM —
+    the classic KenLM-shaped pretraining filter, self-trained so no
+    external model is needed.
+
+    Scale: bigram extraction is one zip_with per doc (no shuffle); the
+    LM "training" is two count aggregates; scoring joins each doc
+    bigram to its LM row on (w1, w2) — the natural-language bigram
+    table is vocabulary-bounded and heavy-tailed, so the join key is
+    near-uniform after AQE. Σln accumulates ~1e-16 ulp noise per term,
+    so the mean is rounded to 6 dp (noise ceiling ~1e-13).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(zip_with(toks, slice(toks, 2, size(toks)),"
+                    "  (a, b) -> IF(b IS NULL, NULL, struct(a AS w1, b AS w2))),"
+                    "  x -> x IS NOT NULL)"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bi_cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_cnt = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .agg(F.countDistinct("token").alias("vocab"))
+    )
+    scored = (
+        pairs.join(bi_cnt, ["w1", "w2"])
+        .join(uni_cnt, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12") + F.lit(1.0))
+                / (F.col("c1") + F.col("vocab"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("lp"), 6).alias("avg_neg_logprob"),
+    )

@@ -122,3 +122,17 @@ def test_sample_mixture_moves_shares_toward_uniform(spark, sf_small):
     assert dist_after < dist_before
     for r in rows:
         assert r.n_docs_out >= 0 and r.tokens_out >= 0
+
+
+def test_perplexity_scores_repetition_lower(spark, sf_small):
+    from dataframe_differ_spark.queries.pipelineops import q_text_perplexity
+
+    out = q_text_perplexity(spark, sf_small)
+    rows = out.collect()
+    assert all(r.avg_neg_logprob > 0 for r in rows)
+    assert all(r.n_bigrams > 0 for r in rows)
+    # Self-trained LM: a doc made of the corpus's most common bigram
+    # repeated should score lower (less surprising) than the corpus mean.
+    # Weak-form check: min < mean < max with nonzero spread.
+    vals = [r.avg_neg_logprob for r in rows]
+    assert min(vals) < sum(vals) / len(vals) < max(vals)
