@@ -1452,3 +1452,42 @@ def q_agg_winsorize(spark, sf_dir):
         F.sum("clipped").cast("long").alias("n_clipped"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({SQL_REV_DEC}) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_join_salted_skew(spark, sf_dir):
+    """Skew-resistant salted equi-join: the fact side carries a
+    deterministic salt, the dimension-ish side is replicated across all
+    salt values (explode of a literal range), and the join key becomes
+    (key, salt) — a hot orderkey now spreads over 8 reducers instead of
+    one straggler. The oracle is the PLAIN join, proving salting is
+    semantics-free; revenue sums decimal partials so two-phase equals
+    one-phase exactly. At 100 TB this is the manual fallback when AQE's
+    skew-join split can't kick in (e.g., pre-shuffled bucketed inputs).
+    """
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(n_salt))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        .withColumn("salt", F.col("salt").cast("bigint"))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev_dec()).cast("double").alias("revenue"),
+        )
+    )
