@@ -64,6 +64,7 @@ def diff(
     columns: Sequence[str] | None = None,
     align_types: bool = False,
     with_change_cols: bool = False,
+    column_mapping: dict[str, str] | None = None,
 ) -> DataFrame:
     """Keyed row diff (SURVEY.md §2.A2/§2.A6).
 
@@ -72,6 +73,11 @@ def diff(
     ``align_types=True`` casts right-side compared columns to the left
     side's type first (the int→bigint / float→double migration case);
     without it, mismatched types surface as Catalyst analysis errors.
+    ``column_mapping`` maps left column name → right column name for
+    inputs whose schemas drifted apart in naming (the migration-validation
+    case); right columns are renamed to left names before comparison, so
+    it is a plan-time rename with zero runtime cost. ``keys`` are always
+    given in left-side names.
     ``with_change_cols=True`` appends a ``changed_columns`` column — the
     comma-joined names (left column order) of the columns that differ on
     'C' rows, empty string otherwise — the drill-down a reviewer reads
@@ -82,6 +88,16 @@ def diff(
     if not keys:
         raise ValueError("diff() requires at least one key column; "
                          "use diff_unkeyed() for keyless multiset diffs")
+    if column_mapping:
+        missing = [r for r in column_mapping.values() if r not in right.columns]
+        if missing:
+            raise ValueError(
+                f"column_mapping right-side column(s) {missing} not in right "
+                f"DataFrame (columns: {right.columns})"
+            )
+        right = right.withColumnsRenamed(
+            {rname: lname for lname, rname in column_mapping.items()}
+        )
     for side, df in (("left", left), ("right", right)):
         missing = [k for k in keys if k not in df.columns]
         if missing:

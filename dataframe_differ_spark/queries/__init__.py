@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
             vectors,
             scalars,
             composites,
+            warehouse,
             streaming_queries,
             advanced_streaming,
             udfs,

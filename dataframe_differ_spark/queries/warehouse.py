@@ -1,0 +1,487 @@
+"""Warehouse / migration-validation composites (late round 1).
+
+Operators a reference user migrating real pipelines would reach for next:
+batch MERGE upsert, SCD2 time-travel snapshot diff, keyed diff over a
+vector (array) column, column-name-mapped diff, per-dimension embedding
+stats, and edit-distance fuzzy entity dedup. Each follows the engine's
+parity contract: deterministic derivations expressed identically in Spark
+and the DuckDB oracle, exact cross-engine arithmetic only (IEEE single-op
+or integer/decimal paths — see BASELINE.md parity lessons).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import dataframe_differ_spark.operators.diff_core as D
+from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.queries.diff_queries import (
+    DIFF_KEYED_SQL,
+    _distinct_clause,
+)
+from dataframe_differ_spark.queries._mutation import (
+    MUTATED_ORDERS_SQL,
+    mutated_orders,
+)
+from dataframe_differ_spark.tables import load_table
+
+ORDER_OUT = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+_MERGE_SQL = """
+WITH chg AS (
+  SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', o_totalprice * 1.05
+  FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0)
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+       CASE WHEN c.op = 'U' THEN c.new_price ELSE t.o_totalprice END
+         AS o_totalprice,
+       t.o_orderdate, t.o_orderpriority
+FROM orders t LEFT JOIN chg c ON t.o_orderkey = c.k
+WHERE c.op IS NULL OR c.op <> 'D'
+UNION ALL
+SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
+@register("merge_upsert", oracle=_MERGE_SQL)
+def q_merge_upsert(spark, sf_dir):
+    """Batch MERGE INTO semantics: apply a CDC changeset to a snapshot.
+
+    The classic warehouse upsert (WHEN MATCHED UPDATE / DELETE, WHEN NOT
+    MATCHED INSERT) as one left join on the target key plus a union of the
+    inserts — the same plan Delta/Iceberg MERGE lowers to. One shuffle on
+    o_orderkey (AQE may broadcast the changeset when it is small enough);
+    at 100 TB the join key is the table's natural key so AQE skew-split
+    handles hot keys. The changeset is derived deterministically from
+    orders itself so both engines merge the identical pair; the 1.05
+    price revision is one IEEE double multiply — bit-identical cross-engine.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dels = orders.filter(k % 13 == 0).select(
+        k.alias("mk"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    upds = orders.filter((k % 13 != 0) & (k % 7 == 0)).select(
+        k.alias("mk"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("new_price"),
+    )
+    ins = orders.filter(k % 11 == 0).withColumn(
+        "o_orderkey", k + F.lit(20000000)
+    )
+    merged = (
+        orders.join(dels.unionByName(upds), k == F.col("mk"), "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(F.col("op") == "U", F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    return merged.unionByName(ins.select(*ORDER_OUT))
+
+
+_SNAP_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type IN ('signup', 'purchase')),
+s1 AS (
+  SELECT user_id, event_type AS state FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e WHERE ts <= TIMESTAMP '2024-01-10 00:00:00') WHERE rn = 1),
+s2 AS (
+  SELECT user_id, event_type AS state FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e WHERE ts <= TIMESTAMP '2024-01-20 00:00:00') WHERE rn = 1)
+SELECT CASE WHEN s1.user_id IS NULL THEN 'I'
+            WHEN s2.user_id IS NULL THEN 'D'
+            WHEN s1.state IS DISTINCT FROM s2.state THEN 'C'
+            ELSE 'N' END AS diff_status,
+       COALESCE(s1.user_id, s2.user_id) AS user_id,
+       s1.state AS state_left, s2.state AS state_right
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+"""
+
+
+@register("diff_scd2_snapshots", oracle=_SNAP_SQL)
+def q_diff_scd2_snapshots(spark, sf_dir):
+    """Time-travel diff: reconstruct two point-in-time snapshots from an
+    SCD2-style state stream and diff them with the keyed diff core.
+
+    Composes the warehouse time-travel pattern (state at T = the latest
+    state-change event <= T, per key) with Layer A's diff: the answer to
+    "what changed between the Jan-10 and Jan-20 snapshots?". Each snapshot
+    is one row_number window over user_id (same shuffle key both times, so
+    the diff's full-outer join reuses the partitioning); statuses come out
+    as N/C/I/D exactly like any other keyed diff. ts is normalized to µs
+    in the oracle (events.ts is ns in parquet — FIXTURES.md).
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def snapshot(cutoff: str):
+        return (
+            e.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("state"))
+        )
+
+    return D.diff(
+        snapshot("2024-01-10 00:00:00"),
+        snapshot("2024-01-20 00:00:00"),
+        ["user_id"],
+    )
+
+
+@register(
+    "diff_vector_col",
+    oracle="""
+WITH l AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     r AS (
+       SELECT vec_id,
+              CASE WHEN vec_id % 17 = 0
+                   THEN list_transform(e, x -> x + 0.5) ELSE e END AS e
+       FROM l WHERE vec_id % 23 <> 0
+       UNION ALL
+       SELECT vec_id + 1000000, e FROM l WHERE vec_id % 29 = 0),
+     base AS (
+       SELECT CASE WHEN l.vec_id IS NULL THEN 'I'
+                   WHEN r.vec_id IS NULL THEN 'D'
+                   WHEN l.e IS DISTINCT FROM r.e THEN 'C'
+                   ELSE 'N' END AS diff_status,
+              COALESCE(l.vec_id, r.vec_id) AS vec_id,
+              l.e AS le, r.e AS re
+       FROM l FULL OUTER JOIN r ON l.vec_id = r.vec_id)
+SELECT diff_status, vec_id,
+       CASE WHEN diff_status = 'C'
+            THEN CAST(len(list_filter(range(64),
+                     i -> abs(le[CAST(i AS INT) + 1]
+                              - re[CAST(i AS INT) + 1]) > 0.25)) AS INT)
+            WHEN diff_status = 'N' THEN 0
+            ELSE NULL END AS n_changed_dims
+FROM base
+""",
+)
+def q_diff_vector_col(spark, sf_dir):
+    """Keyed diff over an array<float> vector column (embeddings table).
+
+    Validating an embedding-pipeline migration needs diff over vectors:
+    status comes from native array equality (one codegen'd comparison per
+    row — Spark arrays are comparable, no UDF), and changed rows get
+    n_changed_dims counted relationally (posexplode both sides, equi-join
+    on (vec_id, dim), filter, count). The relational count avoids nested
+    HOF lambdas over join outputs (Spark 4 analyzer pitfall — BASELINE.md)
+    and keeps every step whole-stage-codegen. Two shuffles total, both on
+    vec_id-derived keys. The +0.5 perturbation is one IEEE double add —
+    bit-identical cross-engine, and > the 0.25 report threshold.
+    """
+    l = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    vk = F.col("vec_id")
+    r = (
+        l.filter(vk % 23 != 0)
+        .withColumn(
+            "e",
+            F.when(
+                vk % 17 == 0, F.transform("e", lambda x: x + F.lit(0.5))
+            ).otherwise(F.col("e")),
+        )
+        .unionByName(
+            l.filter(vk % 29 == 0).withColumn("vec_id", vk + F.lit(1000000))
+        )
+    )
+    lt = l.alias("l")
+    rt = r.alias("r")
+    base = lt.join(
+        rt, F.col("l.vec_id") == F.col("r.vec_id"), "full_outer"
+    ).select(
+        F.when(F.col("l.vec_id").isNull(), "I")
+        .when(F.col("r.vec_id").isNull(), "D")
+        .when(~F.col("l.e").eqNullSafe(F.col("r.e")), "C")
+        .otherwise("N")
+        .alias("diff_status"),
+        F.coalesce(F.col("l.vec_id"), F.col("r.vec_id")).alias("vec_id"),
+    )
+    lx = l.select("vec_id", F.posexplode("e").alias("dim", "lx"))
+    rx = r.select("vec_id", F.posexplode("e").alias("dim", "rx"))
+    changed = (
+        lx.join(rx, ["vec_id", "dim"])
+        .filter(F.abs(F.col("lx") - F.col("rx")) > 0.25)
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("int").alias("n_cd"))
+    )
+    return base.join(changed, "vec_id", "left").select(
+        "diff_status",
+        "vec_id",
+        F.when(F.col("diff_status") == "C", F.coalesce("n_cd", F.lit(0)))
+        .when(F.col("diff_status") == "N", F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("n_changed_dims"),
+    )
+
+
+@register("diff_colmap", oracle=DIFF_KEYED_SQL)
+def q_diff_colmap(spark, sf_dir):
+    """Keyed diff across renamed schemas via ``column_mapping``.
+
+    The migration-validation case where the rewritten pipeline renamed
+    columns: the right side here carries ``total_price``/``status_code``
+    instead of ``o_totalprice``/``o_orderstatus``, and the mapping aligns
+    them. Pure plan-time rename (zero runtime cost), so the oracle is the
+    canonical keyed-diff SQL — identical output proves the mapping round-
+    trips exactly.
+    """
+    left = load_table(spark, sf_dir, "orders")
+    right = mutated_orders(left).withColumnsRenamed(
+        {"o_totalprice": "total_price", "o_orderstatus": "status_code"}
+    )
+    return D.diff(
+        left,
+        right,
+        ["o_orderkey"],
+        column_mapping={
+            "o_totalprice": "total_price",
+            "o_orderstatus": "status_code",
+        },
+    )
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+WITH ex AS (
+  SELECT CAST(t.i AS INTEGER) AS dim,
+         e.e[CAST(t.i AS INT) + 1] AS x
+  FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings) e,
+       UNNEST(range(64)) AS t(i))
+SELECT dim, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS mean_micro,
+       MIN(x) AS min_val, MAX(x) AS max_val
+FROM ex GROUP BY dim
+""",
+)
+def q_emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding distribution stats (posexplode + groupBy).
+
+    The profiling step before normalizing / whitening an embedding column:
+    per-dimension count, mean, min, max. The mean uses FLOOR-quantized
+    micro-units summed as BIGINT — floor has no tie-breaking, and
+    x * 1e6 is a single IEEE multiply, so the sum is exactly reproducible
+    in any engine and under any partial-aggregation order (a raw double
+    or decimal-cast sum over full-precision float32 values is not —
+    half-way rounding ties diverge cross-engine, BASELINE.md). One
+    explode (64× fan-out, map-side) and one 64-key groupBy with partial
+    aggregation; at 100 TB this is scan-bound with a tiny shuffle.
+    """
+    ex = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    return ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.floor(F.col("x") * F.lit(1000000.0)).cast("bigint")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("mean_micro"),
+        F.min("x").alias("min_val"),
+        F.max("x").alias("max_val"),
+    )
+
+
+@register(
+    "diff_sampled_screen",
+    oracle=f"""
+WITH right_t AS ({MUTATED_ORDERS_SQL}),
+     l AS (SELECT * FROM orders
+           WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'),
+     r AS (SELECT * FROM right_t
+           WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'),
+     d AS (
+       SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I'
+                   WHEN r.o_orderkey IS NULL THEN 'D'
+                   WHEN {_distinct_clause()}
+                   THEN 'C' ELSE 'N' END AS diff_status
+       FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+SELECT diff_status, COUNT(*) AS cnt, COUNT(*) * 16 AS est_total
+FROM d GROUP BY diff_status
+""",
+)
+def q_diff_sampled_screen(spark, sf_dir):
+    """Hash-sampled diff screen: diff 1/16 of the keyspace, extrapolate.
+
+    The cheap pre-screen before a 100 TB full diff: both sides keep only
+    keys whose md5 first hex digit is '0' (deterministic, engine- and
+    partitioning-independent — the same property the hash split relies
+    on; a key is in the sample on both sides or neither, so per-key
+    diff semantics are exact within the sample). Scans read 100% but the
+    join shuffles ~6% of rows; with the key-bucket predicate expressed on
+    a partition column the scan prunes too. est_total extrapolates each
+    status count by the sampling factor.
+    """
+    left = load_table(spark, sf_dir, "orders")
+    right = mutated_orders(left)
+
+    def sample(df):
+        return df.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+            == "0"
+        )
+
+    return D.diff_summary(sample(left), sample(right), ["o_orderkey"]).select(
+        "diff_status",
+        "cnt",
+        (F.col("cnt") * F.lit(16)).alias("est_total"),
+    )
+
+
+@register(
+    "agg_incremental_maintain",
+    oracle=f"""
+WITH merged AS ({_MERGE_SQL})
+SELECT o_custkey, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+FROM merged GROUP BY o_custkey
+""",
+)
+def q_agg_incremental_maintain(spark, sf_dir):
+    """Incremental maintenance of a materialized aggregate from a CDC
+    changeset — verified against a full recompute (the oracle).
+
+    The 100 TB pattern this encodes: never recompute a petabyte rollup for
+    a day of changes. Each change row contributes an additive delta
+    (delete → (-1, -x), update → (0, new-x), insert → (+1, +x)); the
+    maintained aggregate is base ⊕ delta, one tiny shuffle over the delta
+    plus one join against the existing rollup — cost proportional to the
+    CHANGESET, not the base table. Correct because (count, sum) is an
+    abelian-group aggregate; sums run in exact decimal so the incremental
+    result is bit-identical to the recompute on any engine and any
+    partitioning (IEEE double addition would not associate). Groups whose
+    count reaches zero are dropped, matching the recompute.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dec = lambda c: c.cast("decimal(38,9)")  # noqa: E731
+    base = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("b_cnt"),
+        F.sum(dec(F.col("o_totalprice"))).alias("b_total"),
+    )
+    deltas = (
+        orders.filter(k % 13 == 0).select(
+            "o_custkey",
+            F.lit(-1).alias("dcnt"),
+            (-dec(F.col("o_totalprice"))).alias("dtotal"),
+        )
+        .unionByName(
+            orders.filter((k % 13 != 0) & (k % 7 == 0)).select(
+                "o_custkey",
+                F.lit(0).alias("dcnt"),
+                (
+                    dec(F.col("o_totalprice") * F.lit(1.05))
+                    - dec(F.col("o_totalprice"))
+                ).alias("dtotal"),
+            )
+        )
+        .unionByName(
+            orders.filter(k % 11 == 0).select(
+                "o_custkey",
+                F.lit(1).alias("dcnt"),
+                dec(F.col("o_totalprice")).alias("dtotal"),
+            )
+        )
+    )
+    delta = deltas.groupBy("o_custkey").agg(
+        F.sum("dcnt").alias("d_cnt"), F.sum("dtotal").alias("d_total")
+    )
+    zero = F.lit(0).cast("decimal(38,9)")
+    return (
+        base.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (F.coalesce("b_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0)))
+            .alias("cnt"),
+            (F.coalesce("b_total", zero) + F.coalesce("d_total", zero))
+            .alias("total"),
+        )
+        .filter(F.col("cnt") > 0)
+        .select("o_custkey", "cnt", F.col("total").cast("double").alias("total"))
+    )
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle="""
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_nationkey AS nationkey,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def q_dedup_fuzzy_names(spark, sf_dir):
+    """Fuzzy entity dedup: edit-distance candidate pairs, nation-blocked.
+
+    The record-linkage primitive: candidate duplicate entities whose names
+    are within Levenshtein distance 2, blocked by nation so the pair space
+    stays subquadratic (pairs form only inside blocks — the shuffle key is
+    the blocking key, same scaling argument as the similarity join H4).
+    Levenshtein is JVM-side codegen in Spark and identical by definition
+    cross-engine. At 100 TB the refinement is a cheaper prefilter inside
+    the block (length bands / q-gram overlap) before the O(len²) DP —
+    noted, not needed at corpus scale.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return (
+        a.join(b, "nationkey")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("custkey_a", "custkey_b", "nationkey", "dist")
+    )
