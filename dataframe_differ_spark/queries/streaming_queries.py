@@ -150,10 +150,18 @@ def _events_stream(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(s.dtypes).get("ts") == "bigint":
+    ts_type = dict(s.dtypes).get("ts")
+    if ts_type == "bigint":
         # TimestampType (not NTZ): watermarks/event-time require it. The
         # session is pinned to UTC so wall-clock values match the batch twin.
         s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Newer Spark reads parquet TIMESTAMP(NANOS) natively as NTZ
+        # (µs-truncated), ignoring the nanosAsLong legacy conf. Event-time
+        # operators (withWatermark, session_window state eviction) require
+        # TimestampType; NTZ→TIMESTAMP re-interprets the wall clock in the
+        # session tz, which is pinned UTC — values identical to the batch twin.
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     return s
 
 
