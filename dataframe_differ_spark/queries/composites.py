@@ -1312,3 +1312,94 @@ def q_events_attribution(spark, sf_dir):
             ).alias("attributed_revenue"),
         )
     )
+
+
+_PAGERANK_ITER = """
+i{n} AS (
+  SELECT e.dst AS node, CAST(SUM((r.r * e.w) // o.ow) AS BIGINT) AS s
+  FROM edges e
+  JOIN r{p} r ON e.src = r.node
+  JOIN outw o ON e.src = o.src
+  GROUP BY e.dst),
+r{n} AS (
+  SELECT n.node, CAST(6000 + COALESCE(i.s, 0) * 85 // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN i{n} i ON n.node = i.node)"""
+
+_PAGERANK_SQL = (
+    """
+WITH edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+r0 AS (SELECT node, CAST(40000 AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_PAGERANK_ITER.format(n=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT nt.n_name, r3.r AS rank_micros
+FROM r3 JOIN nation nt ON r3.node = nt.n_nationkey
+"""
+)
+
+
+@register("graph_pagerank_nations", oracle=_PAGERANK_SQL)
+def q_graph_pagerank_nations(spark, sf_dir):
+    """Weighted PageRank over the nation-level trade graph, 3 iterations.
+
+    The iterative-algorithm pattern on a relational substrate: edges are
+    supplier-nation → customer-nation flows mined from the fact tables
+    (ONE fact-fact shuffle + two broadcast dim joins, then a 625-row-max
+    edge list), and each power iteration is a broadcast join of the
+    25-row rank vector against the edges — the fact tables are never
+    touched again. All rank arithmetic is INTEGER (micro-units with
+    truncating division) so three unrolled iterations are bit-identical
+    cross-engine — float PageRank would diverge in summation order.
+    Damping 0.85, teleport mass 0.15/25 per node; dangling-node mass
+    deliberately leaks (documented convention, same in both engines).
+    At 100 TB the edge extraction dominates and scales as the usual
+    fact join; the iteration cost is independent of fact size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        # Tiny (≤625 rows) but expensive lineage: materialize once so the
+        # three rank iterations don't re-run the fact join.
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ranks = nodes.withColumn("r", F.lit(40000).cast("bigint"))
+    for _ in range(3):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .join(F.broadcast(outw), "src")
+            .select("dst", F.expr("(r * w) div ow").alias("c"))
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(inc, nodes.node == inc.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(6000).cast("bigint")
+                    + F.expr("coalesce(s, 0) * 85 div 100")
+                ).alias("r"),
+            )
+        )
+    return ranks.join(
+        F.broadcast(nation), ranks.node == nation.n_nationkey
+    ).select("n_name", F.col("r").alias("rank_micros"))

@@ -728,3 +728,102 @@ def q_text_perplexity(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-F.avg("lp"), 6).alias("avg_neg_logprob"),
     )
+
+
+_CHUNK_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+counted AS (
+  SELECT doc_id, t, n,
+         1 + (GREATEST(n - 40, 0) + 29) // 30 AS n_chunks
+  FROM toks),
+chunks AS (
+  SELECT doc_id, UNNEST(generate_series(0, n_chunks - 1)) AS chunk_id, t, n
+  FROM counted)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(len(t[chunk_id * 30 + 1 : chunk_id * 30 + 40]) AS INTEGER)
+         AS n_chunk_tokens,
+       array_to_string(t[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
+         AS chunk_text
+FROM chunks
+"""
+
+
+@register("doc_chunking", oracle=_CHUNK_SQL)
+def q_doc_chunking(spark, sf_dir):
+    """Context-window chunking: split documents into overlapping token
+    windows (40 tokens, stride 30 → 10-token overlap).
+
+    The canonical LLM-ingest transform between cleaning and packing:
+    1→N row expansion via explode(sequence(0, n_chunks−1)) + array
+    slice — all JVM-side array ops on the already-tokenized column, no
+    UDF, no shuffle at all (chunking is embarrassingly row-parallel; the
+    output inherits the scan's partitioning). Chunk count is pure integer
+    arithmetic [1 + ⌈max(n−40,0)/30⌉] so both engines agree exactly;
+    trailing chunks clamp at the document end in both slice semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    counted = toks.withColumn(
+        "n_chunks",
+        F.lit(1) + F.expr("(greatest(n - 40, 0) + 29) div 30").cast("int"),
+    )
+    chunks = counted.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    sl = F.slice("t", F.col("chunk_id") * 30 + 1, F.lit(40))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(sl).alias("n_chunk_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH scored AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) / o_totalprice AS score
+  FROM orders)
+SELECT o_orderkey, o_totalprice, score
+FROM scored
+ORDER BY score, o_orderkey
+LIMIT 200
+"""
+
+
+@register("sample_weighted", oracle=_WEIGHTED_SAMPLE_SQL)
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (top-k by
+    hash-priority / weight).
+
+    Weighted reservoir sampling à la Efraimidis–Spirakis, derandomized:
+    each row's uniform draw is 60 bits of md5(key) and its priority is
+    u/weight, so higher-weight rows win proportionally more often, the
+    sample is reproducible across engines and runs, and re-running on a
+    grown table keeps previously chosen rows stable (priorities never
+    change). One scan + TakeOrderedAndProject (per-partition top-k, tiny
+    merge on the driver side of the exchange) — no global sort, the same
+    shape that samples 100 TB with k·partitions memory. The division is
+    one IEEE op on identical operands → identical doubles both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    u = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    scored = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (u.cast("double") / F.col("o_totalprice")).alias("score"),
+    )
+    return (
+        scored.orderBy("score", "o_orderkey")
+        .limit(200)
+        .select("o_orderkey", "o_totalprice", "score")
+    )

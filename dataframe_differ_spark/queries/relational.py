@@ -1491,3 +1491,200 @@ def q_join_salted_skew(spark, sf_dir):
             F.sum(rev_dec()).cast("double").alias("revenue"),
         )
     )
+
+
+_BOXPLOT_SQL = """
+WITH stats AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price,
+         ROUND(quantile_cont(l_extendedprice, 0.25), 9) AS q1,
+         ROUND(quantile_cont(l_extendedprice, 0.50), 9) AS median,
+         ROUND(quantile_cont(l_extendedprice, 0.75), 9) AS q3
+  FROM lineitem GROUP BY l_returnflag),
+fences AS (
+  SELECT *, q3 - q1 AS iqr,
+         q1 - 1.5 * (q3 - q1) AS lo_fence,
+         q3 + 1.5 * (q3 - q1) AS hi_fence
+  FROM stats)
+SELECT f.l_returnflag, f.n, f.min_price, f.max_price, f.q1, f.median, f.q3,
+       f.iqr, f.lo_fence, f.hi_fence,
+       CAST(SUM(CASE WHEN l.l_extendedprice < f.lo_fence
+                       OR l.l_extendedprice > f.hi_fence
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM fences f JOIN lineitem l ON l.l_returnflag = f.l_returnflag
+GROUP BY f.l_returnflag, f.n, f.min_price, f.max_price, f.q1, f.median,
+         f.q3, f.iqr, f.lo_fence, f.hi_fence
+"""
+
+
+@register("agg_boxplot", oracle=_BOXPLOT_SQL)
+def q_agg_boxplot(spark, sf_dir):
+    """Per-group boxplot profile: five-number summary + Tukey outliers.
+
+    Two passes over the fact: (1) exact grouped order statistics →
+    3 fence values per group, (2) the 3-row fence table BROADCASTS back
+    onto the scan to count rows outside [q1−1.5·IQR, q3+1.5·IQR] with a
+    map-side-combinable conditional sum. Percentiles are rounded to 9 dp
+    first (the lerp step is the only cross-engine wobble — established
+    rule) so every downstream fence op is a fixed IEEE sequence on
+    identical inputs. The grouped sort in pass 1 is the scale cost; the
+    sketch twin (`agg_pctl_approx`) is the one-pass 100 TB path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    stats = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            pct.alias("p"),
+        )
+        .select(
+            "l_returnflag", "n", "min_price", "max_price",
+            F.round(F.element_at("p", 1), 9).alias("q1"),
+            F.round(F.element_at("p", 2), 9).alias("median"),
+            F.round(F.element_at("p", 3), 9).alias("q3"),
+        )
+        .withColumn("iqr", F.col("q3") - F.col("q1"))
+        .withColumn("lo_fence", F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1")))
+        .withColumn("hi_fence", F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1")))
+    )
+    out_cols = [
+        "l_returnflag", "n", "min_price", "max_price", "q1", "median", "q3",
+        "iqr", "lo_fence", "hi_fence",
+    ]
+    return (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(stats), "l_returnflag")
+        .groupBy(*out_cols)
+        .agg(
+            F.sum(
+                (
+                    (F.col("l_extendedprice") < F.col("lo_fence"))
+                    | (F.col("l_extendedprice") > F.col("hi_fence"))
+                ).cast("bigint")
+            ).alias("n_outliers")
+        )
+    )
+
+
+_CHISQ_SQL = """
+WITH obs AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+         CAST(COUNT(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, dow, o,
+         SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+         SUM(o) OVER (PARTITION BY dow) AS col_tot,
+         SUM(o) OVER () AS grand
+  FROM obs)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(o AS BIGINT) AS o,
+       ROUND(row_tot * col_tot / grand, 9) AS expected,
+       ROUND(POW(o - row_tot * col_tot / grand, 2)
+               / (row_tot * col_tot / grand), 9) AS chi2_cell
+FROM tot
+"""
+
+
+@register("contingency_chisq", oracle=_CHISQ_SQL)
+def q_contingency_chisq(spark, sf_dir):
+    """Contingency table (event_type × day-of-week) with χ² contributions.
+
+    The independence-test workhorse: observed counts, expected counts
+    under independence (row·col/grand totals via three windows over the
+    TINY contingency table — 35 cells — never over the fact), and each
+    cell's (O−E)²/E. Day-of-week is computed arithmetically
+    (days-since-epoch-anchor mod 7) because engines disagree on DOW
+    numbering conventions. Counts are exact integers in doubles, so
+    E and χ² are short fixed IEEE sequences on identical inputs;
+    rounded to 9 dp for hash stability. One shuffle for the groupBy;
+    everything after is driver-scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7).alias(
+            "dow"
+        ),
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    row_tot = F.sum("o").over(Window.partitionBy("event_type"))
+    col_tot = F.sum("o").over(Window.partitionBy("dow"))
+    grand = F.sum("o").over(Window.partitionBy())
+    tot = obs.select("event_type", "dow", "o", row_tot.alias("row_tot"),
+                     col_tot.alias("col_tot"), grand.alias("grand"))
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("grand")
+    return tot.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("o").cast("bigint").alias("o"),
+        F.round(expected, 9).alias("expected"),
+        F.round(
+            F.pow(F.col("o") - expected, F.lit(2)) / expected, 9
+        ).alias("chi2_cell"),
+    )
+
+
+_BLOOM_PRUNE_SQL = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS revenue_micros
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 9000
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("join_bloom_prune", oracle=_BLOOM_PRUNE_SQL)
+def q_join_bloom_prune(spark, sf_dir):
+    """Runtime bloom-filter pruning: pre-filter the fact scan by a compact
+    digest of the dim side's join keys before the exact join.
+
+    The hand-rolled form of Spark's runtime row-level bloom filter (and
+    of Delta/Iceberg bloom data skipping): the selective dim side
+    (c_acctbal > 9000) folds its join keys into an 8192-slot position
+    set (hash mod m — a 1-hash bloom; false positives possible, false
+    negatives impossible), which broadcasts as ONE tiny row; the fact
+    scan drops non-members BEFORE the join, so at 100 TB the exchange
+    carries only probable matches instead of the whole fact table. The
+    exact broadcast join afterwards removes false positives, so the
+    result is bit-identical to the plain join — which is exactly what
+    the oracle runs (each engine may hash differently; correctness never
+    depends on the bloom's contents).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    digest = c.agg(
+        F.sort_array(
+            F.collect_set(F.pmod(F.xxhash64("c_custkey"), F.lit(8192)))
+        ).alias("poss")
+    )
+    pruned = (
+        o.join(F.broadcast(digest))
+        .filter(
+            F.array_contains(
+                "poss", F.pmod(F.xxhash64("o_custkey"), F.lit(8192))
+            )
+        )
+        .drop("poss")
+    )
+    return (
+        pruned.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            pruned.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(1000000.0))
+            ).alias("revenue_micros"),
+        )
+    )

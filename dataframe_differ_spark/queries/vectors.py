@@ -503,3 +503,84 @@ def q_vec_centroid_outliers(spark, sf_dir):
         .orderBy(F.col("dist").desc(), "vec_id")
         .limit(20)
     )
+
+
+_KNN_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS true_label, e AS qe
+      FROM e WHERE vec_id % 29 = 0),
+c AS (SELECT * FROM e WHERE vec_id % 29 <> 0),
+scored AS (
+  SELECT q.query_id, q.true_label, c.vec_id, c.label,
+         {SQL_COS('q.qe', 'c.e')} AS cos_sim
+  FROM q JOIN c ON TRUE),
+top AS (
+  SELECT * FROM (
+    SELECT query_id, true_label, label, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored) WHERE rnk <= 5),
+votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS n_votes
+  FROM top GROUP BY query_id, true_label, label)
+SELECT query_id, true_label, label AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label) AS vr
+  FROM votes) WHERE vr = 1
+"""
+
+
+@register("knn_classify", oracle=_KNN_SQL)
+def q_knn_classify(spark, sf_dir):
+    """k-NN label prediction (k=5, cosine) for held-out vectors.
+
+    The evaluation-side use of similarity search: held-out vectors
+    (vec_id % 29 = 0) are classified by majority vote of their 5 nearest
+    corpus neighbors. Same execution skeleton as `sim_topk` — the query
+    set broadcasts, the corpus is scanned once with JVM-side HOF
+    arithmetic, and top-k is two-phase (per-partition prune before the
+    per-query exchange) so the few-queries window key never concentrates
+    the whole corpus sort on k reducers. Votes and the argmax tie-break
+    (most votes, then smallest label) are exact integer/rank ops —
+    bit-identical cross-engine given the sequential-fold cosine contract.
+    """
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+    )
+    c = e.filter(F.col("vec_id") % 29 != 0)
+    scored = c.join(F.broadcast(q), F.lit(True)).withColumn(
+        "cos_sim", _dot("qe", "e") / (_norm("qe") * _norm("e"))
+    )
+    wl = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    local = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(wl))
+        .filter(F.col("lrank") <= 5)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    top = (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+    votes = top.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id", "true_label",
+            F.col("label").alias("pred_label"), "n_votes",
+        )
+    )

@@ -485,3 +485,317 @@ def q_dedup_fuzzy_names(spark, sf_dir):
         .filter(F.col("dist") <= 2)
         .select("custkey_a", "custkey_b", "nationkey", "dist")
     )
+
+
+_TEMPORAL_SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events),
+u AS (
+  SELECT user_id, ts, 0 AS tag, event_id, event_type AS dim_state
+  FROM e WHERE event_type IN ('signup', 'purchase')
+  UNION ALL
+  SELECT user_id, ts, 1, event_id, NULL
+  FROM e WHERE event_type = 'click'),
+s AS (
+  SELECT user_id, tag,
+         LAST_VALUE(dim_state IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS UNBOUNDED PRECEDING) AS state
+  FROM u)
+SELECT state, COUNT(*) AS n_clicks,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s WHERE tag = 1 AND state IS NOT NULL
+GROUP BY state
+"""
+
+
+@register("join_temporal_scd2", oracle=_TEMPORAL_SCD2_SQL)
+def q_join_temporal_scd2(spark, sf_dir):
+    """Point-in-time (temporal) join of a probe stream to an SCD2 dimension.
+
+    Clicks are attributed to the dimension state (last signup/purchase)
+    valid AT the click's timestamp — the lookup every warehouse does
+    against an SCD2 dimension. Implemented with the union-tag + running
+    `last(ignorenulls)` window, NOT an interval join: one shuffle on
+    user_id and O(n log n) per key, where the naive
+    `valid_from <= ts < valid_to` range join is O(n·m) per key and
+    explodes at 100 TB. Dim rows tag 0 so a click at exactly the state
+    change's instant sees the NEW state (valid_from inclusive).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    dim = e.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", "ts", F.lit(0).alias("tag"), "event_id",
+        F.col("event_type").alias("dim_state"),
+    )
+    probe = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("tag"), "event_id",
+        F.lit(None).cast("string").alias("dim_state"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = dim.unionByName(probe).withColumn(
+        "state", F.last("dim_state", ignorenulls=True).over(w)
+    )
+    return (
+        timeline.filter((F.col("tag") == 1) & F.col("state").isNotNull())
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_EXPECTATIONS_SQL = """
+WITH checks AS (
+  SELECT 'o_orderkey_not_null' AS rule,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations,
+         COUNT(*) AS total
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderkey_unique',
+         COUNT(*) - CAST(COUNT(DISTINCT o_orderkey) AS BIGINT), COUNT(*)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice_positive',
+         CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(*)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus_domain',
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                            OR o_orderstatus IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(*)
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey_fk_customer',
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(*)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT rule, violations, total, violations = 0 AS pass
+FROM checks
+"""
+
+
+@register("expectations_check", oracle=_EXPECTATIONS_SQL)
+def q_expectations_check(spark, sf_dir):
+    """Data-quality expectation suite (the pre-migration gate before diff).
+
+    Five declarative rules over orders — not-null, key uniqueness, value
+    range, categorical domain, FK integrity — each reported as
+    (rule, violations, total, pass). The four scan rules fold into ONE
+    aggregate over a single scan (conditional SUMs — map-side partials,
+    one reduce); only the FK rule needs a join, and the dim side
+    broadcasts. At 100 TB this shape is exactly how expectation engines
+    (dbt tests / Deequ-style) stay one-pass; per-rule separate scans
+    would read the table five times.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    one = F.count(F.lit(1))
+
+    def _viol(cond):
+        return F.sum(cond.cast("bigint"))
+
+    scan = o.agg(
+        one.alias("total"),
+        _viol(F.col("o_orderkey").isNull()).alias("v_null"),
+        (one - F.countDistinct("o_orderkey")).alias("v_uniq"),
+        _viol(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("v_price"),
+        _viol(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("F", "O", "P")
+        ).alias("v_status"),
+    )
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .agg(
+            one.alias("total"),
+            _viol(F.col("c_custkey").isNull()).alias("v_fk"),
+        )
+    )
+    rules = scan.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderkey_not_null").alias("rule"),
+                    F.col("v_null").alias("violations"),
+                    F.col("total"),
+                ),
+                F.struct(
+                    F.lit("o_orderkey_unique").alias("rule"),
+                    F.col("v_uniq").alias("violations"),
+                    F.col("total"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice_positive").alias("rule"),
+                    F.col("v_price").alias("violations"),
+                    F.col("total"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus_domain").alias("rule"),
+                    F.col("v_status").alias("violations"),
+                    F.col("total"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.violations", "r.total")
+    fk_rule = fk.select(
+        F.lit("o_custkey_fk_customer").alias("rule"),
+        F.col("v_fk").alias("violations"),
+        "total",
+    )
+    return rules.unionByName(fk_rule).withColumn(
+        "pass", F.col("violations") == 0
+    )
+
+
+_AGG_RECONCILE_SQL = f"""
+WITH right_t AS ({MUTATED_ORDERS_SQL}),
+l AS (
+  SELECT o_orderstatus, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM orders GROUP BY o_orderstatus),
+r AS (
+  SELECT o_orderstatus, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM right_t GROUP BY o_orderstatus)
+SELECT COALESCE(l.o_orderstatus, r.o_orderstatus) AS o_orderstatus,
+       COALESCE(l.n, 0) AS left_n, COALESCE(r.n, 0) AS right_n,
+       COALESCE(r.n, 0) - COALESCE(l.n, 0) AS n_delta,
+       COALESCE(l.s, 0) AS left_sum_micros,
+       COALESCE(r.s, 0) AS right_sum_micros,
+       COALESCE(r.s, 0) - COALESCE(l.s, 0) AS delta_micros
+FROM l FULL OUTER JOIN r ON l.o_orderstatus = r.o_orderstatus
+"""
+
+
+@register("diff_agg_reconcile", oracle=_AGG_RECONCILE_SQL)
+def q_diff_agg_reconcile(spark, sf_dir):
+    """Aggregate-level reconciliation between two snapshots.
+
+    The cheap first gate of a migration validation: instead of the
+    row-level diff's full-outer join on the key (shuffles BOTH full
+    tables), reconcile per-group row counts and control totals — two
+    map-side-combinable aggregates down to |groups| rows, then a tiny
+    join. At 100 TB this runs in the time of two scans and tells you
+    WHICH partition of the keyspace disagrees before you pay for the
+    row-level diff there (same philosophy as `diff_checksum_prune`,
+    at coarser granularity). Control totals are FLOOR-quantized to
+    integer micro-units before summing (the emb_dim_stats parity rule):
+    the mutated side's `price * 1.01` doubles carry ~15 significant
+    digits, and decimal-casting such products can land on rounding
+    halves where engines disagree — floor never ties, and bigint sums
+    are exact in any order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    micros = F.floor(F.col("o_totalprice") * F.lit(1000000.0))
+
+    def _side(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(micros).alias("s")
+        )
+
+    l = _side(orders).alias("l")
+    r = _side(mutated_orders(orders)).alias("r")
+    zl = F.coalesce("l.s", F.lit(0).cast("bigint"))
+    zr = F.coalesce("r.s", F.lit(0).cast("bigint"))
+    return (
+        l.join(r, F.col("l.o_orderstatus") == F.col("r.o_orderstatus"), "full_outer")
+        .select(
+            F.coalesce("l.o_orderstatus", "r.o_orderstatus").alias("o_orderstatus"),
+            F.coalesce("l.n", F.lit(0)).alias("left_n"),
+            F.coalesce("r.n", F.lit(0)).alias("right_n"),
+            (F.coalesce("r.n", F.lit(0)) - F.coalesce("l.n", F.lit(0))).alias(
+                "n_delta"
+            ),
+            zl.alias("left_sum_micros"),
+            zr.alias("right_sum_micros"),
+            (zr - zl).alias("delta_micros"),
+        )
+    )
+
+
+_ROW_HASH_SQL = f"""
+WITH right_t AS ({MUTATED_ORDERS_SQL}),
+lf AS (
+  SELECT o_orderkey AS k,
+         md5(concat_ws(chr(31),
+             CAST(o_custkey AS VARCHAR), o_orderstatus,
+             CAST(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT) AS VARCHAR),
+             CAST(epoch_us(o_orderdate) AS VARCHAR), o_orderpriority)) AS fp
+  FROM orders),
+rf AS (
+  SELECT o_orderkey AS k,
+         md5(concat_ws(chr(31),
+             CAST(o_custkey AS VARCHAR), o_orderstatus,
+             CAST(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT) AS VARCHAR),
+             CAST(epoch_us(o_orderdate) AS VARCHAR), o_orderpriority)) AS fp
+  FROM right_t)
+SELECT CASE WHEN lf.k IS NULL THEN 'I'
+            WHEN rf.k IS NULL THEN 'D'
+            WHEN lf.fp = rf.fp THEN 'N' ELSE 'C' END AS diff_status,
+       COUNT(*) AS cnt
+FROM lf FULL OUTER JOIN rf ON lf.k = rf.k
+GROUP BY 1
+"""
+
+
+@register("diff_row_hash", oracle=_ROW_HASH_SQL)
+def q_diff_row_hash(spark, sf_dir):
+    """Fast-mode keyed diff: one fingerprint comparison per row instead of
+    per-column comparators.
+
+    The wide-table screen: each side reduces every non-key column into a
+    single md5 over a CANONICAL encoding — bigints as decimal strings,
+    doubles floor-quantized to micro-units, timestamps as epoch-µs — so
+    the full-outer join compares 1 hash instead of N columns. On a
+    500-column table this cuts the shuffled row width by ~500× (project
+    key+hash before the exchange) at the cost of losing WHICH column
+    changed — the two-phase play is this screen first, then the
+    per-column diff (`diff_keyed`) only on 'C' keys. Canonical encoding,
+    not raw casts: engines' default double/timestamp string renderings
+    differ, canonical integers do not.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _fp(df):
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.floor(F.col("o_totalprice") * F.lit(1000000.0)).cast("string"),
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ).alias("fp"),
+        )
+
+    lf = _fp(orders).alias("l")
+    rf = _fp(mutated_orders(orders)).alias("r")
+    joined = lf.join(rf, F.col("l.k") == F.col("r.k"), "full_outer")
+    status = (
+        F.when(F.col("l.k").isNull(), "I")
+        .when(F.col("r.k").isNull(), "D")
+        .when(F.col("l.fp") == F.col("r.fp"), "N")
+        .otherwise("C")
+    )
+    return joined.groupBy(status.alias("diff_status")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

@@ -383,3 +383,146 @@ def q_events_markov_transitions(spark, sf_dir):
             "p_transition"
         ),
     )
+
+
+_INTERVAL_MERGE_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+         CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e,
+         event_id
+  FROM events),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged)
+SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       COUNT(*) AS n_events
+FROM islands GROUP BY user_id, island
+"""
+
+
+@register("interval_merge", oracle=_INTERVAL_MERGE_SQL)
+def q_interval_merge(spark, sf_dir):
+    """Merge overlapping intervals per key (activity-span coalescing).
+
+    Each event opens a 30-minute interval; overlapping/touching intervals
+    for the same user merge into activity spans (gaps-and-islands: a new
+    island starts when the interval's start exceeds the running MAX of
+    all previous ends — plain max-over-window handles out-of-order and
+    nested intervals). Two windows + one aggregate over a single shuffle
+    on user_id; no self-join — the classic O(n²) overlap-join
+    formulation would not survive 100 TB, this O(n log n) per-key form
+    does. NULL running-max on each user's first row is handled by the
+    CASE defaulting to 0 with SUM starting islands at 0.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", "span_start", "span_end", "n_events")
+
+
+_EWMA_SQL = """
+WITH days AS (
+  SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                INTERVAL 1 DAY))::DATE AS day),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+spine AS (
+  SELECT t.event_type, d.day, COALESCE(daily.n, 0.0) AS n
+  FROM days d CROSS JOIN types t
+  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day),
+hist AS (
+  SELECT event_type, day, n,
+         list(n) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS xs
+  FROM spine)
+SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day, n,
+       list_reduce(xs, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma
+FROM hist
+"""
+
+
+@register("timeseries_ewma", oracle=_EWMA_SQL)
+def q_timeseries_ewma(spark, sf_dir):
+    """EWMA smoothing (α = 0.5) of daily event counts per type.
+
+    The EWMA recurrence y_t = α·x_t + (1−α)·y_{t−1} is inherently
+    sequential, which most engines can't window — here it runs as a
+    sequential FOLD over the per-key prefix list (collect_list over a
+    running window, then the `aggregate` higher-order function seeded
+    with the first element, matching DuckDB's list_reduce semantics).
+    All arithmetic is two multiplies + one add per step in identical
+    order in both engines → bit-identical doubles, no rounding needed.
+    Scale note: prefix lists are O(days²) per key — right for bounded
+    calendar series (30-day windows); unbounded series would switch to
+    applyInPandas with a true sequential scan per key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    spine = (
+        days.crossJoin(types)
+        .join(daily, ["event_type", "day"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0.0)))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = spine.withColumn("xs", F.collect_list("n").over(w))
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at("xs", 1).cast("double"),
+        lambda acc, x: F.lit(0.5) * acc + F.lit(0.5) * x,
+    )
+    return hist.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        ewma.alias("ewma"),
+    )

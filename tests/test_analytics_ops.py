@@ -81,3 +81,163 @@ def test_diff_changed_columns_names_exact_set(spark):
     assert rows[2].changed_columns == "s,v"
     assert rows[3].diff_status == "D" and rows[3].changed_columns == ""
     assert rows[4].diff_status == "I" and rows[4].changed_columns == ""
+
+
+def test_interval_merge_spans_disjoint_and_complete(spark, sf_small):
+    from dataframe_differ_spark.queries.windows import q_interval_merge
+
+    out = q_interval_merge(spark, sf_small)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_events = load_table(spark, sf_small, "events").count()
+    assert total == n_events  # every event lands in exactly one span
+    # Spans for the same user never overlap (sorted by start, each span
+    # must start strictly after the previous one ends).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("span_start")
+    overlapping = (
+        out.withColumn("prev_end", F.lag("span_end").over(w))
+        .filter(F.col("prev_end").isNotNull() & (F.col("span_start") <= F.col("prev_end")))
+        .count()
+    )
+    assert overlapping == 0
+
+
+def test_ewma_first_day_equals_count_and_bounds(spark, sf_small):
+    from dataframe_differ_spark.queries.windows import q_timeseries_ewma
+
+    out = q_timeseries_ewma(spark, sf_small).collect()
+    by_type_first = {}
+    for r in out:
+        by_type_first.setdefault(r.event_type, []).append(r)
+    for rows in by_type_first.values():
+        rows.sort(key=lambda r: r.day)
+        assert rows[0].ewma == rows[0].n  # fold seeds with the first value
+        lo = min(r.n for r in rows)
+        hi = max(r.n for r in rows)
+        assert all(lo <= r.ewma <= hi for r in rows)  # convex combination
+
+
+def test_pagerank_mass_and_floor(spark, sf_small):
+    from dataframe_differ_spark.queries.composites import q_graph_pagerank_nations
+
+    rows = q_graph_pagerank_nations(spark, sf_small).collect()
+    assert len(rows) == 25
+    # Every node keeps at least the teleport mass; truncating division
+    # only ever loses mass, so the total stays at or below 1.0.
+    assert all(r.rank_micros >= 6000 for r in rows)
+    assert sum(r.rank_micros for r in rows) <= 25 * 40000
+
+
+def test_expectations_all_pass_on_clean_corpus(spark, sf_small):
+    from dataframe_differ_spark.queries.warehouse import q_expectations_check
+
+    rows = q_expectations_check(spark, sf_small).collect()
+    assert len(rows) == 5
+    assert all(r["pass"] for r in rows), [r.rule for r in rows if not r["pass"]]
+
+
+def test_knn_majority_vote_bounds(spark, sf_small):
+    from dataframe_differ_spark.queries.vectors import q_knn_classify
+
+    rows = q_knn_classify(spark, sf_small).collect()
+    held_out = (
+        load_table(spark, sf_small, "embeddings")
+        .filter(F.col("vec_id") % 29 == 0)
+        .count()
+    )
+    assert len(rows) == held_out  # exactly one prediction per query
+    assert all(1 <= r.n_votes <= 5 for r in rows)
+
+
+def test_temporal_scd2_counts_bounded_by_clicks(spark, sf_small):
+    from dataframe_differ_spark.queries.warehouse import q_join_temporal_scd2
+
+    rows = q_join_temporal_scd2(spark, sf_small).collect()
+    clicks = (
+        load_table(spark, sf_small, "events")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert set(r.state for r in rows) <= {"signup", "purchase"}
+    assert sum(r.n_clicks for r in rows) <= clicks
+
+
+def test_reconcile_deltas_match_diff_summary(spark, sf_small):
+    """The aggregate screen's net row delta must equal I − D from the
+    row-level diff summary over the same snapshot pair."""
+    from dataframe_differ_spark.queries.diff_queries import q_diff_summary
+    from dataframe_differ_spark.queries.warehouse import q_diff_agg_reconcile
+
+    rec = q_diff_agg_reconcile(spark, sf_small).collect()
+    summary = {r.diff_status: r.cnt for r in q_diff_summary(spark, sf_small).collect()}
+    net = sum(r.n_delta for r in rec)
+    assert net == summary.get("I", 0) - summary.get("D", 0)
+
+
+def test_doc_chunking_covers_every_token(spark, sf_small):
+    from dataframe_differ_spark.queries.pipelineops import q_doc_chunking
+
+    out = q_doc_chunking(spark, sf_small)
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    # Stride 30 / window 40: every chunk except the last contributes 30
+    # net-new tokens, the last contributes the remainder → per-doc
+    # max(chunk_id)*30 + last_chunk_len == n_tok.
+    per_doc = out.groupBy("doc_id").agg(
+        F.max("chunk_id").alias("last_id"),
+        F.max_by("n_chunk_tokens", "chunk_id").alias("last_len"),
+    )
+    joined = per_doc.join(docs, "doc_id")
+    bad = joined.filter(
+        F.col("last_id") * 30 + F.col("last_len") != F.col("n_tok")
+    ).count()
+    assert bad == 0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark, sf_small):
+    from dataframe_differ_spark.queries.pipelineops import q_sample_weighted
+
+    rows = q_sample_weighted(spark, sf_small).collect()
+    assert len(rows) == 200
+    sample_mean = sum(r.o_totalprice for r in rows) / len(rows)
+    pop = load_table(spark, sf_small, "orders").agg(
+        F.avg("o_totalprice")
+    ).collect()[0][0]
+    # Weight-proportional sampling must pull the sample mean above the
+    # population mean (weights ARE the values).
+    assert sample_mean > pop
+
+
+def test_row_hash_matches_column_diff_statuses(spark, sf_small):
+    from dataframe_differ_spark.queries.diff_queries import q_diff_summary
+    from dataframe_differ_spark.queries.warehouse import q_diff_row_hash
+
+    fast = {r.diff_status: r.cnt for r in q_diff_row_hash(spark, sf_small).collect()}
+    slow = {r.diff_status: r.cnt for r in q_diff_summary(spark, sf_small).collect()}
+    assert fast == slow  # the screen must agree exactly with the full diff
+
+
+def test_bloom_prune_equals_plain_join(spark, sf_small):
+    from dataframe_differ_spark.queries.relational import q_join_bloom_prune
+
+    pruned = {
+        r.c_mktsegment: (r.n_orders, r.revenue_micros)
+        for r in q_join_bloom_prune(spark, sf_small).collect()
+    }
+    o = load_table(spark, sf_small, "orders")
+    c = load_table(spark, sf_small, "customer").filter(F.col("c_acctbal") > 9000)
+    plain = {
+        r.c_mktsegment: (r.n_orders, r.revenue_micros)
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(1e6))).alias(
+                "revenue_micros"
+            ),
+        )
+        .collect()
+    }
+    assert pruned == plain
