@@ -1403,3 +1403,58 @@ def q_graph_pagerank_nations(spark, sf_dir):
     return ranks.join(
         F.broadcast(nation), ranks.node == nation.n_nationkey
     ).select("n_name", F.col("r").alias("rank_micros"))
+
+
+_CUM_UNIQUES_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id),
+per_day AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1),
+days AS (
+  SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                INTERVAL 1 DAY))::DATE AS day)
+SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+       COALESCE(p.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(p.new_users, 0))
+              OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM days d LEFT JOIN per_day p ON d.day = p.day
+"""
+
+
+@register("events_cumulative_uniques", oracle=_CUM_UNIQUES_SQL)
+def q_events_cumulative_uniques(spark, sf_dir):
+    """Cumulative unique-user curve (the growth chart) without any
+    running COUNT(DISTINCT).
+
+    A running distinct count over a window is quadratic state; the scale
+    form is first-touch attribution: min(date) per user (one shuffle,
+    map-side combinable), count new users per day, then a running SUM
+    over the 30-row day spine. The distinct-tracking work is exactly one
+    aggregate over user_id regardless of how many days the curve spans.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(per_day, "day", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+    )

@@ -1688,3 +1688,118 @@ def q_join_bloom_prune(spark, sf_dir):
             ).alias("revenue_micros"),
         )
     )
+
+
+_RANGE_BUCKETED_SQL = """
+WITH p AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE event_type = 'purchase'),
+e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE event_type = 'error'),
+hits AS (
+  SELECT p.event_id, COUNT(*) AS n
+  FROM p JOIN e
+    ON e.ts >= p.ts - INTERVAL 2 MINUTE
+   AND e.ts <= p.ts + INTERVAL 2 MINUTE
+  GROUP BY p.event_id)
+SELECT p.event_id, COALESCE(hits.n, 0) AS n_nearby_errors
+FROM p LEFT JOIN hits ON p.event_id = hits.event_id
+"""
+
+
+@register("join_range_bucketed", oracle=_RANGE_BUCKETED_SQL)
+def q_join_range_bucketed(spark, sf_dir):
+    """Fact-fact interval join via bucketized equi-join (the 100 TB form
+    of C6 when NEITHER side broadcasts).
+
+    Counts error events within ±2 minutes of each purchase — across all
+    users, so per-key partitioning can't save us and the naive theta
+    join is a cartesian BNLJ (O(n·m), dead at scale). Instead both
+    sides bucket time into window-width cells; the probe side replicates
+    to its 3 adjacent buckets (replication factor is constant, NOT
+    data-dependent), the join becomes an EQUI-join on bucket id —
+    shuffle-partitionable, AQE-skewable — and the exact ±2min predicate
+    runs as a residual filter. Every qualifying pair lands in exactly
+    one (purchase_bucket == replicated_error_bucket) cell, so no dedup
+    pass is needed. DuckDB's oracle runs its native IEJoin on the raw
+    inequality — different physical plan, identical result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    width_us = 2 * 60 * 1_000_000  # bucket == window half-width
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", ts_us.alias("p_us")
+    ).withColumn("b", F.expr(f"p_us div {width_us}"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        ts_us.alias("e_us")
+    ).withColumn("eb", F.expr(f"e_us div {width_us}"))
+    e_repl = e.select(
+        "e_us", F.explode(F.array(F.col("eb") - 1, F.col("eb"), F.col("eb") + 1)).alias("b")
+    )
+    hits = (
+        p.join(e_repl, "b")
+        .filter(F.abs(F.col("e_us") - F.col("p_us")) <= width_us)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return p.select("event_id").join(hits, "event_id", "left").select(
+        "event_id", F.coalesce("n", F.lit(0)).alias("n_nearby_errors")
+    )
+
+
+_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS i,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(i) AS DOUBLE) AS sx,
+         CAST(SUM(i * i) AS DOUBLE) AS sxx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(i * y) AS DOUBLE) AS sxy
+  FROM daily GROUP BY event_type)
+SELECT event_type,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+         AS intercept
+FROM m
+"""
+
+
+@register("trend_daily_events", oracle=_TREND_SQL)
+def q_trend_daily_events(spark, sf_dir):
+    """Per-key linear trend (OLS slope) of daily event volume.
+
+    The capacity-planning primitive: slope of count-per-day against day
+    index for each event type. Every OLS moment (Σi, Σi², Σy, Σiy) is an
+    INTEGER sum — exact in any accumulation order at any scale — and the
+    closed-form slope/intercept is then a fixed IEEE sequence on
+    identical operands, so no rounding is needed anywhere (same playbook
+    as `agg_corr_exact`, with integers instead of decimals). Two
+    cheap shuffles: day-grain pre-aggregation (map-side combinable),
+    then |event_types| groups of 30 rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("i"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("i").cast("double").alias("sx"),
+        F.sum(F.col("i") * F.col("i")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        slope.alias("slope_per_day"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )

@@ -241,3 +241,80 @@ def test_bloom_prune_equals_plain_join(spark, sf_small):
         .collect()
     }
     assert pruned == plain
+
+
+def test_bucketed_range_join_equals_theta_join(spark, sf_small):
+    from dataframe_differ_spark.queries.relational import q_join_range_bucketed
+
+    out = {
+        r.event_id: r.n_nearby_errors
+        for r in q_join_range_bucketed(spark, sf_small).collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("p_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(F.col("ts").alias("e_ts"))
+    naive = {
+        r.event_id: r.n
+        for r in p.join(
+            e,
+            (F.col("e_ts") >= F.col("p_ts") - F.expr("interval 2 minutes"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("interval 2 minutes")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.sum(F.col("e_ts").isNotNull().cast("long")).alias("n"))
+        .collect()
+    }
+    assert out == naive
+
+
+def test_surrogate_keys_dense_and_stable(spark, sf_small):
+    from dataframe_differ_spark.queries.warehouse import q_dim_surrogate_keys
+
+    rows = q_dim_surrogate_keys(spark, sf_small).collect()
+    sks = sorted(r.dim_sk for r in rows)
+    assert sks == list(range(1, len(rows) + 1))  # dense, 1-based, unique
+    again = q_dim_surrogate_keys(spark, sf_small).collect()
+    assert {(r.dim_sk, r.lang, r.source) for r in rows} == {
+        (r.dim_sk, r.lang, r.source) for r in again
+    }  # reproducible across runs
+
+
+def test_cumulative_uniques_ends_at_total_users(spark, sf_small):
+    from dataframe_differ_spark.queries.composites import q_events_cumulative_uniques
+
+    rows = sorted(
+        q_events_cumulative_uniques(spark, sf_small).collect(), key=lambda r: r.day
+    )
+    total_users = (
+        load_table(spark, sf_small, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1].cum_users == total_users
+    assert all(a.cum_users <= b.cum_users for a, b in zip(rows, rows[1:]))
+
+
+def test_trend_slope_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from dataframe_differ_spark.queries.relational import q_trend_daily_events
+
+    out = {r.event_type: r.slope_per_day for r in q_trend_daily_events(spark, sf_small).collect()}
+    daily = (
+        load_table(spark, sf_small, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("i"),
+        )
+        .count()
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.i, r["count"]))
+    for et, pts in series.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope = np.polyfit(xs, ys, 1)[0]
+        assert abs(out[et] - slope) < 1e-6

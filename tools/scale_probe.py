@@ -55,6 +55,17 @@ HEADLINE = [
     "contamination_check",
     "events_markov_transitions",
     "tpch_q21_shape",
+    # round-1 late additions
+    "interval_merge",
+    "diff_row_hash",
+    "join_bloom_prune",
+    "doc_chunking",
+    "sample_weighted",
+    "graph_pagerank_nations",
+    "join_temporal_scd2",
+    "diff_agg_reconcile",
+    "knn_classify",
+    "dedup_fuzzy_names",
 ]
 
 
