@@ -884,3 +884,62 @@ def q_text_keywords(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "rk", "token", "tfidf")
     )
+
+
+_PARA_DEDUP_SQL = """
+WITH chunks AS (
+  SELECT doc_id, UNNEST(
+           list_transform(generate_series(0,
+               (GREATEST(len(string_split(text, ' ')) - 40, 0) + 29) // 30),
+             c -> array_to_string(
+                    string_split(text, ' ')[c * 30 + 1 : c * 30 + 40], ' ')))
+           AS chunk_text
+  FROM documents),
+hashed AS (SELECT doc_id, md5(chunk_text) AS h FROM chunks),
+dups AS (
+  SELECT h, COUNT(*) AS n_copies,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+SELECT h AS chunk_hash, n_copies, n_docs
+FROM dups
+"""
+
+
+@register("dedup_paragraph", oracle=_PARA_DEDUP_SQL)
+def q_dedup_paragraph(spark, sf_dir):
+    """Paragraph/chunk-level exact dedup (the C4 / RefinedWeb step that
+    document-level dedup misses).
+
+    Boilerplate repeats INSIDE otherwise-unique documents, so the unit of
+    dedup drops to the chunk: re-chunk every document (same 40/30 windows
+    as `doc_chunking`), hash each chunk canonically, and keep hashes seen
+    in more than one document. The shuffle key is the 128-bit chunk hash
+    — uniformly distributed by construction, no skew, and the map side
+    sends (hash, doc_id) pairs only (never chunk text). At 100 TB this is
+    THE scalable formulation: constant-width shuffle rows and a
+    combinable distinct-count per hash. Output is the duplicate-chunk
+    catalog (hash, total copies, distinct docs) a cleaning pass would
+    anti-join against.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).withColumn(
+        "n_chunks",
+        F.lit(1) + F.expr("(greatest(size(t) - 40, 0) + 29) div 30").cast("int"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("ci"),
+        "t",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("t", F.col("ci") * 30 + 1, F.lit(40)), " ")).alias("h"),
+    )
+    return (
+        chunks.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(F.col("h").alias("chunk_hash"), "n_copies", "n_docs")
+    )

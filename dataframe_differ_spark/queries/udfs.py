@@ -391,3 +391,49 @@ def q_multimodal_framesample(spark, sf_dir):
         ]
     )
     return d.mapInPandas(sample, schema)
+
+
+_DPP_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS revenue_micros
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderstatus
+"""
+
+
+@register("join_partition_pruned", oracle=_DPP_SQL)
+def q_join_partition_pruned(spark, sf_dir):
+    """Partition-pruned fact scan driven by a dim-side filter (the DPP
+    pattern that makes 100 TB star joins feasible).
+
+    The fact table is laid out partitioned by the join column
+    (directory-per-status, as a date-partitioned fact would be); the dim
+    side carries the selective predicate (action = 'keep'), and the join
+    prunes entire fact PARTITIONS — the scan never opens files for 'O'
+    and 'P'. On literal dims Catalyst folds the pruning statically; with
+    a real dim table the same plan runs as dynamic partition pruning
+    (subquery-broadcast partition filter). Either way the win is
+    identical: I/O proportional to surviving partitions, not table size.
+    The oracle states the equivalent static predicate.
+    """
+    out = os.path.join(tempfile.gettempdir(), "ddspark_dpp_orders")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "keep"), ("O", "drop"), ("P", "drop")], "st string, action string"
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("action") == "keep")),
+            fact.o_orderstatus == F.col("st"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(1000000.0))).alias(
+                "revenue_micros"
+            ),
+        )
+    )

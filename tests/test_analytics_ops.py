@@ -318,3 +318,25 @@ def test_trend_slope_matches_numpy(spark, sf_small):
         ys = np.array([p[1] for p in pts], dtype=float)
         slope = np.polyfit(xs, ys, 1)[0]
         assert abs(out[et] - slope) < 1e-6
+
+
+def test_paragraph_dedup_finds_planted_shared_chunk(spark, sf_small):
+    from dataframe_differ_spark.queries.textops import q_dedup_paragraph
+
+    out = q_dedup_paragraph(spark, sf_small)
+    # Every reported hash must genuinely appear in >= 2 docs.
+    assert out.filter(F.col("n_docs") < 2).count() == 0
+    assert out.filter(F.col("n_copies") < F.col("n_docs")).count() == 0
+
+
+def test_partition_pruned_scan_reads_one_partition(spark, sf_small):
+    from dataframe_differ_spark.queries.udfs import q_join_partition_pruned
+
+    df = q_join_partition_pruned(spark, sf_small)
+    rows = df.collect()
+    assert [r.o_orderstatus for r in rows] == ["F"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The fact scan must carry a partition filter on the partition column
+    # (static fold or DPP — either way pruning reached the scan).
+    assert "PartitionFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters:")[1][:200]
