@@ -437,3 +437,49 @@ def q_join_partition_pruned(spark, sf_dir):
             ),
         )
     )
+
+
+_ARROW_MAP_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(n_chars // GREATEST(len(string_split(text, ' ')), 1) AS BIGINT)
+         AS chars_per_token
+FROM documents
+"""
+
+
+@register("udf_arrow_map", oracle=_ARROW_MAP_SQL)
+def q_udf_arrow_map(spark, sf_dir):
+    """H12b: mapInArrow — the zero-copy columnar escape hatch.
+
+    One tier below the pandas UDF: batches arrive as raw
+    pyarrow.RecordBatch (no pandas materialization, no index baggage),
+    compute happens with Arrow's own vectorized kernels, and batches go
+    back without a transpose. The right hatch when Python is unavoidable
+    AND the workload is columnar arithmetic (the pandas layer can double
+    memory per batch at 100 TB executor scale). Tokenization here uses
+    Arrow's list-split/length kernels; the oracle proves the Arrow
+    boundary preserves values exactly.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+
+    def arrow_tok(batches):
+        for batch in batches:
+            n_tok = pc.list_value_length(
+                pc.split_pattern(batch.column("text"), " ")
+            ).cast(pa.int64())
+            denom = pc.max_element_wise(n_tok, pa.scalar(1, pa.int64()))
+            cpt = pc.divide(batch.column("n_chars"), denom)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), n_tok, cpt],
+                ["doc_id", "n_tokens", "chars_per_token"],
+            )
+
+    return docs.mapInArrow(
+        arrow_tok, "doc_id long, n_tokens long, chars_per_token long"
+    )
