@@ -1458,3 +1458,144 @@ def q_events_cumulative_uniques(spark, sf_dir):
             F.sum("new_users").over(w).alias("cum_users"),
         )
     )
+
+
+_BASKET_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT part_a, part_b, support
+FROM pairs
+ORDER BY support DESC, part_a, part_b
+LIMIT 25
+"""
+
+
+@register("orders_basket_affinity", oracle=_BASKET_SQL)
+def q_orders_basket_affinity(spark, sf_dir):
+    """Market-basket affinity: top co-purchased part pairs.
+
+    Frequent-itemset support counting with the self-join scoped to the
+    BASKET (order) — the pair space is Σ|basket|² with |basket| ≤ 7
+    lineitems here, so candidate pairs grow linearly with orders, never
+    quadratically with parts. One shuffle on l_orderkey builds the pairs,
+    one map-side-combinable count on the pair key, TakeOrderedAndProject
+    for the top-k. The same plan at 100 TB: per-basket blow-up is
+    bounded by basket size (retail ~dozens), and the pair-count
+    aggregate is where the data collapses.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+_MIGRATE_VALIDATE_SQL = f"""
+WITH right_t AS ({{mut}}),
+expect AS (
+  SELECT COUNT(*) AS total,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+           + (COUNT(*) - CAST(COUNT(DISTINCT o_orderkey) AS BIGINT))
+           AS key_violations
+  FROM right_t),
+l AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1),
+r AS (SELECT o_orderstatus, COUNT(*) AS n FROM right_t GROUP BY 1),
+recon AS (
+  SELECT CAST(SUM(ABS(COALESCE(r.n, 0) - COALESCE(l.n, 0))) AS BIGINT)
+           AS abs_group_delta
+  FROM l FULL OUTER JOIN r ON l.o_orderstatus = r.o_orderstatus),
+d AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'
+              WHEN m.o_orderkey IS NULL THEN 'D'
+              WHEN o.o_totalprice IS DISTINCT FROM m.o_totalprice
+                   OR o.o_custkey IS DISTINCT FROM m.o_custkey
+                   OR o.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+                   OR o.o_orderdate IS DISTINCT FROM m.o_orderdate
+                   OR o.o_orderpriority IS DISTINCT FROM m.o_orderpriority
+              THEN 'C' ELSE 'N' END AS st
+  FROM orders o FULL OUTER JOIN right_t m ON o.o_orderkey = m.o_orderkey),
+diffc AS (
+  SELECT CAST(SUM(CASE WHEN st = 'C' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         CAST(SUM(CASE WHEN st = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+         CAST(SUM(CASE WHEN st = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         CAST(SUM(CASE WHEN st = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+  FROM d)
+SELECT e.total AS right_total, e.key_violations,
+       rc.abs_group_delta,
+       dc.n_changed, dc.n_inserted, dc.n_deleted, dc.n_unchanged,
+       e.key_violations = 0 AND dc.n_changed + dc.n_inserted + dc.n_deleted = 0
+         AS migration_clean
+FROM expect e CROSS JOIN recon rc CROSS JOIN diffc dc
+"""
+
+
+@register(
+    "pipeline_migration_validate",
+    oracle=_MIGRATE_VALIDATE_SQL.format(mut=MUTATED_ORDERS_SQL),
+)
+def q_pipeline_migration_validate(spark, sf_dir):
+    """End-to-end migration validation verdict (the reference's whole
+    reason to exist, as one composite).
+
+    Chains the three screens in escalating cost order — (1) key-integrity
+    expectations on the migrated side, (2) per-group row-count
+    reconciliation, (3) the full keyed row diff — into a single one-row
+    verdict a CI gate can assert on. Phases 1+2 are scan-cheap and would
+    short-circuit phase 3 in an imperative harness; expressed as one
+    DataFrame the optimizer shares the scans instead. The verdict row
+    is intentionally tiny: at 100 TB the *report* must collapse before
+    it reaches the driver.
+    """
+    from dataframe_differ_spark.queries._mutation import mutated_orders as _mut
+
+    orders = load_table(spark, sf_dir, "orders")
+    right = _mut(orders)
+    expect = right.agg(
+        F.count(F.lit(1)).alias("right_total"),
+        (
+            F.sum(F.col("o_orderkey").isNull().cast("bigint"))
+            + (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        ).alias("key_violations"),
+    )
+    l = orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("ln"))
+    r = right.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("rn"))
+    recon = (
+        l.join(r, "o_orderstatus", "full_outer")
+        .select(
+            F.abs(
+                F.coalesce("rn", F.lit(0)) - F.coalesce("ln", F.lit(0))
+            ).alias("delta")
+        )
+        .agg(F.sum("delta").alias("abs_group_delta"))
+    )
+    d = D.diff(orders, right, ["o_orderkey"])
+    diffc = d.agg(
+        F.sum((F.col("diff_status") == "C").cast("bigint")).alias("n_changed"),
+        F.sum((F.col("diff_status") == "I").cast("bigint")).alias("n_inserted"),
+        F.sum((F.col("diff_status") == "D").cast("bigint")).alias("n_deleted"),
+        F.sum((F.col("diff_status") == "N").cast("bigint")).alias("n_unchanged"),
+    )
+    return (
+        expect.crossJoin(recon)
+        .crossJoin(diffc)
+        .withColumn(
+            "migration_clean",
+            (F.col("key_violations") == 0)
+            & (F.col("n_changed") + F.col("n_inserted") + F.col("n_deleted") == 0),
+        )
+    )
