@@ -13,7 +13,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dataframe_differ_spark.operators import diff_core as D
 from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.queries._mutation import MUTATED_ORDERS_SQL
 from dataframe_differ_spark.queries.relational import SQL_DSUM, SQL_REV_DEC, dsum, rev_dec
 from dataframe_differ_spark.tables import load_table
 
@@ -1509,8 +1511,8 @@ _MIGRATE_VALIDATE_SQL = f"""
 WITH right_t AS ({{mut}}),
 expect AS (
   SELECT COUNT(*) AS total,
-         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-           + (COUNT(*) - CAST(COUNT(DISTINCT o_orderkey) AS BIGINT))
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+           + (COUNT(*) - COUNT(DISTINCT o_orderkey)) AS BIGINT)
            AS key_violations
   FROM right_t),
 l AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1),
