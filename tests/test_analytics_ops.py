@@ -340,3 +340,31 @@ def test_partition_pruned_scan_reads_one_partition(spark, sf_small):
     # (static fold or DPP — either way pruning reached the scan).
     assert "PartitionFilters: [" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_basket_affinity_pairs_canonical_and_supported(spark, sf_small):
+    from dataframe_differ_spark.queries.composites import q_orders_basket_affinity
+
+    rows = q_orders_basket_affinity(spark, sf_small).collect()
+    assert 0 < len(rows) <= 25
+    supports = [r.support for r in rows]
+    assert supports == sorted(supports, reverse=True)
+    for r in rows:
+        assert r.part_a < r.part_b  # canonical pair orientation
+        assert r.support >= 1
+
+
+def test_migration_validate_verdict_consistent(spark, sf_small):
+    from dataframe_differ_spark.queries.composites import (
+        q_pipeline_migration_validate,
+    )
+
+    rows = q_pipeline_migration_validate(spark, sf_small).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # The mutation planter changes/inserts/deletes rows, so a clean verdict
+    # would mean the diff failed to see them.
+    assert r.n_changed + r.n_inserted + r.n_deleted > 0
+    assert r.migration_clean is False
+    assert r.key_violations == 0
+    assert r.right_total == r.n_unchanged + r.n_changed + r.n_inserted

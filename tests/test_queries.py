@@ -26,6 +26,22 @@ def test_registry_complete(registry):
             assert "SELECT" in q.oracle.upper(), name
 
 
+def test_golden_covers_every_query(registry):
+    # The r1 postmortem: two queries shipped without ever being executed
+    # because nothing asserted golden coverage == registry. Now it does.
+    import json
+    import os
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "golden_sf0001.json",
+    )
+    with open(golden_path) as f:
+        golden = json.load(f)
+    missing = sorted(set(registry) - set(golden))
+    assert not missing, f"queries with no golden entry: {missing}"
+
+
 def test_stream_tumbling_equals_batch_twin(spark, sf_small, registry):
     batch = registry["window_tumbling"].fn(spark, sf_small)
     stream = registry["stream_tumbling"].fn(spark, sf_small)
