@@ -1763,8 +1763,8 @@ m AS (
          CAST(SUM(i * y) AS DOUBLE) AS sxy
   FROM daily GROUP BY event_type)
 SELECT event_type,
-       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day,
-       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+       (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS slope_per_day,
+       (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx) / n
          AS intercept
 FROM m
 """
@@ -1795,8 +1795,11 @@ def q_trend_daily_events(spark, sf_dir):
         F.sum("y").cast("double").alias("sy"),
         F.sum(F.col("i") * F.col("y")).cast("double").alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # nullif guard: a type whose events all land on one day has zero x
+    # variance; emit NULL slope (both engines) instead of engine-dependent
+    # divide-by-zero rendering.
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     return m.select(
         "event_type",

@@ -11,6 +11,7 @@ proving the Arrow boundary does not change results.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -417,9 +418,14 @@ def q_join_partition_pruned(spark, sf_dir):
     identical: I/O proportional to surviving partitions, not table size.
     The oracle states the equivalent static predicate.
     """
-    out = os.path.join(tempfile.gettempdir(), "ddspark_dpp_orders")
-    o = load_table(spark, sf_dir, "orders")
-    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    # Materialize once per sf_dir behind an existence check: a fixed path
+    # shared across scale factors would clobber, and an unconditional
+    # overwrite races when bench and oracle sweeps run concurrently.
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ddspark_dpp_orders_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o = load_table(spark, sf_dir, "orders")
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     fact = spark.read.parquet(out)
     dim = spark.createDataFrame(
         [("F", "keep"), ("O", "drop"), ("P", "drop")], "st string, action string"

@@ -392,7 +392,7 @@ WITH iv AS (
          event_id
   FROM events),
 flagged AS (
-  SELECT user_id, s, e,
+  SELECT user_id, s, e, event_id,
          CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING)
@@ -400,7 +400,7 @@ flagged AS (
   FROM iv),
 islands AS (
   SELECT user_id, s, e,
-         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
                                ROWS UNBOUNDED PRECEDING) AS island
   FROM flagged)
 SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
@@ -438,9 +438,14 @@ def q_interval_merge(spark, sf_dir):
         "new_island",
         F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
     )
+    # Order by (s, event_id), not (s, e): e is always s + 30min, so (s, e)
+    # ties whenever two events share a timestamp, and a tied peer sorted
+    # before the new_island=1 row would land in the previous island —
+    # nondeterministically. event_id makes the total order unique and
+    # matches the flag window above.
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
