@@ -456,34 +456,81 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 """,
 )
 def q_dedup_fuzzy_names(spark, sf_dir):
-    """Fuzzy entity dedup: edit-distance candidate pairs, nation-blocked.
+    """Fuzzy entity dedup: edit-distance pairs via FastSS deletion blocking.
 
     The record-linkage primitive: candidate duplicate entities whose names
-    are within Levenshtein distance 2, blocked by nation so the pair space
-    stays subquadratic (pairs form only inside blocks — the shuffle key is
-    the blocking key, same scaling argument as the similarity join H4).
-    Levenshtein is JVM-side codegen in Spark and identical by definition
-    cross-engine. At 100 TB the refinement is a cheaper prefilter inside
-    the block (length bands / q-gram overlap) before the O(len²) DP —
-    noted, not needed at corpus scale.
+    are within Levenshtein distance 2. Round 1 shipped this nation-blocked
+    all-pairs (O(n²/25) levenshtein calls — 9.3× wall at 10× data, the
+    round's scale-probe worst case). This form is the FastSS scheme
+    (Bocek et al., 2007): every name emits its ≤2-deletion neighborhood
+    (all strings obtained by deleting at most 2 characters, ~1+L+L²/2
+    variants, built with JVM-side transform/flatten HOFs and hashed to
+    64-bit signatures), and candidate pairs are rows sharing a signature
+    within the nation block — a provable SUPERSET of all pairs at edit
+    distance ≤ 2 (each edit op deletes at most one aligned char from each
+    side), then the banded levenshtein(·,·,2) verifies exactly. Work is
+    O(n·L²) signature rows + output-bound candidates instead of O(n²)
+    pairs; the shuffle key is (nation, signature) whose buckets stay
+    small because a shared variant pins the entire remaining string.
+    Pure relational plan — survives 100 TB where the all-pairs form dies.
     """
     c = load_table(spark, sf_dir, "customer")
-    a = c.select(
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
-        F.col("c_nationkey").alias("nationkey"),
+    L = F.length("c_name")
+    del1 = F.expr(
+        "transform(sequence(1, length(c_name)), d -> "
+        "concat(substring(c_name, 1, d - 1), substring(c_name, d + 1, length(c_name))))"
     )
-    b = c.select(
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
-        F.col("c_nationkey").alias("nationkey"),
+    del2 = F.expr(
+        "flatten(transform(sequence(1, length(c_name) - 1), d1 -> "
+        "transform(sequence(d1 + 1, length(c_name)), d2 -> "
+        "concat(substring(c_name, 1, d1 - 1), "
+        "substring(c_name, d1 + 1, d2 - d1 - 1), "
+        "substring(c_name, d2 + 1, length(c_name))))))"
     )
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("c_name")),
+            F.when(L >= 1, del1).otherwise(F.array()),
+            F.when(L >= 2, del2).otherwise(F.array()),
+        )
+    )
+    sigs = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.explode(variants).alias("v"),
+    ).select(
+        "c_custkey", "c_name", "c_nationkey", F.xxhash64("v").alias("sig")
+    )
+    # Bucket members per signature instead of a self-join: the explode +
+    # variant construction runs ONCE (a self-join would recompute it on
+    # both sides), and pair generation happens in-bucket with array HOFs.
+    # sort_array orders members by custkey, so pairs come out canonical.
+    buckets = (
+        sigs.groupBy("c_nationkey", "sig")
+        .agg(F.sort_array(F.collect_list(F.struct("c_custkey", "c_name"))).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    pairs = buckets.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.explode(
+            F.expr(
+                "flatten(transform(m, (x, i) -> "
+                "transform(slice(m, i + 2, size(m) - i - 1), y -> struct(x, y))))"
+            )
+        ).alias("p"),
+    )
+    cand = pairs.select(
+        F.col("p.x.c_custkey").alias("custkey_a"),
+        F.col("p.y.c_custkey").alias("custkey_b"),
+        "nationkey",
+        F.col("p.x.c_name").alias("name_a"),
+        F.col("p.y.c_name").alias("name_b"),
+    ).distinct()
     return (
-        a.join(b, "nationkey")
-        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        cand
         # Threshold form runs the banded O(k·n) DP with early exit (returns
-        # -1 above the bound) instead of the full O(n²) table — ~3× less
-        # work per pair, and the pair count is what dominates this query.
+        # -1 above the bound) instead of the full O(n²) table.
         .withColumn("dist", F.levenshtein("name_a", "name_b", 2))
         .filter(F.col("dist") >= 0)
         .select("custkey_a", "custkey_b", "nationkey", "dist")
