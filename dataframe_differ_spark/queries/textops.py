@@ -714,7 +714,10 @@ def q_text_bm25(spark, sf_dir):
 
     Same plan shape as TF-IDF: one corpus shuffle for tf, broadcast df and
     doc-length tables. The score formula is written with the IDENTICAL
-    operation order in both engines (one ln, rounded to 6 dp).
+    operation order in both engines (one ln, rounded to 6 dp). The corpus
+    stats (n_docs, avgdl) stay IN the plan as a broadcast 1-row crossJoin
+    — round 1 collect()ed them to the driver, which forced an eager job
+    per call and broke laziness for two scalars.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -730,26 +733,27 @@ def q_text_bm25(spark, sf_dir):
             F.sum(F.size(F.split("text", " "))).cast("double")
             / F.count(F.lit(1))
         ).alias("avgdl"),
-    ).collect()[0]
-    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    )
     df = tok.groupBy("token").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
     idf = F.log(
-        F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     score = (
         idf
         * (F.col("tf") * F.lit(2.2))
         / (
             F.col("tf")
-            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
         )
     )
     return (
         tf.filter(F.col("tf") >= 4)
         .join(F.broadcast(df), "token")
         .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
         .select("doc_id", "token", F.round(score, 6).alias("bm25"))
     )
 

@@ -37,6 +37,67 @@ def _emb_double(spark, sf_dir):
     )
 
 
+def _ivf_index(e, n_clusters: int):
+    """Build the IVF coarse quantizer: (index, centroids) DataFrames.
+
+    Deterministic md5-ordered seeding, one distributed Lloyd iteration
+    (assign via broadcast crossJoin + max_by(dot); recompute means via
+    posexplode → groupBy(cluster, dim) → re-assemble), then the final
+    assignment. At 100 TB `index.cluster_id` would be the on-disk
+    partitioning key so a probe touches only nprobe/n_clusters of the data.
+    Shared by `sim_topk_ivf` (ANN search) and `knn_classify_ivf`.
+    """
+
+    def assign(vectors, centroids):
+        # Vectors are unit-norm → cosine argmax == dot argmax. Tie-break on
+        # cluster_id for determinism.
+        scored = vectors.join(F.broadcast(centroids), how="cross").withColumn(
+            "dot", _dot("ce", "e")
+        )
+        return scored.groupBy("vec_id").agg(
+            F.expr("max_by(cluster_id, struct(dot, cluster_id))").alias("cluster_id"),
+            F.first("e").alias("e"),
+        )
+
+    seeds = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(n_clusters)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("vec_id").cast("string"))))
+            .alias("cluster_id"),
+            F.col("e").alias("ce"),
+        )
+    )
+    # One Lloyd iteration: new centroid = unit-normalized mean of members.
+    assigned0 = assign(e, seeds)
+    member_dims = assigned0.select(
+        "cluster_id", F.posexplode("e").alias("dim", "val")
+    )
+    mean_dims = member_dims.groupBy("cluster_id", "dim").agg(
+        F.avg("val").alias("mean_val")
+    )
+    centroids = (
+        mean_dims.groupBy("cluster_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, mean_val))), "
+                "x -> x.mean_val)"
+            ).alias("ce_raw")
+        )
+        .withColumn(
+            "ce",
+            F.expr(
+                "transform(ce_raw, x -> x / sqrt(aggregate("
+                "zip_with(ce_raw, ce_raw, (a, b) -> a * b), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+            ),
+        )
+        .select("cluster_id", "ce")
+    )
+    return assign(e, centroids), centroids
+
+
 @register(
     "sim_topk",
     oracle=f"""
@@ -338,55 +399,7 @@ def q_sim_topk_ivf(spark, sf_dir):
     # >0.9 recall at nprobe=2. The knob is the recall/cost dial.
     n_clusters, n_probe, k = 16, 6, 10
     e = _emb_double(spark, sf_dir)
-
-    def assign(vectors, centroids):
-        # Vectors are unit-norm → cosine argmax == dot argmax. Tie-break on
-        # cluster_id for determinism.
-        scored = vectors.join(F.broadcast(centroids), how="cross").withColumn(
-            "dot", _dot("ce", "e")
-        )
-        return scored.groupBy("vec_id").agg(
-            F.expr("max_by(cluster_id, struct(dot, cluster_id))").alias("cluster_id"),
-            F.first("e").alias("e"),
-        )
-
-    seeds = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(n_clusters)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(F.md5(F.col("vec_id").cast("string"))))
-            .alias("cluster_id"),
-            F.col("e").alias("ce"),
-        )
-    )
-    # One Lloyd iteration: new centroid = unit-normalized mean of members.
-    assigned0 = assign(e, seeds)
-    member_dims = assigned0.select(
-        "cluster_id", F.posexplode("e").alias("dim", "val")
-    )
-    mean_dims = member_dims.groupBy("cluster_id", "dim").agg(
-        F.avg("val").alias("mean_val")
-    )
-    centroids = (
-        mean_dims.groupBy("cluster_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim, mean_val))), "
-                "x -> x.mean_val)"
-            ).alias("ce_raw")
-        )
-        .withColumn(
-            "ce",
-            F.expr(
-                "transform(ce_raw, x -> x / sqrt(aggregate("
-                "zip_with(ce_raw, ce_raw, (a, b) -> a * b), "
-                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
-            ),
-        )
-        .select("cluster_id", "ce")
-    )
-    index = assign(e, centroids)
+    index, centroids = _ivf_index(e, n_clusters)
 
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
@@ -570,6 +583,210 @@ def q_knn_classify(spark, sf_dir):
         local.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
     )
+    votes = top.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id", "true_label",
+            F.col("label").alias("pred_label"), "n_votes",
+        )
+    )
+
+
+def _lsh_planes(n_planes: int, seed: int = 43) -> list[list[float]]:
+    """Deterministic gaussian hyperplanes shared by Spark and oracle SQL."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(64)] for _ in range(n_planes)]
+
+
+_SJL_BANDS, _SJL_BITS = 5, 10
+_SJL_PLANES = _lsh_planes(_SJL_BANDS * _SJL_BITS)
+
+# Deterministic cross-engine noise for the planted near-dups: integer
+# arithmetic + one exact-operand division — identical IEEE doubles in both
+# engines, no libm involvement.
+_SJL_NOISE = "((({vid} * 31 + {i} * 7) % 13) - 6) / 250.0"
+
+_SJL_PLANES_SQL = ",\n".join(
+    f"({pid}, [" + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in p) + "]::DOUBLE[])"
+    for pid, p in enumerate(_SJL_PLANES)
+)
+
+_SIM_JOIN_LSH_SQL = f"""
+WITH planes(plane_id, p) AS (VALUES {_SJL_PLANES_SQL}),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(1, 65),
+           i -> e[i] + {_SJL_NOISE.format(vid='vec_id', i='(i - 1)')}) AS e
+  FROM base WHERE vec_id % 7 = 0),
+pool AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+bits AS (
+  SELECT pool.vec_id, planes.plane_id,
+         CASE WHEN {SQL_DOT('planes.p', 'pool.e')} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM pool CROSS JOIN planes),
+sigs AS (
+  SELECT vec_id, plane_id // {_SJL_BITS} AS band,
+         SUM(bit * (1 << (plane_id % {_SJL_BITS}))) AS sig
+  FROM bits GROUP BY vec_id, plane_id // {_SJL_BITS}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT c.vec_a, c.vec_b, {SQL_COS('pa.e', 'pb.e')} AS cos_sim
+  FROM cand c
+  JOIN pool pa ON pa.vec_id = c.vec_a
+  JOIN pool pb ON pb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, ROUND(cos_sim, 9) AS cos_sim
+FROM scored WHERE cos_sim >= 0.9
+"""
+
+
+@register("sim_join_lsh", oracle=_SIM_JOIN_LSH_SQL)
+def q_sim_join_lsh(spark, sf_dir):
+    """H4 scale path: LSH-blocked similarity join (the DECLARED 100 TB form).
+
+    Round 1's `sim_join` verdict: exact all-pairs within label is
+    output-/pair-bound (11× wall at 10× data) — correct as a small-block
+    verifier, wrong as the declared scale path. This is the scale path:
+
+    1. Pool = embeddings + planted near-dups (every 7th vector plus a
+       deterministic integer-formula noise, cosine ≈ 0.993 — the
+       high-similarity regime where LSH joins actually operate).
+    2. 50 seeded hyperplanes → sign bits → 5 bands × 10 bits. Band
+       signatures are SUM(bit·2^pos) per band — order-independent integer
+       math, identical in both engines.
+    3. Candidates = pairs sharing ANY band signature: an equi-join on
+       (band, sig) whose bucket sizes are n·2^-bits in expectation —
+       NEVER an all-pairs product. A random pair collides with
+       probability 5·0.5¹⁰ ≈ 0.5%, so candidate volume is output-bound,
+       not n²-bound.
+    4. Exact sequential-fold cosine ≥ 0.9 verifies candidates.
+
+    FULL oracle parity (not rows-only): the DuckDB twin runs the same
+    planes, the same bit/signature integer math, and the same exact
+    verify, so both engines produce the identical pair set even where
+    LSH recall < 1. Recall ≥ 0.95 vs the exact all-pairs join is
+    asserted separately in pytest (expected ~0.997 per planted pair:
+    p_plane ≈ 0.962 at cos 0.993 → miss = (1 - p^10)^5 ≈ 0.003).
+    """
+    e = _emb_double(spark, sf_dir).select("vec_id", "e")
+    noise = _SJL_NOISE.format(vid="vec_id", i="i")
+    planted = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(f"transform(e, (x, i) -> x + {noise})").alias("e"),
+    )
+    pool = e.unionByName(planted)
+    planes_sql = ", ".join(
+        "array(" + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in p) + ")"
+        for p in _SJL_PLANES
+    )
+    bits = F.expr(
+        f"transform(array({planes_sql}), "
+        "p -> IF(aggregate(zip_with(p, e, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0, 1, 0))"
+    )
+    band_sigs = F.expr(
+        f"transform(sequence(0, {_SJL_BANDS - 1}), b -> "
+        f"aggregate(zip_with(slice(bits, b * {_SJL_BITS} + 1, {_SJL_BITS}), "
+        f"sequence(0, {_SJL_BITS - 1}), (bit, pos) -> bit * shiftleft(1, pos)), "
+        "0, (acc, v) -> acc + v))"
+    )
+    sigs = (
+        pool.withColumn("bits", bits)
+        .withColumn("band_sigs", band_sigs)
+        .select("vec_id", F.posexplode("band_sigs").alias("band", "sig"))
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), "band", "sig"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"), "band", "sig"
+    )
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    pa = pool.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    pb = pool.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    scored = cand.join(pa, "vec_a").join(pb, "vec_b").withColumn(
+        "cos_sim", _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    )
+    return scored.filter(F.col("cos_sim") >= 0.9).select(
+        "vec_a", "vec_b", F.round("cos_sim", 9).alias("cos_sim")
+    )
+
+
+@register("knn_classify_ivf")  # candidate set is index-defined → rows-only
+def q_knn_classify_ivf(spark, sf_dir):
+    """k-NN classification routed through the IVF index (the scale form).
+
+    Round 1's `knn_classify` verdict: brute-force query×corpus pairs are
+    13× wall at 10× data; the IVF sibling existed but only for search.
+    This routes CANDIDATE GENERATION through the shared `_ivf_index`
+    coarse quantizer (nprobe=6 of 16 clusters → ~37% of the corpus
+    scored per query instead of 100%, and at 100 TB the cluster id is
+    the on-disk partition key so the other 63% is never read), then
+    exact-cosine re-ranks and majority-votes exactly like the brute
+    form. Prediction agreement vs brute force is asserted in pytest;
+    the brute `knn_classify` (full DuckDB oracle) remains the verifier.
+    """
+    n_clusters, n_probe, k = 16, 6, 5
+    e = _emb_double(spark, sf_dir)
+    index, centroids = _ivf_index(e, n_clusters)
+    labels = e.select("vec_id", "label")
+    q = (
+        e.filter(F.col("vec_id") % 29 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            F.col("e").alias("qe"),
+        )
+    )
+    q_probes = (
+        q.join(F.broadcast(centroids), how="cross")
+        .withColumn("dot", _dot("ce", "qe"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("dot").desc(), F.col("cluster_id")
+                )
+            ),
+        )
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "true_label", "qe", "cluster_id")
+    )
+    corpus = index.filter(F.col("vec_id") % 29 != 0).join(labels, "vec_id")
+    cand = corpus.join(
+        F.broadcast(q_probes),
+        (corpus.cluster_id == q_probes.cluster_id)
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "true_label", "qe", "vec_id", "label", "e")
+    scored = cand.withColumn(
+        "cos_sim", _dot("qe", "e") / (_norm("qe") * _norm("e"))
+    )
+    wl = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    local = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(wl))
+        .filter(F.col("lrank") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    top = local.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
     votes = top.groupBy("query_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )

@@ -237,3 +237,61 @@ def test_ivf_recall_vs_brute_force(spark, sf_small, registry):
     # nprobe=6/16 on near-random embeddings (IVF's worst case) measured
     # ~0.7; require a floor so broken assignment/probing fails loudly.
     assert recall >= 0.55, f"IVF recall too low: {recall:.2f}"
+
+
+def test_sim_join_lsh_recall_vs_exact(spark, sf_small, registry):
+    # The LSH-blocked similarity join (the declared H4 scale path) must
+    # recover >= 95% of the true pairs at cosine >= 0.9. Exact truth is
+    # brute-forced here on the same planted pool.
+    from pyspark.sql import functions as F
+
+    from dataframe_differ_spark.queries.vectors import _SJL_NOISE, _emb_double
+
+    e = _emb_double(spark, sf_small).select("vec_id", "e")
+    noise = _SJL_NOISE.format(vid="vec_id", i="i")
+    planted = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(f"transform(e, (x, i) -> x + {noise})").alias("e"),
+    )
+    pool = e.unionByName(planted)
+    a = pool.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = pool.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v) / (sqrt(aggregate(zip_with(ea, ea, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * "
+        "sqrt(aggregate(zip_with(eb, eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v)))"
+    )
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.9)
+        .collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in registry["sim_join_lsh"].fn(spark, sf_small).collect()
+    }
+    assert exact, "planted pool produced no true pairs"
+    assert lsh <= exact, "LSH join emitted a pair below the threshold"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"LSH sim-join recall too low: {recall:.2f}"
+
+
+def test_knn_ivf_agreement_vs_brute(spark, sf_small, registry):
+    brute = {
+        r.query_id: r.pred_label
+        for r in registry["knn_classify"].fn(spark, sf_small).collect()
+    }
+    ivf = {
+        r.query_id: r.pred_label
+        for r in registry["knn_classify_ivf"].fn(spark, sf_small).collect()
+    }
+    # Every held-out vector must get exactly one prediction.
+    assert set(ivf) == set(brute)
+    # On near-random embeddings (IVF's worst case) nprobe=6/16 measured
+    # 0.61 label agreement; floor so broken candidate routing fails loudly.
+    agree = sum(1 for k in brute if ivf[k] == brute[k]) / len(brute)
+    assert agree >= 0.5, f"IVF kNN agreement too low: {agree:.2f}"
