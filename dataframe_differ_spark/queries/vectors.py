@@ -684,36 +684,40 @@ def q_sim_join_lsh(spark, sf_dir):
         F.expr(f"transform(e, (x, i) -> x + {noise})").alias("e"),
     )
     pool = e.unionByName(planted)
-    planes_sql = ", ".join(
-        "array(" + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in p) + ")"
-        for p in _SJL_PLANES
+    # Planes as a broadcast 50-row table (exactly the oracle's shape), not a
+    # 3200-literal per-row array — the literal form blew past codegen method
+    # limits and fell back to interpreted evaluation (14 s at sf0.1 → ~3 s).
+    planes_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(_SJL_PLANES)], "plane_id int, p array<double>"
     )
-    bits = F.expr(
-        f"transform(array({planes_sql}), "
-        "p -> IF(aggregate(zip_with(p, e, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0, 1, 0))"
+    bit_rows = pool.crossJoin(F.broadcast(planes_df)).select(
+        "vec_id",
+        F.expr(f"plane_id div {_SJL_BITS}").alias("band"),
+        (F.col("plane_id") % _SJL_BITS).alias("pos"),
+        F.when(_dot("p", "e") >= 0, 1).otherwise(0).alias("bit"),
     )
-    band_sigs = F.expr(
-        f"transform(sequence(0, {_SJL_BANDS - 1}), b -> "
-        f"aggregate(zip_with(slice(bits, b * {_SJL_BITS} + 1, {_SJL_BITS}), "
-        f"sequence(0, {_SJL_BITS - 1}), (bit, pos) -> bit * shiftleft(1, pos)), "
-        "0, (acc, v) -> acc + v))"
+    sigs = bit_rows.groupBy("vec_id", "band").agg(
+        F.expr("sum(bit * shiftleft(1, pos))").alias("sig")
     )
-    sigs = (
-        pool.withColumn("bits", bits)
-        .withColumn("band_sigs", band_sigs)
-        .select("vec_id", F.posexplode("band_sigs").alias("band", "sig"))
-    )
-    a = sigs.select(
-        F.col("vec_id").alias("vec_a"), "band", "sig"
-    )
-    b = sigs.select(
-        F.col("vec_id").alias("vec_b"), "band", "sig"
+    # Bucket members per (band, sig) and generate pairs in-bucket (the same
+    # shape as dedup_fuzzy_names): the signature computation runs once, and
+    # no join side recomputes it.
+    buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("m"))
+        .filter(F.size("m") >= 2)
     )
     cand = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (x, i) -> "
+                    "transform(slice(m, i + 2, size(m) - i - 1), "
+                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
         .distinct()
     )
     pa = pool.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
