@@ -827,3 +827,262 @@ def q_sample_weighted(spark, sf_dir):
         .limit(200)
         .select("o_orderkey", "o_totalprice", "score")
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (emails / IPv4), planted deterministically
+# --------------------------------------------------------------------------
+
+_PII_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 end' AS text
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text,
+              '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER)
+           AS n_ips,
+         regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+           AS redacted
+  FROM d)
+SELECT doc_id, source, n_emails, n_ips,
+       md5(redacted) AS redacted_md5,
+       CAST(length(redacted) AS BIGINT) AS redacted_len
+FROM r
+"""
+
+
+@register("text_pii_redact", oracle=_PII_SQL)
+def q_text_pii_redact(spark, sf_dir):
+    """PII redaction — the compliance pass every training corpus needs.
+
+    Emails and IPv4 literals are planted deterministically (the synthetic
+    corpus has none), then counted with regexp_extract_all and replaced
+    with typed placeholder tokens. The patterns use the common subset of
+    Java regex (Spark) and RE2 (DuckDB) — character classes and bounded
+    repetition only, no lookaround — so both engines see identical
+    matches; the oracle hashes the redacted text to keep the compared
+    row narrow. Pure per-row codegen expressions: no shuffle at all, the
+    operator inherits scan partitioning and scales embarrassingly.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end"),
+        ).alias("text"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_re = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", email_re, "<EMAIL>"), ip_re, "<IP>"
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(f"regexp_extract_all(text, '{email_re}', 0)")).alias(
+            "n_emails"
+        ),
+        F.size(F.expr(f"regexp_extract_all(text, '{ip_re}', 0)")).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model counts (n-gram LM table build)
+# --------------------------------------------------------------------------
+
+_BIGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, i AS pos, toks[i] AS w, toks[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  CROSS JOIN (SELECT unnest(range(1, 4096)) AS i)
+  WHERE i < len(toks)),
+big AS (
+  SELECT w, w2, COUNT(*) AS c_big FROM tok GROUP BY w, w2),
+uni AS (
+  SELECT w, CAST(SUM(c_big) AS BIGINT) AS c_uni FROM big GROUP BY w),
+scored AS (
+  SELECT b.w, b.w2, b.c_big, u.c_uni,
+         CAST(b.c_big AS DOUBLE) / u.c_uni AS p_cond
+  FROM big b JOIN uni u ON b.w = u.w)
+SELECT w, w2, c_big, c_uni, ROUND(p_cond, 9) AS p_cond
+FROM scored
+ORDER BY c_big DESC, w, w2
+LIMIT 50
+"""
+
+
+@register("text_bigram_lm", oracle=_BIGRAM_SQL)
+def q_text_bigram_lm(spark, sf_dir):
+    """Bigram LM count table (the n-gram statistics build).
+
+    Adjacent token pairs within each document (never across documents),
+    counted corpus-wide, with the conditional probability P(w2|w) from
+    the bigram/unigram count ratio. The unigram denominator is derived
+    by RE-AGGREGATING the bigram table (sum over w) rather than a second
+    corpus pass — one corpus-wide shuffle total, then a join between two
+    count tables that are both vocabulary-sized, not corpus-sized. The
+    oracle's unnest(range) bound (4096) exceeds every doc length; Spark
+    pairs tokens positionally with zip_with over the array and its tail
+    — no posexplode of positions needed on the Spark side.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), "
+                "slice(toks, 2, size(toks) - 1), "
+                "(a, b) -> struct(a AS w, b AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w", "p.w2")
+    big = pairs.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    uni = big.groupBy("w").agg(F.sum("c_big").alias("c_uni"))
+    return (
+        big.join(uni, "w")
+        .select(
+            "w",
+            "w2",
+            "c_big",
+            "c_uni",
+            F.round(F.col("c_big").cast("double") / F.col("c_uni"), 9).alias(
+                "p_cond"
+            ),
+        )
+        .orderBy(F.col("c_big").desc(), "w", "w2")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus index
+# --------------------------------------------------------------------------
+
+_INCR_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS canonical_id
+  FROM documents WHERE doc_id % 10 < 8 GROUP BY md5(text)),
+batch AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8),
+flagged AS (
+  SELECT b.doc_id, b.h, c.canonical_id,
+         ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+  FROM batch b LEFT JOIN corpus c ON b.h = c.h)
+SELECT doc_id,
+       CASE WHEN canonical_id IS NOT NULL THEN 'corpus'
+            WHEN rn > 1 THEN 'batch'
+            ELSE 'new' END AS dup_kind,
+       canonical_id
+FROM flagged
+"""
+
+
+@register("dedup_incremental", oracle=_INCR_DEDUP_SQL)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup: a new ingest batch against the corpus index.
+
+    The production dedup shape: the existing corpus is represented ONLY by
+    its content-hash index (md5 → canonical doc id — at 100 TB this is the
+    table you keep on disk, bucketed by hash; the corpus text is never
+    re-read), and each incoming batch joins against the index plus itself.
+    A batch doc is 'corpus' if its hash exists in the index, 'batch' if it
+    repeats a hash first seen earlier in the same batch, else 'new'. The
+    join key is the hash — uniform by construction, no skew — and shuffle
+    width is (hash, id), independent of document size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") % 10 < 8)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    batch = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = (
+        batch.join(corpus, "h", "left")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return flagged.select(
+        "doc_id",
+        F.when(F.col("canonical_id").isNotNull(), F.lit("corpus"))
+        .when(F.col("rn") > 1, F.lit("batch"))
+        .otherwise(F.lit("new"))
+        .alias("dup_kind"),
+        "canonical_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocklist filter (wordlist screening with survival rates)
+# --------------------------------------------------------------------------
+
+_BLOCKLIST = ["slow", "error", "fail", "crash", "panic"]
+
+_BLOCKLIST_SQL = f"""
+WITH hits AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '),
+              t -> list_contains({_BLOCKLIST!r}, t))) AS BIGINT) AS n_hits,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean,
+       ROUND(CAST(SUM(CASE WHEN n_hits = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS survival_rate,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits
+FROM hits GROUP BY source
+"""
+
+
+@register("text_blocklist_filter", oracle=_BLOCKLIST_SQL)
+def q_text_blocklist_filter(spark, sf_dir):
+    """Blocklist screening with per-source survival rates.
+
+    The wordlist-filter pass (toxicity/spam screens take this exact
+    shape): per-token membership against a broadcast-literal blocklist
+    via an array HOF — the blocklist rides inside the expression, no join
+    — then one tiny per-source rollup of survival. At 100 TB a real
+    blocklist (10⁴–10⁶ terms) would broadcast as a table and the
+    membership test becomes a left-semi explode-join; the survival
+    aggregate is unchanged. Filter decision stays per-row/codegen.
+    """
+    bl = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.expr(
+                f"filter(split(text, ' '), t -> array_contains(array({bl}), t))"
+            )
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_hits") == 0).cast("bigint")).alias("n_clean"),
+        F.round(
+            F.sum((F.col("n_hits") == 0).cast("double")) / F.count(F.lit(1)), 9
+        ).alias("survival_rate"),
+        F.sum("n_hits").alias("total_hits"),
+    )
