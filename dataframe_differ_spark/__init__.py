@@ -22,9 +22,34 @@ dataframe-diff tools with the same surface. Docstrings cite SURVEY.md
 sections instead of reference file:line.
 """
 
+from dataframe_differ_spark.operators.diff_core import (
+    changed_sample,
+    column_mismatch_stats,
+    diff,
+    diff_summary,
+    diff_unkeyed,
+    duplicate_keys,
+    report,
+    schema_diff,
+)
 from dataframe_differ_spark.session import get_spark, configure_session
 from dataframe_differ_spark.tables import load_tables, TABLE_NAMES
 
-__all__ = ["get_spark", "configure_session", "load_tables", "TABLE_NAMES"]
+__all__ = [
+    # the reference-parity diff surface (SURVEY.md §2.A)
+    "diff",
+    "diff_summary",
+    "diff_unkeyed",
+    "schema_diff",
+    "column_mismatch_stats",
+    "duplicate_keys",
+    "changed_sample",
+    "report",
+    # session / data helpers
+    "get_spark",
+    "configure_session",
+    "load_tables",
+    "TABLE_NAMES",
+]
 
 __version__ = "0.1.0"

@@ -210,3 +210,22 @@ def test_checksum_prune_flags_every_changed_bucket(spark):
     }
     # Soundness: no changed bucket escapes the prune.
     assert changed_buckets <= flagged
+
+
+def test_package_root_exports_diff_surface(spark, sf_small):
+    # A reference user's first import path must work end-to-end.
+    import dataframe_differ_spark as dds
+
+    left = spark.read.parquet(f"{sf_small}/orders.parquet")
+    right = left.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")),
+    )
+    d = dds.diff(left, right, ["o_orderkey"])
+    counts = {r["diff_status"]: r["cnt"] for r in
+              dds.diff_summary(left, right, ["o_orderkey"]).collect()}
+    assert counts.get("C", 0) > 0 and counts.get("D", 0) == 0
+    assert d.filter(F.col("diff_status") == "C").count() == counts["C"]
+    rep = dds.report(left, right, ["o_orderkey"])
+    assert "Row status counts" in rep and "o_totalprice" in rep
