@@ -419,3 +419,37 @@ def q_stream_cdc_diff(spark, sf_dir):
         )
     )
     return D.diff_summary(batch_state, streaming_state, ["user_id"])
+
+
+@register("stream_static_join")  # rows-only: true streaming execution
+def q_stream_static_join(spark, sf_dir):
+    """G-family extension: stream–static join (dimension enrichment).
+
+    The most common production streaming shape: an unbounded event stream
+    enriched against a bounded dimension table. The static side here is a
+    per-user cohort dimension derived once in batch (each user's first
+    active day); the stream joins to it and counts purchases per cohort
+    week. Stream–static joins keep NO join state — the static side is
+    simply (re)broadcast per micro-batch and only the aggregation holds
+    state — so at 100 TB the state store scales with |cohorts|, not with
+    the stream. availableNow replay; equality with the batch twin is
+    asserted in tests.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.weekofyear(F.min(F.to_date(F.col("ts").cast("timestamp")))).alias(
+            "cohort_week"
+        )
+    )
+    s = _events_stream(spark, sf_dir)
+    enriched = (
+        s.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.approx_count_distinct("user_id").alias("approx_buyers"),
+        )
+    )
+    name = _run_to_memory(enriched, "sstatic", mode="complete")
+    return spark.table(name)

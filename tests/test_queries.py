@@ -295,3 +295,26 @@ def test_knn_ivf_agreement_vs_brute(spark, sf_small, registry):
     # 0.61 label agreement; floor so broken candidate routing fails loudly.
     agree = sum(1 for k in brute if ivf[k] == brute[k]) / len(brute)
     assert agree >= 0.5, f"IVF kNN agreement too low: {agree:.2f}"
+
+
+def test_stream_static_join_equals_batch_twin(spark, sf_small, registry):
+    from pyspark.sql import functions as F
+
+    from dataframe_differ_spark.tables import load_table
+
+    out = registry["stream_static_join"].fn(spark, sf_small)
+    e = load_table(spark, sf_small, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.weekofyear(F.min(F.to_date(F.col("ts").cast("timestamp")))).alias(
+            "cohort_week"
+        )
+    )
+    twin = (
+        e.withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    cols = ["cohort_week", "n_purchases"]
+    assert _rows(out.select(*cols), cols) == _rows(twin.select(*cols), cols)
