@@ -497,22 +497,32 @@ def q_dedup_fuzzy_names(spark, sf_dir):
     # Rebalance BEFORE the ~100× variant explode: the parquet scan of a
     # small dim arrives as one split, and a row-amplifying operator must
     # spread before amplification, not after (AQE only rebalances at the
-    # next shuffle — too late for the explode's own task). The shuffle
-    # row is (custkey, nation, sig) ONLY — names re-join later on the
-    # output-sized candidate set, so signature-shuffle width is constant
-    # regardless of entity-string length.
+    # next shuffle — too late for the explode's own task).
+    #
+    # Names travel INSIDE the signature shuffle and buckets. The narrow
+    # alternative (bare custkeys + re-joining names onto the candidate
+    # set) was measured 1.6× SLOWER at 10× data: on dup-dense corpora the
+    # candidate stream is far larger than the signature stream, and the
+    # two name re-joins each reshuffle it. Carrying the name once in the
+    # signature row costs width where volume is small and saves shuffles
+    # where volume is large.
     sigs = (
         c.repartition("c_custkey")
-        .select("c_custkey", "c_nationkey", F.explode(variants).alias("v"))
-        .select("c_custkey", "c_nationkey", F.xxhash64("v").alias("sig"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.explode(variants).alias("v"),
+        )
+        .select("c_custkey", "c_name", "c_nationkey", F.xxhash64("v").alias("sig"))
     )
     # Bucket members per signature instead of a self-join: the explode +
     # variant construction runs ONCE (a self-join would recompute it on
     # both sides), and pair generation happens in-bucket with array HOFs.
-    # sort_array orders members, so pairs come out canonical (a < b).
+    # sort_array orders members by custkey, so pairs come out canonical.
     buckets = (
         sigs.groupBy("c_nationkey", "sig")
-        .agg(F.sort_array(F.collect_list("c_custkey")).alias("m"))
+        .agg(F.sort_array(F.collect_list(F.struct("c_custkey", "c_name"))).alias("m"))
         .filter(F.size("m") >= 2)
     )
     pairs = buckets.select(
@@ -520,21 +530,19 @@ def q_dedup_fuzzy_names(spark, sf_dir):
         F.explode(
             F.expr(
                 "flatten(transform(m, (x, i) -> "
-                "transform(slice(m, i + 2, size(m) - i - 1), "
-                "y -> struct(x AS ka, y AS kb))))"
+                "transform(slice(m, i + 2, size(m) - i - 1), y -> struct(x, y))))"
             )
         ).alias("p"),
     )
     cand = pairs.select(
-        F.col("p.ka").alias("custkey_a"),
-        F.col("p.kb").alias("custkey_b"),
+        F.col("p.x.c_custkey").alias("custkey_a"),
+        F.col("p.y.c_custkey").alias("custkey_b"),
         "nationkey",
+        F.col("p.x.c_name").alias("name_a"),
+        F.col("p.y.c_name").alias("name_b"),
     ).distinct()
-    na = c.select(F.col("c_custkey").alias("custkey_a"), F.col("c_name").alias("name_a"))
-    nb = c.select(F.col("c_custkey").alias("custkey_b"), F.col("c_name").alias("name_b"))
     return (
-        cand.join(na, "custkey_a")
-        .join(nb, "custkey_b")
+        cand
         # Threshold form runs the banded O(k·n) DP with early exit (returns
         # -1 above the bound) instead of the full O(n²) table.
         .withColumn("dist", F.levenshtein("name_a", "name_b", 2))

@@ -66,6 +66,12 @@ HEADLINE = [
     "diff_agg_reconcile",
     "knn_classify",
     "dedup_fuzzy_names",
+    # round-2 additions
+    "sim_join_lsh",
+    "knn_classify_ivf",
+    "dedup_incremental",
+    "text_bigram_lm",
+    "text_pii_redact",
 ]
 
 
