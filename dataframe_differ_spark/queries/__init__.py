@@ -27,9 +27,19 @@ REGISTRY: dict[str, Query] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optional DuckDB oracle SQL) by name."""
+    """Decorator: add a query (and optional DuckDB oracle SQL) by name.
+
+    Raises on duplicate names: a re-registration silently SHADOWS the
+    earlier query (the registry is a dict), which corrupts goldens and
+    coverage accounting — fail at import instead.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(
+                f"query {name!r} registered twice "
+                f"(second definition: {fn.__module__}.{fn.__qualname__})"
+            )
         REGISTRY[name] = Query(fn=fn, oracle=oracle)
         return fn
 

@@ -1806,3 +1806,4 @@ def q_trend_daily_events(spark, sf_dir):
         slope.alias("slope_per_day"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+

@@ -894,3 +894,69 @@ def q_dim_surrogate_keys(spark, sf_dir):
     return dims.select(
         F.row_number().over(w).cast("bigint").alias("dim_sk"), "lang", "source"
     )
+
+
+_PROFILE_SQL = """
+WITH o AS (SELECT * FROM orders)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+  FROM o
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*),
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM o
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*),
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+  FROM o
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*),
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+         CAST(MIN(o_orderpriority) AS VARCHAR),
+         CAST(MAX(o_orderpriority) AS VARCHAR)
+  FROM o)
+ORDER BY column_name
+"""
+
+
+@register("table_profile", oracle=_PROFILE_SQL)
+def q_table_profile(spark, sf_dir):
+    """Column-level data profile (the pre-diff reconnaissance pass).
+
+    The profile every diff/migration tool runs first: per-column row
+    count, null count, distinct count, min/max (stringified for a
+    uniform schema). Expressed as ONE multi-aggregate pass per column
+    over a single scan — Catalyst shares the scan across the unioned
+    aggregates, and every aggregate is map-side partial. COUNT(DISTINCT)
+    is the only expand; at 100 TB swap it for approx_count_distinct and
+    the plan loses its expand entirely (the exact form is kept here for
+    oracle parity).
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col):
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("bigint")).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"),
+        )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    out = prof(cols[0])
+    for c in cols[1:]:
+        out = out.unionByName(prof(c))
+    return out.orderBy("column_name")
