@@ -83,3 +83,44 @@ def test_tolerant_monotone(spark, left, right, atol):
         D.diff(ldf, rdf, ["k"], atol=atol).filter("diff_status = 'C'").count()
     )
     assert tol_c <= strict_c
+
+
+# ---------------------------------------------------------------------------
+# FastSS blocking guarantee (the math behind dedup_fuzzy_names)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _del_neighborhood(s: str, k: int = 2) -> set[str]:
+    out = {s}
+    d1 = {s[:i] + s[i + 1:] for i in range(len(s))}
+    out |= d1
+    if k >= 2:
+        for t in d1:
+            out |= {t[:i] + t[i + 1:] for i in range(len(t))}
+    return out
+
+
+@given(
+    st.text(alphabet="ab0", min_size=0, max_size=8),
+    st.text(alphabet="ab0", min_size=0, max_size=8),
+)
+@settings(max_examples=500, deadline=None)
+def test_fastss_deletion_blocking_is_a_superset(a: str, b: str):
+    # dedup_fuzzy_names relies on: ed(a,b) <= 2  =>  the <=2-deletion
+    # neighborhoods intersect (each edit op removes at most one aligned
+    # character from each side). The tiny alphabet maximizes collision and
+    # edit-distance variety; the claim must hold for EVERY pair.
+    if _lev(a, b) <= 2:
+        assert _del_neighborhood(a) & _del_neighborhood(b), (a, b)
