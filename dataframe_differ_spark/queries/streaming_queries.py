@@ -453,3 +453,26 @@ def q_stream_static_join(spark, sf_dir):
     )
     name = _run_to_memory(enriched, "sstatic", mode="complete")
     return spark.table(name)
+
+
+@register("stream_dedup_watermarked")  # rows-only: true streaming execution
+def q_stream_dedup_watermarked(spark, sf_dir):
+    """G5b: dropDuplicatesWithinWatermark — bounded-state streaming dedup.
+
+    Plain streaming dropDuplicates keeps EVERY key in the state store
+    forever unless the key column embeds event time; Spark 3.5's
+    dropDuplicatesWithinWatermark instead evicts a key's state once the
+    watermark passes its event time — the form that survives an unbounded
+    100 TB stream where keys never stop arriving. Duplicates are planted
+    by self-union (dup arrives at the SAME event time, well within the
+    watermark, so dedup semantics equal exact dedup on this replay);
+    output = per-type counts, equal to batch distinct in tests.
+    """
+    s = _events_stream(spark, sf_dir)
+    doubled = s.union(s)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    name = _run_to_memory(agg, "dedupww")
+    return spark.table(name)

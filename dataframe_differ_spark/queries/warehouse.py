@@ -960,3 +960,75 @@ def q_table_profile(spark, sf_dir):
     for c in cols[1:]:
         out = out.unionByName(prof(c))
     return out.orderBy("column_name")
+
+
+_QUANTILE_DRIFT_SQL = f"""
+WITH right_t AS ({{mut}}),
+l AS (
+  SELECT o_totalprice AS v,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders),
+r AS (
+  SELECT o_totalprice AS v,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM right_t),
+ps(p) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)),
+lq AS (SELECT ps.p, l.v FROM ps JOIN l ON l.rn = CAST(CEIL(ps.p * l.n) AS BIGINT)),
+rq AS (SELECT ps.p, r.v FROM ps JOIN r ON r.rn = CAST(CEIL(ps.p * r.n) AS BIGINT))
+SELECT lq.p, lq.v AS left_value, rq.v AS right_value,
+       ABS(rq.v - lq.v) AS abs_drift
+FROM lq JOIN rq ON lq.p = rq.p
+ORDER BY lq.p
+"""
+
+
+@register(
+    "diff_quantile_drift",
+    oracle=_QUANTILE_DRIFT_SQL.format(mut=MUTATED_ORDERS_SQL),
+)
+def q_diff_quantile_drift(spark, sf_dir):
+    """Distribution-drift screen: exact quantiles of left vs migrated right.
+
+    The diff family's statistical screen — row diffs say WHICH rows
+    changed; this says whether the VALUE DISTRIBUTION moved (the signal a
+    silent unit-change or truncation bug leaves even when row counts
+    reconcile). Quantiles are EXACT order statistics — the element at
+    rank ceil(p·n) under a total order with key tiebreak — not
+    interpolated, so both engines pick the identical element and the
+    comparison is bit-exact. Locally each side is one sort; at 100 TB
+    you swap the rank selection for approx_percentile partials and keep
+    the same 5-row drift report (the exact form is the oracle-parity
+    device and the small-side verifier).
+    """
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    ps = spark.createDataFrame([(p,) for p in qs], "p double")
+
+    def ranked(df):
+        w = Window.orderBy("v", "o_orderkey")
+        return (
+            df.select(F.col("o_totalprice").alias("v"), "o_orderkey")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    l = ranked(orders)
+    r = ranked(mutated_orders(orders))
+    lq = l.join(
+        F.broadcast(ps), F.col("rn") == F.ceil(F.col("p") * F.col("n"))
+    ).select("p", F.col("v").alias("left_value"))
+    rq = r.join(
+        F.broadcast(ps), F.col("rn") == F.ceil(F.col("p") * F.col("n"))
+    ).select("p", F.col("v").alias("right_value"))
+    return (
+        lq.join(rq, "p")
+        .select(
+            "p",
+            "left_value",
+            "right_value",
+            F.abs(F.col("right_value") - F.col("left_value")).alias("abs_drift"),
+        )
+        .orderBy("p")
+    )

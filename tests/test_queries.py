@@ -318,3 +318,18 @@ def test_stream_static_join_equals_batch_twin(spark, sf_small, registry):
     )
     cols = ["cohort_week", "n_purchases"]
     assert _rows(out.select(*cols), cols) == _rows(twin.select(*cols), cols)
+
+
+def test_stream_dedup_watermarked_equals_batch_distinct(spark, sf_small, registry):
+    from dataframe_differ_spark.tables import load_table
+
+    stream = registry["stream_dedup_watermarked"].fn(spark, sf_small)
+    batch = (
+        load_table(spark, sf_small, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n_events")
+    )
+    cols = ["event_type", "n_events"]
+    assert _rows(stream.select(*cols), cols) == _rows(batch.select(*cols), cols)
