@@ -489,3 +489,87 @@ def q_udf_arrow_map(spark, sf_dir):
     return docs.mapInArrow(
         arrow_tok, "doc_id long, n_tokens long, chars_per_token long"
     )
+
+
+_PYSOURCE_SQL = """
+WITH g AS (
+  SELECT i AS event_id,
+         (i * 2654435761) % 1000 AS user_id,
+         (i * i) % 100000 AS amount_cents,
+         CASE i % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                    WHEN 2 THEN 'purchase' ELSE 'error' END AS kind
+  FROM (SELECT unnest(range(0, 20000)) AS i))
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM g GROUP BY kind
+"""
+
+
+@register("source_python_datasource", oracle=_PYSOURCE_SQL)
+def q_source_python_datasource(spark, sf_dir):
+    """B-layer: a custom connector via Spark 4's Python DataSource API.
+
+    The connector shape for systems Spark has no built-in reader for: a
+    DataSource/DataSourceReader pair with REAL partition planning — the
+    generator is split into 8 InputPartitions, each read independently by
+    an executor (this is where a production connector encodes splits /
+    shard assignments, and why a Python source parallelizes instead of
+    funneling through the driver). The synthetic stream is integer-exact
+    (multiplicative hash, squares mod 1e5) so the DuckDB oracle can
+    regenerate the identical rows; the aggregate downstream is ordinary
+    Catalyst planning over the source scan. Classes are defined in-line
+    so cloudpickle ships them by value — a driver-owned session needs no
+    PYTHONPATH on its workers.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    n_rows, n_parts = 20000, 8
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", n_rows))
+            self.p = int(options.get("parts", n_parts))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.p)]
+
+        def read(self, partition):
+            i = partition.value
+            kinds = ["view", "click", "purchase", "error"]
+            for k in range(i, self.n, self.p):
+                yield (
+                    k,
+                    (k * 2654435761) % 1000,
+                    (k * k) % 100000,
+                    kinds[k % 4],
+                )
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "ddspark_synth_events"
+
+        def schema(self):
+            return "event_id bigint, user_id bigint, amount_cents bigint, kind string"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    spark.dataSource.register(SynthSource)
+    src = (
+        spark.read.format("ddspark_synth_events")
+        .option("n", str(n_rows))
+        .option("parts", str(n_parts))
+        .load()
+    )
+    return src.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount_cents").alias("total_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
