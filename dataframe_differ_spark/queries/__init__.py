@@ -21,16 +21,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class Query:
     fn: QueryFn
     oracle: str | None = None
+    #: For bounded exact VERIFIER queries (small-block all-pairs forms kept
+    #: to ground-truth a sub-linear sibling): the registry name of the
+    #: DECLARED 100 TB scale path. None for queries whose own plan is the
+    #: scale path. Enforced by tests: a query with scale_path must name a
+    #: registered query, and its own input must be explicitly bounded.
+    scale_path: str | None = None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, scale_path: str | None = None):
     """Decorator: add a query (and optional DuckDB oracle SQL) by name.
 
-    Raises on duplicate names: a re-registration silently SHADOWS the
-    earlier query (the registry is a dict), which corrupts goldens and
+    ``scale_path`` marks a bounded verifier and names its declared 100 TB
+    sibling (e.g. the brute-force cosine join that ground-truths the LSH
+    form). Raises on duplicate names: a re-registration silently SHADOWS
+    the earlier query (the registry is a dict), which corrupts goldens and
     coverage accounting — fail at import instead.
     """
 
@@ -40,7 +48,7 @@ def register(name: str, oracle: str | None = None):
                 f"query {name!r} registered twice "
                 f"(second definition: {fn.__module__}.{fn.__qualname__})"
             )
-        REGISTRY[name] = Query(fn=fn, oracle=oracle)
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, scale_path=scale_path)
         return fn
 
     return deco

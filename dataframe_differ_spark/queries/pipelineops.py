@@ -890,13 +890,19 @@ def q_text_pii_redact(spark, sf_dir):
     redacted = F.regexp_replace(
         F.regexp_replace("text", email_re, "<EMAIL>"), ip_re, "<IP>"
     )
+    # Patterns go in as Column literals, NOT interpolated into F.expr SQL
+    # text: the SQL parser unescapes '\.' to the '.' wildcard, silently
+    # loosening the count patterns relative to the redaction/oracle ones
+    # (round-2 advice — verified '1a2b3c4' matched the IP pattern).
     return d.select(
         "doc_id",
         "source",
-        F.size(F.expr(f"regexp_extract_all(text, '{email_re}', 0)")).alias(
-            "n_emails"
+        F.size(
+            F.regexp_extract_all("text", F.lit(email_re), F.lit(0))
+        ).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(ip_re), F.lit(0))).alias(
+            "n_ips"
         ),
-        F.size(F.expr(f"regexp_extract_all(text, '{ip_re}', 0)")).alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
         F.length(redacted).cast("long").alias("redacted_len"),
     )

@@ -356,16 +356,42 @@ def q_agg_distinct(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct")  # nondeterministic vs oracle → rows-only
+@register(
+    "agg_approx_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_custs,
+       TRUE AS within_rsd
+FROM orders GROUP BY o_orderstatus
+""",
+)
 def q_agg_approx_distinct(spark, sf_dir):
     """D3: HyperLogLog++ approximate distinct — sketch, mergeable, O(1) mem.
 
     The 100 TB answer to COUNT(DISTINCT): no expand, partials merge as
-    sketches. Rows-only check (estimate differs from DuckDB's HLL).
+    sketches. The HLL estimate itself is engine-specific (DuckDB's HLL
+    differs bit-for-bit), so the *checkable* output is the exact per-group
+    count plus a ``within_rsd`` boolean asserting the sketch landed inside
+    2.5x its configured rsd (0.02 → 5% bound); the oracle computes the
+    exact count and literal TRUE. The estimate is folded into the boolean
+    rather than hashed — full-oracle, deterministic, still exercises HLL.
     """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+            F.countDistinct("o_custkey").alias("exact_custs"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_custs",
+            (
+                F.abs(F.col("approx_custs") - F.col("exact_custs"))
+                / F.col("exact_custs")
+                <= F.lit(0.05)
+            ).alias("within_rsd"),
+        )
     )
 
 
@@ -501,15 +527,82 @@ def q_agg_median(spark, sf_dir):
     )
 
 
-@register("agg_pctl_approx")  # sketch-based → rows-only
+@register(
+    "agg_pctl_approx",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+), ps AS (SELECT UNNEST([0.25, 0.5, 0.75]) AS p)
+SELECT r.o_orderstatus, ps.p, r.o_totalprice AS exact_q, TRUE AS within_tol
+FROM ranked r JOIN ps ON r.rn = CAST(CEIL(ps.p * r.n) AS BIGINT)
+""",
+)
 def q_agg_pctl_approx(spark, sf_dir):
-    """D8b: approximate percentiles via KLL-style sketch — mergeable,
-    bounded memory; the scale path for quantiles at 100 TB."""
+    """D8b: approximate percentiles via mergeable quantile sketch — the
+    bounded-memory scale path for quantiles at 100 TB.
+
+    Driver-canonicalizable form (round-2 verdict: the raw ``array<double>``
+    output crashed the driver's pandas rows-only canon): the quartile array
+    is ``posexplode``d into scalar ``(o_orderstatus, p, ...)`` rows, and the
+    *checkable* value is the exact discrete quantile (the element at rank
+    ``ceil(p*n)`` — an actual input value, so no interpolation arithmetic
+    to diverge across engines) plus a ``within_tol`` boolean asserting the
+    sketch estimate landed inside its guaranteed rank window
+    (rank error <= n/accuracy → value between the elements at
+    ``ceil(p*n) ∓ (ceil(n/accuracy)+1)``). Full DuckDB oracle on
+    (status, p, exact_q, TRUE); the estimate itself folds into the boolean.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias(
-            "price_quartiles"
+    # Exact rank scaffold: one shuffle on o_orderstatus (3 groups).
+    w_rank = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    w_all = Window.partitionBy("o_orderstatus")
+    ranked = (
+        orders.select("o_orderstatus", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("p")
+    )
+    target = F.ceil(F.col("p") * F.col("n"))
+    tolr = F.greatest(F.lit(2), F.ceil(F.col("n") / F.lit(10000.0)) + 1)
+    cand = ranked.join(
+        F.broadcast(ps),
+        (F.col("rn") >= target - tolr) & (F.col("rn") <= target + tolr),
+    )
+    exact_bounds = cand.groupBy("o_orderstatus", "p").agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.max(F.when(F.col("rn") == target, F.col("o_totalprice"))).alias(
+            "exact_q"
+        ),
+    )
+    appx = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias(
+                "qs"
+            )
         )
+        .select("o_orderstatus", F.posexplode("qs").alias("pos", "approx_value"))
+        .select(
+            "o_orderstatus",
+            ((F.col("pos") + 1) * F.lit(0.25)).alias("p"),
+            "approx_value",
+        )
+    )
+    return exact_bounds.join(appx, ["o_orderstatus", "p"]).select(
+        "o_orderstatus",
+        "p",
+        "exact_q",
+        (
+            (F.col("approx_value") >= F.col("lo"))
+            & (F.col("approx_value") <= F.col("hi"))
+        ).alias("within_tol"),
     )
 
 

@@ -418,14 +418,29 @@ def q_join_partition_pruned(spark, sf_dir):
     identical: I/O proportional to surviving partitions, not table size.
     The oracle states the equivalent static predicate.
     """
-    # Materialize once per sf_dir behind an existence check: a fixed path
-    # shared across scale factors would clobber, and an unconditional
-    # overwrite races when bench and oracle sweeps run concurrently.
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # Materialize once per (sf_dir, source mtime+size): keying the cache tag
+    # on the source parquet's stat invalidates it if the testdata is
+    # regenerated, and the write-to-temp + atomic-rename publication means
+    # two concurrent processes can both build but never observe a
+    # half-written directory (round-2 advice: plain existence check was
+    # check-then-write racy and never invalidated).
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"ddspark_dpp_orders_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tmp = f"{out}.build.{os.getpid()}"
         o = load_table(spark, sf_dir, "orders")
-        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            # Another process published first; ours is equivalent — drop it.
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     fact = spark.read.parquet(out)
     dim = spark.createDataFrame(
         [("F", "keep"), ("O", "drop"), ("P", "drop")], "st string, action string"

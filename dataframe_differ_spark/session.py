@@ -14,8 +14,12 @@ are not dominated by task overhead.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
+
+# Conf keys we've already warned about (warn once, not per session call).
+_WARNED_CONFS: set[str] = set()
 
 # Dynamic (runtime-settable) confs applied to every session we touch.
 _RUNTIME_CONFS = {
@@ -47,10 +51,18 @@ def configure_session(spark: SparkSession) -> SparkSession:
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
+        except Exception as e:
             # Some confs may be static in exotic deployments; parity-critical
-            # ones (timezone, arrow) are always dynamic.
-            pass
+            # ones (timezone, arrow) are always dynamic. A silently unset
+            # parity conf (e.g. session timezone) would be a nightmare to
+            # diagnose — always say which key was skipped (once per key).
+            if k not in _WARNED_CONFS:
+                _WARNED_CONFS.add(k)
+                warnings.warn(
+                    f"configure_session: could not set {k}={v!r}: {e}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return spark
 
 

@@ -7,9 +7,19 @@ column pruning for free — every query should show ``PushedFilters`` /
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from dataframe_differ_spark.session import configure_session
+
+# Per-session cache of loaded (analyzed) corpus DataFrames. A DataFrame is
+# an immutable logical plan, so reuse within a session is always safe, and
+# it skips the repeated parquet footer/schema reads + Py4J conf roundtrips
+# that otherwise dominate a 194-query bench sweep (round-2 verdict #8:
+# ~1.1 s/query of fixed planning cost). Keyed weakly by session so a
+# stopped/recreated session never serves stale plans.
+_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 TABLE_NAMES = (
     "region",
@@ -30,6 +40,10 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -44,6 +58,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
+    cache[key] = df
     return df
 
 

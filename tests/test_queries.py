@@ -26,6 +26,26 @@ def test_registry_complete(registry):
             assert "SELECT" in q.oracle.upper(), name
 
 
+def test_scale_path_contract(registry):
+    # Bounded exact verifiers (brute all-pairs forms kept to ground-truth a
+    # sub-linear sibling) must name their declared 100 TB scale path, and
+    # that name must be a registered query (round-2 verdict item #4: no
+    # registered query may be quadratic-unbounded without a declared
+    # sibling). The known verifier set is asserted explicitly so a new
+    # brute-force query can't slip in unannotated.
+    for name, q in registry.items():
+        if q.scale_path is not None:
+            assert q.scale_path in registry, (
+                f"{name}: scale_path {q.scale_path!r} is not a registered query"
+            )
+            assert q.scale_path != name, f"{name}: scale_path is itself"
+    expected_verifiers = {"sim_join", "knn_classify", "sim_topk"}
+    annotated = {n for n, q in registry.items() if q.scale_path is not None}
+    assert expected_verifiers <= annotated, (
+        f"missing scale_path annotations: {expected_verifiers - annotated}"
+    )
+
+
 def test_golden_covers_every_query(registry):
     # The r1 postmortem: two queries shipped without ever being executed
     # because nothing asserted golden coverage == registry. Now it does.
@@ -289,8 +309,10 @@ def test_knn_ivf_agreement_vs_brute(spark, sf_small, registry):
         r.query_id: r.pred_label
         for r in registry["knn_classify_ivf"].fn(spark, sf_small).collect()
     }
-    # Every held-out vector must get exactly one prediction.
-    assert set(ivf) == set(brute)
+    # The brute verifier is bounded to vec_id < 500 (fixed query-set cap —
+    # round-3); IVF classifies the full held-out set, so brute ⊆ ivf.
+    assert set(brute) <= set(ivf)
+    assert brute, "bounded verifier produced no predictions"
     # On near-random embeddings (IVF's worst case) nprobe=6/16 measured
     # 0.61 label agreement; floor so broken candidate routing fails loudly.
     agree = sum(1 for k in brute if ivf[k] == brute[k]) / len(brute)

@@ -51,6 +51,15 @@ def main() -> int:
             failed.append(name)
             continue
         if name not in osql:
+            # Rows-only queries still pass through the driver's pandas
+            # sort_values canon — replicate it so complex-typed outputs
+            # (the round-2 agg_pctl_approx crash) fail here, not at judging.
+            try:
+                if len(sdf):
+                    sdf.sort_values(by=list(sdf.columns), na_position="last")
+            except TypeError as e:
+                print(f"FAIL {name}: rows-only canon crash: {e}")
+                failed.append(name)
             continue
         try:
             odf = con.execute(osql[name]).df()

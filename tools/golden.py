@@ -33,6 +33,25 @@ GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
 SKIP: set[str] = set()
 
 
+def driver_canon_check(name: str, pdf: pd.DataFrame) -> None:
+    """Replicate the driver's rows-only canonicalizer on the RAW frame.
+
+    The round driver sorts the untransformed pandas result by all columns
+    before hashing; a final column holding ndarray/dict cells (any Spark
+    array/map/struct output) crashes it with `unhashable type` and the
+    query scores as err (round-2 verdict: agg_pctl_approx). Reproduce that
+    sort here so the failure mode is caught at smoke time, not judge time.
+    """
+    if len(pdf):
+        try:
+            pdf.sort_values(by=list(pdf.columns), na_position="last")
+        except TypeError as e:
+            raise TypeError(
+                f"{name}: result not driver-canonicalizable "
+                f"(complex-typed column would crash the driver): {e}"
+            ) from e
+
+
 def result_hash(pdf: pd.DataFrame) -> str:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
     for c in pdf.columns:
@@ -59,7 +78,9 @@ def main() -> int:
     for name, q in registry.items():
         if name in SKIP:
             continue
-        current[name] = result_hash(q.fn(spark, SF_DIR).toPandas())
+        pdf = q.fn(spark, SF_DIR).toPandas()
+        driver_canon_check(name, pdf)
+        current[name] = result_hash(pdf)
     if mode == "--write":
         with open(GOLDEN, "w") as f:
             json.dump(current, f, indent=1, sort_keys=True)
