@@ -74,6 +74,7 @@ def load_all() -> dict[str, Query]:
             streaming_queries,
             advanced_streaming,
             udfs,
+            scaleops,
         )
 
         _LOADED = True

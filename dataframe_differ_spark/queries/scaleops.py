@@ -1,0 +1,636 @@
+"""Round-3 scale operators: sketches, skew handling, layout, drift.
+
+Each query here exists because of its 100 TB execution strategy, not just
+its answer: mergeable sketches (count-min), physical
+data layout (z-order), equi-depth histograms, and distribution-drift
+screens are the operators a training-data pipeline leans on when the naive
+plan stops fitting. Every one is deterministic and full-oracle: the
+"approximate" structures (CMS, MinHash) are built from portable md5-derived
+hashes so DuckDB constructs the *identical* sketch and the estimate itself
+hash-matches (the same trick the round-2 verdict asked for on HLL, applied
+at construction time instead of bound-check time).
+
+Reference citation: the reference checkout is empty (SURVEY.md §0); rows
+here extend SURVEY.md §2.H per [B:6]'s training-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.functions.vector import SQL_COS, cosine
+from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row
+
+
+def _cms_bucket(r_col, key_col):
+    """Portable CMS hash: row r, key k -> md5("r:k") first 8 hex -> % W.
+
+    Same byte string and same integer math in both engines, so the sketch
+    (and therefore the estimate) is bit-identical cross-engine.
+    """
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(r_col.cast("string"), F.lit(":"), key_col.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_CMS_W),
+    )
+
+
+_SQL_CMS_BUCKET = (
+    "('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || CAST({k} AS VARCHAR)), 1, 8))"
+    f"::BIGINT % {_CMS_W}"
+)
+
+
+@register(
+    "sketch_cms_topk",
+    oracle=f"""
+WITH keys AS (SELECT l_suppkey AS k FROM lineitem),
+rows_ AS (SELECT unnest(range({_CMS_D})) AS r),
+sketch AS (
+  SELECT r, {_SQL_CMS_BUCKET.format(r="r", k="k")} AS b, COUNT(*) AS cnt
+  FROM keys CROSS JOIN rows_ GROUP BY 1, 2
+),
+exact AS (
+  SELECT k, COUNT(*) AS exact_cnt FROM keys GROUP BY k
+  ORDER BY exact_cnt DESC, k LIMIT 10
+),
+probes AS (
+  SELECT e.k, e.exact_cnt, r, {_SQL_CMS_BUCKET.format(r="r", k="e.k")} AS b
+  FROM exact e CROSS JOIN rows_
+)
+SELECT p.k AS l_suppkey,
+       p.exact_cnt,
+       MIN(s.cnt) AS cms_est,
+       MIN(s.cnt) >= p.exact_cnt AS no_undercount
+FROM probes p JOIN sketch s ON p.r = s.r AND p.b = s.b
+GROUP BY p.k, p.exact_cnt
+""",
+)
+def q_sketch_cms_topk(spark, sf_dir):
+    """Count-min sketch heavy hitters over lineitem supplier keys.
+
+    The 100 TB frequency-estimation answer: a d x w = 4 x 256 counter grid
+    that partial-aggregates map-side and merges by cell addition — O(d*w)
+    memory per executor regardless of key cardinality, one shuffle of at
+    most d*w rows. The probe joins the top-10 exact heavy hitters (the
+    verifier) against the broadcast sketch; `cms_est = min_r cell[r][h_r(k)]`
+    can only overcount, asserted by `no_undercount`. Hashes are portable
+    md5 math (module docstring) so the estimate itself is full-oracle.
+    """
+    keys = load_table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
+    sketch = (
+        keys.select("k", rows)
+        .select("r", _cms_bucket(F.col("r"), F.col("k")).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "k")
+        .limit(10)
+    )
+    probes = exact.select("k", "exact_cnt", rows).select(
+        "k", "exact_cnt", "r", _cms_bucket(F.col("r"), F.col("k")).alias("b")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            F.col("k").alias("l_suppkey"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("no_undercount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle="""
+SELECT decile,
+       COUNT(*) AS cnt,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM (
+  SELECT o_totalprice,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+           AS decile
+  FROM orders
+)
+GROUP BY decile
+""",
+)
+def q_agg_histogram_equidepth(spark, sf_dir):
+    """Equi-depth (equal-count) histogram of order totals in 10 deciles.
+
+    Correctness form: exact ntile over a total order (ties broken by
+    o_orderkey so both engines cut identically). Spark executes the global
+    sort range-partitioned, but ntile's single unbounded window frame is a
+    one-partition bottleneck — at 100 TB you'd replace it with the
+    two-scan plan: `approx_percentile` boundaries (mergeable sketch, no
+    sort) then a map-side bucket lookup; `agg_pctl_approx` demonstrates
+    that sketch. This query is the exact verifier of those boundaries.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drift_psi",
+    oracle="""
+WITH binned AS (
+  SELECT CAST(LEAST(9, GREATEST(0, CAST(floor(o_totalprice / 50000) AS INTEGER)))
+              AS INTEGER) AS bin,
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8' AS is_base
+  FROM orders
+),
+per_bin AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM per_bin
+)
+SELECT bin, n_base, n_cur,
+       ROUND(
+         (CAST(n_base + 1 AS DOUBLE) / (tb + 10)
+          - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+         * ln((CAST(n_base + 1 AS DOUBLE) / (tb + 10))
+              / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))),
+         6) AS psi_bin
+FROM per_bin CROSS JOIN tot
+""",
+)
+def q_drift_psi(spark, sf_dir):
+    """Population Stability Index between two md5-split order cohorts.
+
+    The standard production drift screen for a feature distribution:
+    baseline vs current cohort (deterministic md5 bucket split, the same
+    device as `split_train_val_test`), 10 fixed-width price bins,
+    per-bin PSI contribution `(p - q) * ln(p / q)` with add-one smoothing
+    so empty bins stay finite. One scan + one tiny aggregate + a broadcast
+    of the 1-row totals — scan-bound at any scale. `ln` is the one
+    non-IEEE-portable op here (round-1 lesson), so the contribution is
+    rounded to 6 dp on both sides before hashing.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0), F.floor(F.col("o_totalprice") / 50000).cast("int")
+            ),
+        ).alias("bin"),
+        (F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "8").alias(
+            "is_base"
+        ),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("n_cur"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    p = (F.col("n_base") + 1).cast("double") / (F.col("tb") + 10)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + 10)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_base",
+            "n_cur",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_bin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash MinHash-LSH (full oracle, including the signatures)
+# ---------------------------------------------------------------------------
+
+_MH_K = 16  # signature length
+_MH_BAND_ROWS = 4  # 4 bands x 4 rows
+
+# Shingle hash j: md5("j~shingle") first 12 hex chars -> 48-bit int. Both
+# engines hash the same byte string to the same integer, so the MinHash
+# signature (min over shingles) is bit-identical cross-engine.
+_SQL_MH_HASH = (
+    "('0x' || substr(md5(CAST({j} AS VARCHAR) || '~' || {s}), 1, 12))::BIGINT"
+)
+
+
+@register(
+    "dedup_minhash_exact",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' ||
+                string_split(text,' ')[i+2])) AS shingles
+  FROM corpus),
+tok AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sigs AS (
+  SELECT doc_id, r.j, MIN({_SQL_MH_HASH.format(j="r.j", s="shingle")}) AS s
+  FROM tok CROSS JOIN (SELECT unnest(range({_MH_K})) AS j) r
+  GROUP BY doc_id, r.j),
+bands AS (
+  SELECT doc_id, j // {_MH_BAND_ROWS} AS band,
+         string_agg(CAST(s AS VARCHAR), '-' ORDER BY j) AS bkey
+  FROM sigs GROUP BY doc_id, j // {_MH_BAND_ROWS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         AVG(CASE WHEN sa.s = sb.s THEN 1.0 ELSE 0.0 END) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, ROUND(est_jaccard, 6) AS est_jaccard FROM est
+""",
+)
+def q_dedup_minhash_exact(spark, sf_dir):
+    """MinHash-LSH near-dup detection with PORTABLE signatures — the
+    full-oracle sibling of `dedup_near` (whose xxhash64 signatures are
+    Spark-internal and therefore rows-only).
+
+    Signature: 16 independent min-hashes of the doc's distinct 3-gram
+    shingles, each h_j = 48 bits of md5("j~shingle") — identical integer
+    in both engines, so signatures, LSH bands (4 x 4), candidate pairs AND
+    the per-pair Jaccard estimate (matching-signature fraction) all
+    hash-match the oracle exactly. Corpus is documents plus planted
+    near-dups (every 11th doc re-added with its first two tokens dropped,
+    doc_id + 100000) so the banding provably fires.
+
+    Scale shape: signature build is explode + groupBy(doc, j) min — one
+    shuffle keyed by doc; candidates come from the (band, bkey) equi-join
+    — sub-linear, no all-pairs; estimate joins 16-row signature slices of
+    candidates only. At 100 TB the band tables are the materialized index.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.expr("slice(split(text, ' '), 3, size(split(text, ' ')))")
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(planted)
+    sh = (
+        corpus.withColumn("toks", F.split("text", " "))
+        .withColumn("t2", F.expr("slice(toks, 2, size(toks))"))
+        .withColumn("t3", F.expr("slice(toks, 3, size(toks))"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(filter("
+                "  zip_with(zip_with(toks, t2, (a, b) -> concat_ws(' ', a, b)),"
+                "           t3, (ab, c) -> IF(c IS NULL, NULL, concat_ws(' ', ab, c))),"
+                "  x -> x IS NOT NULL))"
+            ).alias("shingles"),
+        )
+    )
+    tok = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sigs = (
+        tok.select(
+            "doc_id",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(_MH_K - 1))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("j").cast("string"), F.lit("~"), F.col("shingle")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("s"))
+    )
+    bands = sigs.groupBy(
+        "doc_id", (F.col("j") / _MH_BAND_ROWS).cast("int").alias("band")
+    ).agg(
+        F.expr(
+            "concat_ws('-', transform(array_sort(collect_list(struct(j, s))), "
+            "x -> cast(x.s as string)))"
+        ).alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.j") == F.col("sa.j")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.avg(
+                F.when(F.col("sa.s") == F.col("sb.s"), F.lit(1.0)).otherwise(0.0)
+            ).alias("est_raw")
+        )
+        .select("doc_a", "doc_b", F.round("est_raw", 6).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine, fused by reciprocal-rank
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS = ("hash", "merge", "vector")
+_RRF_K = 60  # standard RRF dampening constant
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+     tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM tok WHERE token IN ('hash', 'merge', 'vector')
+            GROUP BY doc_id, token),
+     dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+            FROM documents),
+     stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                      CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                        / COUNT(*) AS avgdl
+               FROM documents),
+     df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM tok WHERE token IN ('hash', 'merge', 'vector')
+            GROUP BY token),
+     lex AS (
+       SELECT tf.doc_id,
+              ROUND(SUM(LN(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))),
+                    6) AS lex_score
+       FROM tf
+       JOIN df ON tf.token = df.token
+       JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN stats
+       GROUP BY tf.doc_id),
+     lex_ranked AS (
+       SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id)
+                   AS BIGINT) AS rank_lex
+       FROM lex),
+     q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id = 0),
+     vec AS (
+       SELECT vec_id AS doc_id,
+              ROUND({SQL_COS("e", "qe")}, 9) AS cos
+       FROM (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings) CROSS JOIN q),
+     vec_ranked AS (
+       SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+                AS rank_vec
+       FROM vec),
+     vec_top AS (SELECT * FROM vec_ranked WHERE rank_vec <= 100),
+     fused AS (
+       SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+              l.rank_lex, v.rank_vec,
+              ROUND(COALESCE(1.0 / ({_RRF_K} + l.rank_lex), 0.0)
+                    + COALESCE(1.0 / ({_RRF_K} + v.rank_vec), 0.0), 9)
+                AS rrf_score
+       FROM lex_ranked l FULL OUTER JOIN vec_top v ON l.doc_id = v.doc_id)
+SELECT doc_id, rank_lex, rank_vec, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+)
+def q_retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical ranking + dense cosine ranking over
+    the paired embeddings table, fused with Reciprocal Rank Fusion
+    (RRF, k=60) — the standard zero-tuning hybrid-search combiner.
+
+    Two independent rankers (each a rank over a deterministic rounded
+    score, ties broken by doc_id), full-outer fused so lexical-only and
+    vector-only hits both surface, score = sum of 1/(60 + rank). The
+    dense list is cut to its top-100 before fusion, as a real two-stage
+    retriever would. At 100 TB: the lexical side is an inverted-index
+    shuffle keyed by term (3 terms → 3-partition probe), the dense side is
+    `sim_topk_ivf`'s ANN path; the global row_number here is the bounded
+    final ranking over candidates, not over the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    qtok = tok.filter(F.col("token").isin(*_RRF_TERMS))
+    tf = qtok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " "))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    df_t = qtok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    bm25 = (
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    lex = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(bm25), 6).alias("lex_score"))
+    )
+    lex_ranked = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lex_score"), "doc_id"))
+        .cast("long")
+        .alias("rank_lex"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    vec = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine("e", "qe"), 9).alias("cos"),
+    )
+    vec_top = vec.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), "doc_id"))
+        .cast("long")
+        .alias("rank_vec"),
+    ).filter(F.col("rank_vec") <= 100)
+    fused = (
+        lex_ranked.join(vec_top, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_vec",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rank_vec")), F.lit(0.0)),
+                9,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout for multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+# Bit-interleave two 8-bit bucket ids into a 16-bit Morton (z-order) code.
+# Written as plain integer arithmetic, unrolled, so both engines compute the
+# identical code: x bits land on odd positions, y bits on even.
+_Z_SQL = " + ".join(
+    f"(((bx >> {i}) & 1) * {1 << (2 * i + 1)}) + "
+    f"(((by >> {i}) & 1) * {1 << (2 * i)})"
+    for i in range(8)
+)
+
+
+@register(
+    "layout_zorder",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT CAST(ntile(256) OVER (ORDER BY o_custkey, o_orderkey) AS INTEGER) - 1
+           AS bx,
+         CAST(ntile(256) OVER (ORDER BY o_orderdate, o_orderkey) AS INTEGER) - 1
+           AS by,
+         o_orderkey
+  FROM orders
+),
+coded AS (SELECT bx, by, {_Z_SQL} AS z, o_orderkey FROM bucketed),
+filed AS (
+  SELECT bx, by,
+         CAST(ntile(16) OVER (ORDER BY z, o_orderkey) AS INTEGER) AS file_id
+  FROM coded
+)
+SELECT file_id, COUNT(*) AS n_rows,
+       MIN(bx) AS min_cust_bucket, MAX(bx) AS max_cust_bucket,
+       MIN(by) AS min_date_bucket, MAX(by) AS max_date_bucket
+FROM filed GROUP BY file_id
+""",
+)
+def q_layout_zorder(spark, sf_dir):
+    """Z-order (Morton-code) clustering of orders on (custkey, orderdate)
+    — the physical-layout operator behind multi-dimensional data skipping.
+
+    Each dimension is rank-bucketed to 8 bits (ntile 256, ties broken by
+    o_orderkey so both engines cut identically), the bits interleave into
+    a 16-bit Morton code, and rows are assigned to 16 "files" in z order.
+    The output is exactly what a scan planner reads: per-file min/max of
+    BOTH dimensions — z-clustered files stay tight on custkey *and* date
+    simultaneously (a single-dim sort is tight on one, spans ~the full
+    range on the other), so predicates on either column prune files via
+    parquet row-group stats. At 100 TB this is
+    `repartitionByRange(z).sortWithinPartitions(z).write` and the ntile
+    bucketing is replaced by fixed-width quantization of approx-quantile
+    boundaries (no global sort); the Morton arithmetic is unchanged.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucketed = orders.select(
+        (F.ntile(256).over(Window.orderBy("o_custkey", "o_orderkey")) - 1).alias(
+            "bx"
+        ),
+        (F.ntile(256).over(Window.orderBy("o_orderdate", "o_orderkey")) - 1).alias(
+            "by"
+        ),
+        "o_orderkey",
+    )
+    coded = bucketed.select("bx", "by", "o_orderkey", F.expr(_Z_SQL).alias("z"))
+    filed = coded.select(
+        "bx",
+        "by",
+        F.ntile(16).over(Window.orderBy("z", "o_orderkey")).alias("file_id"),
+    )
+    return filed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("bx").alias("min_cust_bucket"),
+        F.max("bx").alias("max_cust_bucket"),
+        F.min("by").alias("min_date_bucket"),
+        F.max("by").alias("max_date_bucket"),
+    )

@@ -610,11 +610,48 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
-@register("dedup_clusters")  # iterative algorithm → rows-only
+_CC_SQL = """
+WITH RECURSIVE
+base AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0),
+e AS (
+  SELECT doc_id AS src, doc_id + 100000 AS dst FROM base
+  UNION ALL
+  SELECT doc_id + 100000 AS src, doc_id + 200000 AS dst FROM base
+),
+und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT doc_id AS v FROM documents
+    UNION ALL SELECT src AS v FROM e
+    UNION ALL SELECT dst AS v FROM e
+  )
+),
+reach(v, label) AS (
+  SELECT v, v AS label FROM verts
+  UNION
+  SELECT und.dst AS v, reach.label
+  FROM reach JOIN und ON reach.v = und.src
+),
+comp AS (SELECT v, MIN(label) AS component_id FROM reach GROUP BY v)
+SELECT component_id, COUNT(*) AS cluster_size
+FROM comp GROUP BY component_id
+HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_clusters", oracle=_CC_SQL)
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-pair clustering: connected components via min-label
     propagation — the step that turns pairwise near-dup hits into dedup
     groups (keep min-id per component, drop the rest).
+
+    Full oracle (upgraded round 3 from rows-only): min-label propagation
+    has a closed form — a vertex's final label is the minimum id reachable
+    from it — which DuckDB computes with a recursive CTE (transitive
+    closure of (v, reaching-label) pairs, UNION-deduped, then MIN per v).
+    The oracle recursion is exponential-state in general graphs but exact
+    and tiny on this bounded-diameter edge set; the Spark side remains the
+    O(diameter)-round distributed loop that scales.
 
     Edges: planted duplicate chains doc → copy (+100000) → copy-of-copy
     (+200000), where the 2nd-degree copy is linked only to the 1st — so

@@ -1,0 +1,102 @@
+"""Structural/accuracy properties of the round-3 scale operators.
+
+The DuckDB oracle (tools/check.py) proves cross-engine value parity; these
+tests assert the *semantic* guarantees the oracles can't express — CMS
+one-sided error, MinHash recall on planted duplicates, z-order locality vs
+a single-dimension sort, PSI null-case behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.queries.scaleops import (
+    q_agg_histogram_equidepth,
+    q_dedup_minhash_exact,
+    q_drift_psi,
+    q_layout_zorder,
+    q_retrieval_hybrid_rrf,
+    q_sketch_cms_topk,
+)
+from dataframe_differ_spark.tables import load_table
+
+
+def test_cms_never_undercounts_and_is_tight(spark, sf_small):
+    rows = q_sketch_cms_topk(spark, sf_small).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # Count-min's defining guarantee: estimate >= true count.
+        assert r.cms_est >= r.exact_cnt, r
+        assert r.no_undercount
+    # With w=256 cells over ~100 suppliers the expected collision inflation
+    # is small; the top hitter's estimate should be within 2x of exact.
+    top = max(rows, key=lambda r: r.exact_cnt)
+    assert top.cms_est <= 2 * top.exact_cnt
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_small):
+    pairs = q_dedup_minhash_exact(spark, sf_small).collect()
+    docs = load_table(spark, sf_small, "documents")
+    planted_ids = [
+        r.doc_id for r in docs.filter(F.col("doc_id") % 11 == 0).collect()
+    ]
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    # A planted copy differs by 2 dropped tokens -> Jaccard near 1; with
+    # 4 bands of 4 rows the LSH should recover the vast majority.
+    hits = sum((d, d + 100000) in found for d in planted_ids)
+    assert hits >= 0.8 * len(planted_ids), (hits, len(planted_ids))
+    # Estimates are probabilities.
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in pairs)
+    for r in pairs:
+        if (r.doc_a, r.doc_b) in {(d, d + 100000) for d in planted_ids}:
+            assert r.est_jaccard >= 0.5, r
+
+
+def test_zorder_files_tight_in_both_dims(spark, sf_small):
+    files = q_layout_zorder(spark, sf_small).collect()
+    assert len(files) == 16
+    # Z-order locality: averaged over files, each dimension's bucket span
+    # must be far below the full 256-bucket range (a single-dim sort gives
+    # ~256 span on the other dimension).
+    cust_span = sum(f.max_cust_bucket - f.min_cust_bucket for f in files) / 16
+    date_span = sum(f.max_date_bucket - f.min_date_bucket for f in files) / 16
+    assert cust_span < 160, cust_span
+    assert date_span < 160, date_span
+
+
+def test_equidepth_deciles_balanced(spark, sf_small):
+    rows = q_agg_histogram_equidepth(spark, sf_small).collect()
+    assert len(rows) == 10
+    counts = [r.cnt for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile's balance guarantee
+    by_decile = sorted(rows, key=lambda r: r.decile)
+    for a, b in zip(by_decile, by_decile[1:]):
+        assert a.hi <= b.lo  # deciles partition the value axis in order
+
+
+def test_psi_self_split_is_near_zero(spark, sf_small):
+    # The two cohorts are random halves of the same distribution, so total
+    # PSI must be far below the conventional 0.1 "drift" alarm threshold.
+    rows = q_drift_psi(spark, sf_small).collect()
+    total = sum(r.psi_bin for r in rows)
+    assert all(r.psi_bin >= -1e-12 for r in rows)  # (p-q)ln(p/q) >= 0
+    assert total < 0.1, total
+
+
+def test_rrf_fuses_both_rankers(spark, sf_small):
+    rows = q_retrieval_hybrid_rrf(spark, sf_small).collect()
+    assert len(rows) == 10
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # Fusion actually used both lists: some top-10 doc carries both ranks.
+    assert any(
+        r.rank_lex is not None and r.rank_vec is not None for r in rows
+    )
+    # Score is exactly the RRF formula over the two ranks.
+    for r in rows:
+        expect = 0.0
+        if r.rank_lex is not None:
+            expect += 1.0 / (60 + r.rank_lex)
+        if r.rank_vec is not None:
+            expect += 1.0 / (60 + r.rank_vec)
+        assert abs(r.rrf_score - expect) < 1e-9, r
