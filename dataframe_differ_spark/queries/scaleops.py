@@ -31,30 +31,28 @@ _CMS_D = 4  # hash rows
 _CMS_W = 256  # counters per row
 
 
-def _cms_bucket(r_col, key_col):
-    """Portable CMS hash: row r, key k -> md5("r:k") first 8 hex -> % W.
+_SQL_CMS_BUCKET = (
+    # bucket r of key k: hex slice [8r+1, 8r+8] of ONE md5 digest -> % W.
+    "('0x' || substr(md5(CAST({k} AS VARCHAR)), {r} * 8 + 1, 8))"
+    f"::BIGINT % {_CMS_W}"
+)
 
-    Same byte string and same integer math in both engines, so the sketch
-    (and therefore the estimate) is bit-identical cross-engine.
+
+def _cms_bucket(r_col, key_col):
+    """Portable CMS hash row: slice 8 hex chars per row r out of a single
+    md5 digest of the key — one hash per record, d buckets, identical
+    integers in both engines (the 128-bit digest funds 4 x 32-bit slices).
     """
     return F.pmod(
         F.conv(
             F.substring(
-                F.md5(F.concat(r_col.cast("string"), F.lit(":"), key_col.cast("string"))),
-                1,
-                8,
+                F.md5(key_col.cast("string")), r_col * 8 + 1, F.lit(8)
             ),
             16,
             10,
         ).cast("long"),
         F.lit(_CMS_W),
     )
-
-
-_SQL_CMS_BUCKET = (
-    "('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || CAST({k} AS VARCHAR)), 1, 8))"
-    f"::BIGINT % {_CMS_W}"
-)
 
 
 @register(
@@ -95,9 +93,21 @@ def q_sketch_cms_topk(spark, sf_dir):
     """
     keys = load_table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
     rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
+    # One md5 per RECORD (not per record x row): digest first, then explode
+    # r and slice — the hot-path cost at 100 TB is the hashing, not the
+    # 1024-cell shuffle.
     sketch = (
-        keys.select("k", rows)
-        .select("r", _cms_bucket(F.col("r"), F.col("k")).alias("b"))
+        keys.select(F.md5(F.col("k").cast("string")).alias("h"))
+        .select("h", rows)
+        .select(
+            "r",
+            F.pmod(
+                F.conv(
+                    F.substring(F.col("h"), F.col("r") * 8 + 1, F.lit(8)), 16, 10
+                ).cast("long"),
+                F.lit(_CMS_W),
+            ).alias("b"),
+        )
         .groupBy("r", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -633,4 +643,234 @@ def q_layout_zorder(spark, sf_dir):
         F.max("bx").alias("max_cust_bucket"),
         F.min("by").alias("min_date_bucket"),
         F.max("by").alias("max_date_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring span detection (training-data dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 20  # window length in tokens, stride 1
+_BOILER = (
+    "subscribe to our newsletter for updates terms of service apply "
+    "all rights reserved contact support for help please enable cookies "
+    "to continue"
+)  # 22 tokens of planted boilerplate
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || ' ' || '{_BOILER}'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+win AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i + {_SPAN_W - 1}], ' ')) AS span_key
+  FROM toks, unnest(range(1, greatest(len(t) - {_SPAN_W - 1}, 0) + 1)) AS u(i)
+),
+rep AS (
+  SELECT span_key,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occurrences,
+         MIN(doc_id) AS first_doc
+  FROM win GROUP BY span_key
+  HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT span_key, n_docs, n_occurrences, first_doc FROM rep
+""",
+)
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact repeated-substring detection: 20-token windows (stride 1)
+    shared verbatim across documents — the suffix-array-style exact dedup
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed as a window-hash inverted index.
+
+    Boilerplate (a 22-token footer) is planted on every 9th doc in-query,
+    identically in both engines, so repeated spans provably exist; the
+    natural corpus (random word draws) contributes none. Each doc explodes
+    into (pos, md5(window)) pairs; one groupBy(span_key) shuffle finds
+    spans occurring in >1 doc. At 100 TB this is the standard recipe:
+    the window hash is the shuffle key (uniform by construction), the
+    output is the boilerplate/license/nav-chrome span inventory fed back
+    as a strip-filter, and stride-1 windows cost len(doc) rows — linear,
+    no pairwise comparison anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" " + _BOILER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    win = (
+        corpus.withColumn("t", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                # sequence(1, 0) counts DOWN in Spark, so short docs need an
+                # explicit empty-array guard, not a greatest() clamp.
+                F.expr(
+                    f"IF(size(t) < {_SPAN_W}, CAST(array() AS array<string>),"
+                    f" transform(sequence(1, size(t) - {_SPAN_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(t, i, {_SPAN_W})))))"
+                )
+            ).alias("pos0", "span_key"),
+        )
+    )
+    return (
+        win.groupBy("span_key")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-partition skew diagnosis
+# ---------------------------------------------------------------------------
+
+_DIAG_P = 32  # hypothetical shuffle partition count
+
+
+@register(
+    "diag_skew_partitions",
+    oracle=f"""
+WITH assigned AS (
+  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_DIAG_P} AS pid,
+         o_custkey
+  FROM orders
+),
+per_pid AS (
+  SELECT pid, COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_keys
+  FROM assigned GROUP BY pid
+),
+tot AS (SELECT SUM(n_rows) AS total_rows FROM per_pid)
+SELECT pid, n_rows, n_keys,
+       ROUND(CAST(n_rows * {_DIAG_P} AS DOUBLE) / total_rows, 9)
+         AS load_ratio
+FROM per_pid CROSS JOIN tot
+""",
+)
+def q_diag_skew_partitions(spark, sf_dir):
+    """Shuffle-partition load diagnosis: simulate hash-partitioning orders
+    by o_custkey into 32 reducers and measure each reducer's load.
+
+    `load_ratio` is a partition's share of rows relative to perfect
+    balance (1.0 = ideal; >2 flags the skew that AQE's skew-join splitting
+    or `join_salted_skew`'s salting would have to absorb). This is the
+    measurement you run BEFORE picking `spark.sql.shuffle.partitions`,
+    a bucketing scheme, or a salt factor at 100 TB — one scan, one tiny
+    aggregate, and the partitioner is portable md5 math so the oracle
+    reproduces the exact assignment.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    assigned = orders.select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(_DIAG_P),
+        ).alias("pid"),
+        "o_custkey",
+    )
+    per_pid = assigned.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_keys"),
+    )
+    tot = per_pid.agg(F.sum("n_rows").alias("total_rows"))
+    return per_pid.crossJoin(F.broadcast(tot)).select(
+        "pid",
+        "n_rows",
+        "n_keys",
+        F.round(
+            (F.col("n_rows") * _DIAG_P).cast("double") / F.col("total_rows"), 9
+        ).alias("load_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (lakehouse maintenance)
+# ---------------------------------------------------------------------------
+
+_ROW_BYTES = 120  # approximate serialized row width for orders
+_TARGET_BYTES = 256_000  # compaction target size per output file
+
+
+@register(
+    "maintenance_compaction_plan",
+    oracle=f"""
+WITH files AS (
+  SELECT date_trunc('month', o_orderdate) AS part_month,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::BIGINT % 4
+           AS file_id,
+         COUNT(*) * {_ROW_BYTES} AS bytes
+  FROM orders
+  GROUP BY 1, 2
+),
+planned AS (
+  SELECT part_month, file_id, bytes,
+         CAST(floor(
+           (SUM(bytes) OVER (PARTITION BY part_month
+                             ORDER BY file_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - bytes) / {_TARGET_BYTES}) AS INTEGER) AS compaction_group
+  FROM files
+)
+SELECT part_month, compaction_group,
+       COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS group_bytes
+FROM planned
+GROUP BY part_month, compaction_group
+""",
+)
+def q_maintenance_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning: next-fit bin packing of per-month
+    file fragments into ~256 KB rewrite groups, expressed relationally.
+
+    The lakehouse maintenance half of a streaming ingest pipeline: many
+    small files per partition (here simulated as 4 md5-bucket fragments
+    per order month with bytes = rows x width) are assigned to compaction
+    groups by a running-sum window — group = floor(exclusive-prefix-sum /
+    target) — so every group except a partition's last reaches the target
+    size. One window per partition (keyed, parallel across months, no
+    global sort) and one aggregate; at 100 TB the same plan runs over the
+    transaction log's file listing, which is GB-scale, not the data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("part_month"),
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10
+            ).cast("long"),
+            F.lit(4),
+        ).alias("file_id"),
+    ).agg((F.count(F.lit(1)) * _ROW_BYTES).alias("bytes"))
+    w = (
+        Window.partitionBy("part_month")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.select(
+        "part_month",
+        "file_id",
+        "bytes",
+        F.floor((F.sum("bytes").over(w) - F.col("bytes")) / _TARGET_BYTES)
+        .cast("int")
+        .alias("compaction_group"),
+    )
+    return planned.groupBy("part_month", "compaction_group").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("long").alias("group_bytes"),
     )

@@ -100,3 +100,47 @@ def test_rrf_fuses_both_rankers(spark, sf_small):
         if r.rank_vec is not None:
             expect += 1.0 / (60 + r.rank_vec)
         assert abs(r.rrf_score - expect) < 1e-9, r
+
+
+def test_substring_spans_catch_planted_boilerplate(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import q_dedup_substring_spans
+
+    rows = q_dedup_substring_spans(spark, sf_small).collect()
+    docs = load_table(spark, sf_small, "documents")
+    n_planted = docs.filter(F.col("doc_id") % 9 == 0).count()
+    # The planted 22-token boilerplate yields 22-20+1 = 3 fully-internal
+    # window keys shared by every planted doc.
+    full_spread = [r for r in rows if r.n_docs == n_planted]
+    assert len(full_spread) >= 3, (len(full_spread), n_planted)
+    for r in rows:
+        assert r.n_occurrences >= r.n_docs >= 2
+
+
+def test_skew_diag_loads_sum_to_parallelism(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import q_diag_skew_partitions
+
+    rows = q_diag_skew_partitions(spark, sf_small).collect()
+    assert len(rows) <= 32
+    total_ratio = sum(r.load_ratio for r in rows)
+    assert abs(total_ratio - 32.0) < 1e-6  # ratios partition the load
+    assert sum(r.n_rows for r in rows) == load_table(
+        spark, sf_small, "orders"
+    ).count()
+
+
+def test_compaction_groups_reach_target(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import (
+        _TARGET_BYTES,
+        q_maintenance_compaction_plan,
+    )
+
+    rows = q_maintenance_compaction_plan(spark, sf_small).collect()
+    by_month = {}
+    for r in rows:
+        by_month.setdefault(r.part_month, []).append(r)
+    for month, groups in by_month.items():
+        groups.sort(key=lambda r: r.compaction_group)
+        # Next-fit property: every group that was CLOSED (i.e. all but the
+        # partition's last) must have reached the target size.
+        for g in groups[:-1]:
+            assert g.group_bytes >= _TARGET_BYTES, (month, g)
