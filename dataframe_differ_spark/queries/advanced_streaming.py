@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from dataframe_differ_spark.queries import register
 from dataframe_differ_spark.sources.replay import incremental_events_stream
+from dataframe_differ_spark.streaming import STREAM_CONF_LOCK
 from dataframe_differ_spark.streaming.foreach_batch import UpsertMergeSink
 
 
@@ -42,20 +43,21 @@ def q_stream_replay_incremental(spark, sf_dir):
     )
     name = f"replay_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ddspark_ckpt_{name}")
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    with STREAM_CONF_LOCK:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)
 
 
@@ -77,21 +79,25 @@ def q_stream_foreach_batch(spark, sf_dir):
     s = incremental_events_stream(
         spark, sf_dir, n_files=8, files_per_trigger=2
     ).select("user_id", "ts", "event_id", "value")
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            s.writeStream.foreachBatch(sink)
-            .option(
-                "checkpointLocation",
-                os.path.join(tempfile.gettempdir(), f"ddspark_ckpt_fb_{uuid.uuid4().hex[:8]}"),
+    with STREAM_CONF_LOCK:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                s.writeStream.foreachBatch(sink)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(
+                        tempfile.gettempdir(),
+                        f"ddspark_ckpt_fb_{uuid.uuid4().hex[:8]}",
+                    ),
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     # Older snapshot versions are dead after the final merge; drop them so
     # repeated runs don't accumulate (the live version backs the result).
     for d in os.listdir(base):

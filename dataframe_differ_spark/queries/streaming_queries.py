@@ -24,6 +24,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.streaming import STREAM_CONF_LOCK
 from dataframe_differ_spark.queries.relational import SQL_DSUM, dsum
 from dataframe_differ_spark.tables import load_table
 
@@ -178,20 +179,21 @@ def _run_to_memory(df, name_prefix: str, mode: str = "complete"):
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ddspark_ckpt_{name}")
     spark = df.sparkSession
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    with STREAM_CONF_LOCK:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return name
 
 

@@ -20,7 +20,10 @@ micro-batch sized to the cluster.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +31,7 @@ from pyspark.sql import functions as F
 from dataframe_differ_spark.tables import load_table
 
 _SPLIT_CACHE: dict[tuple[str, int], str] = {}
+_SPLIT_LOCK = threading.Lock()
 
 
 def split_events_files(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
@@ -38,23 +42,35 @@ def split_events_files(spark: SparkSession, sf_dir: str, n_files: int = 8) -> st
     schema without the nanosAsLong detour. Files are hash-split on
     event_id: deterministic, and every micro-batch sees a mix of users and
     event times (like a real arrival stream, no artificial time ordering).
+
+    Publication is race-safe (the bench pipelines queries on threads, and
+    two replay queries share this cache): the split is written to a unique
+    temp dir and atomically renamed into place; losers discard their copy.
+    A lock serializes in-process callers so only one Spark write runs.
     """
     key = (os.path.abspath(sf_dir), n_files)
-    if key in _SPLIT_CACHE and os.path.isdir(_SPLIT_CACHE[key]):
-        return _SPLIT_CACHE[key]
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"ddspark_events_split_{abs(hash(key)) % 10**10}_{n_files}",
-    )
-    if not os.path.isdir(out) or not any(
-        f.endswith(".parquet") for f in os.listdir(out)
-    ):
-        e = load_table(spark, sf_dir, "events").withColumn(
-            "ts", F.col("ts").cast("timestamp")
+    with _SPLIT_LOCK:
+        if key in _SPLIT_CACHE and os.path.isdir(_SPLIT_CACHE[key]):
+            return _SPLIT_CACHE[key]
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"ddspark_events_split_{abs(hash(key)) % 10**10}_{n_files}",
         )
-        e.repartition(n_files, "event_id").write.mode("overwrite").parquet(out)
-    _SPLIT_CACHE[key] = out
-    return out
+        if not os.path.isdir(out) or not any(
+            f.endswith(".parquet") for f in os.listdir(out)
+        ):
+            tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+            e = load_table(spark, sf_dir, "events").withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+            e.repartition(n_files, "event_id").write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, out)  # atomic publish
+            except OSError:
+                # Another PROCESS published first; its copy is complete.
+                shutil.rmtree(tmp, ignore_errors=True)
+        _SPLIT_CACHE[key] = out
+        return out
 
 
 def incremental_events_stream(
