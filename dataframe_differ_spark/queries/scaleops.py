@@ -874,3 +874,173 @@ def q_maintenance_compaction_plan(spark, sf_dir):
         F.count(F.lit(1)).alias("n_files"),
         F.sum("bytes").cast("long").alias("group_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Observed metrics: data-quality counters without a second scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_observe_metrics",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(floor(o_totalprice * 100)) AS BIGINT) AS revenue_cents,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonpositive
+FROM orders
+""",
+)
+def q_pipeline_observe_metrics(spark, sf_dir):
+    """DataFrame.observe: pipeline data-quality counters collected as a
+    side effect of a pass the job was running anyway.
+
+    The production pattern: a 100 TB export job attaches `observe` metrics
+    (row counts, control totals, violation counters) to its main scan and
+    the driver reads them from the completed action — NO second scan, no
+    `.count()`-then-`.write()` double read. Here the observed pass is a
+    noop-sink write of orders; the returned 1-row DataFrame is the metric
+    record a pipeline would ship to its monitoring store, hash-checked
+    against the oracle computing the same aggregates directly. Metrics
+    use floor-cents control totals (exact integer math) — the same device
+    as `diff_agg_reconcile` — so reconciliation across engines is exact.
+    """
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("revenue_cents"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_nonpositive"
+        ),
+    )
+    # The "real work" whose scan the metrics piggyback on.
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["revenue_cents"],
+                m["min_price"],
+                m["max_price"],
+                m["n_nonpositive"],
+            )
+        ],
+        "n_rows long, revenue_cents long, min_price double, max_price double,"
+        " n_nonpositive long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: 64-dim float vectors -> 32-bit PQ codes
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = 8  # dims per subspace
+_PQ_K = 16  # centroids per subspace (4 bits)
+
+# Sequential-fold squared L2 distance between two 8-dim lists (DuckDB).
+_SQL_PQ_D2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform(range(1, {_PQ_DSUB + 1}), "
+    "i -> (v[i] - c[i]) * (v[i] - c[i]))), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "vec_pq_codes",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+seeds AS (
+  SELECT e, CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS cid
+  FROM base
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}),
+subsp AS (SELECT unnest(range({_PQ_M})) AS s),
+cent AS (
+  SELECT cid, s, e[s * {_PQ_DSUB} + 1 : s * {_PQ_DSUB} + {_PQ_DSUB}] AS c
+  FROM seeds CROSS JOIN subsp),
+subs AS (
+  SELECT vec_id, s, e[s * {_PQ_DSUB} + 1 : s * {_PQ_DSUB} + {_PQ_DSUB}] AS v
+  FROM base CROSS JOIN subsp),
+d AS (
+  SELECT vec_id, subs.s, cid, {_SQL_PQ_D2} AS d2
+  FROM subs JOIN cent ON subs.s = cent.s),
+best AS (
+  SELECT vec_id, s, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+  FROM d)
+SELECT vec_id,
+       CAST(SUM(CAST(cid - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * s))) AS BIGINT) AS pq_code,
+       CAST(SUM(CAST(ROUND(d2, 9) AS DECIMAL(20,9))) AS DOUBLE)
+         AS recon_err_sq
+FROM best WHERE rn = 1 GROUP BY vec_id
+""",
+)
+def q_vec_pq_codes(spark, sf_dir):
+    """Product quantization: encode each 64-dim vector as a 32-bit PQ code
+    (8 subspaces x 4-bit centroid ids) + its reconstruction error.
+
+    The vector-compression layer under ANN at 100 TB (Jégou et al. 2011):
+    raw float32 vectors are 256 B; PQ codes are 4 B — a 64x shrink that
+    lets a billion-vector index live in executor memory, with asymmetric
+    distances computed code-vs-query via a 16-entry lookup table per
+    subspace. Codebooks here are md5-seeded sample vectors (deterministic
+    in both engines — production would refine them with the Lloyd
+    iterations `_ivf_index` demonstrates); encoding is the real plan: the
+    128-row codebook broadcasts, each vector's 8 subvectors argmin over
+    16 centroids (ties broken by centroid id), codes pack by integer
+    shifts, and per-subspace errors sum via decimal(20,9) so the total is
+    order-independent and exact cross-engine.
+    """
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = (
+        base.select(F.row_number().over(w).alias("cid"), "e")
+        .filter(F.col("cid") <= _PQ_K)
+    )
+    subsp = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    cent = seeds.select("cid", "e", subsp).select(
+        "cid",
+        "s",
+        F.expr(f"slice(e, s * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("c"),
+    )
+    subs = base.select("vec_id", "e", subsp).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(e, s * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("v"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    d = subs.join(F.broadcast(cent), "s").select("vec_id", "s", "cid", d2.alias("d2"))
+    best = d.select(
+        "vec_id",
+        "s",
+        "cid",
+        "d2",
+        F.row_number()
+        .over(Window.partitionBy("vec_id", "s").orderBy("d2", "cid"))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.sum(F.expr("CAST(cid - 1 AS BIGINT) * shiftleft(CAST(1 AS BIGINT), 4 * s)"))
+        .cast("long")
+        .alias("pq_code"),
+        F.sum(F.round("d2", 9).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("recon_err_sq"),
+    )

@@ -588,3 +588,96 @@ def q_source_python_datasource(spark, sf_dir):
         F.sum("amount_cents").alias("total_cents"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+_PYSINK_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(floor(o_totalprice * 1000000)) AS BIGINT) AS revenue_micros
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("sink_python_datasource", oracle=_PYSINK_SQL)
+def q_sink_python_datasource(spark, sf_dir):
+    """B-layer: a custom SINK via Spark 4's Python DataSource writer API —
+    the write-side twin of `source_python_datasource`.
+
+    The connector shape for systems Spark has no built-in writer for
+    (feature stores, JDBC-less services, bespoke formats): a
+    DataSource/DataSourceWriter pair whose ``write(iterator)`` runs ON THE
+    EXECUTORS, one call per partition, emitting a jsonl file each — the
+    driver only sees the commit messages (real connectors use them for
+    2-phase commit; `abort` is the rollback hook). The round-trip is
+    verified end-to-end: aggregate → custom sink → spark.read back →
+    hash-match against the oracle computing the same aggregate directly.
+    Classes are in-line so cloudpickle ships them by value to a
+    driver-owned session's workers.
+    """
+    import json
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"ddspark_pysink_{_uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+            import uuid as _u
+
+            stem = f"part-{_u.uuid4().hex}"
+            tmp = _os.path.join(self.path, f"_{stem}.tmp")
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+            # Task-level atomic publish: dot/underscore-prefixed files are
+            # invisible to Spark readers, so the rename IS the commit.
+            _os.rename(tmp, _os.path.join(self.path, f"{stem}.jsonl"))
+            return WriterCommitMessage()
+
+        def commit(self, messages):
+            return None
+
+        def abort(self, messages):
+            return None
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "ddspark_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options)
+
+    spark.dataSource.register(JsonlSink)
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(1000000.0))).alias(
+                "revenue_micros"
+            ),
+        )
+    )
+    (
+        agg.write.format("ddspark_jsonl_sink")
+        .mode("append")
+        .option("path", out_dir)
+        .save()
+    )
+    return spark.read.schema(
+        "o_orderstatus string, n_orders long, revenue_micros long"
+    ).json(out_dir)

@@ -144,3 +144,60 @@ def test_compaction_groups_reach_target(spark, sf_small):
         # partition's last) must have reached the target size.
         for g in groups[:-1]:
             assert g.group_bytes >= _TARGET_BYTES, (month, g)
+
+
+def test_pq_codes_compress_and_reconstruct(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import (
+        _PQ_K,
+        _PQ_M,
+        q_vec_pq_codes,
+    )
+
+    rows = q_vec_pq_codes(spark, sf_small).collect()
+    n_vecs = load_table(spark, sf_small, "embeddings").count()
+    assert len(rows) == n_vecs  # every vector got a code
+    limit = 1 << (4 * _PQ_M)
+    for r in rows:
+        assert 0 <= r.pq_code < limit  # 32-bit code space
+        assert r.recon_err_sq >= 0.0
+        # Unpack: each nibble must be a valid centroid id.
+        for s in range(_PQ_M):
+            assert 0 <= (r.pq_code >> (4 * s)) & 0xF < _PQ_K
+    # A seed vector IS one of the centroids, so at least one vector
+    # (per subspace all-self) reconstructs near-exactly.
+    assert min(r.recon_err_sq for r in rows) < 1e-12
+
+
+def test_observe_metrics_match_direct_aggregate(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import q_pipeline_observe_metrics
+
+    row = q_pipeline_observe_metrics(spark, sf_small).collect()[0]
+    orders = load_table(spark, sf_small, "orders")
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("cents"),
+    ).collect()[0]
+    assert row.n_rows == direct.n
+    assert row.revenue_cents == direct.cents
+    assert row.n_nonpositive == 0
+    assert row.min_price <= row.max_price
+
+
+def test_python_sink_roundtrip_lossless(spark, sf_small):
+    from dataframe_differ_spark.queries.udfs import q_sink_python_datasource
+
+    back = {
+        r.o_orderstatus: (r.n_orders, r.revenue_micros)
+        for r in q_sink_python_datasource(spark, sf_small).collect()
+    }
+    direct = {
+        r.o_orderstatus: (r.n, r.m)
+        for r in load_table(spark, sf_small, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(1000000.0))).alias("m"),
+        )
+        .collect()
+    }
+    assert back == direct

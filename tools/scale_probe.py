@@ -72,6 +72,15 @@ HEADLINE = [
     "dedup_incremental",
     "text_bigram_lm",
     "text_pii_redact",
+    # round-3 additions
+    "sketch_cms_topk",
+    "dedup_minhash_exact",
+    "dedup_substring_spans",
+    "retrieval_hybrid_rrf",
+    "drift_psi",
+    "diag_skew_partitions",
+    "maintenance_compaction_plan",
+    "dedup_clusters",
 ]
 
 
