@@ -270,10 +270,10 @@ _SQL_MH_HASH = (
 )
 
 
-@register(
-    "dedup_minhash_exact",
-    oracle=f"""
-WITH corpus AS (
+# Shared oracle CTE chain: planted corpus → shingles → portable MinHash
+# signatures → LSH bands → candidate pairs. Reused by `dedup_minhash_exact`
+# (pair estimates) and `dedup_pipeline_e2e` (CC clustering over the pairs).
+_SQL_MH_CTES = f"""corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000 AS doc_id,
@@ -300,35 +300,12 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-est AS (
-  SELECT c.doc_a, c.doc_b,
-         AVG(CASE WHEN sa.s = sb.s THEN 1.0 ELSE 0.0 END) AS est_jaccard
-  FROM cand c
-  JOIN sigs sa ON sa.doc_id = c.doc_a
-  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
-  GROUP BY c.doc_a, c.doc_b)
-SELECT doc_a, doc_b, ROUND(est_jaccard, 6) AS est_jaccard FROM est
-""",
-)
-def q_dedup_minhash_exact(spark, sf_dir):
-    """MinHash-LSH near-dup detection with PORTABLE signatures — the
-    full-oracle sibling of `dedup_near` (whose xxhash64 signatures are
-    Spark-internal and therefore rows-only).
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
 
-    Signature: 16 independent min-hashes of the doc's distinct 3-gram
-    shingles, each h_j = 48 bits of md5("j~shingle") — identical integer
-    in both engines, so signatures, LSH bands (4 x 4), candidate pairs AND
-    the per-pair Jaccard estimate (matching-signature fraction) all
-    hash-match the oracle exactly. Corpus is documents plus planted
-    near-dups (every 11th doc re-added with its first two tokens dropped,
-    doc_id + 100000) so the banding provably fires.
 
-    Scale shape: signature build is explode + groupBy(doc, j) min — one
-    shuffle keyed by doc; candidates come from the (band, bkey) equi-join
-    — sub-linear, no all-pairs; estimate joins 16-row signature slices of
-    candidates only. At 100 TB the band tables are the materialized index.
-    """
+def _mh_parts(spark, sf_dir):
+    """Spark half of the shared MinHash chain (_SQL_MH_CTES twin): returns
+    (corpus, sigs, cand) for the planted-dup documents corpus."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = (
         docs.filter(F.col("doc_id") % 11 == 0)
@@ -402,6 +379,42 @@ def q_dedup_minhash_exact(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return corpus, sigs, cand
+
+
+@register(
+    "dedup_minhash_exact",
+    oracle=f"""
+WITH {_SQL_MH_CTES},
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         AVG(CASE WHEN sa.s = sb.s THEN 1.0 ELSE 0.0 END) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, ROUND(est_jaccard, 6) AS est_jaccard FROM est
+""",
+)
+def q_dedup_minhash_exact(spark, sf_dir):
+    """MinHash-LSH near-dup detection with PORTABLE signatures — the
+    full-oracle sibling of `dedup_near` (whose xxhash64 signatures are
+    Spark-internal and therefore rows-only).
+
+    Signature: 16 independent min-hashes of the doc's distinct 3-gram
+    shingles, each h_j = 48 bits of md5("j~shingle") — identical integer
+    in both engines, so signatures, LSH bands (4 x 4), candidate pairs AND
+    the per-pair Jaccard estimate (matching-signature fraction) all
+    hash-match the oracle exactly. Corpus is documents plus planted
+    near-dups (every 11th doc re-added with its first two tokens dropped,
+    doc_id + 100000) so the banding provably fires.
+
+    Scale shape: signature build is explode + groupBy(doc, j) min — one
+    shuffle keyed by doc; candidates come from the (band, bkey) equi-join
+    — sub-linear, no all-pairs; estimate joins 16-row signature slices of
+    candidates only. At 100 TB the band tables are the materialized index.
+    """
+    corpus, sigs, cand = _mh_parts(spark, sf_dir)
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     return (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
@@ -955,54 +968,12 @@ _SQL_PQ_D2 = (
 )
 
 
-@register(
-    "vec_pq_codes",
-    oracle=f"""
-WITH base AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings),
-seeds AS (
-  SELECT e, CAST(row_number() OVER (
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS cid
-  FROM base
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}),
-subsp AS (SELECT unnest(range({_PQ_M})) AS s),
-cent AS (
-  SELECT cid, s, e[s * {_PQ_DSUB} + 1 : s * {_PQ_DSUB} + {_PQ_DSUB}] AS c
-  FROM seeds CROSS JOIN subsp),
-subs AS (
-  SELECT vec_id, s, e[s * {_PQ_DSUB} + 1 : s * {_PQ_DSUB} + {_PQ_DSUB}] AS v
-  FROM base CROSS JOIN subsp),
-d AS (
-  SELECT vec_id, subs.s, cid, {_SQL_PQ_D2} AS d2
-  FROM subs JOIN cent ON subs.s = cent.s),
-best AS (
-  SELECT vec_id, s, cid, d2,
-         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
-  FROM d)
-SELECT vec_id,
-       CAST(SUM(CAST(cid - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * s))) AS BIGINT) AS pq_code,
-       CAST(SUM(CAST(ROUND(d2, 9) AS DECIMAL(20,9))) AS DOUBLE)
-         AS recon_err_sq
-FROM best WHERE rn = 1 GROUP BY vec_id
-""",
-)
-def q_vec_pq_codes(spark, sf_dir):
-    """Product quantization: encode each 64-dim vector as a 32-bit PQ code
-    (8 subspaces x 4-bit centroid ids) + its reconstruction error.
-
-    The vector-compression layer under ANN at 100 TB (Jégou et al. 2011):
-    raw float32 vectors are 256 B; PQ codes are 4 B — a 64x shrink that
-    lets a billion-vector index live in executor memory, with asymmetric
-    distances computed code-vs-query via a 16-entry lookup table per
-    subspace. Codebooks here are md5-seeded sample vectors (deterministic
-    in both engines — production would refine them with the Lloyd
-    iterations `_ivf_index` demonstrates); encoding is the real plan: the
-    128-row codebook broadcasts, each vector's 8 subvectors argmin over
-    16 centroids (ties broken by centroid id), codes pack by integer
-    shifts, and per-subspace errors sum via decimal(20,9) so the total is
-    order-independent and exact cross-engine.
-    """
+# Shared SQL CTE chain for the PQ codebook + nearest-centroid assignment
+# (twin of _pq_parts below); reused by `vec_pq_codes` and `vec_pq_adc_topk`.
+def _pq_parts(spark, sf_dir):
+    """Spark half of the PQ chain: returns (base, cent, best) — raw
+    vectors, the broadcast 128-row codebook, and each vector's per-subspace
+    nearest-centroid assignment (ties broken by centroid id)."""
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -1036,6 +1007,62 @@ def q_vec_pq_codes(spark, sf_dir):
         .over(Window.partitionBy("vec_id", "s").orderBy("d2", "cid"))
         .alias("rn"),
     ).filter(F.col("rn") == 1)
+    return base, cent, best
+
+
+# DuckDB twin of _pq_parts: the codebook + assignment CTE chain.
+_SQL_PQ_CTES = f"""base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+seeds AS (
+  SELECT e, CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS cid
+  FROM base
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}),
+subsp AS (SELECT unnest(range({_PQ_M})) AS s),
+cent AS (
+  SELECT cid, s, e[s * {_PQ_DSUB} + 1 : s * {_PQ_DSUB} + {_PQ_DSUB}] AS c
+  FROM seeds CROSS JOIN subsp),
+subs AS (
+  SELECT vec_id, s, e[s * {_PQ_DSUB} + 1 : s * {_PQ_DSUB} + {_PQ_DSUB}] AS v
+  FROM base CROSS JOIN subsp),
+d AS (
+  SELECT vec_id, subs.s, cid, {_SQL_PQ_D2} AS d2
+  FROM subs JOIN cent ON subs.s = cent.s),
+best AS (
+  SELECT vec_id, s, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+  FROM d)"""
+
+
+@register(
+    "vec_pq_codes",
+    oracle=f"""
+WITH {_SQL_PQ_CTES}
+SELECT vec_id,
+       CAST(SUM(CAST(cid - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * s))) AS BIGINT) AS pq_code,
+       CAST(SUM(CAST(ROUND(d2, 9) AS DECIMAL(20,9))) AS DOUBLE)
+         AS recon_err_sq
+FROM best WHERE rn = 1 GROUP BY vec_id
+""",
+)
+def q_vec_pq_codes(spark, sf_dir):
+    """Product quantization: encode each 64-dim vector as a 32-bit PQ code
+    (8 subspaces x 4-bit centroid ids) + its reconstruction error.
+
+    The vector-compression layer under ANN at 100 TB (Jégou et al. 2011):
+    raw float32 vectors are 256 B; PQ codes are 4 B — a 64x shrink that
+    lets a billion-vector index live in executor memory, with asymmetric
+    distances computed code-vs-query via a 16-entry lookup table per
+    subspace. Codebooks here are md5-seeded sample vectors (deterministic
+    in both engines — production would refine them with the Lloyd
+    iterations `_ivf_index` demonstrates); encoding is the real plan: the
+    128-row codebook broadcasts, each vector's 8 subvectors argmin over
+    16 centroids (ties broken by centroid id), codes pack by integer
+    shifts, and per-subspace errors sum via decimal(20,9) so the total is
+    order-independent and exact cross-engine.
+    """
+    base, cent, best = _pq_parts(spark, sf_dir)
     return best.groupBy("vec_id").agg(
         F.sum(F.expr("CAST(cid - 1 AS BIGINT) * shiftleft(CAST(1 AS BIGINT), 4 * s)"))
         .cast("long")
@@ -1043,4 +1070,176 @@ def q_vec_pq_codes(spark, sf_dir):
         F.sum(F.round("d2", 9).cast("decimal(20,9)"))
         .cast("double")
         .alias("recon_err_sq"),
+    )
+
+
+@register(
+    "dedup_pipeline_e2e",
+    oracle=f"""
+WITH RECURSIVE {_SQL_MH_CTES},
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+verts AS (SELECT DISTINCT doc_id AS v FROM corpus),
+reach(v, label) AS (
+  SELECT v, v AS label FROM verts
+  UNION
+  SELECT und.dst AS v, reach.label
+  FROM reach JOIN und ON reach.v = und.src
+),
+comp AS (SELECT v, MIN(label) AS canonical_id FROM reach GROUP BY v)
+SELECT canonical_id,
+       COUNT(*) AS n_members,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+FROM comp GROUP BY canonical_id
+HAVING COUNT(*) > 1
+""",
+)
+def q_dedup_pipeline_e2e(spark, sf_dir):
+    """END-TO-END near-dup dedup: MinHash-LSH candidates → connected
+    components → keep-min canonical per cluster — the full production
+    recipe (candidates, transitive grouping, canonical election) in one
+    query, FULL-oracle.
+
+    Composes the two verified halves: `_mh_parts` (portable-signature
+    LSH candidate pairs over the planted corpus) feeds the same
+    O(diameter) min-label propagation loop as `dedup_clusters`; the
+    oracle replays the identical pair graph through a recursive CTE. The
+    output is the dedup work order — each duplicate cluster's canonical
+    (min) doc_id, its size, and how many docs a down-stream filter would
+    drop. At 100 TB: candidates are bucket-bound (no all-pairs), the CC
+    loop is O(diameter) distributed joins with localCheckpoint lineage
+    cuts, and the final keep-set join is a broadcast of cluster ids.
+    """
+    corpus, _sigs, cand = _mh_parts(spark, sf_dir)
+    vertices = corpus.select(F.col("doc_id").alias("v")).distinct()
+    edges = cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    undirected = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = vertices.withColumn("label", F.col("v"))
+    for _ in range(10):  # bound >> expected diameter of near-dup clusters
+        neighbor_min = (
+            undirected.join(labels, undirected.src == labels.v)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.dst, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "__chg"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .select(
+            "canonical_id",
+            "n_members",
+            (F.col("n_members") - 1).cast("long").alias("n_removed"),
+        )
+    )
+
+
+# DuckDB: squared L2 between the query subvector q.v and a centroid c.
+_SQL_PQ_QD2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform(range(1, {_PQ_DSUB + 1}), "
+    "i -> (qv[i] - c[i]) * (qv[i] - c[i]))), (acc, x) -> acc + x)"
+)
+# DuckDB: full 64-dim squared L2 between a vector and the query vector.
+_SQL_PQ_EXACT_D2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), "
+    "i -> (e[i] - qe[i]) * (e[i] - qe[i]))), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "vec_pq_adc_topk",
+    oracle=f"""
+WITH {_SQL_PQ_CTES},
+q AS (SELECT e AS qe FROM base WHERE vec_id = 0),
+qsubs AS (
+  SELECT s, qe[s * {_PQ_DSUB} + 1 : s * {_PQ_DSUB} + {_PQ_DSUB}] AS qv
+  FROM q CROSS JOIN subsp),
+lut AS (
+  SELECT qsubs.s, cid, {_SQL_PQ_QD2} AS qd2
+  FROM qsubs JOIN cent ON qsubs.s = cent.s),
+adc AS (
+  SELECT b.vec_id,
+         CAST(SUM(CAST(ROUND(lut.qd2, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           AS adc_d2
+  FROM best b JOIN lut ON b.s = lut.s AND b.cid = lut.cid
+  WHERE b.rn = 1
+  GROUP BY b.vec_id),
+exact AS (
+  SELECT vec_id, ROUND({_SQL_PQ_EXACT_D2}, 9) AS exact_d2
+  FROM base CROSS JOIN q)
+SELECT adc.vec_id, adc.adc_d2, exact.exact_d2
+FROM adc JOIN exact ON adc.vec_id = exact.vec_id
+ORDER BY adc.adc_d2, adc.vec_id LIMIT 10
+""",
+)
+def q_vec_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) top-k search: rank the corpus against
+    a query vector using ONLY its 4-byte PQ codes plus a 128-entry lookup
+    table — the query-time half of the PQ story (`vec_pq_codes` is the
+    index-build half).
+
+    ADC(v) = sum_s LUT[s][code_s(v)], where LUT[s][c] = ||q_s - c||² is
+    computed once per query against the broadcast codebook (8 x 16
+    entries). The scan over a billion codes is then pure integer indexing
+    + 8 float adds per vector — no original vectors touched; the exact
+    distance column (computed here for the verdict) is what a production
+    re-rank stage would fetch for only the top candidates. Summation uses
+    round-to-9dp decimal partials so the total is order-independent;
+    ranking ties break on vec_id.
+    """
+    base, cent, best = _pq_parts(spark, sf_dir)
+    q = base.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    subsp = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    qsubs = q.select("qe", subsp).select(
+        "s", F.expr(f"slice(qe, s * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("qv")
+    )
+    qd2 = F.expr(
+        "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    lut = qsubs.join(cent, "s").select("s", "cid", qd2.alias("qd2"))
+    adc = (
+        best.join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round("qd2", 9).cast("decimal(20,9)"))
+            .cast("double")
+            .alias("adc_d2")
+        )
+    )
+    exact_d2 = F.expr(
+        "round(aggregate(zip_with(e, qe, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 9)"
+    )
+    exact = base.crossJoin(F.broadcast(q)).select(
+        "vec_id", exact_d2.alias("exact_d2")
+    )
+    return (
+        adc.join(exact, "vec_id")
+        .orderBy("adc_d2", "vec_id")
+        .limit(10)
+        .select("vec_id", "adc_d2", "exact_d2")
     )

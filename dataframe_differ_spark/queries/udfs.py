@@ -681,3 +681,68 @@ def q_sink_python_datasource(spark, sf_dir):
     return spark.read.schema(
         "o_orderstatus string, n_orders long, revenue_micros long"
     ).json(out_dir)
+
+
+_BINARY_DEDUP_SQL = """
+WITH blobs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text
+  FROM documents WHERE doc_id % 13 = 0
+),
+hashed AS (
+  -- DuckDB's md5 takes VARCHAR and hashes its utf-8 bytes — the same
+  -- bytes Spark's md5 sees on the encode(text,'utf-8') binary column.
+  SELECT doc_id, md5(text) AS content_hash,
+         octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM blobs
+)
+SELECT content_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc,
+       CAST(ANY_VALUE(n_bytes) AS BIGINT) AS n_bytes
+FROM hashed GROUP BY content_hash
+HAVING COUNT(*) > 1
+"""
+
+
+@register("multimodal_binary_dedup", oracle=_BINARY_DEDUP_SQL)
+def q_multimodal_binary_dedup(spark, sf_dir):
+    """Content-hash dedup of binary media payloads: md5 over the raw
+    bytes, group, keep the min-id canonical — the first pass every
+    multimodal ingest runs (exact byte-identical images/audio are the
+    bulk of crawl duplication, and the hash costs one scan).
+
+    Payloads are the documents' utf-8 bytes standing in for media blobs
+    (same stub convention as `multimodal_features`); every 13th payload is
+    re-added under a shifted id so duplicate groups provably exist. The
+    shuffle key is the 128-bit content hash — uniform by construction, no
+    skew regardless of how many copies of one asset exist... except the
+    pathological all-identical case, which the group count surfaces. At
+    100 TB the hash is computed at ingest and stored as a column, making
+    re-dedup a groupBy over a few TB of hashes, not a re-read of the
+    blobs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    hashed = blobs.select(
+        "doc_id",
+        F.md5("payload").alias("content_hash"),
+        F.octet_length("payload").alias("n_bytes"),
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.any_value("n_bytes").cast("long").alias("n_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

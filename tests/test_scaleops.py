@@ -201,3 +201,49 @@ def test_python_sink_roundtrip_lossless(spark, sf_small):
         .collect()
     }
     assert back == direct
+
+
+def test_e2e_dedup_clusters_contain_planted_chains(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import q_dedup_pipeline_e2e
+
+    rows = q_dedup_pipeline_e2e(spark, sf_small).collect()
+    by_canon = {r.canonical_id: r for r in rows}
+    docs = load_table(spark, sf_small, "documents")
+    planted = [r.doc_id for r in docs.filter(F.col("doc_id") % 11 == 0).collect()]
+    # Most planted (doc, doc+100000) pairs must have merged into a cluster
+    # whose canonical is the original (minimum) id.
+    found = sum(1 for d in planted if d in by_canon and by_canon[d].n_members >= 2)
+    assert found >= 0.6 * len(planted), (found, len(planted))
+    for r in rows:
+        assert r.n_removed == r.n_members - 1
+
+
+def test_adc_ranks_close_to_exact(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import q_vec_pq_adc_topk
+
+    rows = q_vec_pq_adc_topk(spark, sf_small).collect()
+    assert len(rows) == 10
+    # ADC is sorted ascending; the query vector itself must rank first
+    # (its quantized distance is its own reconstruction error — tiny).
+    assert rows[0].vec_id == 0
+    assert rows[0].exact_d2 == 0.0
+    adcs = [r.adc_d2 for r in rows]
+    assert adcs == sorted(adcs)
+    # Quantized distance can't be wildly detached from the exact one for
+    # the nearest hits (both are squared L2 in the same space).
+    for r in rows[1:]:
+        assert r.adc_d2 > 0
+
+
+def test_binary_dedup_groups_planted_copies(spark, sf_small):
+    from dataframe_differ_spark.queries.udfs import q_multimodal_binary_dedup
+
+    rows = q_multimodal_binary_dedup(spark, sf_small).collect()
+    docs = load_table(spark, sf_small, "documents")
+    n_planted = docs.filter(F.col("doc_id") % 13 == 0).count()
+    # Every planted copy must land in a duplicate group whose canonical is
+    # the original doc (min id), unless two originals shared identical
+    # text already (then the group is just bigger).
+    assert sum(r.n_copies - 1 for r in rows) >= n_planted
+    for r in rows:
+        assert r.canonical_doc < 300000
