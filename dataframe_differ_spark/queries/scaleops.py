@@ -1243,3 +1243,88 @@ def q_vec_pq_adc_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", "adc_d2", "exact_d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-centroid drift between cohorts (model/feature monitoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_drift_centroid",
+    oracle="""
+WITH ex AS (
+  SELECT label,
+         substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS is_a,
+         CAST(t.i AS INTEGER) AS dim,
+         e[CAST(t.i AS INT) + 1] AS x
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       UNNEST(range(64)) AS t(i)),
+m AS (
+  SELECT label, dim,
+         CAST(SUM(CASE WHEN is_a
+                       THEN CAST(FLOOR(x * 1000000.0) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE)
+           / NULLIF(SUM(CASE WHEN is_a THEN 1 ELSE 0 END), 0) AS ma,
+         CAST(SUM(CASE WHEN is_a THEN 0
+                       ELSE CAST(FLOOR(x * 1000000.0) AS BIGINT)
+                       END) AS DOUBLE)
+           / NULLIF(SUM(CASE WHEN is_a THEN 0 ELSE 1 END), 0) AS mb,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM ex GROUP BY label, dim)
+SELECT label,
+       MAX(na) AS n_a,
+       MAX(nb) AS n_b,
+       ROUND(sqrt(CAST(SUM(CAST(ROUND((ma - mb) * (ma - mb), 6)
+                                AS DECIMAL(38,6))) AS DOUBLE)), 9)
+         AS drift_micro
+FROM m GROUP BY label
+""",
+)
+def q_emb_drift_centroid(spark, sf_dir):
+    """Embedding-centroid drift monitor: per label, the L2 distance
+    between the md5-cohort-A and cohort-B centroids (in micro-units).
+
+    The ML-ops screen for a re-embedded or re-trained corpus: if a new
+    model (or a data shift) moved a label's centroid, this catches it in
+    one scan. The centroid means use the `emb_dim_stats` parity device —
+    FLOOR-quantized micro-units summed as BIGINT are exactly reproducible
+    under any partial-aggregation order — so the per-dim deltas are
+    deterministic doubles; the squared deltas sum via decimal(38,6)
+    partials (order-independent) and the final sqrt is IEEE-exact. Plan:
+    one 64x posexplode (map-side), one (label, dim) groupBy, one 4-row
+    rollup — scan-bound at any scale.
+    """
+    ex = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+        ).alias("is_a"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    micro = F.floor(F.col("x") * F.lit(1000000.0)).cast("bigint")
+    m = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.when(F.col("is_a"), micro).otherwise(F.lit(0))).cast("double")
+            / F.nullif(
+                F.sum(F.when(F.col("is_a"), 1).otherwise(0)), F.lit(0)
+            )
+        ).alias("ma"),
+        (
+            F.sum(F.when(F.col("is_a"), F.lit(0)).otherwise(micro)).cast("double")
+            / F.nullif(
+                F.sum(F.when(F.col("is_a"), 0).otherwise(1)), F.lit(0)
+            )
+        ).alias("mb"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("bigint").alias("nb"),
+    )
+    dsq = F.round((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")), 6)
+    return m.groupBy("label").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(
+            F.sqrt(F.sum(dsq.cast("decimal(38,6)")).cast("double")), 9
+        ).alias("drift_micro"),
+    )

@@ -247,3 +247,21 @@ def test_binary_dedup_groups_planted_copies(spark, sf_small):
     assert sum(r.n_copies - 1 for r in rows) >= n_planted
     for r in rows:
         assert r.canonical_doc < 300000
+
+
+def test_emb_drift_self_cohorts_small(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import q_emb_drift_centroid
+
+    rows = q_emb_drift_centroid(spark, sf_small).collect()
+    emb = load_table(spark, sf_small, "embeddings")
+    assert len(rows) == emb.select("label").distinct().count()
+    for r in rows:
+        assert r.n_a + r.n_b == emb.filter(F.col("label") == r.label).count()
+        assert r.drift_micro >= 0.0
+        # Random halves of the same distribution: the centroid gap scales
+        # as sigma*sqrt(dims*(1/n_a + 1/n_b)). With unit-norm vectors
+        # (per-dim sigma ~ 0.125 = 125k micro), 2.5e6*sqrt(1/na+1/nb)
+        # is a ~3-sigma envelope — a real model shift (~0.5/dim -> 4e6
+        # L2) would blow through it at any cohort size.
+        bound = 2.5e6 * (1.0 / r.n_a + 1.0 / r.n_b) ** 0.5
+        assert r.drift_micro < bound, (r, bound)
