@@ -1,10 +1,14 @@
-"""Round-3 scale operators: sketches, skew handling, layout, drift.
+"""Round-3 scale operators: sketches, dedup, retrieval, layout, drift.
 
 Each query here exists because of its 100 TB execution strategy, not just
-its answer: mergeable sketches (count-min), physical
-data layout (z-order), equi-depth histograms, and distribution-drift
-screens are the operators a training-data pipeline leans on when the naive
-plan stops fitting. Every one is deterministic and full-oracle: the
+its answer: mergeable sketches (count-min), portable MinHash-LSH and
+repeated-substring dedup (plus the end-to-end LSH→connected-components→
+canonical pipeline), hybrid BM25+dense RRF retrieval, product quantization
+(codes + ADC search), physical data layout (z-order), equi-depth
+histograms, distribution/embedding drift screens, reducer-load diagnosis,
+compaction planning, and observe-metrics collection are the operators a
+training-data pipeline leans on when the naive plan stops fitting. Every
+one is deterministic and full-oracle: the
 "approximate" structures (CMS, MinHash) are built from portable md5-derived
 hashes so DuckDB constructs the *identical* sketch and the estimate itself
 hash-matches (the same trick the round-2 verdict asked for on HLL, applied

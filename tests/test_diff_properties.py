@@ -124,3 +124,26 @@ def test_fastss_deletion_blocking_is_a_superset(a: str, b: str):
     # edit-distance variety; the claim must hold for EVERY pair.
     if _lev(a, b) <= 2:
         assert _del_neighborhood(a) & _del_neighborhood(b), (a, b)
+
+
+def test_morton_interleave_is_bijective_and_bounded():
+    """Pure-Python replica of scaleops._Z_SQL: the unrolled bit-interleave
+    must be a bijection [0,256)^2 -> [0,65536) — otherwise z-ordering
+    would collapse distinct (cust, date) buckets into one file cell."""
+    def z(bx, by):
+        acc = 0
+        for i in range(8):
+            acc += ((bx >> i) & 1) * (1 << (2 * i + 1))
+            acc += ((by >> i) & 1) * (1 << (2 * i))
+        return acc
+
+    seen = set()
+    for bx in range(256):
+        for by in range(256):
+            v = z(bx, by)
+            assert 0 <= v < 65536
+            seen.add(v)
+    assert len(seen) == 65536  # injective over the full domain
+
+    # Locality sanity: adjacent x cells at equal y differ only in x bits.
+    assert z(3, 5) != z(5, 3)  # asymmetric by construction
