@@ -1332,3 +1332,68 @@ def q_emb_drift_centroid(spark, sf_dir):
             F.sqrt(F.sum(dsq.cast("decimal(38,6)")).cast("double")), 9
         ).alias("drift_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch set algebra: HLL inclusion-exclusion intersection estimate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_set_intersect_est",
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE year(o_orderdate) = 1995),
+     b AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE year(o_orderdate) = 1996)
+SELECT (SELECT COUNT(*) FROM a) AS exact_a,
+       (SELECT COUNT(*) FROM b) AS exact_b,
+       (SELECT COUNT(*) FROM (SELECT o_custkey FROM a
+                              UNION SELECT o_custkey FROM b)) AS exact_union,
+       (SELECT COUNT(*) FROM a JOIN b USING (o_custkey)) AS exact_inter,
+       TRUE AS inter_within_bound
+""",
+)
+def q_sketch_set_intersect_est(spark, sf_dir):
+    """Sketch set algebra: estimate |A∩B| from three HyperLogLog sketches
+    via inclusion-exclusion — no join, no shuffle of the raw keys.
+
+    A = 1995 buyers, B = 1996 buyers. Exact intersection needs a
+    distinct + join; the sketch path is |A| + |B| - |A∪B| where all three
+    cardinalities come from mergeable HLLs (the union sketch is the
+    cell-wise max of A's and B's — here recomputed by one pass with a
+    looser filter). The estimate's error compounds ~3 sketches' worth, so
+    the checkable contract is the standard one for sketches in this repo
+    (cf. `agg_approx_distinct`): exact values as full-oracle columns plus
+    a deterministic `inter_within_bound` asserting the estimate landed
+    within 5% of the exact UNION size. At 100 TB each side's sketch is a
+    few KB shipped to the driver — the exact join this query also runs
+    (as its own verifier) is the thing you no longer have to do.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    a = orders.filter(year == 1995).select("o_custkey")
+    b = orders.filter(year == 1996).select("o_custkey")
+    ab = orders.filter(year.isin(1995, 1996)).select("o_custkey")
+    exact_a = a.distinct().count()
+    exact_b = b.distinct().count()
+    exact_union = ab.distinct().count()
+    exact_inter = (
+        a.distinct().join(b.distinct(), "o_custkey").count()
+    )
+    est = (
+        a.agg(F.approx_count_distinct("o_custkey", 0.01).alias("ea"))
+        .crossJoin(b.agg(F.approx_count_distinct("o_custkey", 0.01).alias("eb")))
+        .crossJoin(
+            ab.agg(F.approx_count_distinct("o_custkey", 0.01).alias("eu"))
+        )
+        .select((F.col("ea") + F.col("eb") - F.col("eu")).alias("est_inter"))
+        .collect()[0]
+        .est_inter
+    )
+    within = abs(est - exact_inter) <= 0.05 * exact_union
+    return spark.createDataFrame(
+        [(exact_a, exact_b, exact_union, exact_inter, bool(within))],
+        "exact_a long, exact_b long, exact_union long, exact_inter long,"
+        " inter_within_bound boolean",
+    )
