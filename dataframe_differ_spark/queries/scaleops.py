@@ -902,7 +902,8 @@ def q_maintenance_compaction_plan(spark, sf_dir):
     "pipeline_observe_metrics",
     oracle="""
 SELECT COUNT(*) AS n_rows,
-       CAST(SUM(floor(o_totalprice * 100)) AS BIGINT) AS revenue_cents,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
        MIN(o_totalprice) AS min_price,
        MAX(o_totalprice) AS max_price,
        CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)

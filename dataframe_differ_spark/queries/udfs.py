@@ -611,7 +611,11 @@ def q_source_python_datasource(spark, sf_dir):
 _PYSINK_SQL = """
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
-       CAST(SUM(floor(o_totalprice * 1000000)) AS BIGINT) AS revenue_micros
+       -- cast BEFORE summing: a DOUBLE sum above 2^53 (hit at sf0.1)
+       -- rounds to even increments; the BIGINT/HUGEINT sum is exact and
+       -- matches Spark's long-typed floor sum bit-for-bit.
+       CAST(SUM(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+         AS revenue_micros
 FROM orders GROUP BY o_orderstatus
 """
 
