@@ -1398,3 +1398,83 @@ def q_sketch_set_intersect_est(spark, sf_dir):
         "exact_a long, exact_b long, exact_union long, exact_inter long,"
         " inter_within_bound boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature backfill (leakage-safe training joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_pit_features",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CAST(value AS DECIMAL(18,2)) AS v
+           FROM events),
+     o AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+           WHERE o_custkey <= 200)
+SELECT o.o_orderkey,
+       o.o_custkey,
+       COUNT(e.user_id) AS n_events_before,
+       CAST(COALESCE(SUM(e.v), 0) AS DOUBLE) AS value_before
+FROM o LEFT JOIN e
+  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+GROUP BY o.o_orderkey, o.o_custkey
+""",
+)
+def q_join_pit_features(spark, sf_dir):
+    """Point-in-time feature backfill: for each order, aggregate the
+    user's event history STRICTLY up to the order timestamp — the
+    leakage-safe join every feature store must get right when
+    materializing training data (using any event after the label's
+    timestamp is target leakage).
+
+    The oracle states the semantics as the naive range join; the Spark
+    plan is the scalable union-tag form (same device as `join_asof`):
+    events and orders interleave into ONE per-user timeline sorted by
+    (t, tag) with events tagged 0 — so a same-instant event sorts before
+    the order and is included, matching the oracle's `<=` — a running
+    window carries the count/sum, and each order row reads its features
+    off the timeline. One shuffle on the user key, no range-join
+    explosion, no per-order rescan of history. Money sums are
+    decimal(18,2)-exact so the running accumulation order is irrelevant.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("t"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").cast("timestamp").alias("t"),
+            F.lit(None).cast("decimal(18,2)").alias("v"),
+            F.lit(1).alias("is_order"),
+            "o_orderkey",
+        )
+    )
+    timeline = events.unionByName(orders)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_order", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ann = timeline.select(
+        "k",
+        "is_order",
+        "o_orderkey",
+        F.count("v").over(w).alias("n_events_before"),
+        F.sum("v").over(w).alias("v_sum"),
+    )
+    return ann.filter(F.col("is_order") == 1).select(
+        "o_orderkey",
+        F.col("k").alias("o_custkey"),
+        "n_events_before",
+        F.coalesce(F.col("v_sum"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value_before"),
+    )

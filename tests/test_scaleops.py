@@ -265,3 +265,24 @@ def test_emb_drift_self_cohorts_small(spark, sf_small):
         # L2) would blow through it at any cohort size.
         bound = 2.5e6 * (1.0 / r.n_a + 1.0 / r.n_b) ** 0.5
         assert r.drift_micro < bound, (r, bound)
+
+
+def test_pit_features_monotone_per_user(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import q_join_pit_features
+
+    rows = q_join_pit_features(spark, sf_small).collect()
+    orders = load_table(spark, sf_small, "orders")
+    assert len(rows) == orders.filter(F.col("o_custkey") <= 200).count()
+    # Within a user, later orders can only ever see MORE history.
+    od = {
+        r.o_orderkey: r.o_orderdate
+        for r in orders.select("o_orderkey", "o_orderdate").collect()
+    }
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.o_custkey, []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (od[r.o_orderkey], r.o_orderkey))
+        for a, b in zip(rs, rs[1:]):
+            assert a.n_events_before <= b.n_events_before, (u, a, b)
+            assert a.value_before <= b.value_before + 1e-9, (u, a, b)
