@@ -1119,11 +1119,18 @@ def q_dedup_pipeline_e2e(spark, sf_dir):
     cuts, and the final keep-set join is a broadcast of cluster ids.
     """
     corpus, _sigs, cand = _mh_parts(spark, sf_dir)
-    vertices = corpus.select(F.col("doc_id").alias("v")).distinct()
+    # Materialize the LSH candidate lineage ONCE: without the checkpoint
+    # every loop iteration replays the whole shingle->signature->band
+    # pipeline (measured 3x the whole-query cost at sf0.001).
+    vertices = (
+        corpus.select(F.col("doc_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     edges = cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     undirected = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = vertices.withColumn("label", F.col("v"))
     for _ in range(10):  # bound >> expected diameter of near-dup clusters
         neighbor_min = (
@@ -1148,6 +1155,9 @@ def q_dedup_pipeline_e2e(spark, sf_dir):
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    # Silent non-convergence would return partially-propagated labels
+    # that the oracle's full transitive closure contradicts — fail loud.
+    assert changed == 0, f"CC did not converge within bound ({changed} moving)"
     return (
         labels.groupBy(F.col("label").alias("canonical_id"))
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -1373,28 +1383,41 @@ def q_sketch_set_intersect_est(spark, sf_dir):
     """
     orders = load_table(spark, sf_dir, "orders")
     year = F.year("o_orderdate")
-    a = orders.filter(year == 1995).select("o_custkey")
-    b = orders.filter(year == 1996).select("o_custkey")
-    ab = orders.filter(year.isin(1995, 1996)).select("o_custkey")
-    exact_a = a.distinct().count()
-    exact_b = b.distinct().count()
-    exact_union = ab.distinct().count()
+    ab = orders.filter(year.isin(1995, 1996)).select(
+        F.col("o_custkey").alias("k"), year.alias("y")
+    )
+    # ONE scan computes all three exact cardinalities AND all three HLL
+    # sketches (conditional keys hash only their side's rows); the only
+    # second job is the exact-intersection verifier join.
+    ka = F.when(F.col("y") == 1995, F.col("k"))
+    kb = F.when(F.col("y") == 1996, F.col("k"))
+    row = ab.agg(
+        F.countDistinct(ka).alias("exact_a"),
+        F.countDistinct(kb).alias("exact_b"),
+        F.countDistinct("k").alias("exact_union"),
+        F.approx_count_distinct(ka, 0.01).alias("ea"),
+        F.approx_count_distinct(kb, 0.01).alias("eb"),
+        F.approx_count_distinct("k", 0.01).alias("eu"),
+    ).collect()[0]
     exact_inter = (
-        a.distinct().join(b.distinct(), "o_custkey").count()
+        ab.filter(F.col("y") == 1995)
+        .select("k")
+        .distinct()
+        .join(ab.filter(F.col("y") == 1996).select("k").distinct(), "k")
+        .count()
     )
-    est = (
-        a.agg(F.approx_count_distinct("o_custkey", 0.01).alias("ea"))
-        .crossJoin(b.agg(F.approx_count_distinct("o_custkey", 0.01).alias("eb")))
-        .crossJoin(
-            ab.agg(F.approx_count_distinct("o_custkey", 0.01).alias("eu"))
-        )
-        .select((F.col("ea") + F.col("eb") - F.col("eu")).alias("est_inter"))
-        .collect()[0]
-        .est_inter
-    )
-    within = abs(est - exact_inter) <= 0.05 * exact_union
+    est = row.ea + row.eb - row.eu
+    within = abs(est - exact_inter) <= 0.05 * row.exact_union
     return spark.createDataFrame(
-        [(exact_a, exact_b, exact_union, exact_inter, bool(within))],
+        [
+            (
+                row.exact_a,
+                row.exact_b,
+                row.exact_union,
+                exact_inter,
+                bool(within),
+            )
+        ],
         "exact_a long, exact_b long, exact_union long, exact_inter long,"
         " inter_within_bound boolean",
     )
@@ -1439,12 +1462,19 @@ def q_join_pit_features(spark, sf_dir):
     explosion, no per-order rescan of history. Money sums are
     decimal(18,2)-exact so the running accumulation order is irrelevant.
     """
-    events = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"),
-        F.col("ts").cast("timestamp").alias("t"),
-        F.col("value").cast("decimal(18,2)").alias("v"),
-        F.lit(0).alias("is_order"),
-        F.lit(None).cast("long").alias("o_orderkey"),
+    events = (
+        load_table(spark, sf_dir, "events")
+        # Only users that can match the filtered order leg: without this
+        # the window shuffles/sorts every other user's history just to
+        # drop it at the final is_order filter.
+        .filter(F.col("user_id") <= 200)
+        .select(
+            F.col("user_id").alias("k"),
+            F.col("ts").cast("timestamp").alias("t"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+            F.lit(0).alias("is_order"),
+            F.lit(None).cast("long").alias("o_orderkey"),
+        )
     )
     orders = (
         load_table(spark, sf_dir, "orders")
@@ -1467,7 +1497,11 @@ def q_join_pit_features(spark, sf_dir):
         "k",
         "is_order",
         "o_orderkey",
-        F.count("v").over(w).alias("n_events_before"),
+        # Count event ROWS (is_order tag), not non-null values — a
+        # null-valued event still counts in the oracle's COUNT(user_id).
+        F.count(F.when(F.col("is_order") == 0, 1)).over(w).alias(
+            "n_events_before"
+        ),
         F.sum("v").over(w).alias("v_sum"),
     )
     return ann.filter(F.col("is_order") == 1).select(

@@ -710,6 +710,9 @@ def q_dedup_clusters(spark, sf_dir):
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    # Fail loud on non-convergence: a partially-propagated labeling would
+    # silently disagree with the oracle's full transitive closure.
+    assert changed == 0, f"CC did not converge within bound ({changed} moving)"
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("cluster_size"))

@@ -11,6 +11,7 @@ proving the Arrow boundary does not change results.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import tempfile
@@ -27,6 +28,19 @@ from dataframe_differ_spark.tables import load_table
 
 
 
+_SCRATCH_DIRS: set = set()
+
+
+def _cleanup_scratch() -> None:
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
+
+
 def _scratch_dir(name: str, sf_dir: str) -> str:
     """Per-(process, sf_dir) scratch path for sink round-trip queries.
 
@@ -35,12 +49,15 @@ def _scratch_dir(name: str, sf_dir: str) -> str:
     a same-path run against a DIFFERENT sf_dir silently serves the wrong
     corpus. Keying by pid + sf_dir makes writes private to this process
     and scale factor; repeated same-process runs safely overwrite their
-    own previous output.
+    own previous output, and atexit removes the dirs so repeated runs
+    don't grow /tmp without bound.
     """
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return os.path.join(
+    d = os.path.join(
         tempfile.gettempdir(), f"ddspark_{name}_{os.getpid()}_{tag}"
     )
+    _SCRATCH_DIRS.add(d)
+    return d
 
 
 @register(
@@ -455,10 +472,16 @@ def q_join_partition_pruned(spark, sf_dir):
         try:
             os.rename(tmp, out)
         except OSError:
-            # Another process published first; ours is equivalent — drop it.
             import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                # Another process published first; ours is equivalent.
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # Rename failed for a real reason (perms, cross-device…):
+                # surface it instead of reading a path that isn't there.
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
     fact = spark.read.parquet(out)
     dim = spark.createDataFrame(
         [("F", "keep"), ("O", "drop"), ("P", "drop")], "st string, action string"
@@ -649,6 +672,7 @@ def q_sink_python_datasource(spark, sf_dir):
         tempfile.gettempdir(), f"ddspark_pysink_{_uuid.uuid4().hex[:8]}"
     )
     os.makedirs(out_dir, exist_ok=True)
+    _SCRATCH_DIRS.add(out_dir)  # fresh dir per call -> atexit reclaims all
 
     class JsonlWriter(DataSourceWriter):
         def __init__(self, options):

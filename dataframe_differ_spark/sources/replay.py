@@ -19,6 +19,7 @@ micro-batch sized to the cluster.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -52,9 +53,13 @@ def split_events_files(spark: SparkSession, sf_dir: str, n_files: int = 8) -> st
     with _SPLIT_LOCK:
         if key in _SPLIT_CACHE and os.path.isdir(_SPLIT_CACHE[key]):
             return _SPLIT_CACHE[key]
+        # Content-stable tag: Python's str hash() is per-process
+        # randomized, which would give every process a private path —
+        # defeating both the cross-process rename race handling and the
+        # on-disk reuse (each run would leak a fresh events copy).
+        tag = hashlib.md5(f"{key[0]}|{key[1]}".encode()).hexdigest()[:10]
         out = os.path.join(
-            tempfile.gettempdir(),
-            f"ddspark_events_split_{abs(hash(key)) % 10**10}_{n_files}",
+            tempfile.gettempdir(), f"ddspark_events_split_{tag}_{n_files}"
         )
         if not os.path.isdir(out) or not any(
             f.endswith(".parquet") for f in os.listdir(out)

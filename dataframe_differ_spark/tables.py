@@ -7,6 +7,8 @@ column pruning for free — every query should show ``PushedFilters`` /
 
 from __future__ import annotations
 
+import os
+import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +22,7 @@ from dataframe_differ_spark.session import configure_session
 # ~1.1 s/query of fixed planning cost). Keyed weakly by session so a
 # stopped/recreated session never serves stale plans.
 _TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+_TABLE_LOCK = threading.Lock()
 
 TABLE_NAMES = (
     "region",
@@ -40,12 +43,23 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    cache = _TABLE_CACHE.setdefault(spark, {})
-    key = (sf_dir, name)
-    if key in cache:
-        return cache[key]
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    # Key on the file identity (abspath + mtime + size), not the raw
+    # sf_dir string: regenerated testdata invalidates naturally, and
+    # "dir" vs its abspath can't duplicate entries. The lock covers
+    # bench's threaded first-misses (WeakKeyDictionary + inner dict are
+    # not thread-safe on concurrent insert).
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, 0, 0)  # let spark.read raise the real error
+    with _TABLE_LOCK:
+        cache = _TABLE_CACHE.setdefault(spark, {})
+        if key in cache:
+            return cache[key]
     configure_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet, surfaced as nanos-since-epoch
         # long (nanosAsLong conf). Truncate to µs exactly as DuckDB's
@@ -58,7 +72,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
-    cache[key] = df
+    with _TABLE_LOCK:
+        cache[key] = df
     return df
 
 

@@ -31,8 +31,11 @@ def test_scale_path_contract(registry):
     # sub-linear sibling) must name their declared 100 TB scale path, and
     # that name must be a registered query (round-2 verdict item #4: no
     # registered query may be quadratic-unbounded without a declared
-    # sibling). The known verifier set is asserted explicitly so a new
-    # brute-force query can't slip in unannotated.
+    # sibling). NOTE the limit of this guard: it validates every PRESENT
+    # annotation and pins the three known verifiers — it cannot detect a
+    # NEW unbounded all-pairs query that ships with scale_path=None
+    # (quadratic-ness isn't machine-checkable here); that remains a
+    # review-time obligation, enforced by tools/scale_probe.py ratios.
     for name, q in registry.items():
         if q.scale_path is not None:
             assert q.scale_path in registry, (
