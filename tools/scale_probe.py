@@ -81,6 +81,10 @@ HEADLINE = [
     "diag_skew_partitions",
     "maintenance_compaction_plan",
     "dedup_clusters",
+    "dedup_pipeline_e2e",
+    "join_pit_features",
+    "sketch_set_intersect_est",
+    "vec_pq_codes",
 ]
 
 
