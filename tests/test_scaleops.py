@@ -286,3 +286,32 @@ def test_pit_features_monotone_per_user(spark, sf_small):
         for a, b in zip(rs, rs[1:]):
             assert a.n_events_before <= b.n_events_before, (u, a, b)
             assert a.value_before <= b.value_before + 1e-9, (u, a, b)
+
+
+def test_streaming_conf_survives_concurrent_starts(spark, sf_small):
+    """Regression pin for the round-3 race fixes: concurrent streaming
+    starts must not leak the temporary shuffle-partition conf, and the
+    shared events split-copy must survive concurrent builders."""
+    import threading
+
+    from dataframe_differ_spark.queries import load_all
+
+    reg = load_all()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    results, errors = {}, []
+
+    def run(name):
+        try:
+            results[name] = reg[name].fn(spark, sf_small).count()
+        except Exception as e:  # surface, don't deadlock the join()
+            errors.append((name, e))
+
+    names = ["stream_replay_incremental", "stream_foreach_batch", "stream_tumbling"]
+    ts = [threading.Thread(target=run, args=(n,)) for n in names]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert all(results.get(n, 0) > 0 for n in names), results
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved

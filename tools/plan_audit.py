@@ -40,6 +40,12 @@ MUST_BROADCAST = {
     "vec_centroid_outliers",
     "agg_bitmap_distinct",
     "tpch_q8_shape",
+    # round-3: broadcast codebooks / sketches / query vectors
+    "sketch_cms_topk",
+    "vec_pq_codes",
+    "vec_pq_adc_topk",
+    "retrieval_hybrid_rrf",
+    "dedup_minhash_exact",
 }
 
 # Queries whose parquet scan MUST show a pushed-down filter.
@@ -48,6 +54,7 @@ MUST_PUSH_FILTER = {
     "tpch_q3_shape": "c_mktsegment",
     "tpch_q10_shape": "l_returnflag",
     "agg_pricing_summary": "l_shipdate",
+    "join_pit_features": "user_id",
     "tpch_q7_shape": "l_shipdate",
     "tpch_q15_shape": "l_shipdate",
     "tpch_q13_shape": "o_orderpriority",
