@@ -28,6 +28,15 @@ from dataframe_differ_spark.tables import load_table
 
 
 
+# Serializes Python DataSource registration + first resolution: Spark's
+# session-wide Python DataSourceManager is not safe under concurrent
+# register() calls from bench threads — a racing registration makes the
+# other query's format lookup fail with DATA_SOURCE_NOT_FOUND (observed
+# flaky under the 4-way pipelined bench).
+import threading
+
+_PY_DATASOURCE_LOCK = threading.Lock()
+
 _SCRATCH_DIRS: set = set()
 
 
@@ -617,13 +626,14 @@ def q_source_python_datasource(spark, sf_dir):
         def reader(self, schema):
             return SynthReader(self.options)
 
-    spark.dataSource.register(SynthSource)
-    src = (
-        spark.read.format("ddspark_synth_events")
-        .option("n", str(n_rows))
-        .option("parts", str(n_parts))
-        .load()
-    )
+    with _PY_DATASOURCE_LOCK:
+        spark.dataSource.register(SynthSource)
+        src = (
+            spark.read.format("ddspark_synth_events")
+            .option("n", str(n_rows))
+            .option("parts", str(n_parts))
+            .load()
+        )
     return src.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("amount_cents").alias("total_cents"),
@@ -707,7 +717,6 @@ def q_sink_python_datasource(spark, sf_dir):
         def writer(self, schema, overwrite):
             return JsonlWriter(self.options)
 
-    spark.dataSource.register(JsonlSink)
     agg = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
@@ -718,12 +727,25 @@ def q_sink_python_datasource(spark, sf_dir):
             ),
         )
     )
-    (
-        agg.write.format("ddspark_jsonl_sink")
-        .mode("append")
-        .option("path", out_dir)
-        .save()
-    )
+    with _PY_DATASOURCE_LOCK:
+        spark.dataSource.register(JsonlSink)
+        # DataFrameWriter.save() resolves a registered PYTHON data source
+        # through the JVM thread's active session; a fresh Py4J thread
+        # (bench pipelining) has none, so the lookup fell back to the
+        # classpath and died with DATA_SOURCE_NOT_FOUND. Pin the active
+        # session on THIS thread before saving.
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+        except Exception:
+            pass  # non-classic (Connect) sessions resolve differently
+        (
+            agg.write.format("ddspark_jsonl_sink")
+            .mode("append")
+            .option("path", out_dir)
+            .save()
+        )
     return spark.read.schema(
         "o_orderstatus string, n_orders long, revenue_micros long"
     ).json(out_dir)
