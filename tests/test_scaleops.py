@@ -306,7 +306,15 @@ def test_streaming_conf_survives_concurrent_starts(spark, sf_small):
         except Exception as e:  # surface, don't deadlock the join()
             errors.append((name, e))
 
-    names = ["stream_replay_incremental", "stream_foreach_batch", "stream_tumbling"]
+    names = [
+        "stream_replay_incremental",
+        "stream_foreach_batch",
+        "stream_tumbling",
+        # Python DataSource queries resolve through thread-local session
+        # state — pins the setActiveSession + registration-lock fix.
+        "sink_python_datasource",
+        "source_python_datasource",
+    ]
     ts = [threading.Thread(target=run, args=(n,)) for n in names]
     for t in ts:
         t.start()
