@@ -1512,3 +1512,177 @@ def q_join_pit_features(spark, sf_dir):
         .cast("double")
         .alias("value_before"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable SimHash (full oracle, including the 64-bit signatures)
+# ---------------------------------------------------------------------------
+
+_SH_BITS = 64
+_SH_BAND_BITS = 16  # 4 bands of 16 bits for candidate generation
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(string_split(text, ' ')[4:], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM corpus),
+th AS (
+  -- unsigned 64-bit parse, wrapped to signed two's-complement via
+  -- HUGEINT arithmetic (a direct UBIGINT->BIGINT cast range-errors).
+  SELECT doc_id, token,
+         CAST(('0x' || substr(md5(token), 1, 16))::UBIGINT::HUGEINT
+              - CASE WHEN ('0x' || substr(md5(token), 1, 16))::UBIGINT
+                          > 9223372036854775807
+                     THEN 18446744073709551616::HUGEINT ELSE 0 END
+              AS BIGINT) AS h
+  FROM tok),
+bits AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range({_SH_BITS})) AS b) b
+  GROUP BY doc_id, b.b),
+sig AS (
+  -- bit 63: DuckDB range-checks 1<<63, Spark's shiftleft wraps to
+  -- LONG_MIN — spell the sign bit out so both agree.
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc <= 0 THEN 0
+                       WHEN b = 63 THEN (-9223372036854775807 - 1)::HUGEINT
+                       ELSE (CAST(1 AS BIGINT) << b)::HUGEINT END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, simhash, band.i AS band,
+         (simhash >> (band.i * {_SH_BAND_BITS})) & 65535 AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS i) band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+hits AS (
+  SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+  FROM cand WHERE bit_count(xor(sa, sb)) <= 9),
+sides AS (
+  SELECT doc_a AS doc_id, hamming FROM hits
+  UNION ALL
+  SELECT doc_b AS doc_id, hamming FROM hits)
+SELECT doc_id,
+       COUNT(*) AS n_near,
+       CAST(MIN(hamming) AS INTEGER) AS min_hamming
+FROM sides GROUP BY doc_id
+""",
+)
+def q_dedup_simhash_portable(spark, sf_dir):
+    """SimHash near-dup detection with PORTABLE 64-bit signatures — the
+    full-oracle sibling of `dedup_simhash` (whose xxhash64 signatures are
+    Spark-internal and therefore rows-only).
+
+    Charikar's scheme over distinct tokens: bit b of the signature is the
+    sign of sum over tokens of (bit b of md5-64(token) ? +1 : -1); both
+    engines hash identical bytes to identical integers, so the
+    signatures, the 4 x 16-bit band buckets, the candidate pairs AND the
+    hamming distances all hash-match the oracle. Planted near-dups
+    (every 10th doc minus its first three tokens) differ in a handful of
+    token votes -> small hamming distance; banding catches any pair with
+    an identical 16-bit quarter.
+
+    Scale shape: one distinct-(doc, token) shuffle, a 64x bit explode
+    that partial-aggregates map-side (each (doc, b) cell sums locally),
+    a 4-row-per-doc band table, and an equi-join on (band, bkey) —
+    sub-linear candidate generation, no all-pairs. At 100 TB the 8-byte
+    signature column is the stored index; re-banding is free.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.expr("slice(split(text, ' '), 4, size(split(text, ' ')))")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    tok = (
+        corpus.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    # 64-bit token hash: 16 hex chars of md5 parsed as UNSIGNED, then
+    # wrapped into signed BIGINT (subtract 2^64 when above LONG_MAX) —
+    # the same two's-complement value DuckDB's ::UBIGINT::BIGINT yields,
+    # so (h >> b) & 1 extracts identical bits in both engines.
+    unsigned = (
+        "CAST(conv(substring(md5(token), 1, 16), 16, 10) AS DECIMAL(21,0))"
+    )
+    th = tok.select(
+        "doc_id",
+        F.expr(
+            f"CAST({unsigned} - CASE WHEN {unsigned} > 9223372036854775807 "
+            "THEN CAST(18446744073709551616 AS DECIMAL(21,0)) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("h"),
+    )
+    bits = (
+        th.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(_SH_BITS - 1))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("acc")
+        )
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("acc") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "bkey", F.expr(f"(simhash >> (band * {_SH_BAND_BITS})) & 65535")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hits = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        )
+        .filter(F.col("hamming") <= 9)
+    )
+    # Per-doc dedup degree, not raw pairs: this corpus's shared small
+    # vocabulary makes thousands of docs genuinely hamming-close, so the
+    # pair list is output-bound; the per-doc rollup is linear in corpus
+    # size and is the signal a cleaning pipeline actually thresholds on.
+    sides = hits.select(
+        F.col("doc_a").alias("doc_id"), "hamming"
+    ).unionByName(hits.select(F.col("doc_b").alias("doc_id"), "hamming"))
+    return sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.min("hamming").cast("int").alias("min_hamming"),
+    )

@@ -323,3 +323,18 @@ def test_streaming_conf_survives_concurrent_starts(spark, sf_small):
     assert not errors, errors
     assert all(results.get(n, 0) > 0 for n in names), results
     assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+
+
+def test_simhash_portable_flags_planted_docs(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import q_dedup_simhash_portable
+
+    rows = {r.doc_id: r for r in q_dedup_simhash_portable(spark, sf_small).collect()}
+    docs = load_table(spark, sf_small, "documents")
+    planted = [r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 0).collect()]
+    # Most planted copies (3 leading tokens dropped) must be flagged with
+    # a small min-hamming — their token sets barely changed.
+    flagged = [d + 200000 for d in planted if d + 200000 in rows]
+    assert len(flagged) >= 0.7 * len(planted), (len(flagged), len(planted))
+    assert all(rows[d].min_hamming <= 9 for d in flagged)
+    for r in rows.values():
+        assert r.n_near >= 1 and 0 <= r.min_hamming <= 9

@@ -85,6 +85,7 @@ HEADLINE = [
     "join_pit_features",
     "sketch_set_intersect_est",
     "vec_pq_codes",
+    "dedup_simhash_portable",
 ]
 
 
