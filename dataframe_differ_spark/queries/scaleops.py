@@ -1686,3 +1686,64 @@ def q_dedup_simhash_portable(spark, sf_dir):
         F.count(F.lit(1)).alias("n_near"),
         F.min("hamming").cast("int").alias("min_hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact single-pass variance via integer moment sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_variance_exact",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+m AS (
+  SELECT o_orderstatus,
+         COUNT(*) AS n,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0))
+           AS s2
+  FROM c GROUP BY o_orderstatus)
+SELECT o_orderstatus, n,
+       ROUND(CAST(s1 AS DOUBLE) / n / 100, 6) AS mean_price,
+       ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+             / n / 10000, 4) AS var_pop_price
+FROM m
+""",
+)
+def q_agg_variance_exact(spark, sf_dir):
+    """Single-pass EXACT variance per order status from integer moment
+    sums — the numerically-stable distributed form of Var(X).
+
+    Naive float `stddev` accumulates catastrophic cancellation at scale
+    (sum-of-squares and squared-sum are huge, close, and float); engines
+    also disagree in the last ulps, which is why no plain variance query
+    shipped before. This form quantizes to integer cents, then sums the
+    first two moments as DECIMAL(38,0) — exact under ANY
+    partial-aggregation order, mergeable across partitions like any sum,
+    one scan. The only floats are the two final divisions (deterministic)
+    and Var = (s2 - s1²/n)/n, rounded. At 100 TB this is how you compute
+    a distribution profile in the same pass as the rest of the scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    m = orders.select("o_orderstatus", cents.alias("cents")).groupBy(
+        "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    return m.select(
+        "o_orderstatus",
+        "n",
+        F.round(s1d / F.col("n") / 100, 6).alias("mean_price"),
+        F.round(
+            (s2d - s1d * F.col("s1") / F.col("n")) / F.col("n") / 10000, 4
+        ).alias("var_pop_price"),
+    )

@@ -338,3 +338,28 @@ def test_simhash_portable_flags_planted_docs(spark, sf_small):
     assert all(rows[d].min_hamming <= 9 for d in flagged)
     for r in rows.values():
         assert r.n_near >= 1 and 0 <= r.min_hamming <= 9
+
+
+def test_variance_exact_matches_numpy(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import q_agg_variance_exact
+
+    rows = {r.o_orderstatus: r for r in q_agg_variance_exact(spark, sf_small).collect()}
+    import numpy as np
+
+    pdf = (
+        load_table(spark, sf_small, "orders")
+        .select("o_orderstatus", "o_totalprice")
+        .toPandas()
+    )
+    for status, grp in pdf.groupby("o_orderstatus"):
+        cents = np.floor(grp["o_totalprice"].to_numpy() * 100)
+        r = rows[status]
+        assert r.n == len(grp)
+        assert abs(r.mean_price - cents.mean() / 100) < 1e-6
+        # numpy computes in float128-ish accumulation; the integer-moment
+        # form is exact, so they agree to float precision of the answer.
+        assert abs(r.var_pop_price - cents.var() / 10000) < 1e-2, (
+            status,
+            r.var_pop_price,
+            cents.var() / 10000,
+        )
