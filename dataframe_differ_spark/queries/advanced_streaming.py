@@ -105,3 +105,50 @@ def q_stream_foreach_batch(spark, sf_dir):
         if p != sink.current_path:
             shutil.rmtree(p, ignore_errors=True)
     return sink.result(spark).withColumn("n_batches", F.lit(sink.n_batches))
+
+
+@register("stream_append_finalized")  # rows-only: micro-batch scheduling
+def q_stream_append_finalized(spark, sf_dir):
+    """Append-mode windowed aggregation over the 4-micro-batch replay:
+    a window row is emitted ONLY once the watermark passes its end —
+    i.e. the stream outputs FINALIZED windows exactly once.
+
+    This is the semantics sinks without upsert support (Kafka topics,
+    append-only files) require: no retractions, no re-emission — and the
+    flip sides are latency (a window is withheld until the watermark,
+    fed by later batches, closes it), the guarantee that windows still
+    open at termination are NEVER emitted, and real LATE-DATA DROP: the
+    hash-split replay delivers old events in later batches, and once the
+    watermark has passed them they are discarded, so an emitted count
+    can be LESS than the batch twin's (the test asserts exactly this
+    one-sided relationship). Complete/update modes are exercised by
+    `stream_replay_incremental` / `stream_stateful`; this closes the
+    third output mode.
+    """
+    s = incremental_events_stream(spark, sf_dir, n_files=8, files_per_trigger=2)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    name = f"appendfin_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ddspark_ckpt_{name}")
+    with STREAM_CONF_LOCK:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.table(name)

@@ -363,3 +363,42 @@ def test_variance_exact_matches_numpy(spark, sf_small):
             r.var_pop_price,
             cents.var() / 10000,
         )
+
+
+def test_append_finalized_emits_only_closed_windows(spark, sf_small):
+    from dataframe_differ_spark.queries.advanced_streaming import (
+        q_stream_append_finalized,
+    )
+    from dataframe_differ_spark.tables import load_table as lt
+
+    emitted = {
+        (r.window_start, r.event_type): r.n_events
+        for r in q_stream_append_finalized(spark, sf_small).collect()
+    }
+    assert emitted, "append mode emitted nothing — watermark never advanced"
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in (
+            lt(spark, sf_small, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        ).collect()
+    }
+    # Append-mode invariants: a window is emitted at most once, only for
+    # keys the batch run also has, and never OVERcounts it — the
+    # hash-split replay delivers genuinely late events (later files carry
+    # older timestamps), which the watermark DROPS, so emitted <= batch.
+    for k, v in emitted.items():
+        assert k in batch and v <= batch[k], (k, v, batch.get(k))
+    # Most windows see no late data, so the two agree almost everywhere.
+    equal = sum(1 for k, v in emitted.items() if batch[k] == v)
+    assert equal >= 0.8 * len(emitted), (equal, len(emitted))
+    # The stream's final open window(s) are withheld: the last batch
+    # window is never emitted (watermark can't pass its end).
+    assert max(ws for ws, _ in batch) not in {ws for ws, _ in emitted}
