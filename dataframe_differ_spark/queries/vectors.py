@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import random
+import threading
 import weakref
 
 from pyspark.sql import Window
@@ -46,18 +47,23 @@ def _emb_double(spark, sf_dir):
 # assign/recompute jobs. Weak session key: a stopped session drops its
 # checkpoints with it.
 _IVF_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# Serializes first-miss builds: concurrent bench threads racing the
+# unguarded setdefault + insert could double-build (and leak) a
+# localCheckpointed index — same hazard class as tables._TABLE_LOCK.
+_IVF_LOCK = threading.Lock()
 
 
 def _ivf_index_cached(spark, sf_dir, e, n_clusters: int):
-    cache = _IVF_CACHE.setdefault(spark, {})
     key = (os.path.abspath(sf_dir), n_clusters)
-    if key not in cache:
-        index, centroids = _ivf_index(e, n_clusters)
-        cache[key] = (
-            index.localCheckpoint(eager=True),
-            centroids.localCheckpoint(eager=True),
-        )
-    return cache[key]
+    with _IVF_LOCK:
+        cache = _IVF_CACHE.setdefault(spark, {})
+        if key not in cache:
+            index, centroids = _ivf_index(e, n_clusters)
+            cache[key] = (
+                index.localCheckpoint(eager=True),
+                centroids.localCheckpoint(eager=True),
+            )
+        return cache[key]
 
 
 def _ivf_index(e, n_clusters: int):

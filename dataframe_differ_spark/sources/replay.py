@@ -72,8 +72,21 @@ def split_events_files(spark: SparkSession, sf_dir: str, n_files: int = 8) -> st
             try:
                 os.rename(tmp, out)  # atomic publish
             except OSError:
-                # Another PROCESS published first; its copy is complete.
+                # Either another PROCESS published first (its copy is
+                # complete) or the rename itself failed (perms,
+                # cross-device tmp). Only the first case may be cached:
+                # verify a complete parquet dir actually exists at `out`,
+                # else clean up and surface the real error here rather
+                # than as a confusing downstream parquet-read failure.
                 shutil.rmtree(tmp, ignore_errors=True)
+                complete = os.path.isdir(out) and (
+                    os.path.exists(os.path.join(out, "_SUCCESS"))
+                    or any(
+                        f.endswith(".parquet") for f in os.listdir(out)
+                    )
+                )
+                if not complete:
+                    raise
         _SPLIT_CACHE[key] = out
         return out
 
