@@ -1,0 +1,174 @@
+"""Distributed total-order ranking without a single-partition window.
+
+``Window.orderBy(...)`` with no partition key is Spark's one unavoidable
+scale cliff: every row moves to a single task. This module provides the
+standard two-phase alternative — the "approx-boundary bucket + per-bucket
+rank + tiny offset merge" plan — as a reusable operator, so exact global
+``row_number`` / ``ntile`` / running-sum semantics survive a 100× scale-up:
+
+1. **Boundaries** (one scan, mergeable sketch): ``percentile_approx`` on a
+   numeric proxy of the leading sort key yields ``B - 1`` cut points.
+2. **Bucket lookup** (map-side): each row's bucket is the count of
+   boundaries strictly below (asc) / above (desc) its key — a broadcast of
+   one tiny array row, no shuffle.
+3. **Per-bucket rank** (one hash shuffle on the bucket id): ``row_number``
+   (and optional running sums) within each bucket under the FULL total
+   order — a partitioned window, ~n/B rows per task.
+4. **Offset merge** (tiny): per-bucket counts/sums join each bucket with
+   the sum of all LOWER buckets (a broadcast triangle join over ≤ B rows —
+   no window at all), then ``global = offset + local``.
+
+The result is EXACT — identical to the single-partition window — for any
+``order_cols`` that form a total order (include a unique tiebreaker), for
+any boundary quality: boundaries only steer data placement, never the
+ranking. Skewed or duplicate boundaries degrade balance, not correctness.
+At 100 TB, size ``n_buckets`` so n/B rows fit one task (the sketch pass is
+scan-bound; the bucket shuffle is the same data a sort would move once).
+
+Caller contract: ``bucket_key`` must be a non-null numeric-castable column
+MONOTONE in the leading ``order_cols`` entry (e.g. ``unix_date`` of a date
+key, ``cast("double")`` of a decimal); input columns must not start with
+``_rk_``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Default bucket count. Test scale factors have 1e4–1e6 rows, so 32
+#: buckets keeps per-task slices comfortable; at 100 TB you would raise
+#: this to ~input_bytes / target_task_bytes (boundaries stay one sketch).
+DEFAULT_BUCKETS = 32
+
+
+def ranked(
+    df: DataFrame,
+    bucket_key: Column,
+    order_cols: Sequence[Column | str],
+    *,
+    ascending: bool = True,
+    n_buckets: int = DEFAULT_BUCKETS,
+    rank_col: str = "rk",
+    n_col: str | None = None,
+    running_sum: Column | None = None,
+    running_col: str = "running",
+    running_total_col: str | None = None,
+) -> DataFrame:
+    """Attach an exact 1-based global ``row_number`` over ``order_cols``.
+
+    ``ascending`` describes the LEADING sort key's direction (used only to
+    orient the bucket comparison); ``order_cols`` themselves carry the
+    authoritative per-column directions for the in-bucket window.
+
+    Optional outputs: ``n_col`` (total row count), ``running_col``
+    (inclusive running sum of ``running_sum`` in rank order) and
+    ``running_total_col`` (its grand total) — all computed from the same
+    tiny per-bucket stats frame, no extra pass over the data.
+    """
+    for c in df.columns:
+        if c.startswith("_rk_"):
+            raise ValueError(f"input column {c!r} collides with _rk_ internals")
+
+    key_d = bucket_key.cast("double")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = df.agg(F.percentile_approx(key_d, fracs, 10_000).alias("_rk_bnds"))
+    if ascending:
+        bkt = F.size(F.filter(F.col("_rk_bnds"), lambda x: key_d > x))
+    else:
+        bkt = F.size(F.filter(F.col("_rk_bnds"), lambda x: key_d < x))
+    bucketed = (
+        df.join(F.broadcast(bnds), how="cross")
+        .withColumn("_rk_bkt", bkt)
+        .drop("_rk_bnds")
+    )
+
+    # Per-bucket stats: map-side partial aggregation, B rows shuffled.
+    aggs = [F.count(F.lit(1)).cast("long").alias("_rk_cnt")]
+    if running_sum is not None:
+        aggs.append(F.sum(running_sum).alias("_rk_bsum"))
+    stats = bucketed.groupBy("_rk_bkt").agg(*aggs)
+
+    # Exclusive prefix over buckets WITHOUT a window: broadcast triangle
+    # join over the ≤ n_buckets stats rows (lower-bucket sums per bucket).
+    lower_cols = [
+        F.col("_rk_bkt").alias("_rk_bkt_b"),
+        F.col("_rk_cnt").alias("_rk_cnt_b"),
+    ]
+    if running_sum is not None:
+        lower_cols.append(F.col("_rk_bsum").alias("_rk_bsum_b"))
+    lower = stats.select(*lower_cols)
+    off_aggs = [
+        F.coalesce(F.sum("_rk_cnt_b"), F.lit(0)).cast("long").alias("_rk_off")
+    ]
+    if running_sum is not None:
+        off_aggs.append(
+            F.coalesce(F.sum("_rk_bsum_b"), F.lit(0)).alias("_rk_runoff")
+        )
+    offs = (
+        stats.join(
+            F.broadcast(lower),
+            F.col("_rk_bkt_b") < F.col("_rk_bkt"),
+            "left",
+        )
+        .groupBy("_rk_bkt")
+        .agg(*off_aggs)
+    )
+
+    tot_aggs = [F.sum("_rk_cnt").cast("long").alias("_rk_n")]
+    if running_sum is not None:
+        tot_aggs.append(F.sum("_rk_bsum").alias("_rk_runtot"))
+    tots = stats.agg(*tot_aggs)
+
+    # Per-bucket window: the ONLY full-data shuffle, partitioned by bucket.
+    wloc = Window.partitionBy("_rk_bkt").orderBy(*order_cols)
+    loc = bucketed.withColumn("_rk_loc", F.row_number().over(wloc))
+    if running_sum is not None:
+        loc = loc.withColumn(
+            "_rk_lrun",
+            F.sum(running_sum).over(
+                wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+
+    out = (
+        loc.join(F.broadcast(offs), "_rk_bkt")
+        .join(F.broadcast(tots), how="cross")
+        .withColumn(rank_col, (F.col("_rk_off") + F.col("_rk_loc")).cast("long"))
+    )
+    if n_col is not None:
+        out = out.withColumn(n_col, F.col("_rk_n"))
+    if running_sum is not None:
+        out = out.withColumn(
+            running_col, F.col("_rk_runoff") + F.col("_rk_lrun")
+        )
+        if running_total_col is not None:
+            out = out.withColumn(running_total_col, F.col("_rk_runtot"))
+    drop = ["_rk_bkt", "_rk_loc", "_rk_off", "_rk_n"]
+    if running_sum is not None:
+        drop += ["_rk_lrun", "_rk_runoff", "_rk_runtot", "_rk_bsum"]
+    return out.drop(*drop)
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL ``NTILE(k)`` bucket from an exact 1-based global rank + total n.
+
+    Replicates engine NTILE semantics exactly: the first ``n mod k``
+    buckets hold ``ceil(n / k)`` rows, the rest ``floor(n / k)`` — so a
+    distributed rank plus this formula is value-identical to
+    ``ntile(k) OVER (ORDER BY ...)`` (exact for n below 2^53; the doubles
+    in the divisions are integral until then).
+    """
+    q = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    size_big = q + 1
+    cut = size_big * rem
+    return (
+        F.when(rank <= cut, F.floor((rank - 1) / size_big) + 1)
+        .otherwise(
+            rem + F.floor((rank - cut - 1) / F.greatest(q, F.lit(1))) + 1
+        )
+        .cast("int")
+    )

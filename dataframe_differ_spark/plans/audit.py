@@ -27,6 +27,11 @@ class PlanFeatures:
     python_udtfs: int
     python_arrow_evals: int
     pushed_filters: list[str]
+    #: Partition-less Window operators — every one is a "move all rows to
+    #: one task" cliff at scale unless its input is provably bounded
+    #: (post-limit seeds, ≤B-row offset frames). Gated per-query by
+    #: tools/plan_audit.py against an explicit bounded-input whitelist.
+    global_windows: int = 0
 
     @property
     def broadcast_joins(self) -> int:
@@ -37,6 +42,30 @@ class PlanFeatures:
 
 def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def global_window_lines(plan: str) -> list[str]:
+    """Window operator lines with NO partition spec (single-partition).
+
+    Relies on WindowExec's simpleString shape (verified empirically on
+    Spark 4.1): ``Window [funcs], [partSpec], [orderSpec]`` when
+    partitioned, ``Window [funcs], [orderSpec]`` for a global ordered
+    window (the second group then carries sort directions — " NULLS "),
+    ``Window [funcs], [partSpec]`` for a partitioned unordered window
+    (no " NULLS "), and ``Window [funcs]`` for a global unordered one.
+    """
+    hits = []
+    for raw in plan.splitlines():
+        s = raw.strip().lstrip("+-:* ").strip()
+        if not s.startswith("Window "):
+            continue
+        groups = s.count("], [")
+        if groups >= 2:
+            continue  # [funcs], [part], [order] — partitioned
+        if groups == 1 and " NULLS " not in s.rsplit("], [", 1)[1]:
+            continue  # [funcs], [part] — partitioned, no order
+        hits.append(s)
+    return hits
 
 
 def plan_features(df: DataFrame) -> PlanFeatures:
@@ -59,4 +88,5 @@ def plan_features(df: DataFrame) -> PlanFeatures:
             + plan.count("FlatMapGroupsInPandas")
         ),
         pushed_filters=[p for p in pushed if p],
+        global_windows=len(global_window_lines(plan)),
     )

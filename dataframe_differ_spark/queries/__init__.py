@@ -75,6 +75,7 @@ def load_all() -> dict[str, Query]:
             advanced_streaming,
             udfs,
             scaleops,
+            rankops,
         )
 
         _LOADED = True

@@ -871,9 +871,7 @@ def q_events_anomaly_mad(spark, sf_dir):
     )
 
 
-@register(
-    "revenue_pareto",
-    oracle="""
+PARETO_SQL = """
 WITH per_cust AS (
   SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders GROUP BY o_custkey),
@@ -890,7 +888,13 @@ SELECT CAST(MIN(rk) AS BIGINT) AS customers_to_80pct,
        CAST(MIN(rk) AS DOUBLE) / ANY_VALUE(n_cust) AS pareto_fraction
 FROM ranked
 WHERE CAST(cum_rev AS DOUBLE) >= 0.8 * CAST(total_rev AS DOUBLE)
-""",
+"""
+
+
+@register(
+    "revenue_pareto",
+    oracle=PARETO_SQL,
+    scale_path="revenue_pareto_sketch",
 )
 def q_revenue_pareto(spark, sf_dir):
     """Pareto concentration: how few customers produce 80% of revenue.
@@ -926,9 +930,7 @@ def q_revenue_pareto(spark, sf_dir):
     )
 
 
-@register(
-    "orders_rfm",
-    oracle="""
+RFM_SQL = """
 WITH rfm AS (
   SELECT o_custkey,
          MAX(o_orderdate) AS last_order,
@@ -946,7 +948,13 @@ scored AS (
   FROM rfm)
 SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
 FROM scored GROUP BY 1, 2, 3
-""",
+"""
+
+
+@register(
+    "orders_rfm",
+    oracle=RFM_SQL,
+    scale_path="orders_rfm_sketch",
 )
 def q_orders_rfm(spark, sf_dir):
     """RFM segmentation: quintile scores for recency/frequency/monetary.

@@ -142,9 +142,7 @@ def q_sketch_cms_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "agg_histogram_equidepth",
-    oracle="""
+EQUIDEPTH_SQL = """
 SELECT decile,
        COUNT(*) AS cnt,
        MIN(o_totalprice) AS lo,
@@ -156,7 +154,13 @@ FROM (
   FROM orders
 )
 GROUP BY decile
-""",
+"""
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle=EQUIDEPTH_SQL,
+    scale_path="agg_histogram_equidepth_sketch",
 )
 def q_agg_histogram_equidepth(spark, sf_dir):
     """Equi-depth (equal-count) histogram of order totals in 10 deciles.
@@ -599,9 +603,7 @@ _Z_SQL = " + ".join(
 )
 
 
-@register(
-    "layout_zorder",
-    oracle=f"""
+ZORDER_SQL = f"""
 WITH bucketed AS (
   SELECT CAST(ntile(256) OVER (ORDER BY o_custkey, o_orderkey) AS INTEGER) - 1
            AS bx,
@@ -620,7 +622,13 @@ SELECT file_id, COUNT(*) AS n_rows,
        MIN(bx) AS min_cust_bucket, MAX(bx) AS max_cust_bucket,
        MIN(by) AS min_date_bucket, MAX(by) AS max_date_bucket
 FROM filed GROUP BY file_id
-""",
+"""
+
+
+@register(
+    "layout_zorder",
+    oracle=ZORDER_SQL,
+    scale_path="layout_zorder_sketch",
 )
 def q_layout_zorder(spark, sf_dir):
     """Z-order (Morton-code) clustering of orders on (custkey, orderdate)

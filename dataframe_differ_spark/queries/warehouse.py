@@ -987,6 +987,7 @@ ORDER BY lq.p
 @register(
     "diff_quantile_drift",
     oracle=_QUANTILE_DRIFT_SQL.format(mut=MUTATED_ORDERS_SQL),
+    scale_path="diff_quantile_drift_sketch",
 )
 def q_diff_quantile_drift(spark, sf_dir):
     """Distribution-drift screen: exact quantiles of left vs migrated right.

@@ -158,16 +158,20 @@ def q_win_topk_group(spark, sf_dir):
     )
 
 
-@register(
-    "win_distribution",
-    oracle="""
+WIN_DISTRIBUTION_SQL = """
 SELECT c_custkey,
        ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
        ROUND(CUME_DIST() OVER w, 9) AS cume,
        CAST(NTILE(10) OVER w AS INTEGER) AS decile
 FROM customer
 WINDOW w AS (ORDER BY c_acctbal, c_custkey)
-""",
+"""
+
+
+@register(
+    "win_distribution",
+    oracle=WIN_DISTRIBUTION_SQL,
+    scale_path="win_distribution_sketch",
 )
 def q_win_distribution(spark, sf_dir):
     """E-family extension: distribution functions (percent_rank/cume_dist).

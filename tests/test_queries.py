@@ -42,7 +42,18 @@ def test_scale_path_contract(registry):
                 f"{name}: scale_path {q.scale_path!r} is not a registered query"
             )
             assert q.scale_path != name, f"{name}: scale_path is itself"
-    expected_verifiers = {"sim_join", "knn_classify", "sim_topk"}
+    expected_verifiers = {
+        "sim_join",
+        "knn_classify",
+        "sim_topk",
+        # round-4: global-window exact forms now declare their shipped
+        # two-phase distributed-rank siblings (rankops.py)
+        "agg_histogram_equidepth",
+        "layout_zorder",
+        "diff_quantile_drift",
+        "orders_rfm",
+        "revenue_pareto",
+    }
     annotated = {n for n, q in registry.items() if q.scale_path is not None}
     assert expected_verifiers <= annotated, (
         f"missing scale_path annotations: {expected_verifiers - annotated}"

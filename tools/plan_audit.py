@@ -63,6 +63,31 @@ MUST_PUSH_FILTER = {
 # Streaming queries execute eagerly; plan inspection not applicable.
 SKIP = {"stream_tumbling", "stream_watermark", "stream_dedup", "stream_stateful"}
 
+# Queries ALLOWED to carry a partition-less Window, each with the reason
+# its window input is bounded — or it is a declared exact verifier whose
+# rankops scale sibling ships window-free (Query.scale_path names it).
+# Everything else: a global Window is a hard audit failure (round-3
+# verdict item #3 — same gate class as BatchEvalPython).
+GLOBAL_WINDOW_OK = {
+    # declared verifiers with shipped two-phase-rank siblings (rankops.py)
+    "agg_histogram_equidepth": "exact-ntile verifier; sibling *_sketch",
+    "layout_zorder": "exact-ntile verifier; sibling *_sketch",
+    "diff_quantile_drift": "exact-rank verifier; sibling *_sketch",
+    "orders_rfm": "exact-ntile verifier; sibling *_sketch",
+    "revenue_pareto": "exact-cumsum verifier; sibling *_sketch",
+    "win_distribution": "semantics pin; sibling *_sketch",
+    # bounded-input global windows (documented in each docstring)
+    "contingency_chisq": "windows over the ~35-cell contingency table",
+    "vocab_coverage": "windows over post-limit top-30 rows",
+    "events_cumulative_uniques": "running sum over the 30-row day spine",
+    "dim_surrogate_keys": "row_number over DISTINCT dims; hash-sk "
+    "alternative documented for billion-row dims",
+    "retrieval_hybrid_rrf": "final rerank over the term-candidate set; "
+    "dense side pre-cut to top-100",
+    "vec_pq_codes": "cid window over post-limit 16 seed rows",
+    "vec_pq_adc_topk": "16-row seed window + top-k over ADC candidates",
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF
@@ -85,6 +110,12 @@ def main() -> int:
         )
         if f.python_row_udfs:
             failures.append(f"{name}: row-at-a-time Python UDF in plan (BatchEvalPython)")
+        if f.global_windows and name not in GLOBAL_WINDOW_OK:
+            failures.append(
+                f"{name}: {f.global_windows} partition-less Window(s) — "
+                "ship a rankops sibling or whitelist with a bounded-input "
+                "reason in GLOBAL_WINDOW_OK"
+            )
         if name in MUST_BROADCAST and f.broadcast_joins == 0:
             failures.append(f"{name}: expected a broadcast join, found none")
         want = MUST_PUSH_FILTER.get(name)
