@@ -152,3 +152,63 @@ def q_stream_append_finalized(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)
+
+
+@register("stream_update_deltas")  # rows-only: micro-batch scheduling
+def q_stream_update_deltas(spark, sf_dir):
+    """Update-mode windowed aggregation over the 4-micro-batch replay:
+    each micro-batch emits ONLY the (window, event_type) groups whose
+    aggregate CHANGED in that batch — the per-batch delta an incremental
+    sink (key-value store, JDBC upsert) consumes. Completes the output-
+    mode matrix: complete = `stream_replay_incremental`, append =
+    `stream_append_finalized`, update = this.
+
+    The memory sink cannot attribute rows to batches, so deltas are
+    captured via foreachBatch (advanced_streaming's sink pattern): each
+    batch's emission is appended to parquet tagged with its batch_id.
+    The registered result is what the downstream store would hold after
+    replay — the LATEST emission per group (which must equal the batch
+    twin; pytest asserts it) — plus emission accounting (n_emissions,
+    last_batch) proving groups were re-emitted only when updated, i.e.
+    genuinely incremental, not complete-mode re-broadcast.
+    """
+    s = incremental_events_stream(spark, sf_dir, n_files=8, files_per_trigger=2)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    acc_path = os.path.join(
+        tempfile.gettempdir(), f"ddspark_upddelta_{uuid.uuid4().hex[:8]}"
+    )
+
+    def record(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(acc_path)
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"ddspark_ckpt_upd_{uuid.uuid4().hex[:8]}"
+    )
+    with STREAM_CONF_LOCK:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.foreachBatch(record)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+    acc = spark.read.parquet(acc_path)
+    return acc.groupBy("window_start", "event_type").agg(
+        F.expr("max_by(n_events, batch_id)").alias("n_events"),
+        F.count(F.lit(1)).alias("n_emissions"),
+        F.max("batch_id").alias("last_batch"),
+    )

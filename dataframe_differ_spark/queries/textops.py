@@ -433,20 +433,83 @@ def _shingle_df(spark, sf_dir):
     )
 
 
-@register("dedup_near")  # LSH candidate set is algorithm-defined → rows-only
+# Portable shingle hash j over the %13 planted corpus: 48 bits of
+# md5("j~shingle") — same integer in both engines (round-2 parity device).
+_NEAR_HASH = (
+    "('0x' || substr(md5(CAST({j} AS VARCHAR) || '~' || {s}), 1, 12))::BIGINT"
+)
+
+_NEAR_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text, ' ')
+           [1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ') AS text
+  FROM documents WHERE doc_id % 13 = 0),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' ||
+                string_split(text,' ')[i+2])) AS shingles
+  FROM corpus),
+shf AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+tok AS (SELECT doc_id, unnest(shingles) AS shingle FROM shf),
+sigs AS (
+  SELECT doc_id, r.j, MIN({_NEAR_HASH.format(j="r.j", s="shingle")}) AS s
+  FROM tok CROSS JOIN (SELECT unnest(range(12)) AS j) r
+  GROUP BY doc_id, r.j),
+bands AS (
+  SELECT doc_id, j // 2 AS band,
+         string_agg(CAST(s AS VARCHAR), '-' ORDER BY j) AS bkey
+  FROM sigs GROUP BY doc_id, j // 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+  GROUP BY c.doc_a, c.doc_b
+  HAVING AVG(CASE WHEN sa.s = sb.s THEN 1.0 ELSE 0.0 END) >= 0.35),
+pairs AS (
+  SELECT e.doc_a, e.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+  FROM est e
+  JOIN shf sa ON sa.doc_id = e.doc_a
+  JOIN shf sb ON sb.doc_id = e.doc_b)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 9) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5
+"""
+
+
+@register("dedup_near", oracle=_NEAR_SQL)
 def q_dedup_near(spark, sf_dir):
     """H2: MinHash-LSH near-duplicate text dedup (shingle→minhash→band→join).
+
+    Round-4 re-derivation (verdict item #7): signatures are now PORTABLE
+    48-bit md5 minhashes — the device `dedup_minhash_exact` proved — so
+    bands, candidates, the estimate prune AND the exact-Jaccard verified
+    output all hash-match a full DuckDB oracle (previously rows-only with
+    Spark-internal xxhash64; production would swap md5 → xxhash64 for
+    speed, a one-expression change that alters no plan shape).
 
     Pipeline, fully relational (explode + groupBy — no nested-lambda
     chains, which both sidesteps a Spark 4 optimizer bug with lambda alias
     substitution under join pruning AND is the shape that scales):
       1. 3-gram shingles per doc (zip_with over shifted slices, O(n)).
-      2. explode shingles → 12 minhash values as 12 min() aggregates of
-         xxhash64(seed_i ∥ shingle) in ONE groupBy(doc_id) pass.
-      3. 6 bands × 2 rows: band key = hash of its minhash pair; docs
+      2. explode → 12 minhash values via groupBy(doc_id, j) min.
+      3. 6 bands × 2 rows: band key = joined minhash-pair string; docs
          sharing any band bucket are candidates (S-curve: 98% at j=0.7).
-      4. Verification cascade: 12-int minhash-agreement estimate prunes
-         weak candidates BEFORE the distinct-pair shuffle (bare ids);
+      4. Verification cascade: signature-agreement estimate (≥ 0.35)
+         prunes weak candidates BEFORE wide shingle rows enter a join;
          survivors join shingle sets back for exact Jaccard ≥ 0.5.
 
     Every join is an equi-join on a uniform key; wide shingle rows never
@@ -455,79 +518,98 @@ def q_dedup_near(spark, sf_dir):
     n_hashes, n_bands = 12, 6
     rows_per_band = n_hashes // n_bands
 
-    def _mins_df():
-        tok = _shingle_df(spark, sf_dir).select(
-            "doc_id", F.explode("shingles").alias("s")
-        )
-        return tok.groupBy("doc_id").agg(
-            *[
-                F.min(F.xxhash64(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(
-                    f"m{p}"
-                )
-                for p in range(n_hashes)
-            ]
-        )
-
-    def _sig_df():
-        mins = _mins_df()
-        band_structs = [
-            F.struct(
-                F.lit(bnd).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{i}").cast("string")
-                            for i in range(
-                                bnd * rows_per_band, (bnd + 1) * rows_per_band
-                            )
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for bnd in range(n_bands)
-        ]
-        return mins.select(
+    # One shingle pass and ONE signature build, lazily checkpointed and
+    # reused by every downstream branch (bands self-join, estimate join,
+    # exact-verify join). The lineage cut doubles as the safe form of the
+    # "fresh plan per call" workaround for the Catalyst nested-lambda
+    # reuse bug — and avoids hashing the corpus 4× (12 md5s per shingle
+    # are the dominant cost; at 100 TB the sigs table is the
+    # materialized index you'd persist anyway).
+    sh = _shingle_df(spark, sf_dir).localCheckpoint(eager=False)
+    tok = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sigs = (
+        tok.select(
             "doc_id",
-            F.array(*[F.col(f"m{p}") for p in range(n_hashes)]).alias("mh"),
-            F.explode(F.array(*band_structs)).alias("bb"),
-        ).select("doc_id", "mh", "bb.band", "bb.bucket")
-
-    a, b = _sig_df().alias("a"), _sig_df().alias("b")
-    est = F.expr(
-        "aggregate(zip_with(a.mh, b.mh, (x, y) -> IF(x = y, 1, 0)), 0, "
-        "(acc, v) -> acc + v)"
-    ) / F.lit(float(n_hashes))
+            "s",
+            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("j").cast("string"), F.lit("~"), F.col("s")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    bands = sigs.groupBy(
+        "doc_id", (F.col("j") / rows_per_band).cast("int").alias("band")
+    ).agg(
+        F.expr(
+            "concat_ws('-', transform(array_sort(collect_list(struct(j, s))), "
+            "x -> cast(x.s as string)))"
+        ).alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(est >= 0.35)
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sha = _shingle_df(spark, sf_dir).select(
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    est = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.j") == F.col("sa.j")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.avg(
+                F.when(F.col("sa.s") == F.col("sb.s"), F.lit(1.0)).otherwise(0.0)
+            ).alias("est_j")
+        )
+        .filter(F.col("est_j") >= 0.35)
+        .select("doc_a", "doc_b")
+    )
+    sha = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sh_a"),
         F.size("shingles").alias("n_a"),
     )
-    shb = _shingle_df(spark, sf_dir).select(
+    shb = sh.select(
         F.col("doc_id").alias("doc_b"),
         F.col("shingles").alias("sh_b"),
         F.size("shingles").alias("n_b"),
     )
-    paired = cand.join(sha, "doc_a").join(shb, "doc_b")
+    paired = est.join(sha, "doc_a").join(shb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        paired.withColumn("jaccard", F.round(jac, 9))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
+        paired.filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
     )
 
 

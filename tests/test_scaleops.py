@@ -402,3 +402,40 @@ def test_append_finalized_emits_only_closed_windows(spark, sf_small):
     # The stream's final open window(s) are withheld: the last batch
     # window is never emitted (watermark can't pass its end).
     assert max(ws for ws, _ in batch) not in {ws for ws, _ in emitted}
+
+
+def test_update_mode_emits_per_batch_deltas(spark, sf_small):
+    from dataframe_differ_spark.queries.advanced_streaming import (
+        q_stream_update_deltas,
+    )
+    from dataframe_differ_spark.tables import load_table as lt
+
+    rows = q_stream_update_deltas(spark, sf_small).collect()
+    latest = {(r.window_start, r.event_type): r.n_events for r in rows}
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in (
+            lt(spark, sf_small, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        ).collect()
+    }
+    # No watermark → no late-drop: the final upserted value per group must
+    # equal the batch aggregate exactly, for exactly the same key set.
+    assert latest == batch
+    # Delta semantics: at least one group updated across multiple batches
+    # (re-emitted), and emissions are DELTAS, not complete-mode
+    # re-broadcast of every group each batch.
+    total_emissions = sum(r.n_emissions for r in rows)
+    n_batches = max(r.last_batch for r in rows) + 1
+    assert n_batches > 1, "replay did not produce multiple micro-batches"
+    assert total_emissions > len(rows), "no group was ever re-emitted"
+    assert total_emissions < len(rows) * n_batches, (
+        "every group re-emitted every batch — complete, not update, semantics"
+    )
