@@ -1246,7 +1246,30 @@ def q_fk_orphans(spark, sf_dir):
     return out
 
 
-@register("agg_hll_merge")
+_HLL_MERGE_SQL = """
+WITH j AS (
+  SELECT c_custkey, n_regionkey, n_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+nation_l AS (
+  SELECT 'nation' AS level, n_name AS key,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct
+  FROM j GROUP BY n_name),
+region_l AS (
+  SELECT 'region' AS level, CAST(n_regionkey AS VARCHAR) AS key,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct
+  FROM j GROUP BY n_regionkey),
+global_l AS (
+  SELECT 'global' AS level, 'all' AS key,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct
+  FROM j)
+SELECT level, key, exact_distinct, TRUE AS within_bound
+FROM (SELECT * FROM nation_l
+      UNION ALL SELECT * FROM region_l
+      UNION ALL SELECT * FROM global_l)
+"""
+
+
+@register("agg_hll_merge", oracle=_HLL_MERGE_SQL)
 def q_agg_hll_merge(spark, sf_dir):
     """Mergeable HLL sketches: per-nation customer sketches union-merged
     up to region and global levels.
@@ -1254,18 +1277,21 @@ def q_agg_hll_merge(spark, sf_dir):
     The 100 TB pattern for COUNT(DISTINCT) rollups: build one
     DataSketches HLL per fine-grained group (hll_sketch_agg — one pass,
     fixed-size state), then MERGE the binary sketches upward
-    (hll_union_agg) instead of re-scanning the fact at each level. HLL
-    register state is max-based, so estimates are insertion-order
-    independent — the output is deterministic, but no SQL oracle exists
-    for DataSketches (rows-only; accuracy vs exact counts is asserted
-    in tests/test_sketches.py).
+    (hll_union_agg) instead of re-scanning the fact at each level.
+
+    FULL oracle since round 4 (was rows-only): the DataSketches estimate
+    value is engine-specific, so — the agg_approx_distinct device — the
+    checkable output is the exact per-level distinct count plus a
+    ``within_bound`` boolean asserting each merged estimate landed inside
+    max(5%, ±2) of exact (lgConfigK=12 → ~1.6% rse); the oracle computes
+    the exact counts and literal TRUE. The merge plumbing is unchanged
+    and now verified against exact at every level.
     """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    per_nation = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_regionkey", "n_name")
-        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    per_nation = joined.groupBy("n_regionkey", "n_name").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
     )
     nation_level = per_nation.select(
         F.lit("nation").alias("level"),
@@ -1286,7 +1312,30 @@ def q_agg_hll_merge(spark, sf_dir):
         F.lit("all").alias("key"),
         F.hll_sketch_estimate("sk").alias("estimate"),
     )
-    return nation_level.unionAll(region_level).unionAll(global_level)
+    estimates = nation_level.unionAll(region_level).unionAll(global_level)
+    nation_exact = joined.groupBy("n_name").agg(
+        F.countDistinct("c_custkey").alias("exact_distinct")
+    ).select(F.lit("nation").alias("level"), F.col("n_name").alias("key"), "exact_distinct")
+    region_exact = joined.groupBy("n_regionkey").agg(
+        F.countDistinct("c_custkey").alias("exact_distinct")
+    ).select(
+        F.lit("region").alias("level"),
+        F.col("n_regionkey").cast("string").alias("key"),
+        "exact_distinct",
+    )
+    global_exact = joined.agg(
+        F.countDistinct("c_custkey").alias("exact_distinct")
+    ).select(F.lit("global").alias("level"), F.lit("all").alias("key"), "exact_distinct")
+    exact = nation_exact.unionAll(region_exact).unionAll(global_exact)
+    return estimates.join(exact, ["level", "key"]).select(
+        "level",
+        "key",
+        "exact_distinct",
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            <= F.greatest(0.05 * F.col("exact_distinct"), F.lit(2.0))
+        ).alias("within_bound"),
+    )
 
 
 @register(

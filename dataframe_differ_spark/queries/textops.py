@@ -613,29 +613,96 @@ def q_dedup_near(spark, sf_dir):
     )
 
 
-@register("dedup_simhash")  # hash-defined signature → rows-only
+# 64-bit portable shingle hash (dedup_simhash): 16 hex chars of md5 parsed
+# unsigned then wrapped to signed two's-complement — the
+# dedup_simhash_portable device, applied at shingle granularity.
+_SIMHASH_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text, ' ')
+           [1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ') AS text
+  FROM documents WHERE doc_id % 13 = 0),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' ||
+                string_split(text,' ')[i+2])) AS shingles
+  FROM corpus),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE len(shingles) > 0),
+th AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT
+              - CASE WHEN ('0x' || substr(md5(s), 1, 16))::UBIGINT
+                          > 9223372036854775807
+                     THEN 18446744073709551616::HUGEINT ELSE 0 END
+              AS BIGINT) AS h
+  FROM tok),
+bits AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc <= 0 THEN 0
+                       WHEN b = 63 THEN (-9223372036854775807 - 1)::HUGEINT
+                       ELSE (CAST(1 AS BIGINT) << b)::HUGEINT END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, simhash, band.i AS band,
+         (simhash >> (band.i * 8)) & 255 AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS i) band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 16
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL)
 def q_dedup_simhash(spark, sf_dir):
     """H2-family: SimHash near-dup detection (64-bit shingle votes).
 
-    Each 3-gram shingle votes ±1 on 64 signature bits (xxhash64); the sign
-    vector is the fingerprint. Measured on this corpus: planted truncation
-    dups land at hamming 2–18, random pairs at ≥20 — threshold 16.
-    Candidates come from banding (8 bands × 8 bits): guaranteed capture of
-    hamming ≤ 7 plus probabilistic capture above; random pairs collide on a
-    band at ~(1/256)·8 so the candidate join stays tiny. The pair stream is
+    Each 3-gram shingle votes ±1 on 64 signature bits; the sign vector is
+    the fingerprint. Measured on this corpus: planted truncation dups land
+    at hamming 2–18, random pairs at ≥20 — threshold 16. Candidates come
+    from banding (8 bands × 8 bits): guaranteed capture of hamming ≤ 7
+    plus probabilistic capture above; random pairs collide on a band at
+    ~(1/256)·8 so the candidate join stays tiny. The pair stream is
     filtered on hamming BEFORE the distinct-pair shuffle (ids only).
+
+    FULL oracle since round 4 (was rows-only): shingle hashes are 64-bit
+    md5 wrapped to signed two's-complement (the dedup_simhash_portable
+    device at shingle granularity), so signatures, band buckets,
+    candidate pairs and hamming distances all hash-match DuckDB;
+    production would swap md5 → xxhash64, one expression, same plan.
     """
+    unsigned = "CAST(conv(substring(md5(s), 1, 16), 16, 10) AS DECIMAL(21,0))"
     tok = (
         _shingle_df(spark, sf_dir)
         .select("doc_id", F.explode("shingles").alias("s"))
-        .withColumn("h", F.xxhash64("s"))
+        .withColumn(
+            "h",
+            F.expr(
+                f"CAST({unsigned} - CASE WHEN {unsigned} > 9223372036854775807 "
+                "THEN CAST(18446744073709551616 AS DECIMAL(21,0)) "
+                "ELSE 0 END AS BIGINT)"
+            ),
+        )
     )
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(
-                    F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(64)
         ]
@@ -658,20 +725,8 @@ def q_dedup_simhash(spark, sf_dir):
     banded = sim.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.shiftrightunsigned("simhash", bnd * 8)
-                        .bitwiseAND(F.lit(255))
-                        .alias("byte"),
-                    )
-                    for bnd in range(8)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.byte")
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band"),
+    ).withColumn("byte", F.expr("(simhash >> (band * 8)) & 255"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -358,7 +358,57 @@ def q_array_funcs(spark, sf_dir):
     )
 
 
-@register("sim_topk_lsh")  # algorithm-specific buckets → rows-only
+# sim_topk_lsh planes: module-level so the Spark plan and the DuckDB
+# oracle embed the IDENTICAL literal weights (same device as _SJL_PLANES).
+_STL_PLANES_N, _STL_BANDS = 16, 4
+_STL_BITS = _STL_PLANES_N // _STL_BANDS
+_STL_RNG = random.Random(42)
+_STL_PLANES = [
+    [_STL_RNG.gauss(0, 1) for _ in range(64)] for _ in range(_STL_PLANES_N)
+]
+
+_STL_PLANES_SQL = ",\n".join(
+    f"({pid}, ["
+    + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in p)
+    + "]::DOUBLE[])"
+    for pid, p in enumerate(_STL_PLANES)
+)
+
+_SIM_TOPK_LSH_SQL = f"""
+WITH planes(plane_id, p) AS (VALUES {_STL_PLANES_SQL}),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bits AS (
+  SELECT base.vec_id, planes.plane_id,
+         CASE WHEN {SQL_DOT('planes.p', 'base.e')} >= 0 THEN 1 ELSE 0 END
+           AS bit
+  FROM base CROSS JOIN planes),
+sigs AS (
+  SELECT vec_id, plane_id // {_STL_BITS} AS band,
+         SUM(bit * (1 << ({_STL_BITS - 1} - (plane_id % {_STL_BITS}))))
+           AS sig
+  FROM bits GROUP BY vec_id, plane_id // {_STL_BITS}),
+q AS (SELECT vec_id AS query_id, band, sig FROM sigs WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id
+  FROM sigs s JOIN q ON s.band = q.band AND s.sig = q.sig
+  WHERE s.vec_id <> q.query_id),
+scored AS (
+  SELECT c.query_id, c.vec_id, {SQL_COS('qe.e', 've.e')} AS cos_sim
+  FROM cand c
+  JOIN base qe ON qe.vec_id = c.query_id
+  JOIN base ve ON ve.vec_id = c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos_sim, 9) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register("sim_topk_lsh", oracle=_SIM_TOPK_LSH_SQL)
 def q_sim_topk_lsh(spark, sf_dir):
     """H3 scale path: banded sign-LSH ANN top-k (4 bands × 4 bits).
 
@@ -369,14 +419,18 @@ def q_sim_topk_lsh(spark, sf_dir):
     exact-cosine re-ranked. At 100 TB the bucket join is an equi-join on
     (band, signature) — a uniform shuffle key — so the all-pairs explosion
     disappears; recall vs brute force is asserted in tests.
+
+    FULL oracle since round 4 (was rows-only): the planes are module-level
+    literals embedded in both plans, the sign bits and band signatures are
+    sequential-fold / integer math (bit-portable — the sim_join_lsh
+    device), so candidates, ranks and cosines all hash-match DuckDB even
+    where LSH recall < 1.
     """
-    n_planes, n_bands = 16, 4
-    band_bits = n_planes // n_bands
-    rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(n_planes)]
+    n_planes, n_bands = _STL_PLANES_N, _STL_BANDS
+    band_bits = _STL_BITS
     planes_sql = ", ".join(
         "array(" + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in p) + ")"
-        for p in planes
+        for p in _STL_PLANES
     )
     e = _emb_double(spark, sf_dir)
     bits = F.expr(

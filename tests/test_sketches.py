@@ -9,10 +9,15 @@ from dataframe_differ_spark.tables import load_table
 
 
 def test_hll_merge_estimates_close_to_exact(spark, sf_small):
-    out = {
-        (r.level, r.key): r.estimate
-        for r in q_agg_hll_merge(spark, sf_small).collect()
-    }
+    # Round 4: the query itself now folds the estimate into a
+    # within_bound boolean (full-oracle restructure); this test keeps an
+    # INDEPENDENT recomputation of the exact counts so the query's own
+    # exact side can't mask a regression.
+    rows = q_agg_hll_merge(spark, sf_small).collect()
+    assert all(r.within_bound for r in rows), [
+        (r.level, r.key) for r in rows if not r.within_bound
+    ]
+    out = {(r.level, r.key): r.exact_distinct for r in rows}
     c = load_table(spark, sf_small, "customer")
     n = load_table(spark, sf_small, "nation")
     joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -30,10 +35,8 @@ def test_hll_merge_estimates_close_to_exact(spark, sf_small):
     }
     exact_global = c.select("c_custkey").distinct().count()
 
-    # lgConfigK=12 default → relative error ~1.6%; allow 5% + absolute slack
-    # for the tiny sf0.001 groups.
     def close(est, exact):
-        return abs(est - exact) <= max(0.05 * exact, 2)
+        return est == exact
 
     for name, exact in exact_nation.items():
         assert close(out[("nation", name)], exact), (name, exact)
