@@ -74,7 +74,13 @@ def ranked(
 
     key_d = bucket_key.cast("double")
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bnds = df.agg(F.percentile_approx(key_d, fracs, 10_000).alias("_rk_bnds"))
+    # Accuracy 1000 is plenty: boundaries only steer data placement, never
+    # the ranking, so sketch error costs balance, not correctness. The
+    # lazy checkpoint stops the 1-row boundary aggregate (and its scan)
+    # from re-running in every downstream branch (stats, window).
+    bnds = df.agg(
+        F.percentile_approx(key_d, fracs, 1_000).alias("_rk_bnds")
+    ).localCheckpoint(eager=False)
     if ascending:
         bkt = F.size(F.filter(F.col("_rk_bnds"), lambda x: key_d > x))
     else:
@@ -89,7 +95,9 @@ def ranked(
     aggs = [F.count(F.lit(1)).cast("long").alias("_rk_cnt")]
     if running_sum is not None:
         aggs.append(F.sum(running_sum).alias("_rk_bsum"))
-    stats = bucketed.groupBy("_rk_bkt").agg(*aggs)
+    # ≤ B rows; lazily checkpointed so the offsets triangle join and the
+    # totals aggregate don't each re-scan the input to rebuild it.
+    stats = bucketed.groupBy("_rk_bkt").agg(*aggs).localCheckpoint(eager=False)
 
     # Exclusive prefix over buckets WITHOUT a window: broadcast triangle
     # join over the ≤ n_buckets stats rows (lower-bucket sums per bucket).
