@@ -46,6 +46,12 @@ MUST_BROADCAST = {
     "vec_pq_adc_topk",
     "retrieval_hybrid_rrf",
     "dedup_minhash_exact",
+    # round-4: the completed TPC-H shape suite's dimension joins
+    "tpch_q2_shape",
+    "tpch_q9_shape",
+    "tpch_q11_shape",
+    "tpch_q16_shape",
+    "tpch_q20_shape",
 }
 
 # Queries whose parquet scan MUST show a pushed-down filter.
