@@ -99,12 +99,38 @@ def _ivf_index(e, n_clusters: int):
         )
     )
     # One Lloyd iteration: new centroid = unit-normalized mean of members.
+    # Round 4: the mean is a DETERMINISTIC sequential fold (running window
+    # ordered by vec_id, last row per group — the vec_centroid_outliers
+    # device) instead of F.avg, whose partial-aggregation order is
+    # partition-dependent. That makes the whole quantizer bit-reproducible
+    # across engines and cluster layouts, which is what upgrades
+    # sim_topk_ivf / knn_classify_ivf from rows-only to FULL oracle. At
+    # 100 TB you'd use plain avg() — bit-exactness vs a second engine is
+    # a parity device, not a production requirement.
     assigned0 = assign(e, seeds)
     member_dims = assigned0.select(
-        "cluster_id", F.posexplode("e").alias("dim", "val")
+        "vec_id", "cluster_id", F.posexplode("e").alias("dim", "val")
     )
-    mean_dims = member_dims.groupBy("cluster_id", "dim").agg(
-        F.avg("val").alias("mean_val")
+    wrun = (
+        Window.partitionBy("cluster_id", "dim")
+        .orderBy("vec_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mean_dims = (
+        member_dims.withColumn("s", F.sum("val").over(wrun))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("cluster_id", "dim"))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id", "dim").orderBy(
+                    F.col("vec_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "dim", (F.col("s") / F.col("n")).alias("mean_val"))
     )
     centroids = (
         mean_dims.groupBy("cluster_id")
@@ -478,7 +504,81 @@ def q_sim_topk_lsh(spark, sf_dir):
     )
 
 
-@register("sim_topk_ivf")  # algorithm-specific clusters → rows-only
+# DuckDB twin of the ENTIRE _ivf_index chain (seeds → assign → Lloyd mean
+# → normalize → reassign). Portable because every float reduction in the
+# Spark quantizer is a defined-order sequential fold: dots are
+# aggregate(zip_with) ≡ list_reduce, the Lloyd mean is a running-window
+# sum ordered by vec_id ≡ list_reduce over list(val ORDER BY vec_id), and
+# ties in the argmax assignment break on cluster_id in both engines.
+_IVF_SQL_CTES = f"""base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+              AS INT) AS cluster_id,
+         e AS ce
+  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+a0 AS (
+  SELECT vec_id, e, cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cluster_id DESC) AS rn
+  FROM (SELECT b.vec_id, b.e, s.cluster_id, {SQL_DOT('s.ce', 'b.e')} AS dot
+        FROM base b CROSS JOIN seeds s)),
+assigned0 AS (SELECT vec_id, e, cluster_id FROM a0 WHERE rn = 1),
+md AS (
+  SELECT vec_id, cluster_id, i AS dim, e[i + 1] AS val
+  FROM assigned0 CROSS JOIN (SELECT unnest(range(64)) AS i)),
+mean_dims AS (
+  SELECT cluster_id, dim,
+         list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                     (a, b) -> a + b) / COUNT(*) AS mean_val
+  FROM md GROUP BY cluster_id, dim),
+ce_raw_t AS (
+  SELECT cluster_id, list(mean_val ORDER BY dim) AS cr
+  FROM mean_dims GROUP BY cluster_id),
+cent AS (
+  SELECT cluster_id,
+         list_transform(cr, x -> x / sqrt(list_reduce(list_prepend(0.0,
+           list_transform(range(1, 65), i -> cr[i] * cr[i])),
+           (a, b) -> a + b))) AS ce
+  FROM ce_raw_t),
+a1 AS (
+  SELECT vec_id, label, e, cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cluster_id DESC) AS rn
+  FROM (SELECT b.vec_id, b.label, b.e, c.cluster_id,
+               {SQL_DOT('c.ce', 'b.e')} AS dot
+        FROM base b CROSS JOIN cent c)),
+ivf_index AS (SELECT vec_id, label, e, cluster_id FROM a1 WHERE rn = 1)"""
+
+_SIM_TOPK_IVF_SQL = f"""
+WITH {_IVF_SQL_CTES},
+queries AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 5),
+qp AS (
+  SELECT query_id, qe, cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, cluster_id) AS crank
+  FROM (SELECT q.query_id, q.qe, c.cluster_id,
+               {SQL_DOT('c.ce', 'q.qe')} AS dot
+        FROM queries q CROSS JOIN cent c)),
+probes AS (SELECT query_id, qe, cluster_id FROM qp WHERE crank <= 6),
+cand AS (
+  SELECT p.query_id, p.qe, i.vec_id, i.e
+  FROM ivf_index i JOIN probes p ON i.cluster_id = p.cluster_id
+  WHERE i.vec_id <> p.query_id),
+scored AS (
+  SELECT query_id, vec_id, {SQL_COS('qe', 'e')} AS cos_sim FROM cand),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos_sim, 9) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register("sim_topk_ivf", oracle=_SIM_TOPK_IVF_SQL)
 def q_sim_topk_ivf(spark, sf_dir):
     """H3 scale path #2: IVF ANN top-k (k-means coarse quantizer, nprobe=4).
 
@@ -843,7 +943,46 @@ def q_sim_join_lsh(spark, sf_dir):
     )
 
 
-@register("knn_classify_ivf")  # candidate set is index-defined → rows-only
+_KNN_IVF_SQL = f"""
+WITH {_IVF_SQL_CTES},
+q AS (SELECT vec_id AS query_id, label AS true_label, e AS qe
+      FROM base WHERE vec_id % 29 = 0),
+qp AS (
+  SELECT query_id, true_label, qe, cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, cluster_id) AS crank
+  FROM (SELECT q.query_id, q.true_label, q.qe, c.cluster_id,
+               {SQL_DOT('c.ce', 'q.qe')} AS dot
+        FROM q CROSS JOIN cent c)),
+probes AS (SELECT query_id, true_label, qe, cluster_id
+           FROM qp WHERE crank <= 6),
+cand AS (
+  SELECT p.query_id, p.true_label, p.qe, i.vec_id, i.label, i.e
+  FROM ivf_index i JOIN probes p ON i.cluster_id = p.cluster_id
+  WHERE i.vec_id % 29 <> 0 AND i.vec_id <> p.query_id),
+scored AS (
+  SELECT query_id, true_label, vec_id, label,
+         {SQL_COS('qe', 'e')} AS cos_sim
+  FROM cand),
+top AS (
+  SELECT * FROM (
+    SELECT query_id, true_label, label, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored) WHERE rnk <= 5),
+votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS n_votes
+  FROM top GROUP BY query_id, true_label, label)
+SELECT query_id, true_label, label AS pred_label,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) AS vr
+      FROM votes)
+WHERE vr = 1
+"""
+
+
+@register("knn_classify_ivf", oracle=_KNN_IVF_SQL)
 def q_knn_classify_ivf(spark, sf_dir):
     """k-NN classification routed through the IVF index (the scale form).
 
