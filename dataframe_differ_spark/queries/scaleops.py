@@ -1771,3 +1771,86 @@ def q_agg_variance_exact(spark, sf_dir):
             (s2d - s1d * F.col("s1") / F.col("n")) / F.col("n") / 10000, 4
         ).alias("var_pop_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) vector quantization — the PQ family's simpler sibling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vec_quantize_int8",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)),
+rng AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY pos),
+coded AS (
+  SELECT ex.vec_id, ex.pos, ex.v, rng.mn, rng.mx,
+         CASE WHEN rng.mx = rng.mn THEN 0
+              ELSE LEAST(255, GREATEST(0,
+                CAST(FLOOR((ex.v - rng.mn) / (rng.mx - rng.mn) * 256)
+                     AS INTEGER))) END AS code
+  FROM ex JOIN rng ON ex.pos = rng.pos),
+recon AS (
+  SELECT vec_id, pos, code,
+         mn + (code + 0.5) / 256.0 * (mx - mn) AS r, v
+  FROM coded)
+SELECT vec_id,
+       CAST(SUM(CAST(code AS BIGINT) * (pos + 1)) AS BIGINT) AS code_checksum,
+       CAST(SUM(CAST(ROUND((v - r) * (v - r), 12) AS DECIMAL(24,12)))
+            AS DOUBLE) AS recon_err_sq
+FROM recon GROUP BY vec_id
+""",
+)
+def q_vec_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization: per-dimension min-max codes + exact
+    reconstruction error — the simple compression tier below PQ
+    (`vec_pq_codes`): 4× shrink, no codebook, dequantize is two flops.
+
+    Per-dim [min, max] comes from one 64-row aggregate that broadcasts
+    back over the corpus — map-side encode, no shuffle growth. Codes are
+    floor((v-min)/(max-min)·256) clamped to [0,255]: identical doubles →
+    identical floor in both engines (constant dims guard to code 0).
+    Reconstruction uses the bucket midpoint; the per-dim squared errors
+    are rounded then decimal-summed so the per-vector total is
+    order-independent (the PQ recon_err device) — full oracle.
+    """
+    ex = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    rng = ex.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    j = ex.join(F.broadcast(rng), "pos")
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * 256
+                ).cast("int"),
+            ),
+        )
+    )
+    coded = j.select("vec_id", "pos", "v", "mn", "mx", code.alias("code"))
+    recon = F.col("mn") + (F.col("code") + 0.5) / 256.0 * (
+        F.col("mx") - F.col("mn")
+    )
+    return (
+        coded.withColumn("r", recon)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("code").cast("long") * (F.col("pos") + 1))
+            .cast("long")
+            .alias("code_checksum"),
+            F.sum(
+                F.round((F.col("v") - F.col("r")) * (F.col("v") - F.col("r")), 12)
+                .cast("decimal(24,12)")
+            )
+            .cast("double")
+            .alias("recon_err_sq"),
+        )
+    )

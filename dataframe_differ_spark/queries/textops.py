@@ -1128,3 +1128,139 @@ def q_dedup_paragraph(spark, sf_dir):
         .filter(F.col("n_docs") > 1)
         .select(F.col("h").alias("chunk_hash"), "n_copies", "n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): sampled local fingerprints with a coverage guarantee.
+# --------------------------------------------------------------------------
+
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 4  # k-gram hashes per winnowing window
+_WIN_BOILER = (
+    "this document is provided as is without warranty of any kind "
+    "redistribution permitted with attribution only"
+)  # 16 tokens planted on every 9th doc so shared fingerprints provably exist
+
+_WINNOW_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || ' ' || '{_WIN_BOILER}'
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i + {_WIN_K - 1}], ' ')),
+                         1, 12))::BIGINT AS h
+  FROM toks,
+       unnest(range(1, greatest(len(t) - {_WIN_K - 1}, 0) + 1)) AS u(i)),
+mins AS (
+  SELECT doc_id, pos AS q,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+           AS hmin
+  FROM grams),
+members AS (
+  SELECT m.doc_id, m.q, m.hmin, m.q - j.j AS p
+  FROM mins m CROSS JOIN (SELECT unnest(range({_WIN_W})) AS j) j
+  WHERE m.q >= {_WIN_W - 1}),
+selq AS (
+  SELECT mem.doc_id, mem.q, mem.hmin, MAX(mem.p) AS sel_pos
+  FROM members mem
+  JOIN grams g ON g.doc_id = mem.doc_id AND g.pos = mem.p
+  WHERE g.h = mem.hmin
+  GROUP BY mem.doc_id, mem.q, mem.hmin),
+sel AS (SELECT DISTINCT doc_id, sel_pos, hmin AS fingerprint FROM selq),
+shared AS (
+  SELECT fingerprint,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         MIN(doc_id) AS first_doc
+  FROM sel GROUP BY fingerprint
+  HAVING COUNT(DISTINCT doc_id) > 1)
+SELECT fingerprint, n_docs, n_occurrences, first_doc FROM shared
+"""
+
+@register("text_winnowing", oracle=_WINNOW_SQL)
+def q_text_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS device):
+    sampled k-gram fingerprints with the guarantee that any shared run of
+    at least w + k - 1 tokens shares at least one fingerprint.
+
+    The scale story vs stride-1 window hashing (`dedup_substring_spans`):
+    winnowing keeps ~2/(w+1) of the k-gram hashes — here ~40% — so the
+    shared-content inverted index shrinks ~2.5× while the detection
+    guarantee stays. Per window of w consecutive k-gram hashes the
+    MINIMUM is selected (rightmost on ties — robust winnowing, so
+    near-identical docs pick identical positions); selections dedupe to
+    (doc, pos, hash); one groupBy(hash) shuffle finds cross-doc shares.
+    Hashes are portable 48-bit md5 → full oracle. Boilerplate is planted
+    on every 9th doc identically in both engines so shared fingerprints
+    provably exist. All windows are PARTITIONED by doc — nothing global.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" " + _WIN_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = corpus.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {_WIN_K - 1}, 0)), "
+                f"i -> conv(substring(md5(concat_ws(' ', "
+                f"slice(t, i, {_WIN_K}))), 1, 12), 16, 10))"
+            )
+        ).alias("pos", "hs"),
+    ).select("doc_id", "pos", F.col("hs").cast("long").alias("h"))
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), Window.currentRow)
+    )
+    # Rightmost-min selection WITHOUT nested window calls (rejected by
+    # DuckDB, ill-defined in Spark): window min per end-position q, then
+    # an explicit w-member join back to the gram table picks the max
+    # position attaining that min.
+    mins = (
+        grams.select("doc_id", F.col("pos").alias("q"), F.min("h").over(wf).alias("hmin"))
+        .filter(F.col("q") >= _WIN_W - 1)
+    )
+    members = mins.select(
+        "doc_id",
+        "q",
+        "hmin",
+        F.explode(F.sequence(F.lit(0), F.lit(_WIN_W - 1))).alias("j"),
+    ).select("doc_id", "q", "hmin", (F.col("q") - F.col("j")).alias("p"))
+    selq = (
+        members.join(
+            grams.select(
+                F.col("doc_id").alias("gdoc"),
+                F.col("pos").alias("gp"),
+                F.col("h"),
+            ),
+            (F.col("gdoc") == F.col("doc_id")) & (F.col("gp") == F.col("p")),
+        )
+        .filter(F.col("h") == F.col("hmin"))
+        .groupBy("doc_id", "q", "hmin")
+        .agg(F.max("p").alias("sel_pos"))
+    )
+    sel = selq.select(
+        "doc_id", "sel_pos", F.col("hmin").alias("fingerprint")
+    ).distinct()
+    return (
+        sel.groupBy("fingerprint")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
