@@ -86,6 +86,21 @@ HEADLINE = [
     "sketch_set_intersect_est",
     "vec_pq_codes",
     "dedup_simhash_portable",
+    # round-4 additions
+    "agg_histogram_equidepth_sketch",
+    "layout_zorder_sketch",
+    "orders_rfm_sketch",
+    "revenue_pareto_sketch",
+    "diff_quantile_drift_sketch",
+    "win_distribution_sketch",
+    "sim_topk_ivf",
+    "text_winnowing",
+    "vec_quantize_int8",
+    "tpch_q2_shape",
+    "tpch_q9_shape",
+    "tpch_q20_shape",
+    "dedup_simhash",
+    "agg_hll_merge",
 ]
 
 
