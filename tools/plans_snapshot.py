@@ -99,6 +99,31 @@ FLAGSHIPS = {
         "hash-partitioned (band, sig) buckets, exact cosine verify after "
         "— no data-sized cartesian anywhere"
     ),
+    "agg_histogram_equidepth_sketch": (
+        "two-phase distributed rank (round 4): the boundary sketch is a "
+        "1-row aggregate broadcast back map-side, the ONLY Window is "
+        "partitioned by the bucket id (no 'Exchange SinglePartition' under "
+        "any Window node), and bucket offsets come from a broadcast "
+        "triangle join over <=32 stats rows"
+    ),
+    "vec_pq_codes": (
+        "PQ encode (round-4 seed fix): codebook seeds selected by "
+        "TakeOrderedAndProject (per-partition top-16 + driver merge), "
+        "never a full-table single-partition row_number; the 128-row "
+        "codebook broadcasts onto the subvector stream"
+    ),
+    "tpch_q9_shape": (
+        "completed TPC-H suite (round 4): five-way star join with every "
+        "dimension a BroadcastHashJoin, the lineitem-orders fact join the "
+        "single shuffle, exact-decimal profit arithmetic inside "
+        "WholeStageCodegen"
+    ),
+    "text_winnowing": (
+        "winnowing fingerprints (round 4): doc-partitioned sliding-window "
+        "MIN (no global window), rightmost-min selection as a "
+        "hash-partitioned self-join on (doc, pos), one final "
+        "groupBy(fingerprint) shuffle over the SAMPLED hash set"
+    ),
 }
 
 
