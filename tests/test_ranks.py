@@ -115,3 +115,29 @@ def test_no_single_partition_window_in_plan(spark):
     out = ranked(df, F.col("v"), ["v", "id"], rank_col="rk", n_col="n")
     f = plan_features(out)
     assert f.global_windows == 0
+
+
+def test_sketch_siblings_equal_exact_twins(spark, sf_small):
+    # The shared DuckDB oracles already pin both sides to the same values;
+    # this is the direct in-Spark assertion (independent of DuckDB) that
+    # each two-phase-rank sibling reproduces its single-partition twin.
+    from dataframe_differ_spark.queries import load_all
+
+    registry = load_all()
+    pairs = [
+        ("agg_histogram_equidepth", "agg_histogram_equidepth_sketch"),
+        ("layout_zorder", "layout_zorder_sketch"),
+        ("diff_quantile_drift", "diff_quantile_drift_sketch"),
+        ("orders_rfm", "orders_rfm_sketch"),
+        ("revenue_pareto", "revenue_pareto_sketch"),
+        ("win_distribution", "win_distribution_sketch"),
+    ]
+    for exact_name, sketch_name in pairs:
+        exact = registry[exact_name].fn(spark, sf_small)
+        sketch = registry[sketch_name].fn(spark, sf_small)
+        cols = sorted(exact.columns)
+        assert cols == sorted(sketch.columns), (exact_name, sketch_name)
+        a = sorted(tuple(r[c] for c in cols) for r in exact.collect())
+        b = sorted(tuple(r[c] for c in cols) for r in sketch.collect())
+        assert a == b, f"{sketch_name} != {exact_name}"
+        assert registry[exact_name].scale_path == sketch_name
