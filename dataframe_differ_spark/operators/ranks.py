@@ -180,3 +180,21 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
         )
         .cast("int")
     )
+
+
+def string_bucket_key(col: Column) -> Column:
+    """Monotone numeric proxy of a STRING sort key for ``bucket_key``.
+
+    First 8 bytes of the UTF-8 encoding, zero-padded then parsed as a
+    big-endian unsigned integer: Spark compares strings bytewise
+    (UTF8String.compareTo), and zero-padding keeps proper prefixes below
+    their extensions, so the integer is (non-strictly) monotone in the
+    string order — strings equal in their first 8 bytes share a bucket
+    and the in-bucket window resolves them. Internal-only (buckets never
+    reach the output), so no cross-engine parity constraint applies.
+    """
+    return F.conv(
+        F.hex(F.expr(f"rpad(CAST(({col._jc.toString()}) AS BINARY), 8, X'00')")),
+        16,
+        10,
+    ).cast("double")

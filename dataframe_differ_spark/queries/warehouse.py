@@ -874,7 +874,11 @@ FROM dims
 """
 
 
-@register("dim_surrogate_keys", oracle=_SURROGATE_SQL)
+@register(
+    "dim_surrogate_keys",
+    oracle=_SURROGATE_SQL,
+    scale_path="dim_surrogate_keys_sketch",
+)
 def q_dim_surrogate_keys(spark, sf_dir):
     """Deterministic surrogate-key assignment for a dimension.
 
@@ -1032,4 +1036,33 @@ def q_diff_quantile_drift(spark, sf_dir):
             F.abs(F.col("right_value") - F.col("left_value")).alias("abs_drift"),
         )
         .orderBy("p")
+    )
+
+
+@register("dim_surrogate_keys_sketch", oracle=_SURROGATE_SQL)
+def q_dim_surrogate_keys_sketch(spark, sf_dir):
+    """Dense surrogate keys WITHOUT a single-partition window.
+
+    Scale sibling of `dim_surrogate_keys` (same oracle, identical
+    values) for the billion-row-dimension case its docstring flags: the
+    global row_number becomes a two-phase distributed rank over the
+    distinct natural keys. The bucket proxy is the first 8 bytes of
+    lang || chr(0) || source as a big-endian integer
+    (operators.ranks.string_bucket_key) — the NUL separator makes the
+    concatenation order equal the (lang, source) tuple order, so the
+    proxy is monotone and the in-bucket window resolves the rest.
+    """
+    from dataframe_differ_spark.operators.ranks import (
+        ranked,
+        string_bucket_key,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select("lang", "source").distinct()
+    key = string_bucket_key(
+        F.concat(F.col("lang"), F.lit("\x00"), F.col("source"))
+    )
+    r = ranked(dims, key, ["lang", "source"], rank_col="rk")
+    return r.select(
+        F.col("rk").cast("bigint").alias("dim_sk"), "lang", "source"
     )

@@ -131,6 +131,7 @@ def test_sketch_siblings_equal_exact_twins(spark, sf_small):
         ("orders_rfm", "orders_rfm_sketch"),
         ("revenue_pareto", "revenue_pareto_sketch"),
         ("win_distribution", "win_distribution_sketch"),
+        ("dim_surrogate_keys", "dim_surrogate_keys_sketch"),
     ]
     for exact_name, sketch_name in pairs:
         exact = registry[exact_name].fn(spark, sf_small)

@@ -86,8 +86,8 @@ GLOBAL_WINDOW_OK = {
     "contingency_chisq": "windows over the ~35-cell contingency table",
     "vocab_coverage": "windows over post-limit top-30 rows",
     "events_cumulative_uniques": "running sum over the 30-row day spine",
-    "dim_surrogate_keys": "row_number over DISTINCT dims; hash-sk "
-    "alternative documented for billion-row dims",
+    "dim_surrogate_keys": "row_number over DISTINCT dims (verifier; "
+    "sibling dim_surrogate_keys_sketch ships window-free)",
     "retrieval_hybrid_rrf": "final rerank over the term-candidate set; "
     "dense side pre-cut to top-100",
     "vec_pq_codes": "cid window over post-limit 16 seed rows",
