@@ -1092,3 +1092,79 @@ def q_text_blocklist_filter(spark, sf_dir):
         ).alias("survival_rate"),
         F.sum("n_hits").alias("total_hits"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate counting (one training iteration's heavy step)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+syms AS (
+  SELECT freq,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[i]), '</w>') AS s
+  FROM words),
+pairs AS (
+  SELECT s[i] AS left_sym, s[i + 1] AS right_sym, freq
+  FROM syms, unnest(range(1, len(s))) AS u(i)),
+agg AS (
+  SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY left_sym, right_sym)
+SELECT left_sym, right_sym, pair_count
+FROM agg ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
+""",
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE training, the distributed step: adjacent-symbol pair counts
+    over the corpus (Sennrich et al. 2016) — the top pair is the next
+    merge rule a byte-pair-encoding tokenizer would learn.
+
+    The classic BPE efficiency trick carries the plan: counting runs on
+    the WORD FREQUENCY table (one corpus shuffle to build, then the
+    corpus never re-scans per iteration), each word exploding into its
+    character+end-marker symbol sequence whose adjacent pairs are
+    weighted by word frequency. Characters come from an explicit
+    substring transform — identical in both engines, unlike
+    empty-separator splits — so the pair table is hash-exact and the
+    top-20 merge candidates (full tiebreak) form the oracle. At 100 TB
+    the pair aggregate is vocabulary-sized, combines map-side, and the
+    top-20 is TakeOrdered — never a full sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "freq",
+        F.expr(
+            "concat(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), array('</w>'))"
+        ).alias("s"),
+    )
+    pairs = syms.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(s) - 1), "
+                "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(20)
+    )
