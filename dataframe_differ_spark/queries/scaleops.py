@@ -24,6 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dataframe_differ_spark.functions.vector import SQL_COS, cosine
+from dataframe_differ_spark.operators.ranks import ranked
 from dataframe_differ_spark.queries import register
 from dataframe_differ_spark.tables import load_table
 
@@ -551,13 +552,19 @@ def q_retrieval_hybrid_rrf(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.sum(bm25), 6).alias("lex_score"))
     )
-    lex_ranked = lex.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("lex_score"), "doc_id"))
-        .cast("long")
-        .alias("rank_lex"),
-    )
+    # Round 4: the lexical ranking runs as a two-phase distributed rank
+    # (operators.ranks) — exact, value-identical to the global row_number
+    # it replaces, but partitioned; the candidate list grows with the
+    # corpus for common terms, so this was the one whitelisted global
+    # window whose boundedness argument was soft.
+    lex_ranked = ranked(
+        lex,
+        F.col("lex_score"),
+        [F.col("lex_score").desc(), "doc_id"],
+        ascending=False,
+        n_buckets=8,
+        rank_col="rank_lex",
+    ).select("doc_id", F.col("rank_lex").cast("long").alias("rank_lex"))
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "e", F.col("embedding").cast("array<double>")
     )
@@ -566,13 +573,20 @@ def q_retrieval_hybrid_rrf(spark, sf_dir):
         F.col("vec_id").alias("doc_id"),
         F.round(cosine("e", "qe"), 9).alias("cos"),
     )
-    vec_top = vec.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cos"), "doc_id"))
-        .cast("long")
-        .alias("rank_vec"),
-    ).filter(F.col("rank_vec") <= 100)
+    # Top-100 via orderBy().limit(): TakeOrderedAndProject (per-partition
+    # heap), never a corpus-wide single-partition row_number; the residual
+    # rank window runs over the 100 survivors only.
+    vec_top = (
+        vec.orderBy(F.desc("cos"), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), "doc_id"))
+            .cast("long")
+            .alias("rank_vec"),
+        )
+    )
     fused = (
         lex_ranked.join(vec_top, "doc_id", "full_outer")
         .select(

@@ -88,8 +88,8 @@ GLOBAL_WINDOW_OK = {
     "events_cumulative_uniques": "running sum over the 30-row day spine",
     "dim_surrogate_keys": "row_number over DISTINCT dims (verifier; "
     "sibling dim_surrogate_keys_sketch ships window-free)",
-    "retrieval_hybrid_rrf": "final rerank over the term-candidate set; "
-    "dense side pre-cut to top-100",
+    "retrieval_hybrid_rrf": "rank_vec window over post-limit 100 rows "
+    "(TakeOrdered feeds it); lexical rank is two-phase since r4",
     "vec_pq_codes": "cid window over post-limit 16 seed rows",
     "vec_pq_adc_topk": "16-row seed window + top-k over ADC candidates",
 }
