@@ -100,6 +100,7 @@ def main() -> int:
     spark = get_spark("plan_audit")
     registry = load_all()
     failures: list[str] = []
+    gw_seen: set[str] = set()
     for name, q in registry.items():
         if name in SKIP:
             continue
@@ -116,17 +117,28 @@ def main() -> int:
         )
         if f.python_row_udfs:
             failures.append(f"{name}: row-at-a-time Python UDF in plan (BatchEvalPython)")
-        if f.global_windows and name not in GLOBAL_WINDOW_OK:
-            failures.append(
-                f"{name}: {f.global_windows} partition-less Window(s) — "
-                "ship a rankops sibling or whitelist with a bounded-input "
-                "reason in GLOBAL_WINDOW_OK"
-            )
+        if f.global_windows:
+            gw_seen.add(name)
+            if name not in GLOBAL_WINDOW_OK:
+                failures.append(
+                    f"{name}: {f.global_windows} partition-less Window(s) — "
+                    "ship a rankops sibling or whitelist with a "
+                    "bounded-input reason in GLOBAL_WINDOW_OK"
+                )
         if name in MUST_BROADCAST and f.broadcast_joins == 0:
             failures.append(f"{name}: expected a broadcast join, found none")
         want = MUST_PUSH_FILTER.get(name)
         if want and want not in pushed_all:
             failures.append(f"{name}: filter on {want} not pushed to scan")
+    # Stale whitelist entries are failures too: an entry whose query no
+    # longer has a global window hides the gate's coverage (and a
+    # re-introduced window would sail through under the old reason).
+    for name in sorted(set(GLOBAL_WINDOW_OK) - gw_seen):
+        if name in registry and name not in SKIP:
+            failures.append(
+                f"{name}: GLOBAL_WINDOW_OK entry is STALE — plan has no "
+                "partition-less Window; remove the whitelist row"
+            )
     print()
     if failures:
         for f in failures:
