@@ -1168,3 +1168,56 @@ def q_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
         .limit(20)
     )
+
+
+@register(
+    "batch_length_grouped",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+rk AS (
+  SELECT n_tok, ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS r
+  FROM sized),
+b AS (
+  SELECT CAST(CEIL(CAST(r AS DOUBLE) / 32) AS INTEGER) AS batch_id, n_tok
+  FROM rk)
+SELECT batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_tok) AS min_tokens,
+       MAX(n_tok) AS max_tokens,
+       CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS padding_waste
+FROM b GROUP BY batch_id
+""",
+)
+def q_batch_length_grouped(spark, sf_dir):
+    """Length-grouped batching: sort docs by token length, cut batches of
+    32, report each batch's padding waste (rows padded to the batch max —
+    the tokens a training step burns on pad).
+
+    The dynamic-batching prep step: length-sorted batches make the waste
+    per batch max(len)−len ≈ 0, vs arrival-order batching where every
+    batch pays up to the global length spread. The global length sort is
+    the two-phase distributed rank (operators.ranks — boundary sketch +
+    bucketed window, no single-partition Window), exactly the production
+    shape: at 100 TB you'd follow it with repartitionByRange(batch_id)
+    on write so each training shard holds contiguous batches.
+    """
+    from dataframe_differ_spark.operators.ranks import ranked
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    r = ranked(sized, F.col("n_tok"), ["n_tok", "doc_id"], rank_col="r")
+    b = r.select(
+        F.ceil(F.col("r") / 32).cast("int").alias("batch_id"), "n_tok"
+    )
+    return b.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+        (F.max("n_tok") * F.count(F.lit(1)) - F.sum("n_tok"))
+        .cast("long")
+        .alias("padding_waste"),
+    )
