@@ -943,6 +943,129 @@ def q_sim_join_lsh(spark, sf_dir):
     )
 
 
+_SEMDEDUP_SQL = f"""
+WITH {_IVF_SQL_CTES},
+planted AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(1, 65),
+           i -> e[i] + {_SJL_NOISE.format(vid='vec_id', i='(i - 1)')}) AS e
+  FROM base WHERE vec_id % 7 = 0),
+pa AS (
+  SELECT vec_id, e, cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cluster_id DESC) AS rn
+  FROM (SELECT p.vec_id, p.e, c.cluster_id, {SQL_DOT('c.ce', 'p.e')} AS dot
+        FROM planted p CROSS JOIN cent c)),
+pool AS (
+  SELECT vec_id, e, cluster_id FROM ivf_index
+  UNION ALL
+  SELECT vec_id, e, cluster_id FROM pa WHERE rn = 1),
+n AS (SELECT vec_id, e, cluster_id, sqrt({SQL_DOT('e', 'e')}) AS nrm
+      FROM pool),
+pairs AS (
+  SELECT b_id AS dup_id, a_id AS canonical_id, cluster_id, dot / nn AS cos_sim
+  FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               b.cluster_id AS cluster_id,
+               {SQL_DOT('a.e', 'b.e')} AS dot, a.nrm * b.nrm AS nn
+        FROM n a JOIN n b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id) d
+  WHERE dot >= 0.99 * nn)
+SELECT dup_id, canonical_id, cluster_id, ROUND(cos_sim, 9) AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dup_id
+                                   ORDER BY canonical_id) AS rn
+      FROM pairs)
+WHERE rn = 1
+"""
+
+
+@register("dedup_semantic", oracle=_SEMDEDUP_SQL)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup: cluster-then-prune semantic deduplication (full oracle).
+
+    The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then compare pairs ONLY within a cluster — the cluster
+    assignment replaces the quadratic all-pairs blow-up with sum(c_i^2)
+    work, and at 100 TB K grows ~sqrt(N) so per-cluster pair counts stay
+    bounded while cluster_id is the (uniform) shuffle key. Near-dups are
+    pairs with cosine >= 0.99; the keep-policy here is deterministic
+    lowest-id-wins (the paper ranks by distance-to-centroid — same plan
+    shape, different ORDER BY), so each dropped doc reports its kept
+    canonical.
+
+    Reuses the shared bit-reproducible IVF coarse quantizer
+    (`_ivf_index_cached` — built once per (session, sf_dir) and shared with
+    sim_topk_ivf / knn_classify_ivf), so clustering costs nothing extra
+    here. The corpus has no natural near-dups (max natural cosine ~0.47),
+    so duplicates are planted with the sim_join_lsh integer-formula noise
+    (cos ~0.993) and assigned to clusters through the same broadcast
+    argmax as the base vectors. FULL oracle: the DuckDB twin replays the
+    whole chain (quantizer CTEs -> planted-assign -> in-cluster pairs), so
+    cluster ids, candidate pairs, and cosines all hash-match.
+    """
+    n_clusters = 16
+    e = _emb_double(spark, sf_dir).select("vec_id", "e")
+    index, centroids = _ivf_index_cached(spark, sf_dir, e, n_clusters)
+    noise = _SJL_NOISE.format(vid="vec_id", i="i")
+    planted = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(f"transform(e, (x, i) -> x + {noise})").alias("e"),
+    )
+    # Assign the planted vectors through the identical broadcast argmax the
+    # quantizer uses (ties: highest dot, then highest cluster_id).
+    planted_assigned = (
+        planted.join(F.broadcast(centroids), how="cross")
+        .withColumn("dot", _dot("ce", "e"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cluster_id, struct(dot, cluster_id))").alias(
+                "cluster_id"
+            ),
+            F.first("e").alias("e"),
+        )
+    )
+    pool = index.select("vec_id", "e", "cluster_id").unionByName(
+        planted_assigned.select("vec_id", "e", "cluster_id")
+    )
+    n = pool.withColumn("nrm", _norm("e"))
+    a = n.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "cluster_id",
+    )
+    b = n.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("cluster_id").alias("cluster_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("cluster_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .withColumn("dot", _dot("ea", "eb"))
+        .withColumn("nn", F.col("na") * F.col("nb"))
+        .filter(F.col("dot") >= 0.99 * F.col("nn"))
+        .select(
+            F.col("b_id").alias("dup_id"),
+            F.col("a_id").alias("canonical_id"),
+            "cluster_id",
+            (F.col("dot") / F.col("nn")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("dup_id").orderBy("canonical_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dup_id", "canonical_id", "cluster_id",
+            F.round("cos_sim", 9).alias("cos_sim"),
+        )
+    )
+
+
 _KNN_IVF_SQL = f"""
 WITH {_IVF_SQL_CTES},
 q AS (SELECT vec_id AS query_id, label AS true_label, e AS qe

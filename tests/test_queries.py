@@ -369,3 +369,51 @@ def test_stream_dedup_watermarked_equals_batch_distinct(spark, sf_small, registr
     )
     cols = ["event_type", "n_events"]
     assert _rows(stream.select(*cols), cols) == _rows(batch.select(*cols), cols)
+
+
+def test_semdedup_recovers_planted_dups(spark, sf_small, registry):
+    # SemDeDup only compares pairs WITHIN a cluster, so a planted dup is
+    # found iff the noisy copy lands in its origin's cluster (measured
+    # ~0.96 here); every reported pair must BE a planted pair (the corpus
+    # has no natural near-dups at cosine >= 0.99).
+    out = registry["dedup_semantic"].fn(spark, sf_small).collect()
+    planted = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .filter("vec_id % 7 = 0")
+        .select("vec_id")
+        .collect()
+    }
+    assert all(
+        r.dup_id >= 100000 and r.canonical_id == r.dup_id - 100000 for r in out
+    ), "SemDeDup reported a non-planted pair"
+    recall = len({r.dup_id - 100000 for r in out} & planted) / len(planted)
+    assert recall >= 0.85, f"SemDeDup recall too low: {recall:.2f}"
+
+
+def test_tokenize_greedy_matches_python_maximal_munch(spark, sf_small, registry):
+    # The fold-based segmentation must equal true longest-match-first
+    # tokenization (guaranteed by prefix closure) — verified against an
+    # independent Python reference implementation per document.
+    from dataframe_differ_spark.queries.textops import _TOKENIZER_VOCAB
+
+    vocab = set(_TOKENIZER_VOCAB)
+
+    def munch(word):
+        toks, i = [], 0
+        while i < len(word):
+            j = len(word)
+            while j > i + 1 and word[i:j] not in vocab:
+                j -= 1
+            toks.append(word[i:j])
+            i = j
+        return toks
+
+    out = {r.doc_id: r for r in registry["text_tokenize_greedy"].fn(spark, sf_small).collect()}
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    for d in docs:
+        words = [w for w in d.text[:240].split(" ") if w]
+        toks = [t for w in words for t in munch(w)]
+        assert out[d.doc_id].n_words == len(words)
+        assert out[d.doc_id].n_tokens == len(toks)
+        assert out[d.doc_id].tokens_head == "/".join(toks[:5])
