@@ -1384,3 +1384,78 @@ def q_text_tokenize_greedy(spark, sf_dir):
             "/",
         ).alias("tokens_head"),
     )
+
+
+_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, substr(text, i + 1, 1) AS ch
+  FROM documents CROSS JOIN (SELECT unnest(range(600)) AS i)
+  WHERE i < length(text)),
+counts AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chars GROUP BY doc_id, ch),
+tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+  FROM counts GROUP BY doc_id),
+terms AS (
+  SELECT counts.doc_id, counts.ch, tot.n, tot.n_distinct_chars,
+         -((counts.c / CAST(tot.n AS DOUBLE)) *
+           log2(counts.c / CAST(tot.n AS DOUBLE))) AS term
+  FROM counts JOIN tot ON counts.doc_id = tot.doc_id)
+SELECT doc_id, ANY_VALUE(n) AS n_chars_total,
+       ANY_VALUE(n_distinct_chars) AS n_distinct_chars,
+       ROUND(list_reduce(list_prepend(0.0, list(term ORDER BY ch)),
+                         (a, b) -> a + b), 6) AS entropy_bits
+FROM terms GROUP BY doc_id
+"""
+
+
+@register("text_char_entropy", oracle=_CHAR_ENTROPY_SQL)
+def q_text_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document (quality filter).
+
+    The information-theoretic cousin of the Gopher repetition rules: very
+    low char entropy flags boilerplate / repeated-char junk, very high
+    flags binary-ish noise — a standard cheap pre-filter before expensive
+    LLM-pipeline stages. One explode -> two hash aggregations, all
+    JVM-side; at 100 TB this is a map-side-combinable groupBy on
+    (doc_id, ch) whose key space is |docs| x |alphabet|, uniform.
+
+    Parity: counts and totals are exact integers; each term is
+    p*log2(p) (one libm call, rounded at the END); the per-doc sum runs
+    as a SEQUENTIAL fold in ch order (Spark running-window sum == DuckDB
+    list_reduce over an ORDER BY'd list), then rounds to 6 dp to absorb
+    last-ulp log2 differences.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    wdoc = Window.partitionBy("doc_id")
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("ch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        counts.withColumn("n", F.sum("c").over(wdoc))
+        .withColumn("n_distinct_chars", F.count(F.lit(1)).over(wdoc))
+        .withColumn("term", -(p * F.log2(p)))
+        .withColumn("h", F.sum("term").over(wrun))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("ch").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars_total"),
+            "n_distinct_chars",
+            F.round("h", 6).alias("entropy_bits"),
+        )
+    )

@@ -417,3 +417,52 @@ def test_tokenize_greedy_matches_python_maximal_munch(spark, sf_small, registry)
         assert out[d.doc_id].n_words == len(words)
         assert out[d.doc_id].n_tokens == len(toks)
         assert out[d.doc_id].tokens_head == "/".join(toks[:5])
+
+
+def test_triangle_count_matches_python_reference(spark, sf_small, registry):
+    # Recompute the sampled co-purchase graph and its triangles in pure
+    # Python from the same parquet; per-node counts must agree exactly.
+    import hashlib
+    from collections import Counter, defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(list)
+    for r in rows:
+        by_order[r.l_orderkey].append(r.l_partkey)
+    edges = set()
+    for ok, parts in by_order.items():
+        parts.sort(key=lambda p: hashlib.md5(f"{ok}:{p}".encode()).hexdigest())
+        pick = parts[:3]
+        for i in range(len(pick)):
+            for j in range(i + 1, len(pick)):
+                edges.add((min(pick[i], pick[j]), max(pick[i], pick[j])))
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        a, b = sorted((u, v), key=lambda n: (deg[n], n))
+        nbrs[a].add(b)
+    tri_count = Counter()
+    for a in nbrs:
+        for b in nbrs[a]:
+            common = nbrs[a] & nbrs.get(b, set())
+            for c in common:
+                tri_count[a] += 1
+                tri_count[b] += 1
+                tri_count[c] += 1
+    expect = sorted(
+        ((n, c, deg[n]) for n, c in tri_count.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:50]
+    got = [
+        (r.part, r.n_triangles, r.degree)
+        for r in registry["graph_triangle_count"].fn(spark, sf_small).collect()
+    ]
+    assert got == expect
