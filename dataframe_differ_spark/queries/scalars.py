@@ -297,3 +297,42 @@ def q_dim_date_generate(spark, sf_dir):
         F.weekofyear("d").alias("iso_week"),
         dow0.isin(0, 6).alias("is_weekend"),
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double,
+       json_extract_string(props, '$.k') AS k_str,
+       json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+FROM events
+WHERE event_id % 11 = 0
+""",
+)
+def q_json_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT path: parse_json -> binary variant -> typed gets.
+
+    The open-schema semi-structured column type (SPARK-45891): unlike
+    `json_props`' from_json (fixed schema declared up front), VARIANT
+    stores the parsed document in a binary-encoded form and extracts
+    fields lazily with variant_get, so schema drift in `props` never
+    breaks the scan — the data-lake pattern for event payloads. At 100 TB
+    variant columns shred into parquet typed subcolumns (no re-parse per
+    query); here the parse is one Jackson call per row, JVM-side, and
+    every typed get is a codegen'd expression. try_variant_get returns
+    NULL on absent paths instead of failing, which is what the
+    missing-path audit column demonstrates.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    v = e.withColumn("v", F.parse_json("props"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k_int"),
+        F.expr("variant_get(v, '$.k', 'double')").alias("k_double"),
+        F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
+        F.expr("try_variant_get(v, '$.missing', 'string')").isNull().alias(
+            "missing_is_null"
+        ),
+    )

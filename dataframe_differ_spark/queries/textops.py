@@ -1459,3 +1459,62 @@ def q_text_char_entropy(spark, sf_dir):
             F.round("h", 6).alias("entropy_bits"),
         )
     )
+
+
+# Shared recursive-CTE text: bounded-hop min-label propagation. Valid in
+# BOTH engines (Spark 4 recursive CTEs allow only UNION ALL — SPARK-24497 —
+# so dedup-dedup happens at the final MIN, and termination comes from the
+# hops bound, not fixpoint detection; the planted chains have diameter 2).
+_RCC_BODY = """
+WITH RECURSIVE
+base AS (SELECT doc_id FROM {docs} WHERE doc_id % 13 = 0),
+e AS (
+  SELECT doc_id AS src, doc_id + 100000 AS dst FROM base
+  UNION ALL
+  SELECT doc_id + 100000 AS src, doc_id + 200000 AS dst FROM base
+),
+und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT doc_id AS v FROM {docs}
+    UNION ALL SELECT src AS v FROM e
+    UNION ALL SELECT dst AS v FROM e
+  )
+),
+reach(v, label, hops) AS (
+  SELECT v, v AS label, 0 AS hops FROM verts
+  UNION ALL
+  SELECT und.dst AS v, reach.label, reach.hops + 1
+  FROM reach JOIN und ON reach.v = und.src
+  WHERE reach.hops < 2
+),
+comp AS (SELECT v, MIN(label) AS component_id FROM reach GROUP BY v)
+SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM comp GROUP BY component_id
+HAVING COUNT(*) > 1
+"""
+
+
+@register("sql_recursive_components", oracle=_RCC_BODY.format(docs="documents"))
+def q_sql_recursive_components(spark, sf_dir):
+    """Spark 4 recursive CTE surface: declarative connected components.
+
+    The declarative twin of `dedup_clusters`: the SAME dedup-group
+    semantics (min reachable id per vertex over planted diameter-2
+    duplicate chains), but expressed as a single WITH RECURSIVE statement
+    that Catalyst executes as an iterative union-loop (SPARK-24497,
+    new in Spark 4) instead of a hand-written driver loop. Spark's
+    recursion supports only UNION ALL, so the recursion is bounded by a
+    hop counter (diameter of the planted chains) and label de-dup happens
+    in the final MIN aggregate — duplicated (v, label) rows are harmless
+    under MIN. The IDENTICAL statement text runs on DuckDB as the oracle.
+
+    Scale note: each recursion step is one distributed hash join on
+    uniform vertex keys (exactly what `dedup_clusters`' explicit loop
+    does), so cost is O(diameter) joins; the hops bound is the
+    termination guarantee UNION-ALL recursion needs at any scale.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_rcc_v"
+    )
+    return spark.sql(_RCC_BODY.format(docs="documents_rcc_v"))

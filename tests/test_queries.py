@@ -466,3 +466,12 @@ def test_triangle_count_matches_python_reference(spark, sf_small, registry):
         for r in registry["graph_triangle_count"].fn(spark, sf_small).collect()
     ]
     assert got == expect
+
+
+def test_recursive_cte_components_equal_iterative_loop(spark, sf_small, registry):
+    # The declarative WITH RECURSIVE form must produce exactly the same
+    # dedup groups as dedup_clusters' explicit O(diameter) join loop.
+    cols = ["component_id", "cluster_size"]
+    a = _rows(registry["sql_recursive_components"].fn(spark, sf_small).select(*cols), cols)
+    b = _rows(registry["dedup_clusters"].fn(spark, sf_small).select(*cols), cols)
+    assert a == b
