@@ -286,3 +286,58 @@ def q_revenue_pareto_sketch(spark, sf_dir):
         F.any_value("n").cast("long").alias("n_customers"),
         (F.min("rk").cast("double") / F.any_value("n")).alias("pareto_fraction"),
     )
+
+
+_CURRICULUM_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS score
+  FROM t)
+SELECT doc_id, ROUND(score, 9) AS quality_score,
+       CAST(NTILE(4) OVER (ORDER BY score, doc_id) AS INTEGER) AS phase,
+       CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id) AS BIGINT)
+         AS global_rank
+FROM s
+"""
+
+
+@register("batch_curriculum", oracle=_CURRICULUM_SQL)
+def q_batch_curriculum(spark, sf_dir):
+    """Curriculum scheduling: corpus-wide difficulty phases, no global window.
+
+    Training-order curricula sort the corpus by a difficulty proxy (here
+    lexical diversity: distinct-token ratio — repetitive docs rank
+    "easier") and carve it into phases consumed in order. The oracle
+    states it as NTILE(4) + ROW_NUMBER over a total order — a
+    single-partition window at scale — while the Spark side runs the
+    two-phase distributed rank (`operators.ranks.ranked`: sketch
+    boundaries -> bucketed partitioned window -> offset merge) plus the
+    exact NTILE formula, the same device as the `*_sketch` siblings:
+    value-identical output, shuffle partitioned on uniform bucket keys.
+    Downstream a trainer reads phase = 1..4 as sequential epochs
+    (interleave within phase by any hash for shuffling).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("double")
+            / F.size(F.split(F.col("text"), " "))
+        ).alias("score"),
+    )
+    r = ranked(
+        s,
+        F.col("score"),
+        [F.col("score").asc(), F.col("doc_id").asc()],
+        ascending=True,
+        rank_col="global_rank",
+        n_col="n",
+    )
+    return r.select(
+        "doc_id",
+        F.round("score", 9).alias("quality_score"),
+        ntile_from_rank(F.col("global_rank"), F.col("n"), 4).alias("phase"),
+        F.col("global_rank"),
+    )

@@ -1180,3 +1180,92 @@ def q_knn_classify_ivf(spark, sf_dir):
             F.col("label").alias("pred_label"), "n_votes",
         )
     )
+
+
+_MRL_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (SELECT vec_id, e, e[1:16] AS ep FROM e),
+q AS (SELECT vec_id AS query_id, e AS qe, ep AS qep FROM p WHERE vec_id < 5),
+coarse AS (
+  SELECT q.query_id, p.vec_id, p.e, q.qe,
+         {SQL_COS('q.qep', 'p.ep', 16)} AS cos_prefix
+  FROM q JOIN p ON p.vec_id <> q.query_id),
+cand AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id, e, qe, cos_prefix,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_prefix DESC, vec_id) AS crank
+    FROM coarse) WHERE crank <= 20),
+fine AS (
+  SELECT query_id, vec_id, cos_prefix, {SQL_COS('qe', 'e')} AS cos_full
+  FROM cand)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos_prefix, 9) AS cos_prefix, ROUND(cos_full, 9) AS cos_full
+FROM (SELECT query_id, vec_id, cos_prefix, cos_full,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, vec_id) AS rank
+      FROM fine)
+WHERE rank <= 10
+"""
+
+
+@register("vec_matryoshka_prefix", oracle=_MRL_SQL)
+def q_vec_matryoshka_prefix(spark, sf_dir):
+    """Matryoshka coarse-to-fine retrieval: 16-dim prefix scan, 64-dim rerank.
+
+    The adaptive-retrieval funnel from Matryoshka Representation Learning
+    (Kusupati et al. 2022): MRL-trained embeddings pack coarse semantics
+    into dimension prefixes, so stage 1 scans a 4x-smaller 16-dim prefix
+    index (cheap dot products, 1/4 the bytes read — at 100 TB the prefix
+    column is its own parquet file and the full vectors are fetched only
+    for candidates), keeps top-20 per query, and stage 2 re-ranks just
+    those with the full 64-dim cosine for the final top-10.
+
+    On THIS corpus the embeddings are near-random — the prefix carries
+    ~sqrt(16/64) of the signal, the structural worst case (same caveat as
+    IVF's nprobe recall) — but the plan shape and both ranking stages are
+    deterministic and hash-match the DuckDB twin exactly. Stage 1 uses
+    the same two-phase per-partition top-k prune as `sim_topk` so the
+    few-queries window key never serializes the corpus sort.
+    """
+    e = _emb_double(spark, sf_dir).select(
+        "vec_id", "e", F.slice("e", 1, 16).alias("ep")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("ep").alias("qep"),
+    )
+    coarse = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).withColumn("cos_prefix", _dot("qep", "ep") / (_norm("qep") * _norm("ep")))
+    wl = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cos_prefix").desc(), F.col("vec_id")
+    )
+    local = (
+        coarse.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(wl))
+        .filter(F.col("lrank") <= 20)
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cos_prefix").desc(), F.col("vec_id")
+    )
+    cand = (
+        local.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= 20)
+    )
+    fine = cand.withColumn(
+        "cos_full", _dot("qe", "e") / (_norm("qe") * _norm("e"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("vec_id")
+    )
+    return (
+        fine.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "vec_id", "rank",
+            F.round("cos_prefix", 9).alias("cos_prefix"),
+            F.round("cos_full", 9).alias("cos_full"),
+        )
+    )

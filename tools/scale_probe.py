@@ -101,6 +101,15 @@ HEADLINE = [
     "tpch_q20_shape",
     "dedup_simhash",
     "agg_hll_merge",
+    # round-4 late additions
+    "dedup_semantic",
+    "text_tokenize_greedy",
+    "text_char_entropy",
+    "graph_triangle_count",
+    "json_variant_extract",
+    "sql_recursive_components",
+    "vec_matryoshka_prefix",
+    "batch_curriculum",
 ]
 
 
@@ -124,13 +133,21 @@ def build(spark, copies: int) -> None:
 
 
 def main() -> None:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # Optional subset: --only name1,name2 (probe new queries without
+    # re-timing the whole headline list).
+    only = None
+    argv = sys.argv[1:]
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    copies = int(argv[0]) if argv else 10
     spark = get_spark("scale_probe")
     t0 = time.time()
     build(spark, copies)
     print(f"built {copies}x corpus in {time.time()-t0:.1f}s")
     registry = load_all()
-    for name in HEADLINE:
+    for name in HEADLINE if only is None else [n for n in HEADLINE if n in only]:
         # baseline at sf0.1
         t0 = time.time()
         registry[name].fn(spark, SRC).write.format("noop").mode("overwrite").save()
