@@ -336,3 +336,63 @@ def q_json_variant_extract(spark, sf_dir):
             "missing_is_null"
         ),
     )
+
+
+@register(
+    "str_collation_group",
+    oracle="""
+WITH mixed AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+              WHEN event_id % 3 = 1 THEN
+                upper(substr(event_type, 1, 1)) || substr(event_type, 2)
+              ELSE event_type END AS s
+  FROM events)
+SELECT lower(MIN(s)) AS event_type_ci,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT s) AS n_case_variants
+FROM mixed GROUP BY lower(s)
+""",
+)
+def q_str_collation_group(spark, sf_dir):
+    """Spark 4 collation surface: case-insensitive grouping WITHOUT lower().
+
+    Collated string types (SPARK-46830): the column is declared
+    UTF8_LCASE-collated and the groupBy itself hashes/compares under the
+    collation — no normalization expression in the plan, and at 100 TB
+    the collation survives into shuffle exchange keys and joins (lower()
+    rewrites do not compose with range partitioning or statistics).
+    Mixed-case inputs are derived deterministically (upper / first-letter
+    cap by event_id residue) so both engines see identical strings; the
+    oracle states the classic GROUP BY lower() rewrite, and outputs are
+    anchored on lower(MIN(raw)) because the collated group's
+    representative key is engine-arbitrary — the one portability hazard
+    collation introduces.
+    """
+    e = load_table(spark, sf_dir, "events")
+    mixed = e.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0, F.upper("event_type")
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.upper(F.substring("event_type", 1, 1)),
+                F.expr("substr(event_type, 2)"),
+            ),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("s"),
+    )
+    return (
+        mixed.withColumn("s_ci", F.expr("collate(s, 'UTF8_LCASE')"))
+        .groupBy("s_ci")
+        .agg(
+            F.lower(F.min("s")).alias("event_type_ci"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("s").alias("n_case_variants"),
+        )
+        .drop("s_ci")
+        .select("event_type_ci", "n_events", "n_case_variants")
+    )

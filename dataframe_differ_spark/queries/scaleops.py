@@ -1868,3 +1868,95 @@ def q_vec_quantize_int8(spark, sf_dir):
             .alias("recon_err_sq"),
         )
     )
+
+
+_VQB_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bits AS (
+  SELECT vec_id, e, b.b AS b, CASE WHEN e[b.b + 1] >= 0 THEN 1 ELSE 0 END
+           AS bit
+  FROM e CROSS JOIN (SELECT unnest(range(64)) AS b) b),
+sig AS (
+  SELECT vec_id, ANY_VALUE(e) AS e,
+         CAST(SUM(CASE WHEN bit = 0 THEN 0
+                       WHEN b = 63 THEN (-9223372036854775807 - 1)::HUGEINT
+                       ELSE (CAST(1 AS BIGINT) << b)::HUGEINT END)
+              AS BIGINT) AS sig
+  FROM bits GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, e AS qe, sig AS qsig FROM sig
+      WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, s.vec_id, s.e, q.qe,
+         CAST(bit_count(xor(q.qsig, s.sig)) AS INTEGER) AS hamming
+  FROM q JOIN sig s ON s.vec_id <> q.query_id),
+top AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id, e, qe, hamming,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY hamming, vec_id) AS rank
+    FROM scored) WHERE rank <= 10)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, hamming,
+       ROUND({SQL_COS('qe', 'e')}, 9) AS cos_full
+FROM top
+"""
+
+
+@register("vec_quantize_binary", oracle=_VQB_SQL)
+def q_vec_quantize_binary(spark, sf_dir):
+    """Binary (sign-bit) vector quantization + Hamming retrieval.
+
+    The third point in the compression family (int8 scalar ->
+    `vec_quantize_int8`, product -> `vec_pq_codes`): each 64-dim vector
+    collapses to ONE packed 64-bit signature (sign of each dimension —
+    the unbiased choice for zero-centered unit vectors), a 64x byte
+    reduction. Retrieval scans signatures with XOR + popcount — at
+    100 TB the signature column is a 8-byte-per-row parquet scan with
+    SIMD popcount, and candidates re-rank with exact cosine, the
+    standard binary-quantization funnel in vector stores.
+
+    Portability reuses the dedup_simhash_portable devices: the bit-63
+    sign bit is spelled out (Spark shiftleft wraps to LONG_MIN, DuckDB
+    range-errors on 1<<63), the 64-bit assembly runs through HUGEINT on
+    the DuckDB side, and bit_count(xor) agrees exactly.
+    """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    bits = e.select(
+        "vec_id", "e", F.posexplode("e").alias("b", "val")
+    ).withColumn(
+        "contrib",
+        F.when(F.col("val") < 0, F.lit(0).cast("long"))
+        .when(F.col("b") == 63, F.lit(-9223372036854775808))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), b)")),
+    )
+    sig = bits.groupBy("vec_id").agg(
+        F.first("e").alias("e"), F.sum("contrib").cast("long").alias("sig")
+    )
+    q = sig.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("sig").alias("qsig"),
+    )
+    scored = sig.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).withColumn(
+        "hamming",
+        F.bit_count(F.col("qsig").bitwiseXOR(F.col("sig"))).cast("int"),
+    )
+    wl = Window.partitionBy("query_id", "pid").orderBy("hamming", "vec_id")
+    local = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(wl))
+        .filter(F.col("lrank") <= 10)
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "vec_id", "rank", "hamming",
+            F.round(cosine("qe", "e"), 9).alias("cos_full"),
+        )
+    )

@@ -110,6 +110,8 @@ HEADLINE = [
     "sql_recursive_components",
     "vec_matryoshka_prefix",
     "batch_curriculum",
+    "vec_quantize_binary",
+    "str_collation_group",
 ]
 
 
