@@ -1973,30 +1973,30 @@ def q_graph_triangle_count(spark, sf_dir):
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    wpick = Window.partitionBy("l_orderkey").orderBy(
-        F.md5(
-            F.concat_ws(
-                ":",
-                F.col("l_orderkey").cast("string"),
-                F.col("l_partkey").cast("string"),
-            )
-        )
-    )
-    picked = (
-        lp.withColumn("rn", F.row_number().over(wpick))
-        .filter(F.col("rn") <= 3)
-        .select("l_orderkey", "l_partkey")
-    )
-    a = picked.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = picked.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    # Pick the 3 md5-smallest parts per order AND generate the in-basket
+    # pairs in ONE hash aggregation + a pair-expansion HOF (the
+    # sim_join_lsh bucket device) — one shuffle on l_orderkey instead of a
+    # window sort plus a self-join, and the expansion is capped at
+    # C(3,2) = 3 pairs per order.
+    picked = lp.groupBy("l_orderkey").agg(
+        F.expr(
+            "slice(transform(array_sort(collect_list(struct("
+            "md5(concat_ws(':', CAST(l_orderkey AS STRING), "
+            "CAST(l_partkey AS STRING))) AS h, l_partkey AS p))), "
+            "x -> x.p), 1, 3)"
+        ).alias("m")
     )
     edges = (
-        a.join(b, ["ok"])
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        picked.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (x, i) -> "
+                    "transform(slice(m, i + 2, size(m) - i - 1), "
+                    "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
     )
     deg = (
