@@ -1518,3 +1518,70 @@ def q_sql_recursive_components(spark, sf_dir):
         "documents_rcc_v"
     )
     return spark.sql(_RCC_BODY.format(docs="documents_rcc_v"))
+
+
+_FEATURE_HASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 12))::BIGINT AS hv
+  FROM toks WHERE t <> ''),
+feat AS (
+  SELECT doc_id, hv % 64 AS dim,
+         CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM h),
+acc AS (
+  SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS c
+  FROM feat GROUP BY doc_id, dim),
+nrm AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM acc GROUP BY doc_id)
+SELECT acc.doc_id, CAST(acc.dim AS INTEGER) AS dim,
+       ROUND(acc.c / sqrt(nrm.n2), 9) AS val
+FROM acc JOIN nrm ON acc.doc_id = nrm.doc_id
+WHERE acc.c <> 0
+"""
+
+
+@register("text_feature_hash_embed", oracle=_FEATURE_HASH_SQL)
+def q_text_feature_hash_embed(spark, sf_dir):
+    """Feature-hashing document embeddings (the hashing trick), 64-dim.
+
+    The cheap, training-free text->vector bridge (Weinberger et al. 2009):
+    each token hashes to a dimension (48-bit md5 mod 64) with a second
+    hash bit supplying a +-1 sign so collisions cancel in expectation;
+    the doc vector is the signed count accumulation, L2-normalized. This
+    is the embedding stage a pipeline runs BEFORE the vector operators
+    (sim_*, dedup_semantic) when no model embeddings exist — at 100 TB
+    it is two map-side-combinable hash aggregations on uniform keys
+    ((doc, dim), then doc), no shuffle amplification, no UDFs.
+
+    Parity is trivial by construction: accumulations are exact integers
+    (no float-order concerns), the norm is one sqrt of an exact integer,
+    and each output value is a single IEEE division, rounded at the end.
+    Emitted as scalar (doc, dim, val) rows — the sparse representation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("long").alias("hv"),
+    )
+    feat = h.select(
+        "doc_id",
+        (F.col("hv") % 64).alias("dim"),
+        F.when((F.expr("hv div 64") % 2) == 0, 1).otherwise(-1).alias("sign"),
+    )
+    acc = feat.groupBy("doc_id", "dim").agg(F.sum("sign").alias("c"))
+    nrm = acc.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    return (
+        acc.join(nrm, "doc_id")
+        .filter(F.col("c") != 0)
+        .select(
+            "doc_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("c") / F.sqrt("n2"), 9).alias("val"),
+        )
+    )

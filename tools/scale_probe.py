@@ -112,6 +112,7 @@ HEADLINE = [
     "batch_curriculum",
     "vec_quantize_binary",
     "str_collation_group",
+    "text_feature_hash_embed",
 ]
 
 
