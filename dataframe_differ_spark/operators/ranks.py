@@ -44,6 +44,38 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKETS = 32
 
 
+def partitioned_topk(
+    df: DataFrame,
+    partition_cols: Sequence[Column | str],
+    order_cols: Sequence[Column | str],
+    k: int,
+    *,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Two-phase per-group top-k: per-input-partition prune, then global.
+
+    With few groups (e.g. 5 ANN queries) a single ``row_number`` window
+    key is maximally skewed — k reducers would sort the whole corpus.
+    Phase 1 ranks within (group, spark_partition_id) and keeps ≤ k rows
+    per slice, so the final per-group exchange+sort sees ≤ k·partitions
+    rows. Identical result (top-k of per-partition top-ks == global
+    top-k, given a total order). ``rank_col`` optionally keeps the global
+    1-based rank as a column; internals are dropped either way.
+    """
+    wl = Window.partitionBy(*partition_cols, "_tk_pid").orderBy(*order_cols)
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    rc = rank_col or "_tk_rank"
+    out = (
+        df.withColumn("_tk_pid", F.spark_partition_id())
+        .withColumn("_tk_lrank", F.row_number().over(wl))
+        .filter(F.col("_tk_lrank") <= k)
+        .withColumn(rc, F.row_number().over(w))
+        .filter(F.col(rc) <= k)
+        .drop("_tk_pid", "_tk_lrank")
+    )
+    return out if rank_col else out.drop(rc)
+
+
 def ranked(
     df: DataFrame,
     bucket_key: Column,

@@ -24,7 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dataframe_differ_spark.functions.vector import SQL_COS, cosine
-from dataframe_differ_spark.operators.ranks import ranked
+from dataframe_differ_spark.operators.ranks import partitioned_topk, ranked
 from dataframe_differ_spark.queries import register
 from dataframe_differ_spark.tables import load_table
 
@@ -1945,18 +1945,9 @@ def q_vec_quantize_binary(spark, sf_dir):
         "hamming",
         F.bit_count(F.col("qsig").bitwiseXOR(F.col("sig"))).cast("int"),
     )
-    wl = Window.partitionBy("query_id", "pid").orderBy("hamming", "vec_id")
-    local = (
-        scored.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrank", F.row_number().over(wl))
-        .filter(F.col("lrank") <= 10)
-    )
-    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "query_id", "vec_id", "rank", "hamming",
-            F.round(cosine("qe", "e"), 9).alias("cos_full"),
-        )
+    return partitioned_topk(
+        scored, ["query_id"], ["hamming", "vec_id"], 10, rank_col="rank"
+    ).select(
+        "query_id", "vec_id", "rank", "hamming",
+        F.round(cosine("qe", "e"), 9).alias("cos_full"),
     )

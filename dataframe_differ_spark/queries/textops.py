@@ -1429,8 +1429,12 @@ def q_text_char_entropy(spark, sf_dir):
     last-ulp log2 differences.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Both sides cap at 600 chars (oracle: range(600)) — corpus max is 577,
+    # but an asymmetric bound would silently diverge on longer corpora
+    # (the text_tokenize_greedy symmetric-cap rule).
     chars = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+        "doc_id",
+        F.explode(F.split(F.substring("text", 1, 600), "")).alias("ch"),
     ).filter(F.col("ch") != "")
     counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     wdoc = Window.partitionBy("doc_id")

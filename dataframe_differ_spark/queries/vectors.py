@@ -28,9 +28,11 @@ from dataframe_differ_spark.tables import load_table
 from dataframe_differ_spark.functions.vector import (  # noqa: F401
     SQL_COS,
     SQL_DOT,
+    cosine as _cosine,
     dot as _dot,
     norm as _norm,
 )
+from dataframe_differ_spark.operators.ranks import partitioned_topk
 
 
 def _emb_double(spark, sf_dir):
@@ -197,28 +199,17 @@ def q_sim_topk(spark, sf_dir):
             "cos_sim", _dot("qe", "e") / (_norm("qe") * _norm("e"))
         )
     )
-    # Two-phase top-k: rank within (query, input partition) first. With few
-    # queries the single-phase window key is maximally skewed (5 reducers
-    # sort the whole corpus); phase 1 spreads the sort over
-    # (query × partitions) reducers and emits ≤ k rows each, so the final
-    # per-query exchange+sort is tiny. Identical result (top-k of
-    # per-partition top-ks == global top-k).
-    wl = Window.partitionBy("query_id", "pid").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    local = (
-        scored.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrank", F.row_number().over(wl))
-        .filter(F.col("lrank") <= 10)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id", "rank", F.round("cos_sim", 9).alias("cos_sim"))
-    )
+    # Two-phase top-k (operators.ranks.partitioned_topk): with few queries
+    # the single-phase window key is maximally skewed (5 reducers sort the
+    # whole corpus); the per-partition prune makes the final per-query
+    # exchange tiny. Identical result.
+    return partitioned_topk(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id")],
+        10,
+        rank_col="rank",
+    ).select("query_id", "vec_id", "rank", F.round("cos_sim", 9).alias("cos_sim"))
 
 
 @register(
@@ -779,22 +770,10 @@ def q_knn_classify(spark, sf_dir):
     )
     c = e.filter(F.col("vec_id") % 29 != 0)
     scored = c.join(F.broadcast(q), F.lit(True)).withColumn(
-        "cos_sim", _dot("qe", "e") / (_norm("qe") * _norm("e"))
+        "cos_sim", _cosine("qe", "e")
     )
-    wl = Window.partitionBy("query_id", "pid").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    local = (
-        scored.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrank", F.row_number().over(wl))
-        .filter(F.col("lrank") <= 5)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    top = (
-        local.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+    top = partitioned_topk(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id")], 5
     )
     votes = top.groupBy("query_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("n_votes")
@@ -1151,21 +1130,10 @@ def q_knn_classify_ivf(spark, sf_dir):
         (corpus.cluster_id == q_probes.cluster_id)
         & (F.col("vec_id") != F.col("query_id")),
     ).select("query_id", "true_label", "qe", "vec_id", "label", "e")
-    scored = cand.withColumn(
-        "cos_sim", _dot("qe", "e") / (_norm("qe") * _norm("e"))
+    scored = cand.withColumn("cos_sim", _cosine("qe", "e"))
+    top = partitioned_topk(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id")], k
     )
-    wl = Window.partitionBy("query_id", "pid").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    local = (
-        scored.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrank", F.row_number().over(wl))
-        .filter(F.col("lrank") <= k)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    top = local.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
     votes = top.groupBy("query_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
@@ -1238,25 +1206,11 @@ def q_vec_matryoshka_prefix(spark, sf_dir):
     )
     coarse = e.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).withColumn("cos_prefix", _dot("qep", "ep") / (_norm("qep") * _norm("ep")))
-    wl = Window.partitionBy("query_id", "pid").orderBy(
-        F.col("cos_prefix").desc(), F.col("vec_id")
+    ).withColumn("cos_prefix", _cosine("qep", "ep"))
+    cand = partitioned_topk(
+        coarse, ["query_id"], [F.col("cos_prefix").desc(), F.col("vec_id")], 20
     )
-    local = (
-        coarse.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrank", F.row_number().over(wl))
-        .filter(F.col("lrank") <= 20)
-    )
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("cos_prefix").desc(), F.col("vec_id")
-    )
-    cand = (
-        local.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= 20)
-    )
-    fine = cand.withColumn(
-        "cos_full", _dot("qe", "e") / (_norm("qe") * _norm("e"))
-    )
+    fine = cand.withColumn("cos_full", _cosine("qe", "e"))
     wf = Window.partitionBy("query_id").orderBy(
         F.col("cos_full").desc(), F.col("vec_id")
     )

@@ -142,7 +142,12 @@ def main() -> None:
     argv = sys.argv[1:]
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            sys.exit("--only requires a comma-separated query list")
         only = set(argv[i + 1].split(","))
+        unknown = only - set(HEADLINE)
+        if unknown:
+            sys.exit(f"--only names not in HEADLINE: {sorted(unknown)}")
         argv = argv[:i] + argv[i + 2 :]
     copies = int(argv[0]) if argv else 10
     spark = get_spark("scale_probe")
