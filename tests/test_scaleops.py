@@ -314,6 +314,12 @@ def test_streaming_conf_survives_concurrent_starts(spark, sf_small):
         # state — pins the setActiveSession + registration-lock fix.
         "sink_python_datasource",
         "source_python_datasource",
+        # Session-scoped state added round 4 cont.: the recursive-CTE
+        # query registers a temp view (idempotent re-register under
+        # concurrency), and dedup_semantic goes through the _IVF_LOCKed
+        # checkpoint cache on a first miss.
+        "sql_recursive_components",
+        "dedup_semantic",
     ]
     ts = [threading.Thread(target=run, args=(n,)) for n in names]
     for t in ts:

@@ -124,6 +124,30 @@ FLAGSHIPS = {
         "hash-partitioned self-join on (doc, pos), one final "
         "groupBy(fingerprint) shuffle over the SAMPLED hash set"
     ),
+    "dedup_semantic": (
+        "SemDeDup (round 4 cont.): broadcast-centroid assignment (no "
+        "shuffle to cluster), then in-cluster pair join on the uniform "
+        "cluster_id key — the quadratic all-pairs never appears; the IVF "
+        "quantizer blocks come from the shared localCheckpoint cache"
+    ),
+    "text_tokenize_greedy": (
+        "dictionary-encoded tokenizer apply (round 4 cont.): the per-char "
+        "segmentation fold runs over DISTINCT words only, then a "
+        "BroadcastHashJoin maps segmentations back to token positions — "
+        "fold cost is bounded by vocabulary, not corpus"
+    ),
+    "graph_triangle_count": (
+        "compact-forward triangles (round 4 cont.): one hash aggregation "
+        "picks the per-basket sample AND emits pairs via a capped HOF "
+        "expansion; degree joins broadcast; the wedge join is an "
+        "equi-join on oriented vertex keys"
+    ),
+    "vec_matryoshka_prefix": (
+        "Matryoshka funnel (round 4 cont.): stage-1 scan scores the "
+        "16-dim prefix against a broadcast query set with per-partition "
+        "top-k pruning before the per-query exchange; only 20 candidates "
+        "reach the full 64-dim re-rank"
+    ),
 }
 
 
