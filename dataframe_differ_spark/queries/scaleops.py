@@ -1951,3 +1951,133 @@ def q_vec_quantize_binary(spark, sf_dir):
         "query_id", "vec_id", "rank", "hamming",
         F.round(cosine("qe", "e"), 9).alias("cos_full"),
     )
+
+
+# IVF + PQ combined (the FAISS IVFPQ shape): rename the PQ CTE names that
+# collide with the IVF quantizer CTE chain so both can live in one WITH.
+import re as _re
+
+_SQL_PQ_CTES_NS = _re.sub(
+    r"\b(base|seeds|cent)\b", lambda m: "pq_" + m.group(1), _SQL_PQ_CTES
+)
+
+
+def _ivfpq_sql():
+    from dataframe_differ_spark.queries.vectors import _IVF_SQL_CTES, SQL_DOT
+
+    return f"""
+WITH {_IVF_SQL_CTES},
+{_SQL_PQ_CTES_NS},
+q AS (SELECT e AS qe FROM pq_base WHERE vec_id = 0),
+qp AS (
+  SELECT cluster_id,
+         ROW_NUMBER() OVER (ORDER BY dot DESC, cluster_id) AS crank
+  FROM (SELECT c.cluster_id, {SQL_DOT('c.ce', 'q.qe')} AS dot
+        FROM cent c CROSS JOIN q)),
+probes AS (SELECT cluster_id FROM qp WHERE crank <= 6),
+cand AS (
+  SELECT i.vec_id FROM ivf_index i
+  JOIN probes p ON i.cluster_id = p.cluster_id),
+qsubs AS (
+  SELECT s, qe[s * {_PQ_DSUB} + 1 : s * {_PQ_DSUB} + {_PQ_DSUB}] AS qv
+  FROM q CROSS JOIN subsp),
+lut AS (
+  SELECT qsubs.s, cid, {_SQL_PQ_QD2} AS qd2
+  FROM qsubs JOIN pq_cent ON qsubs.s = pq_cent.s),
+adc AS (
+  SELECT b.vec_id,
+         CAST(SUM(CAST(ROUND(lut.qd2, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           AS adc_d2
+  FROM best b
+  JOIN cand ON b.vec_id = cand.vec_id
+  JOIN lut ON b.s = lut.s AND b.cid = lut.cid
+  WHERE b.rn = 1
+  GROUP BY b.vec_id),
+exact AS (
+  SELECT pq_base.vec_id, ROUND({_SQL_PQ_EXACT_D2}, 9) AS exact_d2
+  FROM pq_base JOIN cand ON pq_base.vec_id = cand.vec_id CROSS JOIN q)
+SELECT adc.vec_id, adc.adc_d2, exact.exact_d2
+FROM adc JOIN exact ON adc.vec_id = exact.vec_id
+ORDER BY adc.adc_d2, adc.vec_id LIMIT 10
+"""
+
+
+@register("vec_ivfpq_topk", oracle=_ivfpq_sql())
+def q_vec_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ combined ANN search — the FAISS IVFPQ production shape.
+
+    Composes the two verified index halves: the IVF coarse quantizer
+    (shared, cached — sim_topk_ivf / knn_classify_ivf / dedup_semantic
+    build it once per session) prunes the corpus to nprobe=6 of 16 cells,
+    and ONLY those cells' members are scored with PQ asymmetric distance
+    (4-byte codes + a broadcast 8x16 lookup table), then the exact
+    distance column is what a re-rank stage would fetch. At 100 TB this
+    is the standard billion-vector layout: partition files by IVF cell
+    (scan nprobe/16 of the data), store only codes in the scan path
+    (32x smaller), fetch full vectors for the final top-k only.
+
+    The oracle replays BOTH index chains (IVF quantizer CTEs + PQ
+    codebook CTEs, namespaced to coexist) and the cell-restricted ADC —
+    candidates, ADC estimates, and exact distances all hash-match.
+    """
+    from dataframe_differ_spark.queries.vectors import (
+        _emb_double,
+        _ivf_index_cached,
+    )
+
+    base, pq_cent, best = _pq_parts(spark, sf_dir)
+    index, kcent = _ivf_index_cached(
+        spark, sf_dir, _emb_double(spark, sf_dir), 16
+    )
+    q = base.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    dot = F.expr(
+        "aggregate(zip_with(ce, qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v)"
+    )
+    probes = (
+        kcent.crossJoin(F.broadcast(q))
+        .select("cluster_id", dot.alias("dot"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.orderBy(F.col("dot").desc(), F.col("cluster_id"))
+            ),
+        )
+        .filter(F.col("crank") <= 6)
+        .select("cluster_id")
+    )
+    cand = index.join(F.broadcast(probes), "cluster_id").select("vec_id")
+    subsp = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    qsubs = q.select("qe", subsp).select(
+        "s", F.expr(f"slice(qe, s * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("qv")
+    )
+    qd2 = F.expr(
+        "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    lut = qsubs.join(pq_cent, "s").select("s", "cid", qd2.alias("qd2"))
+    adc = (
+        best.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round("qd2", 9).cast("decimal(20,9)"))
+            .cast("double")
+            .alias("adc_d2")
+        )
+    )
+    exact_d2 = F.expr(
+        "round(aggregate(zip_with(e, qe, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 9)"
+    )
+    exact = (
+        base.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", exact_d2.alias("exact_d2"))
+    )
+    return (
+        adc.join(exact, "vec_id")
+        .orderBy("adc_d2", "vec_id")
+        .limit(10)
+        .select("vec_id", "adc_d2", "exact_d2")
+    )

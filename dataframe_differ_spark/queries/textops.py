@@ -1589,3 +1589,76 @@ def q_text_feature_hash_embed(spark, sf_dir):
             F.round(F.col("c") / F.sqrt("n2"), 9).alias("val"),
         )
     )
+
+
+# Logistic-regression quality filter: literal weights (a stand-in for a
+# model trained offline — fastText/DSIR-style classifier filtering). The
+# z expression is written with IDENTICAL literal text in both engines so
+# the float ops associate identically; exp() is the single libm call,
+# absorbed by the 6-dp round, and the keep threshold compares the ROUNDED
+# score so an ulp at the boundary cannot flip engines apart.
+_LRQ_Z = (
+    "-2.0 + 3.0 * f_div + 0.15 * f_len + 2.0 * f_stop - 1.0 * f_size"
+)
+
+_LR_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS f_div,
+         CAST(n_chars AS DOUBLE) / len(t) AS f_len,
+         CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+           / len(t) AS f_stop,
+         CAST(n_chars AS DOUBLE) / 600.0 AS f_size
+  FROM toks),
+scored AS (
+  SELECT doc_id, f_div, f_len, f_stop, f_size,
+         ROUND(1.0 / (1.0 + exp(-({_LRQ_Z}))), 6) AS q_score
+  FROM feats)
+SELECT doc_id, ROUND(f_div, 9) AS f_div, ROUND(f_len, 9) AS f_len,
+       ROUND(f_stop, 9) AS f_stop, q_score, q_score >= 0.5 AS keep
+FROM scored
+"""
+
+
+@register("text_quality_classifier_lr", oracle=_LR_QUALITY_SQL)
+def q_text_quality_classifier_lr(spark, sf_dir):
+    """Classifier-based quality filtering (logistic scorer, literal weights).
+
+    The model-based stage of a pretraining filter stack (after the
+    rule-based `text_quality` / Gopher `text_repetition` screens):
+    score = sigmoid(w . features) over cheap per-doc features — lexical
+    diversity, mean token length, stopword rate, size — with weights as
+    literals standing in for an offline-trained classifier (the
+    fastText / DSIR pattern). At 100 TB this is one scan with all
+    features computed as codegen'd HOFs, no shuffle at all; the keep
+    decision pipelines into the next stage. Weights would broadcast if
+    they were a real model table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr("filter(split(text, ' '), x -> x != '')")
+    feats = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("f_div"),
+        (F.col("n_chars").cast("double") / F.size(t)).alias("f_len"),
+        (
+            F.expr("size(filter(filter(split(text, ' '), x -> x != ''), "
+                   "x -> x = 'the' OR x = 'a'))").cast("double")
+            / F.size(t)
+        ).alias("f_stop"),
+        (F.col("n_chars").cast("double") / 600.0).alias("f_size"),
+    )
+    scored = feats.withColumn(
+        "q_score", F.round(F.expr(f"1.0 / (1.0 + exp(-({_LRQ_Z})))"), 6)
+    )
+    return scored.select(
+        "doc_id",
+        F.round("f_div", 9).alias("f_div"),
+        F.round("f_len", 9).alias("f_len"),
+        F.round("f_stop", 9).alias("f_stop"),
+        "q_score",
+        (F.col("q_score") >= 0.5).alias("keep"),
+    )

@@ -818,3 +818,67 @@ def q_multimodal_binary_dedup(spark, sf_dir):
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+_SHARD_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(octet_length(CAST(text AS BLOB)) + 64 AS BIGINT) AS n_bytes
+  FROM documents),
+c AS (
+  SELECT doc_id, n_bytes,
+         CAST(SUM(n_bytes) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM s)
+SELECT doc_id, n_bytes,
+       CAST((cum - n_bytes) // 8192 AS INTEGER) AS shard_id,
+       CAST(cum - n_bytes - ((cum - n_bytes) // 8192) * 8192 AS BIGINT)
+         AS offset_in_shard
+FROM c
+"""
+
+
+@register("multimodal_shard_manifest", oracle=_SHARD_SQL)
+def q_multimodal_shard_manifest(spark, sf_dir):
+    """WebDataset-style shard manifest: byte-budgeted shards + offsets.
+
+    Training dataloaders consume samples from fixed-size shard archives
+    (WebDataset tar / MDS): this emits the manifest — for every sample
+    (payload bytes + 64-byte header) its shard id and byte offset inside
+    the shard, for an 8 KiB shard budget, samples packed in doc_id
+    order. shard = floor(exclusive-prefix-bytes / budget): the
+    prefix-sum sharding rule (a shard's last sample may straddle the
+    budget; next-fit's reset-on-overflow is inherently sequential and
+    buys nothing for a dataloader).
+
+    The oracle states it as a running-sum window over a TOTAL order —
+    single-partition at scale — while the Spark side computes the same
+    exclusive prefix via `operators.ranks.ranked(running_sum=...)`
+    (sketch boundaries -> per-bucket running window -> broadcast offset
+    merge): value-identical, shuffle on uniform bucket keys. All
+    arithmetic is exact integers.
+    """
+    from dataframe_differ_spark.operators.ranks import ranked
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.octet_length("text") + F.lit(64)).cast("long").alias("n_bytes"),
+    )
+    r = ranked(
+        docs,
+        F.col("doc_id"),
+        [F.col("doc_id").asc()],
+        ascending=True,
+        rank_col="_rk",
+        running_sum=F.col("n_bytes"),
+        running_col="cum",
+    )
+    before = F.col("cum") - F.col("n_bytes")
+    return r.select(
+        "doc_id",
+        "n_bytes",
+        F.floor(before / 8192).cast("int").alias("shard_id"),
+        (before - F.floor(before / 8192) * 8192)
+        .cast("long")
+        .alias("offset_in_shard"),
+    )

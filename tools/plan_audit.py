@@ -92,6 +92,8 @@ GLOBAL_WINDOW_OK = {
     "(TakeOrdered feeds it); lexical rank is two-phase since r4",
     "vec_pq_codes": "cid window over post-limit 16 seed rows",
     "vec_pq_adc_topk": "16-row seed window + top-k over ADC candidates",
+    "vec_ivfpq_topk": "16-row PQ seed window (post-limit) + probe crank "
+    "over the 16-row checkpointed centroid table",
 }
 
 

@@ -113,6 +113,9 @@ HEADLINE = [
     "vec_quantize_binary",
     "str_collation_group",
     "text_feature_hash_embed",
+    "text_quality_classifier_lr",
+    "multimodal_shard_manifest",
+    "vec_ivfpq_topk",
 ]
 
 
