@@ -1221,3 +1221,150 @@ def q_batch_length_grouped(spark, sf_dir):
         .cast("long")
         .alias("padding_waste"),
     )
+
+
+# DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169): weight
+# raw docs by how target-like their hashed-ngram distribution is. 1024
+# hash buckets, Laplace-smoothed unigram-of-bigrams LMs.
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET = "('src0', 'src1')"
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         -- both engines cap at 200 words (corpus max is 100) so the
+         -- bigram enumeration bound below stays symmetric on any corpus
+         list_filter(string_split(text, ' '), x -> x <> '')[1:200] AS t
+  FROM documents),
+bigrams AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(t[i] || '_' || t[i + 1]), 1, 12))::BIGINT
+           % {_DSIR_BUCKETS} AS b
+  FROM toks CROSS JOIN (SELECT unnest(range(1, 200)) AS i)
+  WHERE i < len(t)),
+doc_counts AS (
+  SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bigrams GROUP BY doc_id, source, b),
+tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bigrams
+  WHERE source IN {_DSIR_TARGET} GROUP BY b),
+raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cs FROM bigrams GROUP BY b),
+tot AS (
+  SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt,
+         (SELECT CAST(SUM(cs) AS BIGINT) FROM raw) AS ns),
+lr AS (
+  SELECT raw.b,
+         ln((COALESCE(tgt.ct, 0) + 1.0) / (tot.nt + {_DSIR_BUCKETS}.0))
+         - ln((raw.cs + 1.0) / (tot.ns + {_DSIR_BUCKETS}.0)) AS lw
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+w AS (
+  SELECT dc.doc_id, dc.source,
+         list_reduce(list_prepend(0.0, list(dc.c * lr.lw ORDER BY dc.b)),
+                     (a, x) -> a + x) AS logw
+  FROM doc_counts dc JOIN lr ON dc.b = lr.b
+  GROUP BY dc.doc_id, dc.source)
+SELECT doc_id, source, ROUND(logw, 6) AS log_importance
+FROM w
+ORDER BY ROUND(logw, 6) DESC, doc_id LIMIT 100
+"""
+
+
+@register("sample_dsir_importance", oracle=_DSIR_SQL)
+def q_sample_dsir_importance(spark, sf_dir):
+    """DSIR: data selection by importance resampling (hashed-ngram LMs).
+
+    The domain-targeting selection stage of a pretraining pipeline (Xie
+    et al. 2023): estimate a target LM (docs from the target sources) and
+    a raw-corpus LM over 1024 hashed-bigram buckets (Laplace-smoothed),
+    weight every raw doc by its log importance ratio
+    sum_b c_doc(b) * (ln p_target(b) - ln p_raw(b)), and keep the most
+    target-like docs. Deterministic top-100 here (the stochastic variant
+    composes this weight with `sample_weighted`'s Efraimidis-Spirakis
+    keys). At 100 TB: the two LMs are 1024-row broadcast tables built by
+    one map-side-combinable pass; per-doc weights are one hash-bucket
+    join + groupBy(doc) — no shuffle beyond the doc key; selection is
+    TakeOrdered, not a global window.
+
+    Parity: counts are exact integers, the 2048 ln calls happen once in
+    the tiny LR table, the per-doc sum is a sequential fold in bucket
+    order, and BOTH the output value and the top-100 cut use the 6-dp
+    ROUNDED weight so a last-ulp ln difference cannot reorder the
+    boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.expr("slice(filter(split(text, ' '), x -> x != ''), 1, 200)").alias(
+            "t"
+        ),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+                "(a, b) -> concat(a, '_', b))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("bg"), 1, 12), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    # The bigram stream feeds three aggregations; materialize it once.
+    bigrams = bigrams.localCheckpoint(eager=False)
+    doc_counts = bigrams.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tgt = (
+        bigrams.filter(F.col("source").isin("src0", "src1"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    nt = tgt.agg(F.sum("ct").alias("nt"))
+    ns = raw.agg(F.sum("cs").alias("ns"))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + float(_DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("cs") + 1.0) / (F.col("ns") + float(_DSIR_BUCKETS))
+                )
+            ).alias("lw"),
+        )
+    )
+    terms = doc_counts.join(F.broadcast(lr), "b").withColumn(
+        "term", F.col("c") * F.col("lw")
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = (
+        terms.withColumn("s", F.sum("term").over(wrun))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("b").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "source", F.round("s", 6).alias("log_importance")
+        )
+    )
+    return w.orderBy(F.col("log_importance").desc(), "doc_id").limit(100)

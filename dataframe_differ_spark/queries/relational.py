@@ -1949,3 +1949,44 @@ def q_trend_daily_events(spark, sf_dir):
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
 
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {SQL_DSUM('o_totalprice', 'total_price')},
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+         AS n_finished
+FROM orders
+WHERE o_totalprice > 1000
+GROUP BY o_orderpriority
+""",
+)
+def q_sql_pipe_syntax(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (SPARK-49555): |> chained operators.
+
+    The third front door after the DataFrame DSL and classic SQL text:
+    pipe syntax states the plan in execution order (FROM |> WHERE |>
+    AGGREGATE), resolving to the IDENTICAL Catalyst plan as the classic
+    form the oracle states — same pushdown, same partial aggregation.
+    Exists because long analytical pipelines read top-down; coverage here
+    proves the engine accepts all three surfaces interchangeably.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_pipe_v"
+    )
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_totalprice > 1000
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_price,
+                     COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                       AS n_finished
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, total_price, n_finished
+        """
+    )

@@ -116,6 +116,8 @@ HEADLINE = [
     "text_quality_classifier_lr",
     "multimodal_shard_manifest",
     "vec_ivfpq_topk",
+    "sample_dsir_importance",
+    "sql_pipe_syntax",
 ]
 
 
