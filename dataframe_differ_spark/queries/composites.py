@@ -2037,3 +2037,52 @@ def q_graph_triangle_count(spark, sf_dir):
         .orderBy(F.col("n_triangles").desc(), "part")
         .limit(50)
     )
+
+
+_PATTERN_SEQ_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(s, 'v[^p]*p')) AS INTEGER) AS n_funnels,
+       CAST(len(regexp_extract_all(s, 'p')) AS INTEGER) AS n_purchases,
+       CAST(len(regexp_extract_all(s, 'e')) AS INTEGER) AS n_errors,
+       contains(s, 'vp') AS has_direct_conversion
+FROM seq
+"""
+
+
+@register("events_pattern_sequence", oracle=_PATTERN_SEQ_SQL)
+def q_events_pattern_sequence(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence patterns over per-user event strings.
+
+    Row-pattern matching without the (unsupported) MATCH_RECOGNIZE
+    clause: each user's chronological event stream collapses to a
+    compact symbol string (first letter of the type — distinct per type
+    here; a real deployment maps types to symbols explicitly), and
+    funnel patterns become regexes — 'v[^p]*p' counts non-overlapping
+    view->...->purchase journeys with no intermediate purchase, the
+    leftmost-match semantics both engines' regex engines share. One
+    shuffle on user_id; the per-user string is bounded by the user's
+    event count and at 100 TB this is the standard sessionize-then-
+    pattern shape (the regex scan is partition-local, codegen'd).
+    """
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct("
+            "ts, event_id, substring(event_type, 1, 1) AS c))), x -> x.c))"
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.size(F.expr("regexp_extract_all(s, 'v[^p]*p', 0)")).alias("n_funnels"),
+        F.size(F.expr("regexp_extract_all(s, 'p', 0)")).alias("n_purchases"),
+        F.size(F.expr("regexp_extract_all(s, 'e', 0)")).alias("n_errors"),
+        F.col("s").contains("vp").alias("has_direct_conversion"),
+    )

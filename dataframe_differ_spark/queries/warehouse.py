@@ -1066,3 +1066,120 @@ def q_dim_surrogate_keys_sketch(spark, sf_dir):
     return r.select(
         F.col("rk").cast("bigint").alias("dim_sk"), "lang", "source"
     )
+
+
+_DRILLDOWN_SQL = f"""
+WITH right_t AS ({MUTATED_ORDERS_SQL}),
+dims AS (
+  SELECT c_custkey, n_name, r_name
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey),
+lrollup AS (
+  SELECT COALESCE(r_name, '(all)') AS r_key,
+         COALESCE(n_name, '(all)') AS n_key,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS rev_micro
+  FROM orders JOIN dims ON o_custkey = c_custkey
+  GROUP BY ROLLUP(r_name, n_name)),
+rrollup AS (
+  SELECT COALESCE(r_name, '(all)') AS r_key,
+         COALESCE(n_name, '(all)') AS n_key,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS rev_micro
+  FROM right_t JOIN dims ON o_custkey = c_custkey
+  GROUP BY ROLLUP(r_name, n_name))
+SELECT COALESCE(l.r_key, r.r_key) AS r_key,
+       COALESCE(l.n_key, r.n_key) AS n_key,
+       l.n_orders AS n_left, r.n_orders AS n_right,
+       l.rev_micro AS rev_micro_left, r.rev_micro AS rev_micro_right,
+       CASE WHEN l.r_key IS NULL THEN 'RIGHT_ONLY'
+            WHEN r.r_key IS NULL THEN 'LEFT_ONLY'
+            WHEN l.n_orders = r.n_orders AND l.rev_micro = r.rev_micro
+              THEN 'EQUAL'
+            ELSE 'CHANGED' END AS status
+FROM lrollup l FULL JOIN rrollup r
+  ON l.r_key = r.r_key AND l.n_key = r.n_key
+"""
+
+
+@register("diff_drilldown_rollup", oracle=_DRILLDOWN_SQL)
+def q_diff_drilldown_rollup(spark, sf_dir):
+    """Hierarchical diff drilldown: reconcile two snapshots at every
+    rollup level (grand total -> region -> nation) in one pass.
+
+    The triage view a differ user actually starts from: not which ROWS
+    changed (`diff_keyed`) but WHERE in the business hierarchy the totals
+    diverge, so the row-level diff can be pointed at the few broken
+    branches. Both sides aggregate under ROLLUP (partial-aggregated, one
+    shuffle each), group keys are sentinel-coalesced so the reconcile
+    join is a plain equi-join on ~|regions|+|nations|+1 rows, and the
+    revenue comparison is exact (decimal-summed, identically derived
+    doubles). At 100 TB the rollup outputs are KB-sized whatever the
+    fact size — the drilldown is always cheap; only the branches it
+    flags need the row-level differ.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    right = mutated_orders(orders)
+    dims = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+    def roll(side):
+        return (
+            side.join(
+                F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")
+            )
+            .rollup("r_name", "n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                # FLOOR-quantized micro-units (the diff_agg_reconcile /
+                # emb_dim_stats parity rule): the right side's *1.01
+                # doubles land on decimal rounding halves where engines
+                # disagree; floor never ties and bigint sums are exact.
+                F.sum(F.floor(F.col("o_totalprice") * F.lit(1000000.0)))
+                .cast("long")
+                .alias("rev_micro"),
+            )
+            .select(
+                F.coalesce(F.col("r_name"), F.lit("(all)")).alias("r_key"),
+                F.coalesce(F.col("n_name"), F.lit("(all)")).alias("n_key"),
+                "n_orders",
+                "rev_micro",
+            )
+        )
+
+    l = roll(orders).alias("l")
+    r = roll(right).alias("r")
+    eq = (F.col("l.n_orders") == F.col("r.n_orders")) & (
+        F.col("l.rev_micro") == F.col("r.rev_micro")
+    )
+    return l.join(
+        r,
+        (F.col("l.r_key") == F.col("r.r_key"))
+        & (F.col("l.n_key") == F.col("r.n_key")),
+        "full",
+    ).select(
+        F.coalesce(F.col("l.r_key"), F.col("r.r_key")).alias("r_key"),
+        F.coalesce(F.col("l.n_key"), F.col("r.n_key")).alias("n_key"),
+        F.col("l.n_orders").alias("n_left"),
+        F.col("r.n_orders").alias("n_right"),
+        F.col("l.rev_micro").alias("rev_micro_left"),
+        F.col("r.rev_micro").alias("rev_micro_right"),
+        F.when(F.col("l.r_key").isNull(), "RIGHT_ONLY")
+        .when(F.col("r.r_key").isNull(), "LEFT_ONLY")
+        .when(eq, "EQUAL")
+        .otherwise("CHANGED")
+        .alias("status"),
+    )

@@ -118,6 +118,8 @@ HEADLINE = [
     "vec_ivfpq_topk",
     "sample_dsir_importance",
     "sql_pipe_syntax",
+    "diff_drilldown_rollup",
+    "events_pattern_sequence",
 ]
 
 
