@@ -1368,3 +1368,156 @@ def q_sample_dsir_importance(spark, sf_dir):
         )
     )
     return w.orderBy(F.col("log_importance").desc(), "doc_id").limit(100)
+
+
+# BPE training, two unrolled merge rounds. The merge APPLY is a string
+# replace on the '|'-joined symbol string: replace('a|b' -> 'ab') is
+# leftmost non-overlapping in both engines — exactly BPE's greedy apply
+# (after a merge the new symbol can't re-match its own left half).
+_BPE_TRAIN_SQL = """
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS w FROM documents)
+  GROUP BY w),
+s0 AS (
+  SELECT w, freq,
+         array_to_string(list_transform(range(1, length(w) + 1),
+                                        i -> substr(w, i, 1)), '|') AS s
+  FROM words),
+p0 AS (
+  SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(s, '|') AS t FROM s0)
+  CROSS JOIN (SELECT unnest(range(1, 60)) AS i)
+  WHERE i < len(t)
+  GROUP BY t[i], t[i + 1]),
+m1 AS (SELECT a, b, cnt FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
+s1 AS (
+  SELECT s0.w, s0.freq,
+         replace(s0.s, m1.a || '|' || m1.b, m1.a || m1.b) AS s
+  FROM s0 CROSS JOIN m1),
+p1 AS (
+  SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(s, '|') AS t FROM s1)
+  CROSS JOIN (SELECT unnest(range(1, 60)) AS i)
+  WHERE i < len(t)
+  GROUP BY t[i], t[i + 1]),
+m2 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+s2 AS (
+  SELECT s1.w, s1.freq,
+         replace(s1.s, m2.a || '|' || m2.b, m2.a || m2.b) AS s
+  FROM s1 CROSS JOIN m2),
+tok0 AS (SELECT CAST(SUM(freq * len(string_split(s, '|'))) AS BIGINT) AS n
+         FROM s0),
+tok1 AS (SELECT CAST(SUM(freq * len(string_split(s, '|'))) AS BIGINT) AS n
+         FROM s1),
+tok2 AS (SELECT CAST(SUM(freq * len(string_split(s, '|'))) AS BIGINT) AS n
+         FROM s2)
+SELECT 1 AS merge_rank, m1.a AS left_sym, m1.b AS right_sym,
+       m1.cnt AS pair_count, tok1.n AS corpus_tokens_after
+FROM m1 CROSS JOIN tok1
+UNION ALL
+SELECT 2 AS merge_rank, m2.a AS left_sym, m2.b AS right_sym,
+       m2.cnt AS pair_count, tok2.n AS corpus_tokens_after
+FROM m2 CROSS JOIN tok2
+UNION ALL
+SELECT 0 AS merge_rank, '' AS left_sym, '' AS right_sym,
+       CAST(0 AS BIGINT) AS pair_count, tok0.n AS corpus_tokens_after
+FROM tok0
+"""
+
+
+@register("bpe_train_merges", oracle=_BPE_TRAIN_SQL)
+def q_bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING: two full merge rounds, fully relational.
+
+    Completes the tokenizer-training story (`bpe_pair_counts` is one
+    round of pair statistics; `text_tokenize_greedy` is inference):
+    count weighted adjacent-symbol pairs -> argmax (count desc, pair asc)
+    -> apply the merge corpus-wide -> recount -> second merge, reporting
+    each merge and the corpus token count it achieves (row 0 = the
+    pre-merge baseline). Dictionary-encoded like the tokenizer: symbol
+    strings live on DISTINCT words with their corpus frequencies, so
+    each round is a vocabulary-sized scan + one global 1-row argmax
+    aggregate (broadcast back), never a corpus rescan — at 100 TB the
+    word histogram is built once (the shape of every real BPE trainer)
+    and each of the ~50k merge rounds costs vocabulary work only.
+
+    The merge apply is replace('a|b' -> 'ab') on the joined symbol
+    string — leftmost non-overlapping in both engines, which IS the BPE
+    greedy apply rule. All counts exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+                "w"
+            )
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    s = words.withColumn(
+        "s", F.expr("array_join(split(w, ''), '|')")
+    )
+
+    def pair_top(sdf):
+        pairs = sdf.select(
+            "freq", F.expr("split(s, '[|]')").alias("t")
+        ).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), "
+                    "slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))"
+                )
+            ).alias("p"),
+        )
+        return (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+
+    def apply_merge(sdf, m):
+        return sdf.crossJoin(F.broadcast(m)).select(
+            "w",
+            "freq",
+            F.expr(
+                "replace(s, concat(a, '|', b), concat(a, b))"
+            ).alias("s"),
+        )
+
+    def tokens(sdf):
+        return sdf.agg(
+            F.sum(F.col("freq") * F.size(F.expr("split(s, '[|]')"))).alias("n")
+        )
+
+    m1 = pair_top(s)
+    s1 = apply_merge(s, m1)
+    m2 = pair_top(s1)
+    s2 = apply_merge(s1, m2)
+
+    def row(rank, m, t):
+        return (
+            m.crossJoin(F.broadcast(t))
+            .select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+                F.col("n").alias("corpus_tokens_after"),
+            )
+        )
+
+    base_row = tokens(s).select(
+        F.lit(0).alias("merge_rank"),
+        F.lit("").alias("left_sym"),
+        F.lit("").alias("right_sym"),
+        F.lit(0).cast("long").alias("pair_count"),
+        F.col("n").alias("corpus_tokens_after"),
+    )
+    return row(1, m1, tokens(s1)).unionByName(row(2, m2, tokens(s2))).unionByName(
+        base_row
+    )

@@ -136,3 +136,52 @@ def test_perplexity_scores_repetition_lower(spark, sf_small):
     # Weak-form check: min < mean < max with nonzero spread.
     vals = [r.avg_neg_logprob for r in rows]
     assert min(vals) < sum(vals) / len(vals) < max(vals)
+
+
+def test_bpe_train_merges_matches_python_reference(spark, sf_small):
+    # Re-train the two merges in pure Python over the same word histogram
+    # (standard BPE trainer) and compare merges, counts, and token totals.
+    from collections import Counter
+
+    from dataframe_differ_spark.queries import load_all
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    freq = Counter(w for d in docs for w in d.text.split(" ") if w)
+    words = {w: list(w) for w in freq}
+
+    def top_pair():
+        c = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                c[(a, b)] += freq[w]
+        return min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def apply(pair):
+        a, b = pair
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+
+    def total():
+        return sum(freq[w] * len(s) for w, s in words.items())
+
+    expect = {0: ("", "", 0, total())}
+    for rank in (1, 2):
+        (a, b), cnt = top_pair()
+        apply((a, b))
+        expect[rank] = (a, b, cnt, total())
+
+    got = {
+        r.merge_rank: (
+            r.left_sym, r.right_sym, r.pair_count, r.corpus_tokens_after
+        )
+        for r in load_all()["bpe_train_merges"].fn(spark, sf_small).collect()
+    }
+    assert got == expect

@@ -120,6 +120,7 @@ HEADLINE = [
     "sql_pipe_syntax",
     "diff_drilldown_rollup",
     "events_pattern_sequence",
+    "bpe_train_merges",
 ]
 
 
