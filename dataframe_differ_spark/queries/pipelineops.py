@@ -1521,3 +1521,112 @@ def q_bpe_train_merges(spark, sf_dir):
     return row(1, m1, tokens(s1)).unionByName(row(2, m2, tokens(s2))).unionByName(
         base_row
     )
+
+
+_NEYMAN_SQL = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority AS stratum,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+m AS (
+  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS nh,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0))
+           AS s2
+  FROM c GROUP BY stratum),
+w AS (
+  SELECT stratum, nh,
+         nh * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh)
+                   / nh) AS wh
+  FROM m),
+tot AS (
+  SELECT list_reduce(list_prepend(0.0, list(wh ORDER BY stratum)),
+                     (a, x) -> a + x) AS t
+  FROM w),
+alloc AS (
+  SELECT w.stratum, w.nh,
+         CAST(FLOOR(1000.0 * w.wh / tot.t) AS BIGINT) AS n_alloc
+  FROM w CROSS JOIN tot),
+ranked AS (
+  SELECT c.o_orderkey, c.stratum, alloc.nh, alloc.n_alloc,
+         ROW_NUMBER() OVER (PARTITION BY c.stratum
+                            ORDER BY md5(CAST(c.o_orderkey AS VARCHAR)),
+                                     c.o_orderkey) AS rn
+  FROM c JOIN alloc ON c.stratum = alloc.stratum)
+SELECT o_orderkey, stratum, nh AS n_stratum, n_alloc
+FROM ranked WHERE rn <= n_alloc
+"""
+
+
+@register("sample_neyman_allocation", oracle=_NEYMAN_SQL)
+def q_sample_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sampling (allocation proportional to
+    N_h * sigma_h), fully deterministic.
+
+    The eval-set construction recipe when strata differ in spread:
+    minimum-variance allocation of a fixed budget (n=1000) gives
+    high-variance strata more samples than proportional allocation
+    would. Three relational stages: (1) exact per-stratum moments via
+    the integer-cents DECIMAL(38,0) device (one map-side-combinable
+    scan, any partial order), (2) allocation from a 5-row broadcast
+    table — the weight total is a SEQUENTIAL fold in stratum order so
+    cross-engine float addition agrees, floor (never ties) instead of
+    round, (3) per-stratum md5-ordered head — the reproducible,
+    engine-stable sampler (`sample_hash`'s rule, partitioned window per
+    stratum). At 100 TB stage 3's window partitions on the stratum key;
+    if one stratum dominates, swap in the two-phase rank operator.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("stratum"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    m = c.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "s2"
+        ),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    w = m.select(
+        "stratum",
+        "nh",
+        (
+            F.col("nh")
+            * F.sqrt(
+                (s2d - s1d * F.col("s1") / F.col("nh")) / F.col("nh")
+            )
+        ).alias("wh"),
+    )
+    tot = w.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(stratum, wh))),"
+            " x -> x.wh), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("t")
+    )
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "nh",
+        F.floor(F.lit(1000.0) * F.col("wh") / F.col("t"))
+        .cast("long")
+        .alias("n_alloc"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("stratum").orderBy(
+            F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+        )
+    )
+    return (
+        c.join(F.broadcast(alloc), "stratum")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .select(
+            "o_orderkey",
+            "stratum",
+            F.col("nh").alias("n_stratum"),
+            "n_alloc",
+        )
+    )

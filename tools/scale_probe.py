@@ -121,6 +121,7 @@ HEADLINE = [
     "diff_drilldown_rollup",
     "events_pattern_sequence",
     "bpe_train_merges",
+    "sample_neyman_allocation",
 ]
 
 
