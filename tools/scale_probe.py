@@ -122,6 +122,7 @@ HEADLINE = [
     "events_pattern_sequence",
     "bpe_train_merges",
     "sample_neyman_allocation",
+    "events_changepoint_cusum",
 ]
 
 
