@@ -2088,28 +2088,31 @@ def q_events_pattern_sequence(spark, sf_dir):
     )
 
 
-# CUSUM changepoint detection (Page 1954). One statement, both engines:
-# the recursion steps through day indexes carrying the one-sided sums —
-# UNION ALL + a strictly-increasing index bounds it (the Spark 4
-# recursive-CTE rule, cf. sql_recursive_components).
+# CUSUM changepoint detection (Page 1954). DuckDB oracle: the recursion
+# steps through day indexes carrying the one-sided sums — UNION ALL + a
+# strictly-increasing index bounds it (cf. sql_recursive_components).
+# The feeder CTEs are MATERIALIZED (DuckDB-only keyword; this string
+# never runs on Spark) because the recursive part joins them every step
+# — without the hint DuckDB re-evaluates the events scan per step
+# (measured 7x slower at sf0.01, worse at sf0.1).
 _CUSUM_BODY = """
 WITH RECURSIVE
-daily AS (
+daily AS MATERIALIZED (
   SELECT event_type, CAST(ts AS DATE) AS d,
          CAST(COUNT(*) AS BIGINT) AS x
   FROM {events} GROUP BY event_type, CAST(ts AS DATE)),
-idx AS (
+idx AS MATERIALIZED (
   SELECT event_type, d, x,
          CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
               AS BIGINT) AS i
   FROM daily),
-stats AS (
+stats AS MATERIALIZED (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS s1,
          CAST(SUM(x * x) AS BIGINT) AS s2
   FROM idx GROUP BY event_type),
-params AS (
+params AS MATERIALIZED (
   SELECT event_type,
          CAST(s1 AS DOUBLE) / n AS mu,
          sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n)
@@ -2216,4 +2219,212 @@ def q_events_changepoint_cusum(spark, sf_dir):
             (F.col("e.s_hi") > 4.0 * F.col("sigma"))
             | (F.col("e.s_lo") < -4.0 * F.col("sigma"))
         ).alias("alarm"),
+    )
+
+
+_AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)),
+lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 8)),
+pairs AS (
+  SELECT l.lag, a.x AS x0, b.x AS x1
+  FROM daily a JOIN lags l ON TRUE
+  JOIN daily b ON b.d = a.d + l.lag),
+mom AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x0) AS BIGINT) AS sx, CAST(SUM(x1) AS BIGINT) AS sy,
+         CAST(SUM(x0 * x1) AS BIGINT) AS sxy,
+         CAST(SUM(x0 * x0) AS BIGINT) AS sxx,
+         CAST(SUM(x1 * x1) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag)
+SELECT lag, n AS n_pairs,
+       ROUND((CAST(n * sxy - sx * sy AS DOUBLE))
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS autocorr
+FROM mom
+"""
+
+
+@register("events_autocorr", oracle=_AUTOCORR_SQL)
+def q_events_autocorr(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily event-volume series.
+
+    The seasonality detector that belongs next to `events_changepoint_cusum`
+    in a pipeline-health dashboard: Pearson r between the day series and
+    its lag-k shift reveals weekly periodicity (peak at lag 7). Two
+    scale-minded choices: (1) the lagged pairing is a self-JOIN on
+    `date + lag` over the 30-row daily rollup — no global window, no
+    ordering assumption, works even with gap days; (2) Pearson comes from
+    exact integer moment sums (counts and their products stay BIGINT —
+    the agg_variance_exact device), so the only float ops are the final
+    sub/mul/sqrt/div chain, identical in both engines. At 100 TB only the
+    daily rollup touches the corpus; the lag join runs on a KB spine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    b = daily.select(F.col("d").alias("d1"), F.col("x").alias("x1"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("date_add(d, lag)") == F.col("d1"))
+        .select("lag", F.col("x").alias("x0"), "x1")
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x0").alias("sx"),
+        F.sum("x1").alias("sy"),
+        F.sum(F.col("x0") * F.col("x1")).alias("sxy"),
+        F.sum(F.col("x0") * F.col("x0")).alias("sxx"),
+        F.sum(F.col("x1") * F.col("x1")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return mom.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 9).alias("autocorr"),
+    )
+
+
+_SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)),
+dow AS (
+  SELECT isodow(d) AS dow, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(x) AS BIGINT) AS sd
+  FROM daily GROUP BY isodow(d)),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(x) AS BIGINT) AS st
+  FROM daily)
+SELECT CAST(daily.d AS STRING) AS day,
+       CAST(dow.dow AS INTEGER) AS dow,
+       daily.x AS n_events,
+       ROUND((CAST(sd AS DOUBLE) / nd) / (CAST(st AS DOUBLE) / nt), 9)
+         AS seasonal_idx,
+       ROUND(daily.x / ((CAST(sd AS DOUBLE) / nd) / (CAST(st AS DOUBLE) / nt)),
+             9) AS deseasonalized
+FROM daily
+JOIN dow ON dow.dow = isodow(daily.d)
+CROSS JOIN tot
+"""
+
+
+@register("events_seasonality_dow", oracle=_SEASONALITY_SQL)
+def q_events_seasonality_dow(spark, sf_dir):
+    """Day-of-week seasonal decomposition of daily event volume.
+
+    The ratio-to-overall-mean seasonal index (the first stage of any
+    X-11-style decomposition): per-ISO-weekday mean volume over the
+    overall mean gives a 7-value seasonal profile, and dividing each day
+    by its weekday's index yields the deseasonalized series that trend /
+    changepoint detectors (events_changepoint_cusum) should really run
+    on. Engine-parity care: Spark `weekday` (0=Mon) maps to DuckDB
+    `isodow` (1=Mon) via +1 — Spark's `dayofweek` (1=Sun) does NOT match
+    DuckDB's `dayofweek` (0=Sun). All means are single divisions of
+    exact BIGINT sums, so the index and the deseasonalized values agree
+    bit-for-bit before the cosmetic 9-dp round. One corpus-sized rollup;
+    both joins are broadcasts of ≤7-row frames.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    daily = daily.withColumn("dow", (F.weekday("d") + F.lit(1)).cast("int"))
+    dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("sd")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("x").alias("st")
+    )
+    idx = (F.col("sd").cast("double") / F.col("nd")) / (
+        F.col("st").cast("double") / F.col("nt")
+    )
+    return (
+        daily.join(F.broadcast(dow), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dow",
+            F.col("x").alias("n_events"),
+            F.round(idx, 9).alias("seasonal_idx"),
+            F.round(F.col("x") / idx, 9).alias("deseasonalized"),
+        )
+    )
+
+
+_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)),
+m AS (SELECT MIN(d) AS d0 FROM daily),
+pts AS (
+  SELECT CAST(datediff('day', m.d0, daily.d) AS BIGINT) AS i, x
+  FROM daily CROSS JOIN m),
+slopes AS (
+  SELECT CAST(b.x - a.x AS DOUBLE) / (b.i - a.i) AS s
+  FROM pts a JOIN pts b ON b.i > a.i),
+fit AS (
+  SELECT MEDIAN(s) AS slope, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM slopes),
+res AS (
+  SELECT MEDIAN(pts.x - fit.slope * pts.i) AS intercept,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         ANY_VALUE(fit.slope) AS slope,
+         ANY_VALUE(fit.n_pairs) AS n_pairs
+  FROM pts CROSS JOIN fit)
+SELECT ROUND(slope, 9) AS slope, ROUND(intercept, 9) AS intercept,
+       n_days, n_pairs
+FROM res
+"""
+
+
+@register("trend_theilsen_daily", oracle=_THEILSEN_SQL)
+def q_trend_theilsen_daily(spark, sf_dir):
+    """Theil–Sen robust trend estimate of daily event volume.
+
+    The median-of-pairwise-slopes estimator (Theil 1950, Sen 1968):
+    unlike OLS, a ~29% contamination of outlier days cannot move it.
+    The all-pairs join is over the DAILY aggregate — a fixed ~30-row
+    spine (~435 pairs), sf-invariant, so the quadratic stage is bounded
+    by calendar span, not data volume; the corpus is touched once by the
+    rollup. Every slope is (BIGINT - BIGINT) / (BIGINT - BIGINT) — one
+    double division, bit-identical cross-engine; MEDIAN on doubles is an
+    order statistic (both engines average the two middles for even n).
+    Intercept = median residual at the median slope (the standard
+    Theil–Sen intercept).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    m = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(m)).select(
+        F.datediff("d", "d0").cast("long").alias("i"), "x"
+    )
+    b = pts.select(F.col("i").alias("j"), F.col("x").alias("y"))
+    slopes = pts.join(b, F.col("j") > F.col("i")).select(
+        ((F.col("y") - F.col("x")).cast("double") / (F.col("j") - F.col("i"))).alias("s")
+    )
+    fit = slopes.agg(
+        F.median("s").alias("slope"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    res = pts.crossJoin(F.broadcast(fit)).agg(
+        F.median(F.col("x") - F.col("slope") * F.col("i")).alias("intercept"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.any_value("slope").alias("slope"),
+        F.any_value("n_pairs").alias("n_pairs"),
+    )
+    return res.select(
+        F.round("slope", 9).alias("slope"),
+        F.round("intercept", 9).alias("intercept"),
+        "n_days",
+        "n_pairs",
     )

@@ -123,6 +123,9 @@ HEADLINE = [
     "bpe_train_merges",
     "sample_neyman_allocation",
     "events_changepoint_cusum",
+    "events_autocorr",
+    "events_seasonality_dow",
+    "trend_theilsen_daily",
 ]
 
 
