@@ -2428,3 +2428,126 @@ def q_trend_theilsen_daily(spark, sf_dir):
         "n_days",
         "n_pairs",
     )
+
+
+_KM_SQL = """
+WITH pu AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+  FROM events GROUP BY user_id),
+mx AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
+u AS (
+  SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+         CASE WHEN datediff('day', l, m) >= 3 THEN 1 ELSE 0 END AS ev
+  FROM pu CROSS JOIN mx),
+spine AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+  FROM u GROUP BY t),
+arrs AS (
+  SELECT list(t ORDER BY t) AS ts,
+         list(d ORDER BY t) AS ds,
+         list(c ORDER BY t) AS cs,
+         list(d + c ORDER BY t) AS rs
+  FROM spine),
+calc AS (
+  SELECT ts, ds, cs,
+         list_transform(range(1, len(ts) + 1),
+           i -> list_sum(rs) - COALESCE(list_sum(list_slice(rs, 1, i - 1)), 0))
+           AS risk
+  FROM arrs),
+fac AS (
+  SELECT ts, ds, cs, risk,
+         list_transform(range(1, len(ts) + 1),
+           i -> CAST(risk[i] - ds[i] AS DOUBLE) / risk[i]) AS factors
+  FROM calc),
+surv AS (
+  SELECT ts, ds, cs, risk,
+         list_transform(range(1, len(ts) + 1),
+           i -> list_reduce(list_prepend(1.0, list_slice(factors, 1, i)),
+                            (a, x) -> a * x)) AS sv
+  FROM fac),
+idx AS (
+  SELECT UNNEST(range(1, len(ts) + 1)) AS i, ts, ds, cs, risk, sv FROM surv)
+SELECT CAST(ts[i] AS BIGINT) AS t_days,
+       CAST(risk[i] AS BIGINT) AS n_at_risk,
+       ds[i] AS n_churned,
+       cs[i] AS n_censored,
+       ROUND(sv[i], 9) AS survival
+FROM idx
+"""
+
+
+@register("km_survival_users", oracle=_KM_SQL)
+def q_km_survival_users(spark, sf_dir):
+    """Kaplan-Meier survival of user lifetimes with right-censoring.
+
+    The churn curve (Kaplan & Meier 1958): lifetime = days between a
+    user's first and last event; users still active in the final 3 days
+    of the corpus are right-CENSORED (they leave the at-risk set without
+    a churn event). S(t) = prod over days <= t of (1 - d_i / n_i). The
+    scale shape: one corpus-sized groupBy(user) then everything runs on
+    the lifetime spine (bounded by calendar span, ~31 rows at any sf) —
+    at-risk counts come from integer prefix sums over the collected
+    spine arrays, never a window over data. Parity devices: at-risk /
+    death counts are exact BIGINTs; each hazard factor is one exact
+    division; the survival product is a SEQUENTIAL left fold
+    (aggregate ≡ list_reduce(list_prepend(...)) — bit-identical,
+    cf. BASELINE.md parity lessons) rather than an order-free product.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("f"),
+        F.max(F.col("ts").cast("date")).alias("l"),
+    )
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("m"))
+    u = pu.crossJoin(F.broadcast(mx)).select(
+        F.datediff("l", "f").cast("long").alias("t"),
+        F.when(F.datediff("m", "l") >= 3, 1).otherwise(0).alias("ev"),
+    )
+    spine = u.groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).alias("c"),
+    )
+    arrs = spine.agg(
+        F.expr("array_sort(collect_list(struct(t, d, c, d + c AS r)))").alias("a")
+    )
+    calc = arrs.select(
+        "a",
+        F.expr(
+            "transform(a, (x, i) -> aggregate(a, 0L, (acc, y) -> acc + y.r)"
+            " - aggregate(slice(a, 1, i), 0L, (acc, y) -> acc + y.r))"
+        ).alias("risk"),
+    )
+    fac = calc.select(
+        "a",
+        "risk",
+        F.expr(
+            "transform(a, (x, i) ->"
+            " cast(element_at(risk, i + 1) - x.d as double)"
+            " / element_at(risk, i + 1))"
+        ).alias("factors"),
+    )
+    surv = fac.select(
+        "a",
+        "risk",
+        F.expr(
+            "transform(a, (x, i) ->"
+            " aggregate(slice(factors, 1, i + 1), cast(1.0 as double),"
+            " (acc, v) -> acc * v))"
+        ).alias("sv"),
+    )
+    row = surv.select(
+        F.posexplode(
+            F.expr(
+                "transform(a, (x, i) -> struct(x.t AS t, element_at(risk, i + 1)"
+                " AS nr, x.d AS d, x.c AS c, element_at(sv, i + 1) AS s))"
+            )
+        ).alias("pos", "v")
+    )
+    return row.select(
+        F.col("v.t").alias("t_days"),
+        F.col("v.nr").alias("n_at_risk"),
+        F.col("v.d").alias("n_churned"),
+        F.col("v.c").alias("n_censored"),
+        F.round(F.col("v.s"), 9).alias("survival"),
+    )

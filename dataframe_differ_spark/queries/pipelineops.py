@@ -1630,3 +1630,86 @@ def q_sample_neyman_allocation(spark, sf_dir):
             "n_alloc",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Filter-quality evaluation: exact ROC-AUC of a screening score
+# --------------------------------------------------------------------------
+
+_AUC_STOP = "('the','a','of','and','to','in','is','it')"
+
+_AUC_SQL = f"""
+WITH sc AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN {_AUC_STOP})) AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+hist AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS ns, CAST(SUM(y) AS BIGINT) AS ps
+  FROM sc GROUP BY s),
+cum AS (
+  SELECT s, ns, ps,
+         CAST(COALESCE(SUM(ns) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+  FROM hist),
+agg AS (
+  SELECT CAST(SUM(ps * (2 * cumb + ns + 1)) AS BIGINT) AS r2,
+         CAST(SUM(ps) AS BIGINT) AS npos,
+         CAST(SUM(ns) AS BIGINT) AS n
+  FROM cum)
+SELECT n AS n_docs, npos AS n_pos, n - npos AS n_neg,
+       ROUND(CAST(r2 - npos * (npos + 1) AS DOUBLE)
+             / CAST(2 * npos * (n - npos) AS DOUBLE), 9) AS auc,
+       ROUND(2.0 * (CAST(r2 - npos * (npos + 1) AS DOUBLE)
+                    / CAST(2 * npos * (n - npos) AS DOUBLE)) - 1.0, 9) AS gini
+FROM agg
+"""
+
+
+@register("eval_auc_score", oracle=_AUC_SQL)
+def q_eval_auc_score(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC of a screening score (Mann-Whitney U).
+
+    The metric a pipeline owner uses to decide whether a cheap filter
+    score is worth gating on: here, does stopword count predict
+    English-language documents? AUC is computed exactly, ties handled by
+    mid-rank, WITHOUT ranking any rows: the integer score is histogrammed
+    (one map-side-combinable groupBy), and the rank-sum comes from the
+    score spine via a broadcast triangle join — 2*R_pos = sum over score
+    values of p_s * (2*cum_below + n_s + 1), all BIGINT. At 100 TB the
+    corpus is touched once; the spine is bounded by the score's distinct
+    values (~hundreds), so no global window and no sort of the data.
+    Parity: everything is exact integers until the single final division
+    (and gini = 2*auc - 1 with identical op order both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.select(
+        F.expr(
+            f"cast(size(filter(split(text, ' '), x -> x IN {_AUC_STOP})) as bigint)"
+        ).alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    hist = sc.groupBy("s").agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("y").alias("ps")
+    )
+    lower = hist.select(F.col("s").alias("s_b"), F.col("ns").alias("ns_b"))
+    cum = (
+        hist.join(F.broadcast(lower), F.col("s_b") < F.col("s"), "left")
+        .groupBy("s", "ns", "ps")
+        .agg(F.coalesce(F.sum("ns_b"), F.lit(0)).cast("long").alias("cumb"))
+    )
+    agg = cum.agg(
+        F.sum(F.col("ps") * (2 * F.col("cumb") + F.col("ns") + 1)).alias("r2"),
+        F.sum("ps").alias("npos"),
+        F.sum("ns").alias("n"),
+    )
+    num = (F.col("r2") - F.col("npos") * (F.col("npos") + 1)).cast("double")
+    den = (2 * F.col("npos") * (F.col("n") - F.col("npos"))).cast("double")
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("npos").alias("n_pos"),
+        (F.col("n") - F.col("npos")).alias("n_neg"),
+        F.round(num / den, 9).alias("auc"),
+        F.round(F.lit(2.0) * (num / den) - F.lit(1.0), 9).alias("gini"),
+    )

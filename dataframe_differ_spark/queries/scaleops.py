@@ -2081,3 +2081,135 @@ def q_vec_ivfpq_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", "adc_d2", "exact_d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-quality evaluation: precision/recall of the MinHash-LSH candidate
+# pairs against exact 3-gram Jaccard >= 0.5 ground truth on a bounded block.
+# ---------------------------------------------------------------------------
+
+# Ground-truth block bound: base doc ids < 60 (a planted twin keeps its
+# base id mod 100000, so twins stay with their originals). The block is a
+# CONSTANT ~70 docs at any sf — the truth side is the bounded verifier
+# half; the candidate side stays the production LSH chain.
+_PR_BLOCK = 60
+_PR_SQL = f"""
+WITH {_SQL_MH_CTES},
+bsh AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 100000 < {_PR_BLOCK}),
+bt AS (SELECT doc_id, unnest(shingles) AS shingle FROM bsh),
+sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM bsh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM bt a JOIN bt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE 2 * i >= sa.n + sb.n - i),
+cb AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE doc_a % 100000 < {_PR_BLOCK} AND doc_b % 100000 < {_PR_BLOCK}),
+tp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tp
+  FROM truth t JOIN cb ON cb.doc_a = t.doc_a AND cb.doc_b = t.doc_b),
+cnt AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS n_cand,
+         (SELECT tp FROM tp) AS tp)
+SELECT n_truth, n_cand, tp,
+       n_cand - tp AS fp,
+       n_truth - tp AS fn,
+       ROUND(CAST(tp AS DOUBLE) / n_cand, 9) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / n_truth, 9) AS recall,
+       ROUND(CAST(2 * tp AS DOUBLE) / (n_cand + n_truth), 9) AS f1
+FROM cnt
+"""
+
+
+@register("eval_dedup_pr", oracle=_PR_SQL, scale_path="dedup_minhash_exact")
+def q_eval_dedup_pr(spark, sf_dir):
+    """Precision/recall/F1 of MinHash-LSH dedup candidates vs exact truth.
+
+    The eval a dedup pipeline owner runs before trusting the banding
+    parameters: on a bounded block (base doc ids < 60 plus their planted
+    twins — constant-size at any sf), compute the EXACT distinct-3-gram
+    Jaccard for every in-block pair and take J >= 0.5 as ground truth;
+    candidates are the production LSH chain (`_mh_parts`, the same
+    corpus/signatures/banding as `dedup_minhash_exact`) restricted to
+    the block. The threshold compare is pure integers
+    (2*|inter| >= |A| + |B| - |inter|), and F1 = 2pr/(p+r) collapses
+    algebraically to 2*tp/(n_cand + n_truth) — one exact division.
+    The truth half is the bounded-verifier pattern (scale_path declares
+    the production sibling); precision alone is scale-safe unbounded
+    since it only scores candidate pairs the banding already emits.
+    """
+    corpus, _sigs, cand = _mh_parts(spark, sf_dir)
+    sh = (
+        corpus.filter(F.col("doc_id") % 100000 < _PR_BLOCK)
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("t2", F.expr("slice(toks, 2, size(toks))"))
+        .withColumn("t3", F.expr("slice(toks, 3, size(toks))"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(filter("
+                "  zip_with(zip_with(toks, t2, (a, b) -> concat_ws(' ', a, b)),"
+                "           t3, (ab, c) -> IF(c IS NULL, NULL, concat_ws(' ', ab, c))),"
+                "  x -> x IS NOT NULL))"
+            ).alias("shingles"),
+        )
+    )
+    bt = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sz = sh.select("doc_id", F.size("shingles").cast("long").alias("n"))
+    a, b = bt.alias("a"), bt.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
+        .select("doc_a", "doc_b")
+    )
+    cb = cand.filter(
+        (F.col("doc_a") % 100000 < _PR_BLOCK)
+        & (F.col("doc_b") % 100000 < _PR_BLOCK)
+    )
+    tp_df = truth.join(cb, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("tp")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cb.agg(F.count(F.lit(1)).alias("n_cand"))
+    cnt = (
+        n_truth.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(tp_df))
+    )
+    return cnt.select(
+        "n_truth",
+        "n_cand",
+        "tp",
+        (F.col("n_cand") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        F.round(F.col("tp").cast("double") / F.col("n_cand"), 9).alias(
+            "precision"
+        ),
+        F.round(F.col("tp").cast("double") / F.col("n_truth"), 9).alias(
+            "recall"
+        ),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (F.col("n_cand") + F.col("n_truth")),
+            9,
+        ).alias("f1"),
+    )

@@ -1662,3 +1662,105 @@ def q_text_quality_classifier_lr(spark, sf_dir):
         "q_score",
         (F.col("q_score") >= 0.5).alias("keep"),
     )
+
+
+# Calibration of the LR quality score vs the English label: q_score comes
+# from the SAME literal expression chain as text_quality_classifier_lr
+# (rounded to 6 dp there, so binning on it is engine-stable), and every
+# cross-doc accumulation is a DECIMAL(12,6) sum — exact, order-free — so
+# the ECE is a single division of an exact decimal by a BIGINT.
+_CALIB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS f_div,
+         CAST(n_chars AS DOUBLE) / len(t) AS f_len,
+         CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+           / len(t) AS f_stop,
+         CAST(n_chars AS DOUBLE) / 600.0 AS f_size
+  FROM toks),
+scored AS (
+  SELECT doc_id, lang,
+         ROUND(1.0 / (1.0 + exp(-({_LRQ_Z}))), 6) AS q_score
+  FROM feats),
+binned AS (
+  SELECT CAST(LEAST(FLOOR(q_score * 10), 9) AS INTEGER) AS bin,
+         CAST(q_score AS DECIMAL(12,6)) AS qd,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM scored),
+grp AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p,
+         SUM(qd) AS sp
+  FROM binned GROUP BY bin),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+         SUM(ABS(sp - CAST(p AS DECIMAL(18,6)))) AS gap_sum
+  FROM grp)
+SELECT bin, n,
+       ROUND(CAST(p AS DOUBLE) / n, 9) AS frac_pos,
+       ROUND(CAST(sp AS DOUBLE) / n, 9) AS mean_pred,
+       ROUND(CAST(ABS(sp - CAST(p AS DECIMAL(18,6))) AS DOUBLE) / n, 9)
+         AS gap,
+       ROUND(CAST(gap_sum AS DOUBLE) / nt, 9) AS ece
+FROM grp CROSS JOIN tot
+"""
+
+
+@register("eval_calibration_bins", oracle=_CALIB_SQL)
+def q_eval_calibration_bins(spark, sf_dir):
+    """Reliability table + expected calibration error for the LR score.
+
+    The companion metric to `text_quality_classifier_lr` /
+    `eval_auc_score`: per predicted-probability decile, how does the mean
+    predicted score compare to the empirical positive rate (English
+    label)? ECE is the count-weighted mean absolute gap. The exactness
+    device: per-bin score sums accumulate as DECIMAL(12,6) (the 6-dp
+    rounded q_score is exactly representable), so sums are order-free
+    and ECE = sum_b |sp_b - p_b| / N is exact arithmetic until single
+    final divisions. One corpus scan, one 10-row shuffle, a 1-row
+    broadcast — nothing grows with data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr("filter(split(text, ' '), x -> x != '')")
+    feats = docs.select(
+        "lang",
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("f_div"),
+        (F.col("n_chars").cast("double") / F.size(t)).alias("f_len"),
+        (
+            F.expr("size(filter(filter(split(text, ' '), x -> x != ''), "
+                   "x -> x = 'the' OR x = 'a'))").cast("double")
+            / F.size(t)
+        ).alias("f_stop"),
+        (F.col("n_chars").cast("double") / 600.0).alias("f_size"),
+    )
+    scored = feats.withColumn(
+        "q_score", F.round(F.expr(f"1.0 / (1.0 + exp(-({_LRQ_Z})))"), 6)
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("q_score") * 10), F.lit(9)).cast("int").alias("bin"),
+        F.col("q_score").cast("decimal(12,6)").alias("qd"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grp = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("p"),
+        F.sum("qd").alias("sp"),
+    )
+    gap_dec = F.abs(F.col("sp") - F.col("p").cast("decimal(18,6)"))
+    tot = grp.agg(
+        F.sum("n").alias("nt"),
+        F.sum(F.abs(F.col("sp") - F.col("p").cast("decimal(18,6)"))).alias(
+            "gap_sum"
+        ),
+    )
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round(F.col("p").cast("double") / F.col("n"), 9).alias("frac_pos"),
+        F.round(F.col("sp").cast("double") / F.col("n"), 9).alias("mean_pred"),
+        F.round(gap_dec.cast("double") / F.col("n"), 9).alias("gap"),
+        F.round(F.col("gap_sum").cast("double") / F.col("nt"), 9).alias("ece"),
+    )

@@ -21,7 +21,7 @@ import weakref
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dataframe_differ_spark.queries import register
+from dataframe_differ_spark.queries import REGISTRY, register
 from dataframe_differ_spark.tables import load_table
 
 # Spark/DuckDB twin vector expressions live in the public function surface.
@@ -1222,4 +1222,82 @@ def q_vec_matryoshka_prefix(spark, sf_dir):
             F.round("cos_prefix", 9).alias("cos_prefix"),
             F.round("cos_full", 9).alias("cos_full"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index-quality evaluation by composition: recall@k of the LSH ANN vs the
+# exact top-k. Both sides are themselves registered full-oracle queries, so
+# the oracle here simply embeds their oracle texts as subqueries — the
+# evaluation is checkable end-to-end, not against a hand-maintained copy.
+# ---------------------------------------------------------------------------
+
+
+def _retrieval_recall_oracle() -> str:
+    exact_sql = REGISTRY["sim_topk"].oracle
+    approx_sql = REGISTRY["sim_topk_lsh"].oracle
+    return f"""
+WITH per AS (
+  SELECT e.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM ({exact_sql}) e
+  LEFT JOIN ({approx_sql}) a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id),
+tot AS (
+  SELECT CAST(SUM(n_hit) AS BIGINT) AS th,
+         CAST(SUM(n_exact) AS BIGINT) AS te
+  FROM per)
+SELECT query_id, n_exact, n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / n_exact, 9) AS recall_at_k,
+       ROUND(CAST(th AS DOUBLE) / te, 9) AS macro_recall
+FROM per CROSS JOIN tot
+"""
+
+
+@register("eval_retrieval_recall", oracle=_retrieval_recall_oracle())
+def q_eval_retrieval_recall(spark, sf_dir):
+    """Recall@10 of the LSH ANN index against the exact top-k, per query.
+
+    The metric that decides whether an ANN index is shippable: for each
+    of the fixed evaluation queries, what fraction of the TRUE top-10
+    (from the bounded brute verifier `sim_topk`) does `sim_topk_lsh`
+    retrieve? Composed directly from the two registered queries — Spark
+    side calls their functions, oracle side embeds their oracle SQL as
+    subqueries — so the eval can never drift from what the index
+    actually returns. Because every query contributes the same k, the
+    macro-average equals total_hits / total_exact: pure BIGINT counts,
+    one final division, no float accumulation anywhere. Scale shape is
+    whatever the two inputs cost (the eval itself joins two ≤ 50-row
+    frames).
+    """
+    ex = q_sim_topk(spark, sf_dir).select("query_id", "vec_id")
+    ap = (
+        q_sim_topk_lsh(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    per = (
+        ex.join(ap, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_hit").alias("th"), F.sum("n_exact").alias("te")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "query_id",
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 9).alias(
+            "recall_at_k"
+        ),
+        F.round(F.col("th").cast("double") / F.col("te"), 9).alias(
+            "macro_recall"
+        ),
     )

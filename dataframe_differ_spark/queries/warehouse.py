@@ -1183,3 +1183,70 @@ def q_diff_drilldown_rollup(spark, sf_dir):
         .otherwise("CHANGED")
         .alias("status"),
     )
+
+
+_BENFORD_SQL = """
+WITH cents AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+hist AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM hist),
+j AS (
+  SELECT digit, n, nt,
+         CAST(n AS DOUBLE) / nt AS obs,
+         ROUND(log10(1.0 + 1.0 / digit), 9) AS expected
+  FROM hist CROSS JOIN tot)
+SELECT digit, n,
+       ROUND(obs, 9) AS obs_share,
+       expected,
+       ROUND(obs - expected, 9) AS gap,
+       ROUND(nt * (obs - expected) * (obs - expected) / expected, 6)
+         AS chi2_contrib
+FROM j
+"""
+
+
+@register("benford_first_digit", oracle=_BENFORD_SQL)
+def q_benford_first_digit(spark, sf_dir):
+    """Benford first-digit audit of line-item amounts.
+
+    The classic data-quality / fraud screen (Benford 1938, Nigrini's
+    audit use): the leading digit of natural amounts should follow
+    log10(1 + 1/d); a synthetic-uniform price column (TPC-H's is) fails
+    loudly, which is exactly what the audit is for. Exactness devices:
+    amounts become exact micro-unit BIGINTs first (round(x*100) — scaling
+    never changes the leading digit), the digit comes from the BIGINT's
+    decimal string (no float log in the bucketing path), and the only
+    libm call (log10 of 9 constants) is rounded to 9 dp on both engines
+    before any arithmetic touches it. One scan, a 9-row shuffle, a 1-row
+    broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    hist = cents.groupBy(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.agg(F.sum("n").alias("nt"))
+    obs = F.col("n").cast("double") / F.col("nt")
+    expected = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 9)
+    j = hist.crossJoin(F.broadcast(tot)).select(
+        "digit", "n", "nt", obs.alias("obs"), expected.alias("expected")
+    )
+    return j.select(
+        "digit",
+        "n",
+        F.round("obs", 9).alias("obs_share"),
+        "expected",
+        F.round(F.col("obs") - F.col("expected"), 9).alias("gap"),
+        F.round(
+            F.col("nt")
+            * (F.col("obs") - F.col("expected"))
+            * (F.col("obs") - F.col("expected"))
+            / F.col("expected"),
+            6,
+        ).alias("chi2_contrib"),
+    )

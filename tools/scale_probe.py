@@ -126,6 +126,12 @@ HEADLINE = [
     "events_autocorr",
     "events_seasonality_dow",
     "trend_theilsen_daily",
+    "eval_auc_score",
+    "eval_calibration_bins",
+    "km_survival_users",
+    "benford_first_digit",
+    "eval_retrieval_recall",
+    "eval_dedup_pr",
 ]
 
 
