@@ -368,3 +368,103 @@ def test_migration_validate_verdict_consistent(spark, sf_small):
     assert r.migration_clean is False
     assert r.key_violations == 0
     assert r.right_total == r.n_unchanged + r.n_changed + r.n_inserted
+
+
+def test_auc_matches_pure_python_reference(spark, sf_small):
+    # Exact tie-corrected AUC, independently recomputed from the raw
+    # (score, label) pairs with the O(n log n) textbook rank method.
+    from dataframe_differ_spark.queries.pipelineops import (
+        _AUC_STOP,
+        q_eval_auc_score,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    rows = docs.select(
+        F.expr(
+            f"size(filter(split(text, ' '), x -> x IN {_AUC_STOP}))"
+        ).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    ).collect()
+    pairs = sorted((r.s, r.y) for r in rows)
+    # mid-ranks per tied score group
+    ranks, i = {}, 0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0  # average of ranks i+1 .. j
+        ranks[pairs[i][0]] = mid
+        i = j
+    n_pos = sum(1 for _, y in pairs if y)
+    n_neg = len(pairs) - n_pos
+    r_pos = sum(ranks[s] for s, y in pairs if y)
+    expected = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+    got = q_eval_auc_score(spark, sf_small).collect()[0]
+    assert got.n_pos == n_pos and got.n_neg == n_neg
+    assert abs(got.auc - expected) < 1e-9
+    assert abs(got.gini - (2 * expected - 1)) < 1e-9
+
+
+def test_km_survival_matches_pure_python_reference(spark, sf_small):
+    # Kaplan-Meier recomputed naively from per-user lifetimes.
+    from dataframe_differ_spark.queries.composites import q_km_survival_users
+
+    e = load_table(spark, sf_small, "events")
+    pu = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("f"),
+            F.max(F.col("ts").cast("date")).alias("l"),
+        )
+        .collect()
+    )
+    m = max(r.l for r in pu)
+    lifetimes = [
+        ((r.l - r.f).days, (m - r.l).days >= 3) for r in pu
+    ]  # (t, churned)
+    spine = sorted({t for t, _ in lifetimes})
+    surv, s = {}, 1.0
+    for t in spine:
+        n_at_risk = sum(1 for lt, _ in lifetimes if lt >= t)
+        d = sum(1 for lt, ev in lifetimes if lt == t and ev)
+        s *= (n_at_risk - d) / n_at_risk
+        surv[t] = (n_at_risk, d, s)
+    got = {r.t_days: r for r in q_km_survival_users(spark, sf_small).collect()}
+    assert set(got) == set(spine)
+    for t in spine:
+        n_at_risk, d, s = surv[t]
+        assert got[t].n_at_risk == n_at_risk
+        assert got[t].n_churned == d
+        assert abs(got[t].survival - s) < 1e-9
+    # survival is non-increasing along the spine
+    vals = [got[t].survival for t in spine]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_benford_shares_sum_to_one_and_digits_cover(spark, sf_small):
+    from dataframe_differ_spark.queries.warehouse import q_benford_first_digit
+
+    rows = q_benford_first_digit(spark, sf_small).collect()
+    digits = {r.digit for r in rows}
+    assert digits <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-6
+    # expected column is the Benford distribution (sums to 1 exactly in
+    # closed form: sum log10(1 + 1/d) = log10(10) = 1)
+    import math
+
+    for r in rows:
+        assert abs(r.expected - math.log10(1 + 1 / r.digit)) < 1e-9
+
+
+def test_dedup_pr_counts_consistent(spark, sf_small):
+    from dataframe_differ_spark.queries.scaleops import q_eval_dedup_pr
+
+    r = q_eval_dedup_pr(spark, sf_small).collect()[0]
+    assert r.tp + r.fp == r.n_cand
+    assert r.tp + r.fn == r.n_truth
+    assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+    # F1 equals the harmonic mean computed from p and r
+    if r.tp:
+        p, rec = r.tp / r.n_cand, r.tp / r.n_truth
+        assert abs(r.f1 - 2 * p * rec / (p + rec)) < 1e-9
