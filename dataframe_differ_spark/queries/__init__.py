@@ -76,6 +76,7 @@ def load_all() -> dict[str, Query]:
             udfs,
             scaleops,
             rankops,
+            statsops,
         )
 
         _LOADED = True

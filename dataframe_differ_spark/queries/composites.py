@@ -1911,21 +1911,65 @@ def q_tpch_q20_shape(spark, sf_dir):
     )
 
 
-_TRIANGLE_SQL = """
-WITH lp AS (
+# Shared co-purchase graph definition (used by graph_triangle_count here
+# and graph_bfs_hops in statsops.py): per-order basket sampling to the 3
+# md5-smallest distinct parts, then undirected (u < v) edges among them.
+# ``mat`` injects DuckDB's MATERIALIZED hint for recursive-CTE callers
+# (this string never runs on Spark).
+def copurchase_edges_ctes(mat: str = "") -> str:
+    return f"""lp AS {mat} (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-picked AS (
+picked AS {mat} (
   SELECT l_orderkey, l_partkey
   FROM (SELECT l_orderkey, l_partkey,
                ROW_NUMBER() OVER (PARTITION BY l_orderkey
                  ORDER BY md5(CAST(l_orderkey AS VARCHAR) || ':' ||
                               CAST(l_partkey AS VARCHAR))) AS rn
         FROM lp) WHERE rn <= 3),
-edges AS (
+edges AS {mat} (
   SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
                   GREATEST(a.l_partkey, b.l_partkey) AS v
   FROM picked a JOIN picked b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+
+def copurchase_edges(spark, sf_dir):
+    """Spark twin of :func:`copurchase_edges_ctes`: distinct (u < v) edges.
+
+    The 3-parts-per-basket pick AND the in-basket pair expansion run in
+    ONE hash aggregation on l_orderkey plus a bounded HOF (C(3,2) = 3
+    pairs per order), so edge volume is O(orders) at any scale.
+    """
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    picked = lp.groupBy("l_orderkey").agg(
+        F.expr(
+            "slice(transform(array_sort(collect_list(struct("
+            "md5(concat_ws(':', CAST(l_orderkey AS STRING), "
+            "CAST(l_partkey AS STRING))) AS h, l_partkey AS p))), "
+            "x -> x.p), 1, 3)"
+        ).alias("m")
+    )
+    return (
+        picked.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (x, i) -> "
+                    "transform(slice(m, i + 2, size(m) - i - 1), "
+                    "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+
+
+_TRIANGLE_SQL = f"""
+WITH {copurchase_edges_ctes()},
 deg AS (
   SELECT n, CAST(COUNT(*) AS BIGINT) AS d
   FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
@@ -1968,37 +2012,7 @@ def q_graph_triangle_count(spark, sf_dir):
     Output: top-50 parts by triangle participation with their degrees —
     all exact integer math, full oracle.
     """
-    lp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    # Pick the 3 md5-smallest parts per order AND generate the in-basket
-    # pairs in ONE hash aggregation + a pair-expansion HOF (the
-    # sim_join_lsh bucket device) — one shuffle on l_orderkey instead of a
-    # window sort plus a self-join, and the expansion is capped at
-    # C(3,2) = 3 pairs per order.
-    picked = lp.groupBy("l_orderkey").agg(
-        F.expr(
-            "slice(transform(array_sort(collect_list(struct("
-            "md5(concat_ws(':', CAST(l_orderkey AS STRING), "
-            "CAST(l_partkey AS STRING))) AS h, l_partkey AS p))), "
-            "x -> x.p), 1, 3)"
-        ).alias("m")
-    )
-    edges = (
-        picked.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(m, (x, i) -> "
-                    "transform(slice(m, i + 2, size(m) - i - 1), "
-                    "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-    )
+    edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))

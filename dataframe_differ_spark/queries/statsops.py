@@ -1,0 +1,1018 @@
+"""Wave-4 statistics / evaluation / graph operators.
+
+Distribution-drift testing (exact two-sample Kolmogorov–Smirnov via the
+distributed-rank operator, Jensen–Shannon divergence of token mixtures),
+ranking-quality evaluation (NDCG@10 of the LSH ANN vs the exact top-k),
+Unicode text normalization (NFC + zero-width/whitespace cleanup with
+planted NFD sequences), bounded-hop BFS over the shared co-purchase
+graph, and Holt double-exponential smoothing on the daily event spine.
+
+Every query here is full-oracle. Parity devices reused from earlier
+waves: integer cross-multiplication instead of float ECDF comparison
+(KS), per-term rounding + DECIMAL accumulation for libm-tainted sums
+(JSD, NDCG), sequential folds / recursive CTEs with identical
+left-associated IEEE op chains (Holt, cf. events_changepoint_cusum),
+and oracle-by-composition (NDCG embeds the two retrieval queries'
+registered oracle texts, so the eval cannot drift from what the index
+actually returns).
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401  (resolves pandas_udf string annotations)
+from pyspark.sql import Window  # noqa: F401  (kept for parity with siblings)
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.operators.ranks import ranked
+from dataframe_differ_spark.queries import REGISTRY, register
+from dataframe_differ_spark.queries.composites import (
+    copurchase_edges,
+    copurchase_edges_ctes,
+)
+from dataframe_differ_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov drift test
+# ---------------------------------------------------------------------------
+
+# Cohort-count encoder: one running sum carries BOTH cumulative counts
+# (base * 2^31 + total), decoded with DIV / %. Total row count per cohort
+# stays < 2^31 up to ~sf100; the encoded sum stays < 2^62.
+_KS_BIG = 2_147_483_648
+
+_KS_SQL = f"""
+WITH flags AS (
+  SELECT o_totalprice AS v,
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8' AS is_base
+  FROM orders),
+g AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(COUNT(*) AS BIGINT) AS ct
+  FROM flags GROUP BY v),
+cum AS (
+  SELECT v,
+         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(SUM(ct) OVER (ORDER BY v) AS BIGINT) AS cum_t,
+         CAST((SELECT SUM(ca) FROM g) AS BIGINT) AS n_a,
+         CAST((SELECT SUM(ct) FROM g) AS BIGINT) AS n_t
+  FROM g),
+scored AS (
+  SELECT v, n_a, n_t - n_a AS n_b,
+         ABS(cum_a * (n_t - n_a) - (cum_t - cum_a) * n_a) AS num
+  FROM cum),
+mx AS (SELECT MAX(num) AS d_num FROM scored)
+SELECT n_a AS n_base, n_b AS n_cur, CAST(d_num AS BIGINT) AS d_num,
+       ROUND(CAST(d_num AS DOUBLE) / (n_a * n_b), 9) AS d_stat,
+       MIN(v) AS at_value,
+       ROUND(ROUND(CAST(d_num AS DOUBLE) / (n_a * n_b), 9)
+             * sqrt(CAST(n_a * n_b AS DOUBLE) / (n_a + n_b)), 9)
+         AS lambda_stat
+FROM scored CROSS JOIN mx
+WHERE num = d_num
+GROUP BY n_a, n_b, d_num
+"""
+
+
+@register("drift_ks_test", oracle=_KS_SQL)
+def q_drift_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov test between order cohorts.
+
+    The nonparametric companion to `drift_psi`: D = max over values of
+    |F_base(x) - F_cur(x)| between the two md5-split cohorts, computed
+    EXACTLY and distributed. The ECDFs come from per-distinct-value
+    counts cumulated by `operators.ranks.ranked` (two-phase
+    boundary-bucket running sums — no single-partition window, the
+    round-3 scale fix applied from the start). One running sum carries
+    both cohorts' cumulative counts via a base-2^31 integer encoding.
+    The max-gap compare is pure BIGINT cross-multiplication
+    (|cum_a*n_b - cum_b*n_a|), so no float enters until the final
+    D = num/(n_a*n_b) division; the asymptotic lambda = D*sqrt(n_a*n_b/
+    (n_a+n_b)) multiplies the ROUNDED D so both engines agree bit-wise.
+    At 100 TB: one shuffle to distinct values, one bucketed rank pass,
+    then aggregates — scan-bound.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            (
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+                < "8"
+            ).alias("is_base"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("ca"),
+            F.count(F.lit(1)).alias("ct"),
+        )
+    )
+    kdf = ranked(
+        g,
+        F.col("v"),
+        ["v"],
+        running_sum=F.col("ca") * F.lit(_KS_BIG) + F.col("ct"),
+        running_col="cum",
+        running_total_col="tot",
+    )
+    cum_a = F.expr(f"cum DIV {_KS_BIG}")
+    cum_t = F.col("cum") % F.lit(_KS_BIG)
+    n_a = F.expr(f"tot DIV {_KS_BIG}")
+    n_t = F.col("tot") % F.lit(_KS_BIG)
+    scored = kdf.select(
+        "v",
+        n_a.alias("n_a"),
+        (n_t - n_a).alias("n_b"),
+        F.abs(
+            cum_a * (n_t - n_a) - (cum_t - cum_a) * n_a
+        ).alias("num"),
+    ).localCheckpoint(eager=False)
+    mx = scored.agg(F.max("num").alias("d_num"))
+    d_stat = F.round(
+        F.col("d_num").cast("double") / (F.col("n_base") * F.col("n_cur")), 9
+    )
+    row = (
+        scored.crossJoin(F.broadcast(mx))
+        .filter(F.col("num") == F.col("d_num"))
+        .groupBy("n_a", "n_b", "d_num")
+        .agg(F.min("v").alias("at_value"))
+        .select(
+            F.col("n_a").alias("n_base"),
+            F.col("n_b").alias("n_cur"),
+            "d_num",
+            "at_value",
+        )
+    )
+    return row.select(
+        "n_base",
+        "n_cur",
+        "d_num",
+        d_stat.alias("d_stat"),
+        "at_value",
+        F.round(
+            d_stat
+            * F.sqrt(
+                (F.col("n_base") * F.col("n_cur")).cast("double")
+                / (F.col("n_base") + F.col("n_cur"))
+            ),
+            9,
+        ).alias("lambda_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of the token mixture between document cohorts
+# ---------------------------------------------------------------------------
+
+_JSD_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_base
+  FROM documents),
+per AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tok GROUP BY token),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb
+  FROM per),
+c AS (
+  SELECT token, ca, cb, ta, tb,
+         ROUND(
+           0.5 * (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / ta)
+                   * ln((CAST(ca AS DOUBLE) / ta)
+                        / (0.5 * (CAST(ca AS DOUBLE) / ta
+                                  + CAST(cb AS DOUBLE) / tb)))
+                  ELSE 0.0 END)
+         + 0.5 * (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / tb)
+                   * ln((CAST(cb AS DOUBLE) / tb)
+                        / (0.5 * (CAST(ca AS DOUBLE) / ta
+                                  + CAST(cb AS DOUBLE) / tb)))
+                  ELSE 0.0 END), 12) AS contrib
+  FROM per CROSS JOIN tot),
+j AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(CAST(contrib AS DECIMAL(38, 12))) AS DOUBLE) AS jsd
+  FROM c)
+SELECT token, ca AS cnt_base, cb AS cnt_cur, contrib AS contrib_nats,
+       ROUND(j.jsd, 9) AS jsd_nats, j.vocab_size,
+       ta AS n_tokens_base, tb AS n_tokens_cur
+FROM c CROSS JOIN j
+ORDER BY contrib DESC, token LIMIT 10
+"""
+
+
+@register("drift_js_divergence", oracle=_JSD_SQL)
+def q_drift_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence of token distributions between cohorts.
+
+    The data-mixture drift metric an LLM pipeline actually watches: did
+    the token distribution of this week's crawl shift against the
+    baseline? Documents md5-split into two cohorts, one groupBy(token)
+    shuffle with map-side combine builds both unigram counts in a single
+    pass, and JSD(P||Q) = 0.5*KL(P||M) + 0.5*KL(Q||M) (M the midpoint)
+    accumulates per-token contributions. `ln` is libm-tainted, so each
+    contribution is rounded to 12 dp and summed as DECIMAL(38,12) —
+    order-free and bit-identical across engines; the reported JSD is
+    that deterministic rounded-term sum (error <= vocab * 5e-13).
+    Output: the 10 most-diverging tokens plus the corpus-level total.
+    At 100 TB: one scan, one token shuffle, a broadcast 1-row totals
+    join, and a TakeOrdered top-10 — scan-bound.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("token"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+        ).alias("is_base"),
+    )
+    per = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("cb"),
+    )
+    tot = per.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    p = F.col("ca").cast("double") / F.col("ta")
+    q = F.col("cb").cast("double") / F.col("tb")
+    m = 0.5 * (p + q)
+    contrib = F.round(
+        0.5 * F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(0.0)
+        + 0.5 * F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(0.0),
+        12,
+    )
+    c = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("contrib", contrib)
+        .localCheckpoint(eager=False)
+    )
+    j = c.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.col("contrib").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("jsd"),
+    )
+    return (
+        c.crossJoin(F.broadcast(j))
+        .orderBy(F.col("contrib").desc(), "token")
+        .limit(10)
+        .select(
+            "token",
+            F.col("ca").alias("cnt_base"),
+            F.col("cb").alias("cnt_cur"),
+            F.col("contrib").alias("contrib_nats"),
+            F.round("jsd", 9).alias("jsd_nats"),
+            "vocab_size",
+            F.col("ta").alias("n_tokens_base"),
+            F.col("tb").alias("n_tokens_cur"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 of the LSH ANN index vs the exact top-k (by composition)
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_oracle() -> str:
+    exact_sql = REGISTRY["sim_topk"].oracle
+    approx_sql = REGISTRY["sim_topk_lsh"].oracle
+    return f"""
+WITH ex AS ({exact_sql}),
+ap AS ({approx_sql}),
+g AS (
+  SELECT ap.query_id, ap.rank,
+         CASE WHEN ex.vec_id IS NOT NULL
+              THEN ROUND(1.0 / log2(ap.rank + 1), 9) ELSE 0.0 END AS gain
+  FROM ap LEFT JOIN ex
+    ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id),
+dcg AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         CAST(SUM(CAST(gain AS DECIMAL(20, 9))) AS DOUBLE) AS dcg
+  FROM g GROUP BY query_id),
+idcg AS (
+  SELECT query_id,
+         CAST(SUM(CAST(ROUND(1.0 / log2(rank + 1), 9) AS DECIMAL(20, 9)))
+              AS DOUBLE) AS idcg
+  FROM ex GROUP BY query_id)
+SELECT d.query_id, d.n_hits, d.dcg, i.idcg,
+       ROUND(d.dcg / i.idcg, 9) AS ndcg
+FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+"""
+
+
+@register("eval_ndcg_retrieval", oracle=_ndcg_oracle())
+def q_eval_ndcg_retrieval(spark, sf_dir):
+    """NDCG@10 of the LSH ANN index against the exact top-k, per query.
+
+    Rank-aware companion to `eval_retrieval_recall`: recall says how many
+    of the true top-10 the index returns, NDCG says WHERE it puts them.
+    Binary relevance (membership in the exact top-10 from `sim_topk`),
+    gain 1/log2(rank+1) at the LSH result's rank, ideal DCG computed
+    from the exact frame's own ranks — both engines evaluate the same 10
+    log2 constants, rounded to 9 dp before DECIMAL summation, so the
+    libm difference cannot surface. Composed from the two registered
+    queries (Spark calls their functions, oracle embeds their oracle
+    texts), so the eval can never drift from the real index. The eval
+    itself joins two <= 50-row frames; cost is whatever the inputs cost.
+    """
+    from dataframe_differ_spark.queries.vectors import (
+        q_sim_topk,
+        q_sim_topk_lsh,
+    )
+
+    ex = q_sim_topk(spark, sf_dir).select("query_id", "vec_id", "rank")
+    ap = q_sim_topk_lsh(spark, sf_dir).select("query_id", "vec_id", "rank")
+    gain = F.round(F.lit(1.0) / F.log2(F.col("rank") + 1), 9)
+    hit = ex.select("query_id", "vec_id").withColumn("hit", F.lit(1))
+    g = ap.join(hit, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        F.when(F.col("hit").isNotNull(), gain).otherwise(0.0).alias("gain"),
+    )
+    dcg = g.groupBy("query_id").agg(
+        F.sum(F.when(F.col("gain") > 0, 1).otherwise(0)).alias("n_hits"),
+        F.sum(F.col("gain").cast("decimal(20,9)")).cast("double").alias("dcg"),
+    )
+    idcg = ex.groupBy("query_id").agg(
+        F.sum(gain.cast("decimal(20,9)")).cast("double").alias("idcg")
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "n_hits",
+        "dcg",
+        "idcg",
+        F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization + cleanup (planted NFD sequences)
+# ---------------------------------------------------------------------------
+
+# Planted prefix: NFD e+combining-acute twice, em dash, NFD i+diaeresis,
+# NBSP, precomposed e-acute (NFC-stable), zero-width space, double space.
+# Built with explicit escapes so the NFD sequences are REALLY decomposed
+# in source (a pasted "e-acute" would silently be NFC). The corpus itself
+# is pure ASCII (measured), so the planted rows are what exercise the
+# normalizer; the untouched rows test the no-op path.
+_PLANT = "Re\u0301sume\u0301 \u2014 nai\u0308ve\u00a0caf\u00e9\u200b  "
+_ZW_CLASS = "[\u200b\ufeff]"  # zero-width space, BOM
+_NBSP_CLASS = "[\u00a0]"
+_WS_CLASS = "[ \t\n\r]+"
+
+_NORM_SQL = f"""
+WITH m AS (
+  SELECT doc_id, doc_id % 5 = 0 AS planted,
+         CASE WHEN doc_id % 5 = 0 THEN '{_PLANT}' || text ELSE text END
+           AS raw
+  FROM documents),
+n AS (
+  SELECT doc_id, planted, raw,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(nfc_normalize(raw), '{_ZW_CLASS}', '', 'g'),
+             '{_NBSP_CLASS}', ' ', 'g'),
+           '{_WS_CLASS}', ' ', 'g')) AS norm
+  FROM m)
+SELECT doc_id, planted,
+       CAST(length(raw) AS BIGINT) AS len_raw,
+       CAST(length(norm) AS BIGINT) AS len_norm,
+       norm <> raw AS changed,
+       md5(norm) AS norm_md5
+FROM n
+"""
+
+
+@register("text_normalize_unicode", oracle=_NORM_SQL)
+def q_text_normalize_unicode(spark, sf_dir):
+    """Unicode NFC normalization + zero-width/whitespace cleanup.
+
+    The first stage of every real text pipeline: canonicalize combining
+    sequences (NFD e+U+0301 -> precomposed), drop zero-width characters
+    (ZWSP, BOM), turn NBSP into plain space, collapse whitespace runs,
+    trim. The corpus is pure ASCII, so deterministic NFD/ZWSP/NBSP
+    sequences are PLANTED on every 5th doc — built by the same CASE
+    expression on both engines — and the oracle checks the normalized
+    md5 of every row (planted rows exercise the normalizer, the rest
+    the no-op path). NFC itself is the one genuinely Python step
+    (`unicodedata.normalize` in an Arrow-batched pandas UDF — Spark has
+    no NFC builtin); everything else is JVM regexp. At 100 TB this is
+    partition-local, shuffle-free, and Arrow-vectorized — the multimodal
+    decode shape.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.col("doc_id") % 5 == 0
+    raw = F.when(planted, F.concat(F.lit(_PLANT), F.col("text"))).otherwise(
+        F.col("text")
+    )
+    m = docs.select(
+        "doc_id", planted.alias("planted"), raw.alias("raw")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(_nfc(F.col("raw")), "[​﻿]", ""),
+                "[ ]",
+                " ",
+            ),
+            "[ \t\n\r]+",
+            " ",
+        )
+    )
+    n = m.withColumn("norm", norm)
+    return n.select(
+        "doc_id",
+        "planted",
+        F.length("raw").cast("long").alias("len_raw"),
+        F.length("norm").cast("long").alias("len_norm"),
+        (F.col("norm") != F.col("raw")).alias("changed"),
+        F.md5("norm").alias("norm_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop BFS over the shared co-purchase graph
+# ---------------------------------------------------------------------------
+
+_BFS_SQL = f"""
+WITH RECURSIVE
+{copurchase_edges_ctes(mat="MATERIALIZED")},
+sym AS MATERIALIZED (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+src AS MATERIALIZED (SELECT MIN(u) AS n FROM edges),
+bfs(n, hop) AS (
+  SELECT n, 0 FROM src
+  UNION
+  SELECT sym.v, bfs.hop + 1
+  FROM bfs JOIN sym ON sym.u = bfs.n
+  WHERE bfs.hop < 4)
+SELECT bfs.n AS part, CAST(MIN(bfs.hop) AS INTEGER) AS hop
+FROM bfs GROUP BY bfs.n
+"""
+
+
+@register("graph_bfs_hops", oracle=_BFS_SQL)
+def q_graph_bfs_hops(spark, sf_dir):
+    """Bounded-hop BFS shortest distances on the co-purchase graph.
+
+    Single-source shortest hop count (<= 4 hops) from the smallest part
+    id, over the SAME basket-sampled graph as `graph_triangle_count`
+    (shared `copurchase_edges` construction — one definition, two
+    queries). Spark runs textbook frontier BFS: each level joins the
+    frontier against the symmetrized edge list, anti-joins the visited
+    set, and localCheckpoints to keep lineage flat — O(levels) jobs,
+    each one hash shuffle on uniform vertex keys, the Pregel shape that
+    scales to any graph that fits a cluster. The oracle is a recursive
+    CTE whose UNION dedup bounds expansion to <= hops * |V| rows with a
+    final min(hop) per node — identical reachability semantics.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    sym = (
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    ).localCheckpoint(eager=False)
+    dist = (
+        edges.agg(F.min("u").alias("n"))
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for k in range(1, 5):
+        nxt = (
+            sym.join(frontier.select(F.col("n").alias("u")), "u")
+            .select(F.col("v").alias("n"))
+            .distinct()
+            .join(dist.select("n"), "n", "left_anti")
+            .withColumn("hop", F.lit(k))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return dist.select(
+        F.col("n").alias("part"), F.col("hop").cast("int").alias("hop")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing on the daily event spine
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5, beta = 0.25: exact binary fractions, so the only float
+# error is in the additions — and those run in the identical
+# left-associated order on both engines (the CUSUM device).
+_HOLT_SQL = """
+WITH RECURSIVE
+daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+idx AS MATERIALIZED (
+  SELECT event_type, d, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS i
+  FROM daily),
+h(event_type, i, d, x, l, b, yhat) AS (
+  SELECT event_type, i, d, x, CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE),
+         CAST(x AS DOUBLE)
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.i, idx.d, idx.x,
+         0.5 * idx.x + 0.5 * (h.l + h.b),
+         0.25 * ((0.5 * idx.x + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b,
+         h.l + h.b
+  FROM h JOIN idx ON idx.event_type = h.event_type AND idx.i = h.i + 1)
+SELECT event_type, CAST(d AS STRING) AS day, x AS n_events,
+       ROUND(yhat, 9) AS forecast, ROUND(x - yhat, 9) AS error,
+       ROUND(l, 9) AS level, ROUND(b, 9) AS trend
+FROM h
+"""
+
+
+@register("events_holt_linear", oracle=_HOLT_SQL)
+def q_events_holt_linear(spark, sf_dir):
+    """Holt linear (double-exponential) smoothing of daily event volume.
+
+    The forecasting layer above `timeseries_ewma`: per event type,
+    level l_t = alpha*y_t + (1-alpha)*(l_{t-1} + b_{t-1}) and trend
+    b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1} with alpha=0.5,
+    beta=0.25 (exact binary fractions), one-step-ahead forecast
+    yhat_t = l_{t-1} + b_{t-1}, initialized l_1 = y_1, b_1 = 0. The
+    inherently sequential recursion runs as ONE partitioned fold per
+    event_type over the collected ~31-day spine (the
+    events_changepoint_cusum device — a single codegen'd expression,
+    not a per-step Spark job), while the oracle steps the identical
+    IEEE chain through a recursive CTE — bit-equal before the cosmetic
+    9 dp round. At 100 TB only the daily rollup touches the corpus.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    folded = daily.groupBy("event_type").agg(
+        F.expr(
+            "aggregate("
+            "  array_sort(collect_list(struct(d, x))),"
+            "  CAST(array() AS array<struct<d: date, x: bigint,"
+            "                               l: double, b: double,"
+            "                               yhat: double>>),"
+            "  (acc, e) -> concat(acc, array(struct("
+            "    e.d AS d, e.x AS x,"
+            "    CASE WHEN size(acc) = 0 THEN CAST(e.x AS DOUBLE)"
+            "         ELSE 0.5 * e.x + 0.5 * (element_at(acc, -1).l"
+            "                                 + element_at(acc, -1).b)"
+            "    END AS l,"
+            "    CASE WHEN size(acc) = 0 THEN CAST(0.0 AS DOUBLE)"
+            "         ELSE 0.25 * ((0.5 * e.x + 0.5 * (element_at(acc, -1).l"
+            "                                  + element_at(acc, -1).b))"
+            "                      - element_at(acc, -1).l)"
+            "              + 0.75 * element_at(acc, -1).b"
+            "    END AS b,"
+            "    CASE WHEN size(acc) = 0 THEN CAST(e.x AS DOUBLE)"
+            "         ELSE element_at(acc, -1).l + element_at(acc, -1).b"
+            "    END AS yhat))))"
+        ).alias("hh")
+    )
+    out = folded.select("event_type", F.explode("hh").alias("e"))
+    return out.select(
+        "event_type",
+        F.col("e.d").cast("string").alias("day"),
+        F.col("e.x").alias("n_events"),
+        F.round("e.yhat", 9).alias("forecast"),
+        F.round(F.col("e.x") - F.col("e.yhat"), 9).alias("error"),
+        F.round("e.l", 9).alias("level"),
+        F.round("e.b", 9).alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval for the mean order price
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+# Poisson(1) CDF thresholds (shared 12-dp constants, k = 0..6; the ~8e-5
+# tail maps to weight 7). Hard-coded so neither engine ever calls exp().
+_POIS_CDF = [
+    0.367879441171,
+    0.735758882343,
+    0.919698602929,
+    0.981011843124,
+    0.996340153173,
+    0.999405815182,
+    0.999916758851,
+]
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+_BOOT_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+rep AS (
+  SELECT o.o_orderkey, o.cents, b,
+         ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+                             || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM o CROSS JOIN (SELECT CAST(unnest(range({_BOOT_B})) AS INTEGER) AS b)),
+w AS (SELECT b, cents, {_pois_case_sql('u')} AS wt FROM rep),
+means AS (
+  SELECT b, CAST(SUM(wt * cents) AS BIGINT) AS s,
+         CAST(SUM(wt) AS BIGINT) AS n,
+         CAST(SUM(wt * cents) AS DOUBLE) / CAST(SUM(wt) AS BIGINT) AS m
+  FROM w GROUP BY b),
+rk AS (
+  SELECT a.b, a.m, CAST(COUNT(*) AS BIGINT) AS r
+  FROM means a JOIN means x
+    ON (x.m < a.m) OR (x.m = a.m AND x.b <= a.b)
+  GROUP BY a.b, a.m),
+stats AS (
+  SELECT CAST(SUM(CAST(ROUND(m, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(ROUND(m * m, 6) AS DECIMAL(38, 6))) AS DOUBLE) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM means),
+ci AS (
+  SELECT MAX(CASE WHEN r = 3 THEN m END) AS ci_lo,
+         MAX(CASE WHEN r = 98 THEN m END) AS ci_hi
+  FROM rk),
+full_mean AS (
+  SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mf,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM o)
+SELECT n_orders, nb AS b_replicates,
+       ROUND(mf, 4) AS mean_full_cents,
+       ROUND(ci_lo, 4) AS ci_lo_cents,
+       ROUND(ci_hi, 4) AS ci_hi_cents,
+       ROUND(sqrt((s2 - s1 * s1 / nb) / (nb - 1)), 4) AS se_boot_cents
+FROM full_mean CROSS JOIN stats CROSS JOIN ci
+"""
+
+
+@register("stats_bootstrap_ci", oracle=_BOOT_SQL)
+def q_stats_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap CI for the mean order price (Chamandy et al.).
+
+    THE bootstrap that works at 100 TB: instead of materializing B
+    resamples of n rows, each row draws an independent Poisson(1)
+    weight per replicate — one scan, B=100 counters per partition,
+    map-side combinable, no resample shuffle (the Google "Estimating
+    Uncertainty for Massive Data Streams" recipe). Determinism devices:
+    weights come from md5-uniforms against 7 hard-coded 12-dp CDF
+    thresholds (no exp/rng on either engine); replicate sums are exact
+    integer cents; the 95% CI is nearest-rank order statistics (ranks
+    3/98 of 100) via a broadcast triangle join over the 100-row means
+    frame (window-free, the eval_auc device); the bootstrap SE
+    accumulates 9/6-dp-rounded DECIMAL moments. Outputs round at 4 dp:
+    cents-scale values sit near 2.5e7 where the double ulp (~4e-9)
+    exceeds 5e-10, so a 9-dp round would be sub-ulp and engine-
+    dependent (measured: adjacent doubles on ci_hi).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rep = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(4294967296.0)
+    wt = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        wt = F.when(F.col("u") < _POIS_CDF[k], F.lit(k)).otherwise(wt)
+    w = rep.withColumn("u", u).select("b", "cents", wt.alias("wt"))
+    means = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("s"),
+            F.sum("wt").alias("n"),
+        )
+        .select(
+            "b",
+            (F.col("s").cast("double") / F.col("n")).alias("m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    other = means.select(F.col("b").alias("xb"), F.col("m").alias("xm"))
+    rk = (
+        means.join(
+            F.broadcast(other),
+            (F.col("xm") < F.col("m"))
+            | ((F.col("xm") == F.col("m")) & (F.col("xb") <= F.col("b"))),
+        )
+        .groupBy("b", "m")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    ci = rk.agg(
+        F.max(F.when(F.col("r") == 3, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("r") == 98, F.col("m"))).alias("ci_hi"),
+    )
+    stats = means.agg(
+        F.sum(F.round("m", 9).cast("decimal(38,9)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("m") * F.col("m"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    full_mean = o.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mf"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        full_mean.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(ci))
+        .select(
+            "n_orders",
+            F.col("nb").alias("b_replicates"),
+            F.round("mf", 4).alias("mean_full_cents"),
+            F.round("ci_lo", 4).alias("ci_lo_cents"),
+            F.round("ci_hi", 4).alias("ci_hi_cents"),
+            F.round(
+                F.sqrt(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nb"))
+                    / (F.col("nb") - 1)
+                ),
+                4,
+            ).alias("se_boot_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mean reciprocal rank of the LSH ANN index (completes the retrieval triad)
+# ---------------------------------------------------------------------------
+
+
+def _mrr_oracle() -> str:
+    exact_sql = REGISTRY["sim_topk"].oracle
+    approx_sql = REGISTRY["sim_topk_lsh"].oracle
+    return f"""
+WITH ex AS ({exact_sql}),
+ap AS ({approx_sql}),
+hits AS (
+  SELECT ap.query_id, CAST(MIN(ap.rank) AS INTEGER) AS fr
+  FROM ap JOIN ex ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+  GROUP BY ap.query_id),
+per AS (
+  SELECT q.query_id,
+         CAST(COALESCE(h.fr, 0) AS INTEGER) AS first_hit_rank,
+         CASE WHEN h.fr IS NULL THEN 0.0
+              ELSE ROUND(1.0 / h.fr, 9) END AS rr
+  FROM (SELECT DISTINCT query_id FROM ex) q
+  LEFT JOIN hits h ON h.query_id = q.query_id),
+tot AS (
+  SELECT ROUND(CAST(SUM(CAST(rr AS DECIMAL(20, 9))) AS DOUBLE)
+               / COUNT(*), 9) AS mrr
+  FROM per)
+SELECT per.query_id, per.first_hit_rank, per.rr, tot.mrr
+FROM per CROSS JOIN tot
+"""
+
+
+@register("eval_mrr_retrieval", oracle=_mrr_oracle())
+def q_eval_mrr_retrieval(spark, sf_dir):
+    """Mean reciprocal rank of the LSH ANN vs the exact top-k.
+
+    Completes the retrieval-metrics triad (recall@k, NDCG@10, MRR): per
+    query, the reciprocal rank of the FIRST LSH result that belongs to
+    the true top-10 (`sim_topk`), macro-averaged. Composed from the two
+    registered queries like its siblings (oracle embeds their texts).
+    rr = 1/min_rank is a single exact division rounded to 9 dp; the
+    macro average sums DECIMAL(20,9) — order-free. Queries with no hit
+    contribute rr = 0 (rank reported as 0).
+    """
+    from dataframe_differ_spark.queries.vectors import (
+        q_sim_topk,
+        q_sim_topk_lsh,
+    )
+
+    ex = q_sim_topk(spark, sf_dir).select("query_id", "vec_id")
+    ap = q_sim_topk_lsh(spark, sf_dir).select("query_id", "vec_id", "rank")
+    hits = (
+        ap.join(ex, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("int").alias("fr"))
+    )
+    per = (
+        ex.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("fr"), F.lit(0)).cast("int").alias(
+                "first_hit_rank"
+            ),
+            F.when(F.col("fr").isNull(), 0.0)
+            .otherwise(F.round(F.lit(1.0) / F.col("fr"), 9))
+            .alias("rr"),
+        )
+    )
+    tot = per.agg(
+        F.round(
+            F.sum(F.col("rr").cast("decimal(20,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mrr")
+    )
+    return per.crossJoin(F.broadcast(tot))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture weights (multilingual-sampling standard)
+# ---------------------------------------------------------------------------
+
+_MIX_TEMP_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t FROM per),
+w AS (
+  SELECT source, n_docs, n_tok,
+         CAST(n_tok AS DOUBLE) / t AS share,
+         ROUND(pow(CAST(n_tok AS DOUBLE) / t, 0.3), 12) AS wt
+  FROM per CROSS JOIN tot),
+s AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(38, 12))) AS DOUBLE) AS wsum FROM w)
+SELECT source, n_docs, n_tok,
+       ROUND(share, 9) AS token_share,
+       ROUND(wt / s.wsum, 9) AS p_temp,
+       ROUND((wt / s.wsum) / share, 9) AS upsample_factor
+FROM w CROSS JOIN s
+"""
+
+
+@register("source_mix_temperature", oracle=_MIX_TEMP_SQL)
+def q_source_mix_temperature(spark, sf_dir):
+    """Temperature-scaled sampling weights per source (p_i proportional to
+    share_i^tau, tau = 0.3).
+
+    The multilingual/source-balancing standard (mBERT / XLM-R exponential
+    smoothing): raising token shares to tau < 1 and renormalizing
+    upsamples rare sources without the full uniform flattening that
+    `source_mix_weights` targets. pow() is libm-tainted, so each weight
+    is rounded to 12 dp before the DECIMAL renormalization sum — the
+    drift_js_divergence device. One per-source aggregate (map-side
+    combined), then arithmetic on an n_sources-row frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok"),
+    )
+    tot = per.agg(F.sum("n_tok").alias("t"))
+    share = F.col("n_tok").cast("double") / F.col("t")
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tok",
+        share.alias("share"),
+        F.round(F.pow(share, F.lit(0.3)), 12).alias("wt"),
+    )
+    s = w.agg(
+        F.sum(F.col("wt").cast("decimal(38,12)")).cast("double").alias("wsum")
+    )
+    return w.crossJoin(F.broadcast(s)).select(
+        "source",
+        "n_docs",
+        "n_tok",
+        F.round("share", 9).alias("token_share"),
+        F.round(F.col("wt") / F.col("wsum"), 9).alias("p_temp"),
+        F.round((F.col("wt") / F.col("wsum")) / F.col("share"), 9).alias(
+            "upsample_factor"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank on the co-purchase graph (decimal-deterministic contributions)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+
+
+def _pagerank_sql() -> str:
+    ctes = [
+        copurchase_edges_ctes(),
+        """sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges)""",
+        """nodes AS (SELECT DISTINCT u AS n FROM sym)""",
+        """nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)""",
+        """deg AS (
+  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u)""",
+        """pr0 AS (
+  SELECT n, CAST(1.0 AS DOUBLE) / n_nodes AS pr
+  FROM nodes CROSS JOIN nn)""",
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        ctes.append(f"""pr{t} AS (
+  SELECT s.v AS n,
+         0.15 / nn.n_nodes
+         + 0.85 * CAST(SUM(CAST(ROUND(p.pr / deg.d, 12)
+                               AS DECIMAL(38, 12))) AS DOUBLE) AS pr
+  FROM sym s
+  JOIN pr{t - 1} p ON p.n = s.u
+  JOIN deg ON deg.n = s.u
+  CROSS JOIN nn
+  GROUP BY s.v, nn.n_nodes)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT p.n AS part, deg.d AS degree, ROUND(p.pr, 9) AS pagerank
+FROM pr{_PR_ITERS} p JOIN deg ON deg.n = p.n
+ORDER BY ROUND(p.pr, 9) DESC, p.n LIMIT 50
+"""
+
+
+@register("graph_pagerank_parts", oracle=_pagerank_sql())
+def q_graph_pagerank_parts(spark, sf_dir):
+    """PageRank (5 iterations, d = 0.85) on the shared co-purchase graph.
+
+    The real distributed PageRank shape — unlike `graph_pagerank_nations`
+    (a 25-node toy), this runs on the basket-sampled part graph shared
+    with triangle counting and BFS: per iteration, one shuffle of edge
+    contributions grouped by destination, Pregel-style, localCheckpointed
+    to keep lineage flat. Floating-point determinism for a FULL oracle on
+    an iterative float algorithm: each edge contribution pr(u)/deg(u) is
+    rounded to 12 dp and summed as DECIMAL(38,12) — the sum is order-free
+    so Spark's arbitrary reduce order and DuckDB's agree exactly, every
+    iteration (same device as drift_js_divergence; rounding bias is
+    < |E| * 5e-13 per rank). Undirected symmetrized edges mean no
+    dangling nodes. The oracle unrolls the 5 iterations as CTEs.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    nodes = sym.select(F.col("u").alias("n")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "n", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            sym.join(pr.withColumnRenamed("n", "u"), "u")
+            .join(deg.withColumnRenamed("n", "u"), "u")
+            .select(
+                F.col("v").alias("n"),
+                F.round(F.col("pr") / F.col("d"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+        )
+        pr = (
+            contrib.groupBy("n")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "n",
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85) * F.col("s").cast("double")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        pr.join(deg, "n")
+        .select(
+            F.col("n").alias("part"),
+            F.col("d").alias("degree"),
+            F.round("pr", 9).alias("pagerank"),
+        )
+        .orderBy(F.col("pagerank").desc(), "part")
+        .limit(50)
+    )
