@@ -1,0 +1,190 @@
+"""Pure-Python reference checks for the wave-4/5 statistics, evaluation,
+and graph operators (statsops.py) — independent recomputation where a
+small-scale reference is cheap, structural invariants otherwise."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.queries import load_all
+
+load_all()
+
+from dataframe_differ_spark.queries.composites import copurchase_edges  # noqa: E402
+from dataframe_differ_spark.queries.statsops import (  # noqa: E402
+    q_drift_js_divergence,
+    q_drift_ks_test,
+    q_eval_mrr_retrieval,
+    q_eval_ndcg_retrieval,
+    q_events_holt_linear,
+    q_graph_bfs_hops,
+    q_graph_pagerank_parts,
+    q_source_mix_temperature,
+    q_stats_bootstrap_ci,
+    q_text_normalize_unicode,
+)
+
+
+def _md5_base(key: int) -> bool:
+    return hashlib.md5(str(key).encode()).hexdigest()[0] < "8"
+
+
+def test_ks_matches_python_reference(spark, sf_small):
+    row = q_drift_ks_test(spark, sf_small).collect()[0]
+    t = pq.read_table(sf_small + "/orders.parquet").to_pandas()
+    t["is_base"] = t["o_orderkey"].map(_md5_base)
+    a = sorted(t[t.is_base]["o_totalprice"])
+    b = sorted(t[~t.is_base]["o_totalprice"])
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    import bisect
+
+    best = 0
+    for v in vals:
+        ca = bisect.bisect_right(a, v)
+        cb = bisect.bisect_right(b, v)
+        best = max(best, abs(ca * nb - cb * na))
+    assert row.n_base == na and row.n_cur == nb
+    assert row.d_num == best
+    assert abs(row.d_stat - best / (na * nb)) < 1e-9
+
+
+def test_jsd_bounded_and_ordered(spark, sf_small):
+    rows = q_drift_js_divergence(spark, sf_small).collect()
+    assert len(rows) == 10
+    jsd = rows[0].jsd_nats
+    assert 0.0 <= jsd <= math.log(2) + 1e-9
+    contribs = [r.contrib_nats for r in rows]
+    assert contribs == sorted(contribs, reverse=True)
+    assert all(r.vocab_size > 0 for r in rows)
+
+
+def test_ndcg_mrr_recall_agree(spark, sf_small):
+    ndcg = {r.query_id: r for r in q_eval_ndcg_retrieval(spark, sf_small).collect()}
+    mrr = {r.query_id: r for r in q_eval_mrr_retrieval(spark, sf_small).collect()}
+    from dataframe_differ_spark.queries.vectors import q_eval_retrieval_recall
+
+    rec = {
+        r.query_id: r for r in q_eval_retrieval_recall(spark, sf_small).collect()
+    }
+    assert set(ndcg) == set(mrr) == set(rec)
+    for qid, r in ndcg.items():
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+        assert r.n_hits == rec[qid].n_hit  # same hit set, two metrics
+        m = mrr[qid]
+        if r.n_hits == 0:
+            assert m.rr == 0.0 and m.first_hit_rank == 0
+        else:
+            assert m.first_hit_rank >= 1
+            assert abs(m.rr - round(1.0 / m.first_hit_rank, 9)) < 1e-12
+        # a perfect prefix (all 10 hits) forces NDCG == 1
+        if r.n_hits == 10:
+            assert abs(r.ndcg - 1.0) < 1e-9
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_small):
+    row = q_stats_bootstrap_ci(spark, sf_small).collect()[0]
+    assert row.n_orders == 1500 and row.b_replicates == 100
+    assert row.ci_lo_cents < row.mean_full_cents < row.ci_hi_cents
+    assert row.se_boot_cents > 0
+    # CI width should be a few bootstrap SEs, not orders of magnitude off.
+    width = row.ci_hi_cents - row.ci_lo_cents
+    assert 2 * row.se_boot_cents < width < 8 * row.se_boot_cents
+
+
+def test_pagerank_floor_and_top50(spark, sf_small):
+    edges = copurchase_edges(spark, sf_small)
+    n_nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    rows = q_graph_pagerank_parts(spark, sf_small).collect()
+    assert len(rows) == 50
+    floor = 0.15 / n_nodes
+    for r in rows:
+        assert r.pagerank >= floor - 1e-12
+    prs = [r.pagerank for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    # top-50 of thousands of nodes carries a small fraction of total mass
+    assert sum(prs) < 1.0
+
+
+def test_bfs_matches_python_bfs(spark, sf_small):
+    got = {
+        r.part: r.hop for r in q_graph_bfs_hops(spark, sf_small).collect()
+    }
+    e = copurchase_edges(spark, sf_small).collect()
+    adj: dict[int, set[int]] = {}
+    for r in e:
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    src = min(adj)
+    ref = {src: 0}
+    frontier = [src]
+    for hop in range(1, 5):
+        nxt = []
+        for n in frontier:
+            for m in adj[n]:
+                if m not in ref:
+                    ref[m] = hop
+                    nxt.append(m)
+        frontier = nxt
+    assert got == ref
+
+
+def test_holt_matches_python_loop(spark, sf_small):
+    rows = sorted(
+        (
+            r
+            for r in q_events_holt_linear(spark, sf_small).collect()
+            if r.event_type == "view"
+        ),
+        key=lambda r: r.day,
+    )
+    ys = [r.n_events for r in rows]
+    level, trend = float(ys[0]), 0.0
+    for i, y in enumerate(ys):
+        if i == 0:
+            yhat = float(y)
+        else:
+            yhat = level + trend
+            new_level = 0.5 * y + 0.5 * (level + trend)
+            trend = 0.25 * (new_level - level) + 0.75 * trend
+            level = new_level
+        assert abs(rows[i].forecast - yhat) < 1e-6
+        assert abs(rows[i].level - level) < 1e-6
+        assert abs(rows[i].trend - trend) < 1e-6
+
+
+def test_normalize_unicode_planted_rows(spark, sf_small):
+    out = q_text_normalize_unicode(spark, sf_small)
+    planted = out.filter("planted")
+    n_planted = planted.count()
+    assert n_planted > 0
+    # every planted row was actually normalized (NFD composed, zero-widths
+    # dropped, double space collapsed -> strictly shorter)
+    assert planted.filter(~F.col("changed")).count() == 0
+    assert planted.filter(F.col("len_norm") >= F.col("len_raw")).count() == 0
+    # untouched ASCII rows pass through the normalizer unchanged
+    clean = out.filter(~F.col("planted"))
+    assert clean.filter(F.col("changed")).count() == 0
+
+
+def test_mix_temperature_flattens_toward_rare(spark, sf_small):
+    rows = q_source_mix_temperature(spark, sf_small).collect()
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-6
+    rare = min(rows, key=lambda r: r.token_share)
+    common = max(rows, key=lambda r: r.token_share)
+    # tau < 1 upsamples rare sources and downsamples common ones
+    assert rare.upsample_factor > 1.0
+    assert common.upsample_factor < 1.0
+    # but never past uniform: ordering by p_temp preserves share ordering
+    ordered = sorted(rows, key=lambda r: r.token_share)
+    ps = [r.p_temp for r in ordered]
+    assert ps == sorted(ps)

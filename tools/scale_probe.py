@@ -132,6 +132,17 @@ HEADLINE = [
     "benford_first_digit",
     "eval_retrieval_recall",
     "eval_dedup_pr",
+    # round-4 wave 4/5 additions (statsops.py)
+    "drift_ks_test",
+    "drift_js_divergence",
+    "eval_ndcg_retrieval",
+    "eval_mrr_retrieval",
+    "text_normalize_unicode",
+    "graph_bfs_hops",
+    "graph_pagerank_parts",
+    "events_holt_linear",
+    "stats_bootstrap_ci",
+    "source_mix_temperature",
 ]
 
 
