@@ -43,6 +43,49 @@ def mutated_orders(orders: DataFrame) -> DataFrame:
     return kept.select(*ORDERS_COLS).unionByName(inserted.select(*ORDERS_COLS))
 
 
+def mutated_orders_b(orders: DataFrame) -> DataFrame:
+    """A second deterministic branch (the 'theirs' side of a 3-way merge).
+
+    Different moduli from :func:`mutated_orders` so the two branches
+    overlap only on lcm keys: perturb ``% 59`` (× 1.02, so keys divisible
+    by both 53 and 59 — lcm 3127 — are CONFLICTING edits), delete
+    ``% 89``, insert ``% 103`` at key +20,000,000.
+    """
+    kept = orders.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 59 == 0, F.col("o_totalprice") * F.lit(1.02)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = orders.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000)
+    )
+    return kept.select(*ORDERS_COLS).unionByName(inserted.select(*ORDERS_COLS))
+
+
+# DuckDB CTE computing the identical second branch.
+MUTATED_ORDERS_B_SQL = """
+  SELECT o_orderkey,
+         o_custkey,
+         o_orderstatus,
+         CASE WHEN o_orderkey % 59 = 0 THEN o_totalprice * 1.02
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 89 <> 0
+  UNION ALL
+  SELECT o_orderkey + 20000000,
+         o_custkey,
+         o_orderstatus,
+         o_totalprice,
+         o_orderdate,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 103 = 0
+"""
+
+
 # DuckDB CTE computing the identical right side (use as `WITH right_t AS (...)`).
 MUTATED_ORDERS_SQL = """
   SELECT o_orderkey,

@@ -11,9 +11,12 @@ from pyspark.sql import functions as F
 import dataframe_differ_spark.operators.diff_core as D
 from dataframe_differ_spark.queries import register
 from dataframe_differ_spark.queries._mutation import (
+    MUTATED_ORDERS_B_SQL,
     MUTATED_ORDERS_SQL,
     NONKEY_COLS,
+    ORDERS_COLS,
     mutated_orders,
+    mutated_orders_b,
 )
 from dataframe_differ_spark.tables import load_table
 
@@ -365,4 +368,132 @@ def q_diff_checksum_prune(spark, sf_dir):
         right,
         bucket=F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"),
         row_repr=repr_of(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Three-way diff (merge classification)
+# ---------------------------------------------------------------------------
+
+
+def _3w_eq_sql(a: str, b: str) -> str:
+    return " AND ".join(
+        f"({a}.{c} IS NOT DISTINCT FROM {b}.{c})" for c in NONKEY_COLS
+    )
+
+
+_THREEWAY_SQL = f"""
+WITH ours AS ({MUTATED_ORDERS_SQL}),
+theirs AS ({MUTATED_ORDERS_B_SQL}),
+j AS (
+  SELECT COALESCE(b.o_orderkey, o.o_orderkey, t.o_orderkey) AS k,
+         b.o_orderkey IS NOT NULL AS in_b,
+         o.o_orderkey IS NOT NULL AS in_o,
+         t.o_orderkey IS NOT NULL AS in_t,
+         {_3w_eq_sql('o', 'b')} AS ob,
+         {_3w_eq_sql('t', 'b')} AS tb,
+         {_3w_eq_sql('o', 't')} AS ot
+  FROM orders b
+  FULL OUTER JOIN ours o ON b.o_orderkey = o.o_orderkey
+  FULL OUTER JOIN theirs t
+    ON COALESCE(b.o_orderkey, o.o_orderkey) = t.o_orderkey),
+st AS (
+  SELECT k,
+    CASE
+      WHEN in_b AND in_o AND in_t AND ob AND tb THEN 'unchanged'
+      WHEN in_b AND in_o AND in_t AND NOT ob AND tb THEN 'take_ours'
+      WHEN in_b AND in_o AND in_t AND ob AND NOT tb THEN 'take_theirs'
+      WHEN in_b AND in_o AND in_t AND ot THEN 'convergent'
+      WHEN in_b AND in_o AND in_t THEN 'conflict_edit'
+      WHEN in_b AND NOT in_o AND in_t AND tb THEN 'deleted_ours'
+      WHEN in_b AND NOT in_o AND in_t THEN 'conflict_delete_edit'
+      WHEN in_b AND in_o AND NOT in_t AND ob THEN 'deleted_theirs'
+      WHEN in_b AND in_o AND NOT in_t THEN 'conflict_edit_delete'
+      WHEN in_b THEN 'deleted_both'
+      WHEN in_o AND NOT in_t THEN 'added_ours'
+      WHEN in_t AND NOT in_o THEN 'added_theirs'
+      WHEN ot THEN 'added_both_same'
+      ELSE 'added_both_conflict'
+    END AS status
+  FROM j)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       MIN(k) AS min_key, MAX(k) AS max_key,
+       starts_with(status, 'conflict') OR status = 'added_both_conflict'
+         AS needs_resolution
+FROM st GROUP BY status
+"""
+
+
+@register("diff_threeway", oracle=_THREEWAY_SQL)
+def q_diff_threeway(spark, sf_dir):
+    """A2+ three-way diff: classify every key for a base/ours/theirs merge.
+
+    The migration-validation question two-way diff can't answer: given a
+    common ancestor and two independently-evolved snapshots, which rows
+    merge cleanly (one side changed, or both made the identical change)
+    and which need human resolution (both edited differently, or one
+    edited what the other deleted)? Both branches derive deterministically
+    from `orders` (`_mutation.mutated_orders` / `mutated_orders_b`;
+    coprime moduli make keys divisible by 53*59 = 3127 genuine
+    conflicting edits). Two full outer joins on the key + null-safe
+    column comparisons — the keyed-diff plan doubled, shuffle on a
+    unique key, scan-bound at 100 TB; the summary rollup is a dozen
+    rows. Git-style status taxonomy: take_ours/take_theirs, convergent,
+    conflict_edit, delete-vs-edit conflicts, one/both-sided adds.
+    """
+    base = load_table(spark, sf_dir, "orders").select(*ORDERS_COLS)
+    ours = mutated_orders(base)
+    theirs = mutated_orders_b(base)
+
+    def tag(df, t):
+        sel = [F.col("o_orderkey")] + [
+            F.col(c).alias(f"{t}_{c}") for c in NONKEY_COLS
+        ]
+        return df.select(*sel).withColumn(f"in_{t}", F.lit(True))
+
+    j = (
+        tag(base, "b")
+        .join(tag(ours, "o"), ["o_orderkey"], "full")
+        .join(tag(theirs, "t"), ["o_orderkey"], "full")
+    )
+
+    def eq(a, b):
+        cond = F.lit(True)
+        for c in NONKEY_COLS:
+            cond = cond & F.col(f"{a}_{c}").eqNullSafe(F.col(f"{b}_{c}"))
+        return cond
+
+    in_b = F.coalesce(F.col("in_b"), F.lit(False))
+    in_o = F.coalesce(F.col("in_o"), F.lit(False))
+    in_t = F.coalesce(F.col("in_t"), F.lit(False))
+    ob, tb, ot = eq("o", "b"), eq("t", "b"), eq("o", "t")
+    status = (
+        F.when(in_b & in_o & in_t & ob & tb, "unchanged")
+        .when(in_b & in_o & in_t & ~ob & tb, "take_ours")
+        .when(in_b & in_o & in_t & ob & ~tb, "take_theirs")
+        .when(in_b & in_o & in_t & ot, "convergent")
+        .when(in_b & in_o & in_t, "conflict_edit")
+        .when(in_b & ~in_o & in_t & tb, "deleted_ours")
+        .when(in_b & ~in_o & in_t, "conflict_delete_edit")
+        .when(in_b & in_o & ~in_t & ob, "deleted_theirs")
+        .when(in_b & in_o & ~in_t, "conflict_edit_delete")
+        .when(in_b, "deleted_both")
+        .when(in_o & ~in_t, "added_ours")
+        .when(in_t & ~in_o, "added_theirs")
+        .when(ot, "added_both_same")
+        .otherwise("added_both_conflict")
+    )
+    st = j.select(F.col("o_orderkey").alias("k"), status.alias("status"))
+    return (
+        st.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .withColumn(
+            "needs_resolution",
+            F.col("status").startswith("conflict")
+            | (F.col("status") == "added_both_conflict"),
+        )
     )

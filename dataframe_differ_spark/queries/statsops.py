@@ -1016,3 +1016,290 @@ def q_graph_pagerank_parts(spark, sf_dir):
         .orderBy(F.col("pagerank").desc(), "part")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiple linear regression (2 regressors) via exact-moment normal equations
+# ---------------------------------------------------------------------------
+
+_OLS_SQL = """
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS DECIMAL(18, 0)) AS x1,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS DECIMAL(18, 2)) AS x2
+  FROM lineitem GROUP BY l_orderkey),
+rows_ AS (
+  SELECT per.x1, per.x2, CAST(o.o_totalprice AS DECIMAL(18, 2)) AS y
+  FROM per JOIN orders o ON o.o_orderkey = per.l_orderkey),
+mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1,
+         CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+         CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+         CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+         CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM rows_),
+fit AS (
+  SELECT n, sy, s1y, s2y, syy,
+         n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2) AS det,
+         sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+           + s2 * (s1y * s12 - s11 * s2y) AS d0,
+         n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2) AS d1,
+         n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - s11 * s2) AS d2
+  FROM mom),
+beta AS (
+  SELECT n, sy, s1y, s2y, syy,
+         d0 / det AS b0, d1 / det AS b1, d2 / det AS b2
+  FROM fit),
+res AS (
+  SELECT n, b0, b1, b2,
+         syy - b0 * sy - b1 * s1y - b2 * s2y AS sse,
+         syy - sy * sy / n AS sst
+  FROM beta)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(b0, 9) AS intercept,
+       ROUND(b1, 9) AS beta_n_items,
+       ROUND(b2, 9) AS beta_total_qty,
+       ROUND(1.0 - sse / sst, 9) AS r_squared,
+       ROUND(sqrt(sse / (n - 3)), 9) AS resid_std
+FROM res
+"""
+
+
+@register("stats_ols_multi", oracle=_OLS_SQL)
+def q_stats_ols_multi(spark, sf_dir):
+    """Two-regressor OLS (order price ~ item count + total quantity) with
+    R-squared, solved in closed form from exact decimal moments.
+
+    The distributed shape of classical regression: ONE pass accumulates
+    the 10 sufficient statistics (all sums of exact decimals — factors
+    cast before multiplying, the agg_corr_exact device, so partial
+    aggregation order cannot perturb them), then the 3x3 normal
+    equations solve by Cramer's rule as a fixed IEEE op sequence on the
+    driver-side 1-row frame. Identical expression text on both engines
+    makes every intermediate double bit-equal. R^2 and residual std
+    come from the same moments (SSE = Syy - b.X'y). At 100 TB: one
+    lineitem shuffle (per-order rollup), one orders join, one
+    map-side-combinable moment aggregate — no iteration, no gradient
+    descent, scan-bound.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("x1"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x2"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    rows = per.join(o, "l_orderkey")
+    mom = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    d0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    d1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    d2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    fit = mom.select(
+        "n", "sy", "s1y", "s2y", "syy",
+        det.alias("det"), d0.alias("d0"), d1.alias("d1"), d2.alias("d2"),
+    )
+    beta = fit.select(
+        "n", "sy", "s1y", "s2y", "syy",
+        (F.col("d0") / F.col("det")).alias("b0"),
+        (F.col("d1") / F.col("det")).alias("b1"),
+        (F.col("d2") / F.col("det")).alias("b2"),
+    )
+    res = beta.select(
+        "n", "b0", "b1", "b2",
+        (
+            F.col("syy")
+            - F.col("b0") * F.col("sy")
+            - F.col("b1") * F.col("s1y")
+            - F.col("b2") * F.col("s2y")
+        ).alias("sse"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("sst"),
+    )
+    return res.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("b0", 9).alias("intercept"),
+        F.round("b1", 9).alias("beta_n_items"),
+        F.round("b2", 9).alias("beta_total_qty"),
+        F.round(F.lit(1.0) - F.col("sse") / F.col("sst"), 9).alias(
+            "r_squared"
+        ),
+        F.round(F.sqrt(F.col("sse") / (F.col("n") - 3)), 9).alias(
+            "resid_std"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component of the embedding corpus via power iteration
+# ---------------------------------------------------------------------------
+
+
+def _pca_sql() -> str:
+    from dataframe_differ_spark.functions.vector import SQL_DOT
+
+    def iter_ctes(i: int, vin: str) -> str:
+        return f"""d{i} AS (
+  SELECT b.vec_id, b.e, {SQL_DOT('b.e', f'{vin}.v')} AS dt
+  FROM base b CROSS JOIN {vin}),
+m{i} AS (
+  SELECT vec_id, i AS dim, e[i + 1] * dt AS val
+  FROM d{i} CROSS JOIN (SELECT unnest(range(64)) AS i)),
+w{i}d AS (
+  SELECT dim, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(val ORDER BY vec_id)), (a, b) -> a + b) AS s
+  FROM m{i} GROUP BY dim),
+w{i} AS (SELECT list(s ORDER BY dim) AS w FROM w{i}d)"""
+
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+v0 AS (
+  SELECT list_transform(e, x -> x / sqrt({SQL_DOT('e', 'e')})) AS v
+  FROM base WHERE vec_id = 0),
+{iter_ctes(1, 'v0')},
+v1 AS (SELECT list_transform(w, x -> x / sqrt({SQL_DOT('w', 'w')})) AS v
+       FROM w1),
+{iter_ctes(2, 'v1')},
+fin AS (SELECT w, sqrt({SQL_DOT('w', 'w')}) AS lam FROM w2),
+loadings AS (
+  SELECT CAST(i AS INTEGER) AS dim, w[i + 1] / lam AS loading, lam
+  FROM fin CROSS JOIN (SELECT unnest(range(64)) AS i))
+SELECT dim, ROUND(loading, 9) AS loading, ROUND(lam, 6) AS eigval
+FROM loadings ORDER BY ABS(loading) DESC, dim LIMIT 10
+"""
+
+
+@register("vec_top_pc", oracle=_pca_sql())
+def q_vec_top_pc(spark, sf_dir):
+    """Top principal direction of the embedding corpus (power iteration).
+
+    The spectral primitive under embedding whitening, drift direction
+    analysis, and spiked-covariance diagnostics: two power iterations of
+    w <- X'X v (uncentered; X rows are the unit-norm embeddings), seeded
+    with vector 0, reported as the top-10 |loading| dimensions plus the
+    eigenvalue estimate ||w||. Per iteration, one broadcast of the
+    64-float v computes per-row projections dt = e.v, and each dimension
+    of w = sum_i dt_i * e_i accumulates through a SEQUENTIAL running-
+    window fold ordered by vec_id (the IVF Lloyd-mean device) — a
+    partitioned window over (dim), never a global one — so the whole
+    iteration chain is bit-reproducible and the oracle replays it with
+    list_reduce folds. At 100 TB you'd use plain sum() partial
+    aggregation per dim (the fold is a parity device) and the plan is
+    two scans + a 64-row shuffle per iteration — the classic distributed
+    matrix-free eigensolver shape.
+    """
+    from dataframe_differ_spark.queries.vectors import _emb_double
+
+    e = _emb_double(spark, sf_dir).select("vec_id", "e")
+    v = e.filter(F.col("vec_id") == 0).select(
+        F.expr(
+            "transform(e, x -> x / sqrt(aggregate(zip_with(e, e, "
+            "(a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, u) -> acc + u)))"
+        ).alias("v")
+    )
+    w = None
+    for _ in range(2):
+        dotted = e.crossJoin(F.broadcast(v)).select(
+            "vec_id",
+            "e",
+            F.expr(
+                "aggregate(zip_with(e, v, (x, y) -> x * y), "
+                "CAST(0.0 AS DOUBLE), (acc, u) -> acc + u)"
+            ).alias("dt"),
+        )
+        md = dotted.select(
+            "vec_id", "dt", F.posexplode("e").alias("dim", "val")
+        )
+        wrun = (
+            Window.partitionBy("dim")
+            .orderBy("vec_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wd = (
+            md.withColumn("s", F.sum(F.col("val") * F.col("dt")).over(wrun))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("dim").orderBy(F.col("vec_id").desc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("dim", "s")
+        )
+        w = wd.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, s))), x -> x.s)"
+            ).alias("w")
+        )
+        v = w.select(
+            F.expr(
+                "transform(w, x -> x / sqrt(aggregate(zip_with(w, w, "
+                "(a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, u) -> acc + u)))"
+            ).alias("v")
+        )
+    fin = w.select(
+        "w",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(w, w, (a, b) -> a * b), "
+                "CAST(0.0 AS DOUBLE), (acc, u) -> acc + u)"
+            )
+        ).alias("lam"),
+    )
+    loadings = fin.select(
+        F.posexplode("w").alias("dim", "wv"), "lam"
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("wv") / F.col("lam")).alias("loading"),
+        "lam",
+    )
+    return (
+        loadings.orderBy(F.abs(F.col("loading")).desc(), "dim")
+        .limit(10)
+        .select(
+            "dim",
+            F.round("loading", 9).alias("loading"),
+            F.round("lam", 6).alias("eigval"),
+        )
+    )

@@ -188,3 +188,120 @@ def test_mix_temperature_flattens_toward_rare(spark, sf_small):
     ordered = sorted(rows, key=lambda r: r.token_share)
     ps = [r.p_temp for r in ordered]
     assert ps == sorted(ps)
+
+
+def test_threeway_matches_pandas_reference(spark, sf_small):
+    from dataframe_differ_spark.queries.diff_queries import q_diff_threeway
+
+    got = {
+        r.status: (r.n_keys, r.needs_resolution)
+        for r in q_diff_threeway(spark, sf_small).collect()
+    }
+    t = pq.read_table(sf_small + "/orders.parquet").to_pandas()
+    cols = [
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    base = {r.o_orderkey: tuple(getattr(r, c) for c in cols) for r in t.itertuples()}
+
+    def branch(pmod, mult, dmod, imod, shift):
+        out = {}
+        for k, v in base.items():
+            if k % dmod == 0:
+                continue
+            if k % pmod == 0:
+                v = (v[0], v[1], v[2] * mult, v[3], v[4])
+            out[k] = v
+        for k, v in base.items():
+            if k % imod == 0:
+                out[k + shift] = v
+        return out
+
+    ours = branch(53, 1.01, 97, 101, 10_000_000)
+    theirs = branch(59, 1.02, 89, 103, 20_000_000)
+    ref: dict[str, int] = {}
+    for k in set(base) | set(ours) | set(theirs):
+        b, o, th = base.get(k), ours.get(k), theirs.get(k)
+        if b is not None and o is not None and th is not None:
+            if o == b and th == b:
+                s = "unchanged"
+            elif o != b and th == b:
+                s = "take_ours"
+            elif o == b and th != b:
+                s = "take_theirs"
+            elif o == th:
+                s = "convergent"
+            else:
+                s = "conflict_edit"
+        elif b is not None and o is None and th is not None:
+            s = "deleted_ours" if th == b else "conflict_delete_edit"
+        elif b is not None and th is None and o is not None:
+            s = "deleted_theirs" if o == b else "conflict_edit_delete"
+        elif b is not None:
+            s = "deleted_both"
+        elif o is not None and th is None:
+            s = "added_ours"
+        elif th is not None and o is None:
+            s = "added_theirs"
+        else:
+            s = "added_both_same" if o == th else "added_both_conflict"
+        ref[s] = ref.get(s, 0) + 1
+    assert {k: v[0] for k, v in got.items()} == ref
+    for s, (_, needs) in got.items():
+        assert needs == (s.startswith("conflict") or s == "added_both_conflict")
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_small):
+    import numpy as np
+
+    from dataframe_differ_spark.queries.statsops import q_stats_ols_multi
+
+    row = q_stats_ols_multi(spark, sf_small).collect()[0]
+    li = pq.read_table(sf_small + "/lineitem.parquet").to_pandas()
+    o = pq.read_table(sf_small + "/orders.parquet").to_pandas()
+    per = li.groupby("l_orderkey").agg(
+        x1=("l_quantity", "size"), x2=("l_quantity", "sum")
+    )
+    m = per.join(o.set_index("o_orderkey"), how="inner")
+    X = np.column_stack(
+        [np.ones(len(m)), m["x1"].to_numpy(float), m["x2"].to_numpy(float)]
+    )
+    y = m["o_totalprice"].to_numpy(float)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row.n_orders == len(m)
+    assert abs(row.intercept - beta[0]) < 1e-3
+    assert abs(row.beta_n_items - beta[1]) < 1e-3
+    assert abs(row.beta_total_qty - beta[2]) < 1e-3
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert abs(row.r_squared - (1 - ss_res / ss_tot)) < 1e-6
+    assert 0.0 <= row.r_squared <= 1.0
+
+
+def test_top_pc_matches_numpy_power_iteration(spark, sf_small):
+    import numpy as np
+
+    from dataframe_differ_spark.queries.statsops import q_vec_top_pc
+
+    rows = q_vec_top_pc(spark, sf_small).collect()
+    t = pq.read_table(sf_small + "/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id")
+    X = np.stack(t["embedding"].to_numpy())
+    v = X[t["vec_id"].to_numpy() == 0][0].astype(float)
+    v = v / np.linalg.norm(v)
+    for _ in range(2):
+        w = X.T @ (X @ v)
+        v = w / np.linalg.norm(w)
+    lam = float(np.linalg.norm(w))
+    ref = {i: v[i] for i in range(64)}
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r.loading - ref[r.dim]) < 1e-6
+        assert abs(r.eigval - lam) < 1e-3
+    # loadings are the 10 largest |components|
+    top = sorted(range(64), key=lambda i: (-abs(ref[i]), i))[:10]
+    assert sorted(r.dim for r in rows) == sorted(top)

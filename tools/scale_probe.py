@@ -143,6 +143,10 @@ HEADLINE = [
     "events_holt_linear",
     "stats_bootstrap_ci",
     "source_mix_temperature",
+    # round-4 wave-6 additions
+    "diff_threeway",
+    "stats_ols_multi",
+    "vec_top_pc",
 ]
 
 
