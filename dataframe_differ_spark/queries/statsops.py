@@ -1303,3 +1303,228 @@ def q_vec_top_pc(spark, sf_dir):
             F.round("lam", 6).alias("eigval"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted quantiles (median + quartiles) via the distributed-rank operator
+# ---------------------------------------------------------------------------
+
+_WMED_SQL = """
+WITH g AS (
+  SELECT l_extendedprice AS v,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS DECIMAL(18, 2)) AS w
+  FROM lineitem GROUP BY l_extendedprice),
+cum AS (
+  SELECT v, w,
+         CAST(SUM(w) OVER (ORDER BY v) AS DECIMAL(28, 2)) AS cw,
+         CAST((SELECT SUM(w) FROM g) AS DECIMAL(28, 2)) AS tw
+  FROM g),
+fr AS (SELECT unnest([0.25, 0.5, 0.75]) AS f),
+hit AS (
+  SELECT fr.f, MIN(cum.v) AS q
+  FROM fr JOIN cum ON CAST(cum.cw AS DOUBLE) >= fr.f * CAST(cum.tw AS DOUBLE)
+  GROUP BY fr.f)
+SELECT f AS fraction, q AS weighted_quantile,
+       (SELECT CAST(tw AS DOUBLE) FROM cum LIMIT 1) AS total_weight
+FROM hit
+"""
+
+
+@register("agg_weighted_median", oracle=_WMED_SQL)
+def q_agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted price quantiles (p25/median/p75), exact and
+    distributed.
+
+    The rank-family completion: weighted quantile = smallest value whose
+    cumulative weight reaches f * W. Per-distinct-value weights cumulate
+    through `operators.ranks.ranked` (two-phase boundary buckets — no
+    global window), and the threshold compare runs in doubles whose
+    conversions are all exact (DECIMAL(.,2) weights below 2^53 scaled;
+    f in {1/4, 1/2, 3/4} is a power-of-two multiple), so neither engine
+    can disagree at a boundary. One shuffle to distinct values, one
+    bucketed rank pass, one broadcast of 3 threshold rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("w")
+    )
+    kdf = ranked(
+        g,
+        F.col("v"),
+        ["v"],
+        running_sum=F.col("w"),
+        running_col="cw",
+        running_total_col="tw",
+    ).localCheckpoint(eager=False)
+    fr = None
+    for f in (0.25, 0.5, 0.75):
+        one = kdf.sparkSession.range(1).select(F.lit(f).alias("f"))
+        fr = one if fr is None else fr.unionAll(one)
+    hit = (
+        kdf.crossJoin(F.broadcast(fr))
+        .filter(
+            F.col("cw").cast("double")
+            >= F.col("f") * F.col("tw").cast("double")
+        )
+        .groupBy("f")
+        .agg(F.min("v").alias("q"))
+    )
+    tw1 = kdf.agg(F.any_value(F.col("tw").cast("double")).alias("total_weight"))
+    return hit.crossJoin(F.broadcast(tw1)).select(
+        F.col("f").alias("fraction"),
+        F.col("q").alias("weighted_quantile"),
+        "total_weight",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue per signup cohort by age)
+# ---------------------------------------------------------------------------
+
+_LTV_SQL = """
+WITH fo AS (
+  SELECT o_custkey,
+         MIN(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+           AS cohort_m
+  FROM orders GROUP BY o_custkey),
+sized AS (
+  SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_customers FROM fo
+  GROUP BY cohort_m),
+rev AS (
+  SELECT fo.cohort_m,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           - fo.cohort_m AS age_m,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+  GROUP BY 1, 2),
+cum AS (
+  SELECT a.cohort_m, a.age_m, a.revenue_cents,
+         CAST(SUM(b.revenue_cents) AS BIGINT) AS cum_revenue_cents
+  FROM rev a JOIN rev b
+    ON b.cohort_m = a.cohort_m AND b.age_m <= a.age_m
+  GROUP BY a.cohort_m, a.age_m, a.revenue_cents)
+SELECT CAST(cum.cohort_m // 12 AS INTEGER) AS cohort_year,
+       CAST(cum.cohort_m % 12 + 1 AS INTEGER) AS cohort_month,
+       CAST(cum.age_m AS INTEGER) AS age_months,
+       s.n_customers, cum.revenue_cents, cum.cum_revenue_cents,
+       CAST(cum.cum_revenue_cents // s.n_customers AS BIGINT)
+         AS ltv_cents_per_customer
+FROM cum JOIN sized s ON s.cohort_m = cum.cohort_m
+"""
+
+
+@register("orders_cohort_ltv", oracle=_LTV_SQL)
+def q_orders_cohort_ltv(spark, sf_dir):
+    """Customer-lifetime-value curve: cumulative revenue per signup cohort
+    by months since first order.
+
+    The revenue-weighted companion to `cohort_retention`: customers
+    cohort by first-order month (encoded year*12+month, integer month
+    math both engines — never engine DOW/interval semantics), revenue
+    rolls up per (cohort, age) in exact integer cents (per-customer
+    LTV stays integer cents via floor division; a 4-dp double round
+    measured a half-tie disagreement), and the running
+    LTV accumulates via a broadcast triangle join over the calendar-
+    bounded (cohort x age) frame — months², never data-sized, so no
+    window at all. Two shuffles on customer/cohort keys; scan-bound.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    fo = o.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
+    sized = fo.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    rev = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            "cohort_m", (m - F.col("cohort_m")).alias("age_m")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    other = rev.select(
+        F.col("cohort_m").alias("bc"),
+        F.col("age_m").alias("ba"),
+        F.col("revenue_cents").alias("br"),
+    )
+    cum = (
+        rev.join(
+            F.broadcast(other),
+            (F.col("bc") == F.col("cohort_m")) & (F.col("ba") <= F.col("age_m")),
+        )
+        .groupBy("cohort_m", "age_m", "revenue_cents")
+        .agg(F.sum("br").alias("cum_revenue_cents"))
+    )
+    return cum.join(F.broadcast(sized), "cohort_m").select(
+        (F.col("cohort_m") / 12).cast("int").alias("cohort_year"),
+        (F.col("cohort_m") % 12 + 1).cast("int").alias("cohort_month"),
+        F.col("age_m").cast("int").alias("age_months"),
+        "n_customers",
+        "revenue_cents",
+        "cum_revenue_cents",
+        F.expr("cum_revenue_cents DIV n_customers").alias(
+            "ltv_cents_per_customer"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users (7-day trailing window per day)
+# ---------------------------------------------------------------------------
+
+_SLIDE_DISTINCT_SQL = """
+WITH ad AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d FROM ad),
+hits AS (
+  SELECT DISTINCT ad.user_id, days.d AS target
+  FROM ad JOIN days
+    ON days.d >= ad.d AND days.d <= ad.d + INTERVAL 6 DAY)
+SELECT CAST(target AS STRING) AS day,
+       CAST(COUNT(*) AS BIGINT) AS distinct_users_7d
+FROM hits GROUP BY target
+"""
+
+
+@register("events_sliding_distinct", oracle=_SLIDE_DISTINCT_SQL)
+def q_events_sliding_distinct(spark, sf_dir):
+    """Trailing-7-day distinct active users per day — the sliding-window
+    COUNT DISTINCT that naive window frames cannot express.
+
+    Distinct-over-overlapping-windows is the classic hard rollup: a
+    running-frame window can sum but not dedup. The distributed answer:
+    collapse to distinct (user, active_day) once, fan each activity out
+    to the <= 7 calendar days whose trailing window it touches
+    (constant-factor explode), dedup (user, target_day), count per day.
+    Here the fan-out is a compact range join against the <= 31-row day
+    spine (broadcast); at a longer window you'd explode a sequence
+    instead, and at 100 TB the orthodox swap is per-day HLL partials
+    merged over the window (`agg_hll_merge` is that sketch) — this exact
+    form is its ground truth. One shuffle to distinct pairs, one count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ad = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    days = ad.select("d").distinct().select(F.col("d").alias("target"))
+    hits = (
+        ad.join(
+            F.broadcast(days),
+            (F.col("target") >= F.col("d"))
+            & (F.col("target") <= F.date_add("d", 6)),
+        )
+        .select("user_id", "target")
+        .distinct()
+    )
+    return hits.groupBy("target").agg(
+        F.count(F.lit(1)).alias("distinct_users_7d")
+    ).select(
+        F.col("target").cast("string").alias("day"), "distinct_users_7d"
+    )

@@ -305,3 +305,71 @@ def test_top_pc_matches_numpy_power_iteration(spark, sf_small):
     # loadings are the 10 largest |components|
     top = sorted(range(64), key=lambda i: (-abs(ref[i]), i))[:10]
     assert sorted(r.dim for r in rows) == sorted(top)
+
+
+def test_weighted_median_matches_pandas(spark, sf_small):
+    from dataframe_differ_spark.queries.statsops import q_agg_weighted_median
+
+    rows = {
+        r.fraction: r for r in q_agg_weighted_median(spark, sf_small).collect()
+    }
+    li = pq.read_table(sf_small + "/lineitem.parquet").to_pandas()
+    g = (
+        li.groupby("l_extendedprice")["l_quantity"]
+        .sum()
+        .sort_index()
+        .cumsum()
+    )
+    total = float(g.iloc[-1])
+    assert set(rows) == {0.25, 0.5, 0.75}
+    for f, r in rows.items():
+        ref = g.index[(g >= f * total).argmax()]
+        assert abs(r.weighted_quantile - ref) < 1e-9
+        assert abs(r.total_weight - total) < 1e-6
+    assert (
+        rows[0.25].weighted_quantile
+        <= rows[0.5].weighted_quantile
+        <= rows[0.75].weighted_quantile
+    )
+
+
+def test_cohort_ltv_cumulative_consistency(spark, sf_small):
+    from dataframe_differ_spark.queries.statsops import q_orders_cohort_ltv
+
+    rows = q_orders_cohort_ltv(spark, sf_small).collect()
+    by_cohort: dict[tuple, list] = {}
+    for r in rows:
+        by_cohort.setdefault((r.cohort_year, r.cohort_month), []).append(r)
+    for series in by_cohort.values():
+        series.sort(key=lambda r: r.age_months)
+        run = 0
+        for r in series:
+            run += r.revenue_cents
+            assert r.cum_revenue_cents == run
+            assert r.ltv_cents_per_customer == run // r.n_customers
+    # cohort sizes sum to the number of customers with >= 1 order
+    o = pq.read_table(sf_small + "/orders.parquet").to_pandas()
+    n_cust = o["o_custkey"].nunique()
+    assert sum(s[0].n_customers for s in by_cohort.values()) == n_cust
+
+
+def test_sliding_distinct_matches_pandas(spark, sf_small):
+    from dataframe_differ_spark.queries.statsops import (
+        q_events_sliding_distinct,
+    )
+
+    got = {
+        r.day: r.distinct_users_7d
+        for r in q_events_sliding_distinct(spark, sf_small).collect()
+    }
+    e = pq.read_table(sf_small + "/events.parquet").to_pandas()
+    e["d"] = e["ts"].dt.date
+    act = e[["user_id", "d"]].drop_duplicates()
+    days = sorted(act["d"].unique())
+    import datetime
+
+    ref = {}
+    for d in days:
+        lo = d - datetime.timedelta(days=6)
+        ref[str(d)] = act[(act.d >= lo) & (act.d <= d)]["user_id"].nunique()
+    assert got == ref

@@ -147,6 +147,10 @@ HEADLINE = [
     "diff_threeway",
     "stats_ols_multi",
     "vec_top_pc",
+    # round-4 wave-7 additions
+    "agg_weighted_median",
+    "orders_cohort_ltv",
+    "events_sliding_distinct",
 ]
 
 
