@@ -10,6 +10,10 @@ in a single Catalyst plan. (Q1's shape already ships as
 
 from __future__ import annotations
 
+import os
+import threading
+import weakref
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1933,7 +1937,27 @@ edges AS {mat} (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
 
 
+# Per-(session, sf_dir) cache of the materialized edge list: FOUR graph
+# queries (triangles, BFS, PageRank, link prediction) consume the same
+# construction, so build the ~O(orders) edge frame once per session and
+# share the localCheckpointed blocks — same device (and same lock
+# discipline) as vectors._ivf_index_cached.
+_EDGES_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_EDGES_LOCK = threading.Lock()
+
+
 def copurchase_edges(spark, sf_dir):
+    key = os.path.abspath(sf_dir)
+    with _EDGES_LOCK:
+        cache = _EDGES_CACHE.setdefault(spark, {})
+        if key not in cache:
+            cache[key] = _copurchase_edges_build(spark, sf_dir).localCheckpoint(
+                eager=True
+            )
+        return cache[key]
+
+
+def _copurchase_edges_build(spark, sf_dir):
     """Spark twin of :func:`copurchase_edges_ctes`: distinct (u < v) edges.
 
     The 3-parts-per-basket pick AND the in-basket pair expansion run in

@@ -627,7 +627,8 @@ WITH o AS (
 rep AS (
   SELECT o.o_orderkey, o.cents, b,
          ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':'
-                             || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+                             || CAST(b // 4 AS VARCHAR)),
+                         1 + (b % 4) * 8, 8))::BIGINT
            / 4294967296.0 AS u
   FROM o CROSS JOIN (SELECT CAST(unnest(range({_BOOT_B})) AS INTEGER) AS b)),
 w AS (SELECT b, cents, {_pois_case_sql('u')} AS wt FROM rep),
@@ -687,26 +688,45 @@ def q_stats_bootstrap_ci(spark, sf_dir):
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    rep = o.select(
+    # One md5 yields FOUR 32-bit uniforms: hash per (row, b DIV 4) group,
+    # slice 8 hex chars per replicate slot — 25 hashes/row instead of 100
+    # (the hashing dominated this query's profile). The oracle computes
+    # the identical u(b) = slice(md5(key:b//4), b%4) directly.
+    # The x25 explode + hashing is CPU-bound: a small parquet scan arrives
+    # as ONE partition (maxPartitionBytes), which would serialize all the
+    # md5 work on a single task. Fan the 150k input rows across the
+    # cluster FIRST (tiny shuffle), then explode — measured 10x on the
+    # replicate-sum stage at sf0.1.
+    par = spark.sparkContext.defaultParallelism
+    rep_g = o.repartition(par, "o_orderkey").select(
         "o_orderkey",
         "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-    )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("b").cast("string"),
-                )
-            ),
-            1,
-            8,
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B // 4 - 1))
+        ).alias("g"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("g").cast("string"),
+            )
         ),
-        16,
-        10,
-    ).cast("bigint") / F.lit(4294967296.0)
+    )
+    rep = rep_g.select(
+        "o_orderkey",
+        "cents",
+        "g",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("slot"),
+    ).select(
+        "o_orderkey",
+        "cents",
+        F.expr("g * 4 + slot").alias("b"),
+        F.expr("substring(h, 1 + slot * 8, 8)").alias("hs"),
+    )
+    u = F.conv(F.col("hs"), 16, 10).cast("bigint") / F.lit(4294967296.0)
     wt = F.lit(7)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
         wt = F.when(F.col("u") < _POIS_CDF[k], F.lit(k)).otherwise(wt)
@@ -982,7 +1002,7 @@ def q_graph_pagerank_parts(spark, sf_dir):
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "n", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
     )
-    for _ in range(_PR_ITERS):
+    for it in range(_PR_ITERS):
         contrib = (
             sym.join(pr.withColumnRenamed("n", "u"), "u")
             .join(deg.withColumnRenamed("n", "u"), "u")
@@ -1004,8 +1024,12 @@ def q_graph_pagerank_parts(spark, sf_dir):
                     + F.lit(0.85) * F.col("s").cast("double")
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
         )
+        # Checkpoint every OTHER iteration: lineage stays bounded for any
+        # iteration count, but half the materialization jobs (measured
+        # 12.9 s -> 7.5 s at sf0.1 — each checkpoint is a full job).
+        if (it + 1) % 2 == 0:
+            pr = pr.localCheckpoint(eager=False)
     return (
         pr.join(deg, "n")
         .select(
@@ -1527,4 +1551,391 @@ def q_events_sliding_distinct(spark, sf_dir):
         F.count(F.lit(1)).alias("distinct_users_7d")
     ).select(
         F.col("target").cast("string").alias("day"), "distinct_users_7d"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = """
+WITH span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events),
+per_user AS (
+  SELECT user_id,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS treat,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE)
+                        < d0 + CAST(FLOOR(datediff('day', d0, d1) / 2)
+                                    AS INTEGER) THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE)
+                        >= d0 + CAST(FLOOR(datediff('day', d0, d1) / 2)
+                                     AS INTEGER) THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events CROSS JOIN span
+  GROUP BY user_id),
+mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM per_user),
+theta_t AS (
+  SELECT n, sx / n AS mx,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta
+  FROM mom),
+arm AS (
+  SELECT treat,
+         CAST(COUNT(*) AS DOUBLE) AS an,
+         CAST(SUM(x) AS DOUBLE) AS ax, CAST(SUM(y) AS DOUBLE) AS ay,
+         CAST(SUM(x * x) AS DOUBLE) AS axx,
+         CAST(SUM(x * y) AS DOUBLE) AS axy,
+         CAST(SUM(y * y) AS DOUBLE) AS ayy
+  FROM per_user GROUP BY treat),
+adj AS (
+  SELECT treat, an,
+         ay / an AS mean_raw,
+         (ay - theta * (ax - an * mx)) / an AS mean_cuped,
+         (ayy - ay * ay / an) / (an - 1) AS var_raw,
+         (ayy - 2 * theta * (axy - mx * ay)
+              + theta * theta * (axx - 2 * mx * ax + an * mx * mx)
+          - (ay - theta * (ax - an * mx))
+            * (ay - theta * (ax - an * mx)) / an) / (an - 1) AS var_cuped
+  FROM arm CROSS JOIN theta_t)
+SELECT treat AS is_treatment, CAST(an AS BIGINT) AS n_users,
+       ROUND(mean_raw, 9) AS mean_raw,
+       ROUND(mean_cuped, 9) AS mean_cuped,
+       ROUND(var_raw, 9) AS var_raw,
+       ROUND(var_cuped, 9) AS var_cuped,
+       ROUND(1.0 - var_cuped / var_raw, 9) AS var_reduction,
+       ROUND((SELECT theta FROM theta_t), 9) AS theta
+FROM adj
+"""
+
+
+@register("events_uplift_cuped", oracle=_CUPED_SQL)
+def q_events_uplift_cuped(spark, sf_dir):
+    """CUPED variance reduction for the A/B readout (Deng et al. 2013).
+
+    The experimentation-platform standard: per user, pre-period activity
+    x (first half of the calendar span) predicts post-period activity y;
+    theta = cov(x, y)/var(x) pooled over all users; the adjusted metric
+    y - theta*(x - mean(x)) keeps the same expectation per arm but
+    shrinks variance by the pre/post correlation. The determinism trick
+    is ALGEBRAIC: per-arm variance of the adjusted metric expands into
+    the exact integer moments (Sy², Sxy, Sx² ...), so no per-row float
+    is ever summed — every output is a fixed double op chain on exact
+    BIGINT-rooted moments, like stats_ols_multi. One user shuffle + two
+    tiny rollups; scan-bound.
+    """
+    e = load_table(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    cut = F.date_add(
+        F.col("d0"),
+        F.floor(F.datediff("d1", "d0") / 2).cast("int"),
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy(
+            "user_id",
+            (
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8"
+            ).alias("treat"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("ts").cast("date") < cut, 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ts").cast("date") >= cut, 1).otherwise(0)
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    theta_t = mom.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("theta"),
+    )
+    arm = per_user.groupBy("treat").agg(
+        F.count(F.lit(1)).cast("double").alias("an"),
+        F.sum("x").cast("double").alias("ax"),
+        F.sum("y").cast("double").alias("ay"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("axx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("axy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("ayy"),
+    )
+    an, ax, ay = F.col("an"), F.col("ax"), F.col("ay")
+    axx, axy, ayy = F.col("axx"), F.col("axy"), F.col("ayy")
+    th, mx = F.col("theta"), F.col("mx")
+    adj_sum = ay - th * (ax - an * mx)
+    adj = arm.crossJoin(F.broadcast(theta_t)).select(
+        "treat",
+        "an",
+        (ay / an).alias("mean_raw"),
+        (adj_sum / an).alias("mean_cuped"),
+        ((ayy - ay * ay / an) / (an - 1)).alias("var_raw"),
+        (
+            (
+                ayy
+                - 2 * th * (axy - mx * ay)
+                + th * th * (axx - 2 * mx * ax + an * mx * mx)
+                - adj_sum * adj_sum / an
+            )
+            / (an - 1)
+        ).alias("var_cuped"),
+        th.alias("theta"),
+    )
+    return adj.select(
+        F.col("treat").alias("is_treatment"),
+        F.col("an").cast("long").alias("n_users"),
+        F.round("mean_raw", 9).alias("mean_raw"),
+        F.round("mean_cuped", 9).alias("mean_cuped"),
+        F.round("var_raw", 9).alias("var_raw"),
+        F.round("var_cuped", 9).alias("var_cuped"),
+        F.round(F.lit(1.0) - F.col("var_cuped") / F.col("var_raw"), 9).alias(
+            "var_reduction"
+        ),
+        F.round("theta", 9).alias("theta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_LINKPRED_SQL = f"""
+WITH {copurchase_edges_ctes()},
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+wedge AS (
+  SELECT a.v AS x, b.v AS y, a.u AS w
+  FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v),
+cn AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common
+  FROM wedge GROUP BY x, y),
+cand AS (
+  SELECT cn.x, cn.y, cn.common
+  FROM cn LEFT JOIN edges e ON e.u = cn.x AND e.v = cn.y
+  WHERE e.u IS NULL),
+scored AS (
+  SELECT c.x, c.y, c.common,
+         dx.d + dy.d - c.common AS uni,
+         ROUND(CAST(c.common AS DOUBLE) / (dx.d + dy.d - c.common), 9)
+           AS jaccard
+  FROM cand c JOIN deg dx ON dx.n = c.x JOIN deg dy ON dy.n = c.y)
+SELECT x AS part_a, y AS part_b, common AS n_common, uni AS n_union, jaccard
+FROM scored
+ORDER BY jaccard DESC, x, y LIMIT 50
+"""
+
+
+@register("graph_link_prediction", oracle=_LINKPRED_SQL)
+def q_graph_link_prediction(spark, sf_dir):
+    """Jaccard-coefficient link prediction on the co-purchase graph.
+
+    The classic neighborhood-overlap recommender: for part pairs NOT yet
+    co-purchased, score = |N(a) n N(b)| / |N(a) u N(b)|; high scorers
+    are the "customers also bought together" predictions. Wedges come
+    from one self-equi-join of the symmetrized edge list on the center
+    vertex (cost sum(deg²) — bounded here because basket sampling caps
+    edges at O(orders)); existing edges drop out via an anti join; the
+    union size is inclusion-exclusion from the degree table, never a
+    second pass. All-integer until the final ratio. Top-50 via
+    TakeOrdered. Completes the graph family: components, triangles,
+    BFS, PageRank, link prediction.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    a = sym.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    b = sym.select(F.col("u").alias("w"), F.col("v").alias("y"))
+    wedge = a.join(b, "w").filter(F.col("x") < F.col("y"))
+    cn = wedge.groupBy("x", "y").agg(F.count(F.lit(1)).alias("common"))
+    cand = cn.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            (F.col("dx") + F.col("dy") - F.col("common")).alias("uni"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("dx") + F.col("dy") - F.col("common")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("jaccard").desc(), "x", "y")
+        .limit(50)
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("common").alias("n_common"),
+            F.col("uni").alias("n_union"),
+            "jaccard",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over customer quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_SQL = """
+WITH qi AS (
+  SELECT c_nationkey,
+         c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balance_band,
+         CAST(COUNT(*) AS BIGINT) AS grp_size
+  FROM customer
+  GROUP BY 1, 2, 3),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN grp_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_groups_lt_k,
+         CAST(SUM(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+              AS BIGINT) AS n_rows_at_risk,
+         CAST(MIN(grp_size) AS BIGINT) AS min_group_size
+  FROM qi)
+SELECT qi.c_nationkey, qi.c_mktsegment, qi.balance_band, qi.grp_size,
+       tot.n_groups, tot.n_groups_lt_k, tot.n_rows_at_risk,
+       tot.min_group_size
+FROM qi CROSS JOIN tot
+ORDER BY qi.grp_size, qi.c_nationkey, qi.c_mktsegment, qi.balance_band
+LIMIT 10
+"""
+
+
+@register("privacy_k_anonymity", oracle=_KANON_SQL)
+def q_privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (k = 5) over customer quasi-identifiers.
+
+    The data-governance pre-release check: group by the quasi-identifier
+    tuple (nation, market segment, account-balance band) and find
+    equivalence classes smaller than k — rows in those groups are
+    re-identifiable by linking the QIs to an external dataset (Sweeney
+    2002). One map-side-combinable groupBy + a 1-row broadcast of the
+    corpus-level risk stats; the 10 riskiest (smallest) groups surface
+    via TakeOrdered. At 100 TB this is a scan-bound aggregation on a
+    uniform composite key — the same shape as any rollup.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+            "balance_band"
+        ),
+    ).agg(F.count(F.lit(1)).alias("grp_size"))
+    tot = qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp_size") < 5, 1).otherwise(0)).alias(
+            "n_groups_lt_k"
+        ),
+        F.sum(
+            F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0)
+        ).alias("n_rows_at_risk"),
+        F.min("grp_size").alias("min_group_size"),
+    )
+    return (
+        qi.crossJoin(F.broadcast(tot))
+        .orderBy("grp_size", "c_nationkey", "c_mktsegment", "balance_band")
+        .limit(10)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "balance_band",
+            "grp_size",
+            "n_groups",
+            "n_groups_lt_k",
+            "n_rows_at_risk",
+            "min_group_size",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling of the embedding corpus
+# ---------------------------------------------------------------------------
+
+_BALANCE_SQL = """
+WITH sized AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_before
+  FROM embeddings GROUP BY label),
+k AS (SELECT MIN(n_before) AS k FROM sized),
+ranked_r AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM embeddings),
+picked AS (
+  SELECT label, vec_id FROM ranked_r CROSS JOIN k WHERE rn <= k.k)
+SELECT s.label, s.n_before,
+       CAST(COUNT(p.vec_id) AS BIGINT) AS n_after,
+       CAST(SUM(p.vec_id) AS BIGINT) AS picked_id_sum
+FROM sized s JOIN picked p ON p.label = s.label
+GROUP BY s.label, s.n_before
+"""
+
+
+@register("sample_balanced_classes", oracle=_BALANCE_SQL)
+def q_sample_balanced_classes(spark, sf_dir):
+    """Class-balanced downsampling: md5-deterministic k-per-label pick.
+
+    The classifier-training prep step: cap every label at the minority
+    class size so the training mix is uniform. Membership is an
+    md5-ordered row_number PARTITIONED BY label (a per-class window —
+    never global; per-class data is ~n/|labels| per task), making the
+    picked set stable across runs, engines, and repartitioning — the
+    split_train_val_test hashing philosophy applied to class balancing.
+    The verification column is an order-free exact integer sum of the
+    picked ids, so the oracle pins the exact membership, not just the
+    counts.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sized = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
+    k = sized.agg(F.min("n_before").alias("k"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    picked = (
+        emb.select("label", "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+    )
+    return (
+        sized.join(picked, "label")
+        .groupBy("label", "n_before")
+        .agg(
+            F.count("vec_id").alias("n_after"),
+            F.sum("vec_id").alias("picked_id_sum"),
+        )
     )

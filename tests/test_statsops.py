@@ -373,3 +373,76 @@ def test_sliding_distinct_matches_pandas(spark, sf_small):
         lo = d - datetime.timedelta(days=6)
         ref[str(d)] = act[(act.d >= lo) & (act.d <= d)]["user_id"].nunique()
     assert got == ref
+
+
+def test_cuped_reduces_variance_same_means(spark, sf_small):
+    from dataframe_differ_spark.queries.statsops import q_events_uplift_cuped
+
+    rows = {
+        r.is_treatment: r
+        for r in q_events_uplift_cuped(spark, sf_small).collect()
+    }
+    assert set(rows) == {True, False}
+    for r in rows.values():
+        assert r.n_users > 0
+        assert r.var_raw > 0 and r.var_cuped > 0
+        # variance REDUCTION is only an asymptotic guarantee; at sf0.001
+        # an arm has ~3 users and arm-level theta mismatch can inflate it.
+        if r.n_users >= 50:
+            assert r.var_cuped <= r.var_raw * 1.05
+    # both arms share one pooled theta
+    assert rows[True].theta == rows[False].theta
+
+
+def test_cuped_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from dataframe_differ_spark.queries.statsops import q_events_uplift_cuped
+
+    rows = {
+        r.is_treatment: r
+        for r in q_events_uplift_cuped(spark, sf_small).collect()
+    }
+    e = pq.read_table(sf_small + "/events.parquet").to_pandas()
+    e["d"] = e["ts"].dt.date
+    d0, d1 = e["d"].min(), e["d"].max()
+    import datetime
+
+    cut = d0 + datetime.timedelta(days=(d1 - d0).days // 2)
+    per = (
+        e.assign(x=(e.d < cut).astype(int), y=(e.d >= cut).astype(int))
+        .groupby("user_id")[["x", "y"]]
+        .sum()
+    )
+    x, y = per["x"].to_numpy(float), per["y"].to_numpy(float)
+    theta = np.cov(x, y, ddof=0)[0, 1] / np.var(x)
+    treat = per.index.map(_md5_base).to_numpy()
+    for flag in (True, False):
+        yy, xx = y[treat == flag], x[treat == flag]
+        adj = yy - theta * (xx - x.mean())
+        r = rows[flag]
+        assert abs(r.theta - theta) < 1e-6
+        assert abs(r.mean_raw - yy.mean()) < 1e-6
+        assert abs(r.mean_cuped - adj.mean()) < 1e-6
+        assert abs(r.var_raw - yy.var(ddof=1)) < 1e-5
+        assert abs(r.var_cuped - adj.var(ddof=1)) < 1e-5
+
+
+def test_link_prediction_excludes_edges_and_matches_python(spark, sf_small):
+    from dataframe_differ_spark.queries.statsops import q_graph_link_prediction
+
+    rows = q_graph_link_prediction(spark, sf_small).collect()
+    e = copurchase_edges(spark, sf_small).collect()
+    edges = {(r.u, r.v) for r in e}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for r in rows:
+        assert (r.part_a, r.part_b) not in edges
+        common = adj[r.part_a] & adj[r.part_b]
+        assert len(common) == r.n_common
+        assert len(adj[r.part_a]) + len(adj[r.part_b]) - r.n_common == r.n_union
+        assert abs(r.jaccard - round(r.n_common / r.n_union, 9)) < 1e-12
+    js = [r.jaccard for r in rows]
+    assert js == sorted(js, reverse=True)
