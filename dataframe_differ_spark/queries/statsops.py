@@ -1939,3 +1939,345 @@ def q_sample_balanced_classes(spark, sf_dir):
             F.sum("vec_id").alias("picked_id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test on per-user purchase spend
+# ---------------------------------------------------------------------------
+
+_WELCH_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS treat,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY user_id),
+arm AS (
+  SELECT treat, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(cents) AS DOUBLE) AS s,
+         CAST(SUM(cents * cents) AS DOUBLE) AS q
+  FROM per_user GROUP BY treat),
+w AS (
+  SELECT MAX(CASE WHEN treat THEN n END) AS na,
+         MAX(CASE WHEN treat THEN s END) AS sa,
+         MAX(CASE WHEN treat THEN q END) AS qa,
+         MAX(CASE WHEN NOT treat THEN n END) AS nb,
+         MAX(CASE WHEN NOT treat THEN s END) AS sb,
+         MAX(CASE WHEN NOT treat THEN q END) AS qb
+  FROM arm),
+v AS (
+  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+         (qa - sa * sa / na) / (na - 1) AS va,
+         (qb - sb * sb / nb) / (nb - 1) AS vb
+  FROM w),
+t AS (
+  SELECT na, nb, ma, mb, va, vb,
+         (ma - mb) / sqrt(va / na + vb / nb) AS t_stat,
+         (va / na + vb / nb) * (va / na + vb / nb)
+           / ((va / na) * (va / na) / (na - 1)
+              + (vb / nb) * (vb / nb) / (nb - 1)) AS df
+  FROM v)
+SELECT CAST(na AS BIGINT) AS n_treat, CAST(nb AS BIGINT) AS n_control,
+       ROUND(ma, 4) AS mean_treat_cents, ROUND(mb, 4) AS mean_control_cents,
+       ROUND(ma - mb, 4) AS mean_diff_cents,
+       ROUND(t_stat, 9) AS t_stat, ROUND(df, 9) AS df_welch,
+       abs(t_stat) > 1.96 AS significant_95
+FROM t
+"""
+
+
+@register("stats_welch_ttest", oracle=_WELCH_SQL)
+def q_stats_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test on per-user purchase spend.
+
+    The continuous-metric companion to `events_ab_test` (proportions)
+    and `events_uplift_cuped` (variance reduction): md5 arms, per-user
+    spend in exact integer cents, and the t statistic + the
+    Welch-Satterthwaite degrees of freedom computed from six
+    BIGINT-rooted moments in ONE fixed double op chain (+ - * / sqrt
+    are all IEEE-deterministic, so both engines produce bit-identical
+    doubles — the stats_ols_multi device; no per-row float is ever
+    summed). Significance gates on the normal approximation 1.96
+    (documented: df is in the hundreds at bench scale, where t and z
+    quantiles agree to 3 dp). One user shuffle + a 2-row rollup;
+    scan-bound at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy(
+        "user_id",
+        (
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+        ).alias("treat"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("cents")
+    )
+    arm = per_user.groupBy("treat").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cents").cast("double").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("double").alias("q"),
+    )
+    w = arm.agg(
+        F.max(F.when(F.col("treat"), F.col("n"))).alias("na"),
+        F.max(F.when(F.col("treat"), F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("treat"), F.col("q"))).alias("qa"),
+        F.max(F.when(~F.col("treat"), F.col("n"))).alias("nb"),
+        F.max(F.when(~F.col("treat"), F.col("s"))).alias("sb"),
+        F.max(F.when(~F.col("treat"), F.col("q"))).alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    v = w.select(
+        na,
+        nb,
+        (F.col("sa") / na).alias("ma"),
+        (F.col("sb") / nb).alias("mb"),
+        ((F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - 1)).alias(
+            "va"
+        ),
+        ((F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - 1)).alias(
+            "vb"
+        ),
+    )
+    sea = F.col("va") / na
+    seb = F.col("vb") / nb
+    t = v.select(
+        na,
+        nb,
+        "ma",
+        "mb",
+        "va",
+        "vb",
+        ((F.col("ma") - F.col("mb")) / F.sqrt(sea + seb)).alias("t_stat"),
+        (
+            (sea + seb)
+            * (sea + seb)
+            / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+        ).alias("df"),
+    )
+    return t.select(
+        na.cast("long").alias("n_treat"),
+        nb.cast("long").alias("n_control"),
+        F.round("ma", 4).alias("mean_treat_cents"),
+        F.round("mb", 4).alias("mean_control_cents"),
+        F.round(F.col("ma") - F.col("mb"), 4).alias("mean_diff_cents"),
+        F.round("t_stat", 9).alias("t_stat"),
+        F.round("df", 9).alias("df_welch"),
+        (F.abs(F.col("t_stat")) > 1.96).alias("significant_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR across per-nation A/B tests
+# ---------------------------------------------------------------------------
+
+# Abramowitz & Stegun 7.1.26 erf polynomial (max abs error 1.5e-7):
+# shared constants written identically into both engines' texts.
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_AS_P0 = 0.3275911
+_SQRT2 = 1.4142135623730951
+
+_FDR_SQL = f"""
+WITH per_user AS (
+  SELECT e.user_id, c.c_nationkey AS nation,
+         substr(md5(CAST(e.user_id AS VARCHAR)), 1, 1) < '8' AS treat,
+         MAX(CASE WHEN e.event_type = 'purchase' AND e.value > 150
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  GROUP BY e.user_id, c.c_nationkey, treat),
+cell AS (
+  SELECT nation,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE conv END) AS BIGINT) AS c_c
+  FROM per_user GROUP BY nation),
+testable AS (
+  SELECT * FROM cell
+  WHERE n_t > 0 AND n_c > 0 AND c_t + c_c > 0 AND c_t + c_c < n_t + n_c),
+z AS (
+  SELECT nation, n_t, c_t, n_c, c_c,
+         (CAST(c_t AS DOUBLE) / n_t - CAST(c_c AS DOUBLE) / n_c)
+           / sqrt((CAST(c_t + c_c AS DOUBLE) / (n_t + n_c))
+                  * (1.0 - CAST(c_t + c_c AS DOUBLE) / (n_t + n_c))
+                  * (1.0 / n_t + 1.0 / n_c)) AS zval
+  FROM testable),
+p AS (
+  SELECT nation, n_t, c_t, n_c, c_c, zval,
+         ROUND(abs(zval) / {_SQRT2}, 9) AS x
+  FROM z),
+pv AS (
+  SELECT nation, n_t, c_t, n_c, c_c, zval,
+         ROUND((((({_AS_A[4]} * (1.0 / (1.0 + {_AS_P0} * x))
+             + {_AS_A[3]}) * (1.0 / (1.0 + {_AS_P0} * x))
+             + {_AS_A[2]}) * (1.0 / (1.0 + {_AS_P0} * x))
+             + {_AS_A[1]}) * (1.0 / (1.0 + {_AS_P0} * x))
+             + {_AS_A[0]}) * (1.0 / (1.0 + {_AS_P0} * x))
+           * exp(-x * x), 9) AS p_two,
+         CAST(ROUND(abs(zval) * 1e9) AS BIGINT) AS zkey
+  FROM p),
+ranked AS (
+  SELECT a.nation, a.n_t, a.c_t, a.n_c, a.c_c, a.zval, a.p_two,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pv b
+          WHERE b.zkey > a.zkey
+             OR (b.zkey = a.zkey AND b.nation <= a.nation)) AS rk,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pv) AS m
+  FROM pv a),
+kstar AS (
+  SELECT COALESCE(MAX(rk), 0) AS k
+  FROM ranked WHERE p_two <= 0.05 * rk / m)
+SELECT nation, rk AS p_rank, m AS n_tests, n_t, c_t, n_c, c_c,
+       ROUND(zval, 9) AS z, p_two,
+       ROUND(0.05 * rk / m, 9) AS bh_critical,
+       rk <= kstar.k AS reject_fdr05
+FROM ranked CROSS JOIN kstar
+ORDER BY rk
+"""
+
+
+@register("stats_fdr_bh", oracle=_FDR_SQL)
+def q_stats_fdr_bh(spark, sf_dir):
+    """Benjamini-Hochberg FDR control across per-nation A/B tests.
+
+    The multiple-comparisons step every experimentation platform runs
+    after a segmented readout: one two-proportion z-test per customer
+    nation (arms = the shared md5 bucketing; conversion = high-value
+    purchase), p-values from the Abramowitz-Stegun 7.1.26 erf
+    polynomial (the single libm exp runs on a 9-dp-rounded input; both
+    engines then round the result to 9 dp — the benford_first_digit
+    libm device), and the BH step-up rule: rank p ascending, reject
+    all ranks <= k* = max{{i : p_(i) <= i/m * q}} at q = 0.05.
+    Determinism: ranking compares an exact BIGINT key (|z| * 1e9
+    rounded) rather than floats, z itself is a fixed IEEE op chain on
+    integer-rooted counts, and the rank is a broadcast triangle join
+    over the <=25-row test frame (window-free, the eval_auc device).
+    Scale: the user->nation attach is an equi-join on the user
+    dimension (shuffle on user_id, AQE-brokered); everything after the
+    per-nation rollup is constant-size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    per_user = (
+        e.join(
+            c.select(
+                F.col("c_custkey").alias("user_id"),
+                F.col("c_nationkey").alias("nation"),
+            ),
+            "user_id",
+        )
+        .groupBy(
+            "user_id",
+            "nation",
+            (
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8"
+            ).alias("treat"),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    cell = per_user.groupBy("nation").agg(
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("treat"), F.col("conv")).otherwise(0)).alias(
+            "c_t"
+        ),
+        F.sum(F.when(F.col("treat"), 0).otherwise(1)).alias("n_c"),
+        F.sum(F.when(F.col("treat"), 0).otherwise(F.col("conv"))).alias(
+            "c_c"
+        ),
+    )
+    testable = cell.filter(
+        (F.col("n_t") > 0)
+        & (F.col("n_c") > 0)
+        & (F.col("c_t") + F.col("c_c") > 0)
+        & (F.col("c_t") + F.col("c_c") < F.col("n_t") + F.col("n_c"))
+    )
+    pool = (F.col("c_t") + F.col("c_c")).cast("double") / (
+        F.col("n_t") + F.col("n_c")
+    )
+    z = testable.select(
+        "nation",
+        "n_t",
+        "c_t",
+        "n_c",
+        "c_c",
+        (
+            (
+                F.col("c_t").cast("double") / F.col("n_t")
+                - F.col("c_c").cast("double") / F.col("n_c")
+            )
+            / F.sqrt(
+                pool
+                * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / F.col("n_t") + F.lit(1.0) / F.col("n_c"))
+            )
+        ).alias("zval"),
+    )
+    x = F.round(F.abs(F.col("zval")) / _SQRT2, 9)
+    t_ = F.lit(1.0) / (F.lit(1.0) + _AS_P0 * x)
+    poly = (
+        (((F.lit(_AS_A[4]) * t_ + _AS_A[3]) * t_ + _AS_A[2]) * t_ + _AS_A[1])
+        * t_
+        + _AS_A[0]
+    ) * t_
+    pv = z.select(
+        "nation",
+        "n_t",
+        "c_t",
+        "n_c",
+        "c_c",
+        "zval",
+        F.round(poly * F.exp(-x * x), 9).alias("p_two"),
+        F.round(F.abs(F.col("zval")) * 1e9).cast("bigint").alias("zkey"),
+    ).localCheckpoint(eager=False)
+    other = pv.select(
+        F.col("nation").alias("o_nation"), F.col("zkey").alias("o_zkey")
+    )
+    ranked_df = (
+        pv.crossJoin(F.broadcast(other))
+        .filter(
+            (F.col("o_zkey") > F.col("zkey"))
+            | (
+                (F.col("o_zkey") == F.col("zkey"))
+                & (F.col("o_nation") <= F.col("nation"))
+            )
+        )
+        .groupBy("nation", "n_t", "c_t", "n_c", "c_c", "zval", "p_two")
+        .agg(F.count(F.lit(1)).alias("rk"))
+        .crossJoin(
+            F.broadcast(pv.agg(F.count(F.lit(1)).alias("m")))
+        )
+    )
+    kstar = ranked_df.filter(
+        F.col("p_two") <= 0.05 * F.col("rk") / F.col("m")
+    ).agg(F.coalesce(F.max("rk"), F.lit(0)).alias("k"))
+    return (
+        ranked_df.crossJoin(F.broadcast(kstar))
+        .select(
+            "nation",
+            F.col("rk").alias("p_rank"),
+            F.col("m").alias("n_tests"),
+            "n_t",
+            "c_t",
+            "n_c",
+            "c_c",
+            F.round("zval", 9).alias("z"),
+            "p_two",
+            F.round(0.05 * F.col("rk") / F.col("m"), 9).alias(
+                "bh_critical"
+            ),
+            (F.col("rk") <= F.col("k")).alias("reject_fdr05"),
+        )
+        .orderBy("p_rank")
+    )

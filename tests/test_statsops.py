@@ -446,3 +446,57 @@ def test_link_prediction_excludes_edges_and_matches_python(spark, sf_small):
         assert abs(r.jaccard - round(r.n_common / r.n_union, 9)) < 1e-12
     js = [r.jaccard for r in rows]
     assert js == sorted(js, reverse=True)
+
+
+def test_welch_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from dataframe_differ_spark.queries.statsops import q_stats_welch_ttest
+
+    r = q_stats_welch_ttest(spark, sf_small).collect()[0]
+    e = pq.read_table(sf_small + "/events.parquet").to_pandas()
+    e["cents"] = np.where(
+        e.event_type == "purchase", np.round(e.value * 100).astype("int64"), 0
+    )
+    per = e.groupby("user_id")["cents"].sum()
+    treat = per.index.map(_md5_base).to_numpy()
+    a, b = per[treat].to_numpy(float), per[~treat].to_numpy(float)
+    assert r.n_treat == len(a) and r.n_control == len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert abs(r.t_stat - t) < 1e-6
+    assert abs(r.df_welch - df) < 1e-4
+    assert r.significant_95 == (abs(t) > 1.96)
+
+
+def test_fdr_bh_stepup_rule(spark, sf_small):
+    from dataframe_differ_spark.queries.statsops import q_stats_fdr_bh
+
+    rows = sorted(
+        q_stats_fdr_bh(spark, sf_small).collect(), key=lambda r: r.p_rank
+    )
+    assert rows, "at least one testable nation expected"
+    m = rows[0].n_tests
+    assert all(r.n_tests == m for r in rows)
+    assert [r.p_rank for r in rows] == list(range(1, len(rows) + 1))
+    # p ascending along rank (ties allowed via the exact |z| BIGINT key)
+    ps = [r.p_two for r in rows]
+    assert ps == sorted(ps)
+    # BH step-up: reject exactly ranks <= k* = max{i : p_i <= 0.05*i/m}
+    kstar = max(
+        (r.p_rank for r in rows if r.p_two <= 0.05 * r.p_rank / m), default=0
+    )
+    for r in rows:
+        assert r.reject_fdr05 == (r.p_rank <= kstar)
+        assert abs(r.bh_critical - round(0.05 * r.p_rank / m, 9)) < 1e-12
+        # z-test recompute from the four integer cells
+        pt, pc = r.c_t / r.n_t, r.c_c / r.n_c
+        pool = (r.c_t + r.c_c) / (r.n_t + r.n_c)
+        z = (pt - pc) / math.sqrt(
+            pool * (1 - pool) * (1 / r.n_t + 1 / r.n_c)
+        )
+        assert abs(r.z - z) < 1e-6

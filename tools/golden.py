@@ -5,8 +5,9 @@ rounded to 9 dp) into golden_sf0001.json. Future rounds run `--verify` to
 catch regressions in seconds without DuckDB.
 
 Usage:
-    python tools/golden.py --write    # (re)record golden hashes
-    python tools/golden.py --verify   # compare current results
+    python tools/golden.py --write             # (re)record golden hashes
+    python tools/golden.py --verify            # compare current results
+    python tools/golden.py --update q1 q2 ...  # record only the named queries
 """
 
 from __future__ import annotations
@@ -74,6 +75,22 @@ def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "--verify"
     spark = get_spark("golden")
     registry = load_all()
+    if mode == "--update":
+        names = sys.argv[2:]
+        unknown = sorted(set(names) - set(registry))
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 1
+        with open(GOLDEN) as f:
+            golden = json.load(f)
+        for name in names:
+            pdf = registry[name].fn(spark, SF_DIR).toPandas()
+            driver_canon_check(name, pdf)
+            golden[name] = result_hash(pdf)
+            print(f"updated {name}: {golden[name]}")
+        with open(GOLDEN, "w") as f:
+            json.dump(golden, f, indent=1, sort_keys=True)
+        return 0
     current = {}
     for name, q in registry.items():
         if name in SKIP:
