@@ -2281,3 +2281,209 @@ def q_stats_fdr_bh(spark, sf_dir):
         )
         .orderBy("p_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F-test of order value across customer nations
+# ---------------------------------------------------------------------------
+
+_ANOVA_SQL = """
+WITH obs AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+grp AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DECIMAL(38, 0)) AS q
+  FROM obs GROUP BY nation),
+terms AS (
+  SELECT nation, n, s, q,
+         CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS t
+  FROM grp),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(q) AS DOUBLE) AS sq,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(t ORDER BY nation)),
+                     (acc, x) -> acc + x) AS st
+  FROM terms),
+parts AS (
+  SELECT k, nn,
+         st - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / nn AS ssb,
+         sq - st AS ssw
+  FROM tot)
+SELECT k AS k_groups, nn AS n_obs,
+       ssb AS ss_between, ssw AS ss_within,
+       ROUND((ssb / (k - 1)) / (ssw / (nn - k)), 9) AS f_stat,
+       ROUND(ssb / (ssb + ssw), 9) AS eta_sq
+FROM parts
+"""
+
+
+@register("stats_anova_f", oracle=_ANOVA_SQL)
+def q_stats_anova_f(spark, sf_dir):
+    """One-way ANOVA F-test: does mean order value differ across nations?
+
+    The >2-arm companion to `stats_welch_ttest`. Observations are order
+    totals in exact integer cents; per-nation sufficient statistics
+    (n, sum, sum-of-squares) are BIGINT/DECIMAL-rooted. The one
+    order-sensitive float reduction — the between-group term
+    sum(s_g^2 / n_g) over ~25 nation terms — is made order-FREE by
+    folding the per-nation doubles in sorted nation order on both
+    engines (array_sort(collect_list) + F.aggregate here,
+    list(t ORDER BY nation) + list_reduce in the oracle): each t_g is
+    the same IEEE chain on exact integers, and the sorted sequential
+    fold is then bit-identical cross-engine (the IVF Lloyd-mean
+    device). Two decimal devices were tried first and both FAILED at
+    this ~1e16 magnitude, worth recording: (a) DuckDB's direct
+    double->DECIMAL(38,6) cast computes value*10^6 IN DOUBLE, landing
+    on product-ulp garbage above 2^53/10^6; (b) a VARCHAR hop still
+    disagrees because Java 17 Double.toString emits 17 digits
+    (...472) where DuckDB's Ryu emits the 16-digit (...47) shortest
+    form — same double, different decimal strings. SSW comes from
+    exact DECIMAL sum-of-squares cast to double (exact below 2^63 so
+    the HUGEINT halves-based cast can't drift; fine through sf~1).
+    Plan: a dimension equi-join (AQE handles the build side) + a
+    25-group map-side-combinable rollup; the fold runs over k=25 rows
+    regardless of data size — scan-bound at 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = o.join(
+        c.select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_nationkey").alias("nation"),
+        ),
+        "o_custkey",
+    ).select(
+        "nation",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    grp = obs.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "q"
+        ),
+    )
+    terms = grp.withColumn(
+        "t",
+        F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").cast("double").alias("sq"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("nation", "t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("st"),
+    )
+    parts = tot.select(
+        "k",
+        "nn",
+        (
+            F.col("st")
+            - F.col("ss").cast("double")
+            * F.col("ss").cast("double")
+            / F.col("nn")
+        ).alias("ssb"),
+        (F.col("sq") - F.col("st")).alias("ssw"),
+    )
+    return parts.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_obs"),
+        F.col("ssb").alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            9,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 9).alias(
+            "eta_sq"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit: sensitive-attribute diversity within QI classes
+# ---------------------------------------------------------------------------
+
+_LDIV_SQL = """
+WITH cls AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balance_band,
+         CAST(COUNT(*) AS BIGINT) AS grp_size,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+  FROM customer
+  GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+         CAST(SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_classes_lt_l,
+         CAST(SUM(CASE WHEN l_distinct < 3 THEN grp_size ELSE 0 END)
+              AS BIGINT) AS n_rows_at_risk
+  FROM cls)
+SELECT cls.c_nationkey, cls.balance_band, cls.grp_size, cls.l_distinct,
+       tot.n_classes, tot.min_l, tot.n_classes_lt_l, tot.n_rows_at_risk
+FROM cls CROSS JOIN tot
+ORDER BY cls.l_distinct, cls.grp_size, cls.c_nationkey, cls.balance_band
+LIMIT 10
+"""
+
+
+@register("privacy_l_diversity", oracle=_LDIV_SQL)
+def q_privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit (l = 3) — `privacy_k_anonymity`'s companion.
+
+    k-anonymity alone fails the homogeneity attack (Machanavajjhala et
+    al. 2007): a class of >= k rows that all share one sensitive value
+    still discloses it. Here the QI is (nation, balance band) and the
+    sensitive attribute is the market segment; a class is risky when it
+    holds < 3 distinct segments. One groupBy with a distinct-count (the
+    two-level partial aggregate Spark plans for distinct aggs) + a
+    1-row broadcast of corpus risk stats; the 10 least-diverse classes
+    surface via TakeOrdered. Scan-bound at 100 TB.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+            "balance_band"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("grp_size"),
+        F.countDistinct("c_mktsegment").alias("l_distinct"),
+    )
+    tot = cls.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l_distinct").alias("min_l"),
+        F.sum(F.when(F.col("l_distinct") < 3, 1).otherwise(0)).alias(
+            "n_classes_lt_l"
+        ),
+        F.sum(
+            F.when(F.col("l_distinct") < 3, F.col("grp_size")).otherwise(0)
+        ).alias("n_rows_at_risk"),
+    )
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .orderBy("l_distinct", "grp_size", "c_nationkey", "balance_band")
+        .limit(10)
+        .select(
+            "c_nationkey",
+            "balance_band",
+            "grp_size",
+            "l_distinct",
+            "n_classes",
+            "min_l",
+            "n_classes_lt_l",
+            "n_rows_at_risk",
+        )
+    )
