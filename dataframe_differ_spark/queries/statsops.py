@@ -2487,3 +2487,105 @@ def q_privacy_l_diversity(spark, sf_dir):
             "n_rows_at_risk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared test of independence: customer nation vs market segment
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer GROUP BY 1, 2),
+rowt AS (SELECT nation, CAST(SUM(cnt) AS BIGINT) AS rt FROM cells GROUP BY 1),
+colt AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT nation) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT seg) AS BIGINT) AS c
+        FROM cells),
+terms AS (
+  SELECT cells.nation, cells.seg,
+         (cells.cnt - CAST(rowt.rt AS DOUBLE) * colt.ct / tot.n)
+         * (cells.cnt - CAST(rowt.rt AS DOUBLE) * colt.ct / tot.n)
+         / (CAST(rowt.rt AS DOUBLE) * colt.ct / tot.n) AS term
+  FROM cells
+  JOIN rowt USING (nation) JOIN colt USING (seg) CROSS JOIN tot),
+folded AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(term ORDER BY nation, seg)),
+                     (acc, x) -> acc + x) AS chi2
+  FROM terms)
+SELECT tot.n AS n_obs, tot.r * tot.c AS n_cells,
+       (tot.r - 1) * (tot.c - 1) AS dof,
+       ROUND(folded.chi2, 9) AS chi2,
+       ROUND(SQRT(folded.chi2 / (tot.n *
+             CASE WHEN tot.r < tot.c THEN tot.r - 1 ELSE tot.c - 1 END)), 9)
+         AS cramers_v
+FROM folded CROSS JOIN tot
+"""
+
+
+@register("stats_chi2_independence", oracle=_CHI2_SQL)
+def q_stats_chi2_independence(spark, sf_dir):
+    """Chi-squared test of independence: nation x market segment.
+
+    The categorical companion to `stats_anova_f` (continuous >2-arm):
+    is the segment mix independent of nation? Observed cell counts are
+    exact BIGINTs from one groupBy; each expected count and cell term is
+    the same fixed IEEE op chain on exact integers both engines
+    (e = CAST(rt AS DOUBLE) * ct / n, term = (cnt-e)^2/e — + - * / are
+    correctly-rounded, so per-cell doubles are bit-identical). The one
+    order-sensitive reduction — summing ~125 cell terms — uses the
+    sorted sequential fold (array_sort(collect_list) + F.aggregate vs
+    list(... ORDER BY) + list_reduce), the `stats_anova_f` /
+    IVF-Lloyd-mean device. Effect size reported as Cramer's V. Plan:
+    one map-side-combinable groupBy, two tiny rollups re-joined
+    broadcast; the fold runs over r*c rows (125 here) regardless of
+    data volume — scan-bound at 100 TB.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    rowt = cells.groupBy("nation").agg(F.sum("cnt").alias("rt"))
+    colt = cells.groupBy("seg").agg(F.sum("cnt").alias("ct"))
+    tot = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.countDistinct("nation").alias("r"),
+        F.countDistinct("seg").alias("c"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(rowt), "nation")
+        .join(F.broadcast(colt), "seg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "seg",
+            "n",
+            "r",
+            "c",
+            ((F.col("cnt") - e) * (F.col("cnt") - e) / e).alias("term"),
+        )
+    )
+    folded = terms.groupBy("n", "r", "c").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("nation", "seg", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2")
+    )
+    min_dim = F.when(F.col("r") < F.col("c"), F.col("r") - 1).otherwise(
+        F.col("c") - 1
+    )
+    return folded.select(
+        F.col("n").alias("n_obs"),
+        (F.col("r") * F.col("c")).alias("n_cells"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round(F.col("chi2"), 9).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("n") * min_dim)), 9).alias(
+            "cramers_v"
+        ),
+    )

@@ -500,3 +500,28 @@ def test_fdr_bh_stepup_rule(spark, sf_small):
             pool * (1 - pool) * (1 / r.n_t + 1 / r.n_c)
         )
         assert abs(r.z - z) < 1e-6
+
+
+def test_chi2_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from dataframe_differ_spark.queries.statsops import (
+        q_stats_chi2_independence,
+    )
+
+    r = q_stats_chi2_independence(spark, sf_small).collect()[0]
+    c = pq.read_table(sf_small + "/customer.parquet").to_pandas()
+    obs = c.groupby(["c_nationkey", "c_mktsegment"]).size().unstack(fill_value=0)
+    o = obs.to_numpy(float)
+    rt, ct, n = o.sum(axis=1), o.sum(axis=0), o.sum()
+    # Only observed (non-empty) cells contribute terms in the query; an
+    # all-zero cell would divide by a nonzero expected count and add 0
+    # only if cnt==e==0 never happens — recompute over observed cells.
+    e = np.outer(rt, ct) / n
+    mask = o > 0
+    chi2 = (((o - e) ** 2 / e)[mask]).sum()
+    nr, nc = (rt > 0).sum(), (ct > 0).sum()
+    assert r.n_obs == int(n)
+    assert r.dof == (nr - 1) * (nc - 1)
+    assert abs(r.chi2 - chi2) < 1e-5
+    assert abs(r.cramers_v - math.sqrt(chi2 / (n * min(nr - 1, nc - 1)))) < 1e-8
