@@ -1,4 +1,11 @@
-"""Operator library: diff core (reference surface) + extensions."""
+"""Operator library: diff core (reference surface) + extensions.
+
+- ``diff_core``: the reference's diff surface (schema/keyed/unkeyed/...).
+- ``ranks``: scale-safe exact global ranking (no single-partition windows).
+- ``dedup``: exact / MinHash-LSH / SimHash / semantic dedup + components.
+- ``similarity``: exact / LSH / IVF top-k cosine, k-means quantizer.
+- ``textquality``: token counts, quality gates, language ID, fingerprints.
+"""
 
 from dataframe_differ_spark.operators.diff_core import (
     schema_diff,
@@ -9,6 +16,25 @@ from dataframe_differ_spark.operators.diff_core import (
     duplicate_keys,
     changed_sample,
 )
+from dataframe_differ_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_dedup,
+    semantic_dedup,
+    shingles,
+    simhash_dedup,
+)
+from dataframe_differ_spark.operators.similarity import (
+    ivf_index,
+    topk_cosine,
+    topk_cosine_ivf,
+    topk_cosine_lsh,
+)
+from dataframe_differ_spark.operators.textquality import (
+    language_id,
+    quality_features,
+    token_counts,
+)
 
 __all__ = [
     "schema_diff",
@@ -18,4 +44,17 @@ __all__ = [
     "column_mismatch_stats",
     "duplicate_keys",
     "changed_sample",
+    "connected_components",
+    "exact_dedup",
+    "minhash_dedup",
+    "semantic_dedup",
+    "shingles",
+    "simhash_dedup",
+    "ivf_index",
+    "topk_cosine",
+    "topk_cosine_ivf",
+    "topk_cosine_lsh",
+    "language_id",
+    "quality_features",
+    "token_counts",
 ]

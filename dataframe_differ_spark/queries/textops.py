@@ -15,6 +15,18 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dataframe_differ_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_dedup,
+    simhash_dedup,
+)
+from dataframe_differ_spark.operators.textquality import (
+    language_id,
+    quality_features,
+    rolling_fingerprint,
+    token_counts,
+)
 from dataframe_differ_spark.queries import register
 from dataframe_differ_spark.tables import load_table
 
@@ -135,27 +147,10 @@ def q_text_lang_id(spark, sf_dir):
     carries the scale. Deterministic end to end, so it gets a full SQL
     oracle — unusual for a classifier, deliberate here.
     """
+    # Thin binding over operators.textquality.language_id (round-5
+    # extraction); fixture adds the true-label join for the correct flag.
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
-    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token"))
-    prof = (
-        freq.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 8)
-        .select("lang", "token")
-    )
-    dtok = tok.select("doc_id", "token").distinct()
-    scores = (
-        dtok.join(F.broadcast(prof.withColumnRenamed("lang", "plang")), "token")
-        .groupBy("doc_id", "plang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    wb = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("plang"))
-    best = (
-        scores.withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("plang").alias("predicted_lang"))
-    )
+    best = language_id(docs, "doc_id", "text", "lang", profile_size=8)
     return docs.join(best, "doc_id").select(
         "doc_id",
         F.col("lang").alias("true_lang"),
@@ -192,20 +187,17 @@ def q_text_quality(spark, sf_dir):
     Pure per-row expressions — embarrassingly parallel, no shuffle at all;
     at 100 TB this runs at parquet scan speed.
     """
+    # Thin binding over operators.textquality.quality_features (round-5
+    # extraction); fixture supplies the precomputed n_chars column and the
+    # oracle's rounding.
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    ttr = n_distinct.cast("double") / n_tokens
-    return docs.select(
+    return quality_features(docs, "text", chars_col="n_chars").select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct"),
-        F.round(ttr, 9).alias("ttr"),
-        F.round(F.col("n_chars").cast("double") / n_tokens, 9).alias(
-            "avg_token_len"
-        ),
-        ((n_tokens >= 20) & (ttr >= 0.3)).cast("int").alias("passes_quality"),
+        "n_tokens",
+        "n_distinct",
+        F.round("ttr", 9).alias("ttr"),
+        F.round("avg_token_len", 9).alias("avg_token_len"),
+        "passes_quality",
     )
 
 
@@ -229,13 +221,12 @@ def q_text_fingerprint(spark, sf_dir):
     aggregate higher-order function (no UDF). Detects exact and
     prefix-shifted duplicates cheaply at scale.
     """
+    # Thin binding over operators.textquality.rolling_fingerprint (round-5
+    # extraction).
     docs = load_table(spark, sf_dir, "documents")
-    code = "CAST(length(t) * 131 + ascii(t) AS BIGINT)"
-    fp = F.expr(
-        "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
-        f"(acc, t) -> (acc * 31 + {code}) % 1000000007)"
+    return docs.select(
+        "doc_id", rolling_fingerprint("text").alias("fingerprint")
     )
-    return docs.select("doc_id", fp.alias("fingerprint"))
 
 
 # --------------------------------------------------------------------------
@@ -259,11 +250,9 @@ def q_dedup_exact(spark, sf_dir):
     The 100 TB shape: shuffle on md5(text) (uniform 128-bit key, no skew),
     map-side combine. Survivors = canonical_doc_id; copies>1 are dups.
     """
+    # Thin binding over operators.dedup.exact_dedup (round-5 extraction).
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
-        F.min("doc_id").alias("canonical_doc_id"),
-        F.count(F.lit(1)).alias("copies"),
-    )
+    return exact_dedup(docs, ["text"], "doc_id", hash_col="text_hash")
 
 
 @register(
@@ -377,17 +366,11 @@ def q_text_token_count(spark, sf_dir):
     """Token counting: whitespace split, regex word tokens, and a BPE-ish
     estimate (ceil(len/4) subword pieces per token — the ~4-chars-per-token
     heuristic used for LLM budget estimates). Per-row expressions only."""
+    # Thin binding over operators.textquality.token_counts (round-5
+    # extraction).
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(_tokens()).alias("ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias(
-            "word_tokens"
-        ),
-        F.expr(
-            "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
-            "(acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT))"
-        ).alias("bpe_est_tokens"),
+    return token_counts(docs, "text").select(
+        "doc_id", "ws_tokens", "word_tokens", "bpe_est_tokens"
     )
 
 
@@ -406,31 +389,6 @@ def _with_planted_near_dups(docs):
         ).alias("text"),
     )
     return docs.select("doc_id", "text").unionByName(copies)
-
-
-def _shingle_df(spark, sf_dir):
-    """Fresh (doc_id, shingles) plan — corpus + planted dups.
-
-    Built anew per call: re-using one shingle subplan across several
-    branches of a self-join trips Catalyst's common-expression handling
-    for the nested zip_with lambdas (key-not-found at execution).
-    """
-    docs = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return (
-        docs.withColumn("toks", F.split("text", " "))
-        .withColumn("t2", F.expr("slice(toks, 2, size(toks))"))
-        .withColumn("t3", F.expr("slice(toks, 3, size(toks))"))
-        .select(
-            "doc_id",
-            F.expr(
-                "array_distinct(filter("
-                "  zip_with(zip_with(toks, t2, (a, b) -> concat_ws(' ', a, b)),"
-                "           t3, (ab, c) -> IF(c IS NULL, NULL, concat_ws(' ', ab, c))),"
-                "  x -> x IS NOT NULL))"
-            ).alias("shingles"),
-        )
-        .filter(F.size("shingles") > 0)
-    )
 
 
 # Portable shingle hash j over the %13 planted corpus: 48 bits of
@@ -515,102 +473,23 @@ def q_dedup_near(spark, sf_dir):
     Every join is an equi-join on a uniform key; wide shingle rows never
     enter a shuffle. Tests assert planted duplicates are recovered.
     """
-    n_hashes, n_bands = 12, 6
-    rows_per_band = n_hashes // n_bands
-
-    # One shingle pass and ONE signature build, lazily checkpointed and
-    # reused by every downstream branch (bands self-join, estimate join,
-    # exact-verify join). The lineage cut doubles as the safe form of the
-    # "fresh plan per call" workaround for the Catalyst nested-lambda
-    # reuse bug — and avoids hashing the corpus 4× (12 md5s per shingle
-    # are the dominant cost; at 100 TB the sigs table is the
-    # materialized index you'd persist anyway).
-    sh = _shingle_df(spark, sf_dir).localCheckpoint(eager=False)
-    tok = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sigs = (
-        tok.select(
-            "doc_id",
-            "s",
-            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j"),
-        )
-        .select(
-            "doc_id",
-            "j",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("j").cast("string"), F.lit("~"), F.col("s")
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("s"))
-        .localCheckpoint(eager=False)
-    )
-    bands = sigs.groupBy(
-        "doc_id", (F.col("j") / rows_per_band).cast("int").alias("band")
-    ).agg(
-        F.expr(
-            "concat_ws('-', transform(array_sort(collect_list(struct(j, s))), "
-            "x -> cast(x.s as string)))"
-        ).alias("bkey")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sa, sb = sigs.alias("sa"), sigs.alias("sb")
-    est = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.j") == F.col("sa.j")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.avg(
-                F.when(F.col("sa.s") == F.col("sb.s"), F.lit(1.0)).otherwise(0.0)
-            ).alias("est_j")
-        )
-        .filter(F.col("est_j") >= 0.35)
-        .select("doc_a", "doc_b")
-    )
-    sha = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.size("shingles").alias("n_a"),
-    )
-    shb = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.size("shingles").alias("n_b"),
-    )
-    paired = est.join(sha, "doc_a").join(shb, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
-    return (
-        paired.filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
-    )
+    # Thin binding over operators.dedup.minhash_dedup (round-5 extraction):
+    # the operator owns the shingle pass, the checkpointed signature build
+    # (the persisted index at 100 TB), the banded candidate join, and the
+    # estimate→exact verification cascade; this fixture supplies the
+    # planted corpus and the column names the oracle expects.
+    corpus = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return minhash_dedup(
+        corpus,
+        "doc_id",
+        "text",
+        num_perm=12,
+        bands=6,
+        est_threshold=0.35,
+        threshold=0.5,
+        out_a="doc_a",
+        out_b="doc_b",
+    ).withColumn("jaccard", F.round("jaccard", 9))
 
 
 # 64-bit portable shingle hash (dedup_simhash): 16 hex chars of md5 parsed
@@ -686,64 +565,20 @@ def q_dedup_simhash(spark, sf_dir):
     candidate pairs and hamming distances all hash-match DuckDB;
     production would swap md5 → xxhash64, one expression, same plan.
     """
-    unsigned = "CAST(conv(substring(md5(s), 1, 16), 16, 10) AS DECIMAL(21,0))"
-    tok = (
-        _shingle_df(spark, sf_dir)
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .withColumn(
-            "h",
-            F.expr(
-                f"CAST({unsigned} - CASE WHEN {unsigned} > 9223372036854775807 "
-                "THEN CAST(18446744073709551616 AS DECIMAL(21,0)) "
-                "ELSE 0 END AS BIGINT)"
-            ),
-        )
-    )
-    votes = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
-    )
-    # Assemble the long from sign bits; bit 63 contributes the (negative)
-    # min-long value — bit arithmetic (xor/bit_count/shifts) is two's
-    # complement clean.
-    sim = votes.select(
+    # Thin binding over operators.dedup.simhash_dedup (round-5 extraction):
+    # the operator owns the shingle pass, the 64-bit vote aggregation, the
+    # band-bucket candidate join and the Hamming verify; this fixture
+    # supplies the planted corpus and the oracle's column names.
+    corpus = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return simhash_dedup(
+        corpus,
         "doc_id",
-        sum(
-            [
-                F.when(
-                    F.col(f"b{i}") > 0,
-                    F.lit(-(2**63) if i == 63 else 2**i).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
-            ]
-        ).alias("simhash"),
-    )
-    banded = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band"),
-    ).withColumn("byte", F.expr("(simhash >> (band * 8)) & 255"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byte") == F.col("b.byte"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 16)
-        .dropDuplicates(["doc_a", "doc_b"])
+        "text",
+        n_bands=8,
+        hamming_threshold=16,
+        out_a="doc_a",
+        out_b="doc_b",
+        out_dist="hamming",
     )
 
 
@@ -816,48 +651,15 @@ def q_dedup_clusters(spark, sf_dir):
         .unionByName(edges.select(F.col("dst").alias("v")))
         .distinct()
     )
-    labels = vertices.withColumn("label", F.col("v"))
-    undirected = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    for _ in range(10):  # bound >> expected diameter
-        neighbor_min = (
-            undirected.join(labels, undirected.src == labels.v)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nmin"))
-        )
-        # New label + changed-flag in one pass, then eagerly localCheckpoint:
-        # truncates lineage (otherwise iteration k recomputes all k-1 prior
-        # joins — quadratic) and materializes once, so the convergence count
-        # reads cached blocks instead of replaying the plan.
-        new_labels = (
-            labels.join(neighbor_min, labels.v == neighbor_min.dst, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
-                    "__chg"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(F.col("__chg")).count()
-        labels = new_labels.drop("__chg")
-        if changed == 0:
-            break
-    # Fail loud on non-convergence: a partially-propagated labeling would
-    # silently disagree with the oracle's full transitive closure.
-    # RuntimeError, not assert: asserts vanish under `python -O`.
-    if changed != 0:
-        raise RuntimeError(
-            f"CC did not converge within bound ({changed} moving)"
-        )
+    # Thin binding over operators.dedup.connected_components (round-5
+    # extraction): the operator owns the O(diameter) min-label loop with
+    # per-round eager localCheckpoint (lineage truncation) and the fail-loud
+    # convergence guard; this fixture supplies the planted edge chains and
+    # includes isolated docs via the explicit vertex frame.
+    labels = connected_components(edges, "src", "dst", vertices=vertices)
     return (
-        labels.groupBy("label")
+        labels.groupBy("component_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .withColumnRenamed("label", "component_id")
         .filter(F.col("cluster_size") > 1)
     )
 

@@ -33,6 +33,14 @@ from dataframe_differ_spark.functions.vector import (  # noqa: F401
     norm as _norm,
 )
 from dataframe_differ_spark.operators.ranks import partitioned_topk
+from dataframe_differ_spark.operators.similarity import (
+    assign_clusters,
+    ivf_index,
+    topk_cosine,
+    topk_cosine_ivf,
+    topk_cosine_lsh,
+)
+from dataframe_differ_spark.operators.dedup import semantic_dedup
 
 
 def _emb_double(spark, sf_dir):
@@ -69,90 +77,15 @@ def _ivf_index_cached(spark, sf_dir, e, n_clusters: int):
 
 
 def _ivf_index(e, n_clusters: int):
-    """Build the IVF coarse quantizer: (index, centroids) DataFrames.
-
-    Deterministic md5-ordered seeding, one distributed Lloyd iteration
-    (assign via broadcast crossJoin + max_by(dot); recompute means via
-    posexplode → groupBy(cluster, dim) → re-assemble), then the final
-    assignment. At 100 TB `index.cluster_id` would be the on-disk
-    partitioning key so a probe touches only nprobe/n_clusters of the data.
-    Shared by `sim_topk_ivf` (ANN search) and `knn_classify_ivf`.
+    """IVF coarse quantizer — thin binding over the parametric operator
+    :func:`~dataframe_differ_spark.operators.similarity.ivf_index` (round-5
+    extraction; the algorithm docstring lives there). Deterministic
+    md5-ordered seeding + one sequential-fold Lloyd iteration, so the whole
+    chain is bit-reproducible across engines — what keeps sim_topk_ivf /
+    knn_classify_ivf / dedup_semantic FULL-oracle. Shared via
+    `_ivf_index_cached` by all IVF consumers.
     """
-
-    def assign(vectors, centroids):
-        # Vectors are unit-norm → cosine argmax == dot argmax. Tie-break on
-        # cluster_id for determinism.
-        scored = vectors.join(F.broadcast(centroids), how="cross").withColumn(
-            "dot", _dot("ce", "e")
-        )
-        return scored.groupBy("vec_id").agg(
-            F.expr("max_by(cluster_id, struct(dot, cluster_id))").alias("cluster_id"),
-            F.first("e").alias("e"),
-        )
-
-    seeds = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(n_clusters)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(F.md5(F.col("vec_id").cast("string"))))
-            .alias("cluster_id"),
-            F.col("e").alias("ce"),
-        )
-    )
-    # One Lloyd iteration: new centroid = unit-normalized mean of members.
-    # Round 4: the mean is a DETERMINISTIC sequential fold (running window
-    # ordered by vec_id, last row per group — the vec_centroid_outliers
-    # device) instead of F.avg, whose partial-aggregation order is
-    # partition-dependent. That makes the whole quantizer bit-reproducible
-    # across engines and cluster layouts, which is what upgrades
-    # sim_topk_ivf / knn_classify_ivf from rows-only to FULL oracle. At
-    # 100 TB you'd use plain avg() — bit-exactness vs a second engine is
-    # a parity device, not a production requirement.
-    assigned0 = assign(e, seeds)
-    member_dims = assigned0.select(
-        "vec_id", "cluster_id", F.posexplode("e").alias("dim", "val")
-    )
-    wrun = (
-        Window.partitionBy("cluster_id", "dim")
-        .orderBy("vec_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    mean_dims = (
-        member_dims.withColumn("s", F.sum("val").over(wrun))
-        .withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("cluster_id", "dim"))
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("cluster_id", "dim").orderBy(
-                    F.col("vec_id").desc()
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("cluster_id", "dim", (F.col("s") / F.col("n")).alias("mean_val"))
-    )
-    centroids = (
-        mean_dims.groupBy("cluster_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim, mean_val))), "
-                "x -> x.mean_val)"
-            ).alias("ce_raw")
-        )
-        .withColumn(
-            "ce",
-            F.expr(
-                "transform(ce_raw, x -> x / sqrt(aggregate("
-                "zip_with(ce_raw, ce_raw, (a, b) -> a * b), "
-                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
-            ),
-        )
-        .select("cluster_id", "ce")
-    )
-    return assign(e, centroids), centroids
+    return ivf_index(e, "vec_id", "e", n_clusters=n_clusters)
 
 
 @register(
@@ -193,23 +126,14 @@ def q_sim_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim", _dot("qe", "e") / (_norm("qe") * _norm("e"))
-        )
+    # Thin binding over operators.similarity.topk_cosine (round-5
+    # extraction): broadcast queries + two-phase partitioned_topk — with
+    # few queries the single-phase window key is maximally skewed (5
+    # reducers sort the whole corpus); the per-partition prune makes the
+    # final per-query exchange tiny.
+    return topk_cosine(e, q, 10).withColumn(
+        "cos_sim", F.round("cos_sim", 9)
     )
-    # Two-phase top-k (operators.ranks.partitioned_topk): with few queries
-    # the single-phase window key is maximally skewed (5 reducers sort the
-    # whole corpus); the per-partition prune makes the final per-query
-    # exchange tiny. Identical result.
-    return partitioned_topk(
-        scored,
-        ["query_id"],
-        [F.col("cos_sim").desc(), F.col("vec_id")],
-        10,
-        rank_col="rank",
-    ).select("query_id", "vec_id", "rank", F.round("cos_sim", 9).alias("cos_sim"))
 
 
 @register(
@@ -443,56 +367,16 @@ def q_sim_topk_lsh(spark, sf_dir):
     device), so candidates, ranks and cosines all hash-match DuckDB even
     where LSH recall < 1.
     """
-    n_planes, n_bands = _STL_PLANES_N, _STL_BANDS
-    band_bits = _STL_BITS
-    planes_sql = ", ".join(
-        "array(" + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in p) + ")"
-        for p in _STL_PLANES
-    )
+    # Thin binding over operators.similarity.topk_cosine_lsh (round-5
+    # extraction): the module-level _STL_PLANES literals stay the shared
+    # truth between this plan and the oracle SQL above.
     e = _emb_double(spark, sf_dir)
-    bits = F.expr(
-        f"transform(array({planes_sql}), "
-        "p -> IF(aggregate(zip_with(p, e, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0, 1, 0))"
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    band_sigs = F.expr(
-        f"transform(sequence(0, {n_bands - 1}), "
-        f"b -> aggregate(slice(bits, b * {band_bits} + 1, {band_bits}), "
-        "0, (acc, bit) -> acc * 2 + bit))"
-    )
-    sigs = e.withColumn("bits", bits).withColumn("band_sigs", band_sigs)
-    # One row per (vector, band): the LSH index table.
-    index = sigs.select(
-        "vec_id",
-        "e",
-        F.posexplode("band_sigs").alias("band", "sig"),
-    )
-    q = index.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("band").alias("qband"),
-        F.col("sig").alias("qsig"),
-    )
-    cand = (
-        index.join(
-            F.broadcast(q),
-            (F.col("band") == F.col("qband"))
-            & (F.col("sig") == F.col("qsig"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", "qe", "vec_id", "e")
-        .dropDuplicates(["query_id", "vec_id"])  # any-band match, once
-    )
-    cos = _dot("qe", "e") / (_norm("qe") * _norm("e"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        cand.withColumn("cos_sim", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id", "rank", F.round("cos_sim", 9).alias("cos_sim"))
-    )
+    return topk_cosine_lsh(
+        e, q, 10, planes=_STL_PLANES, n_bands=_STL_BANDS
+    ).withColumn("cos_sim", F.round("cos_sim", 9))
 
 
 # DuckDB twin of the ENTIRE _ivf_index chain (seeds → assign → Lloyd mean
@@ -599,38 +483,14 @@ def q_sim_topk_ivf(spark, sf_dir):
     n_clusters, n_probe, k = 16, 6, 10
     e = _emb_double(spark, sf_dir)
     index, centroids = _ivf_index_cached(spark, sf_dir, e, n_clusters)
-
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    q_probes = (
-        queries.join(F.broadcast(centroids), how="cross")
-        .withColumn("dot", _dot("ce", "qe"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("dot").desc(), F.col("cluster_id")
-                )
-            ),
-        )
-        .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qe", "cluster_id")
-    )
-    cand = index.join(
-        F.broadcast(q_probes),
-        (index.cluster_id == q_probes.cluster_id)
-        & (F.col("vec_id") != F.col("query_id")),
-    ).select("query_id", "qe", "vec_id", "e")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        cand.withColumn("cos_sim", _dot("qe", "e") / (_norm("qe") * _norm("e")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", F.round("cos_sim", 9).alias("cos_sim"))
-    )
+    # Thin binding over operators.similarity.topk_cosine_ivf (round-5
+    # extraction) on the session-cached quantizer.
+    return topk_cosine_ivf(
+        index, centroids, queries, k, n_probe=n_probe
+    ).withColumn("cos_sim", F.round("cos_sim", 9))
 
 
 @register(
@@ -983,66 +843,24 @@ def q_dedup_semantic(spark, sf_dir):
     """
     n_clusters = 16
     e = _emb_double(spark, sf_dir).select("vec_id", "e")
-    index, centroids = _ivf_index_cached(spark, sf_dir, e, n_clusters)
+    _, centroids = _ivf_index_cached(spark, sf_dir, e, n_clusters)
     noise = _SJL_NOISE.format(vid="vec_id", i="i")
     planted = e.filter(F.col("vec_id") % 7 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.expr(f"transform(e, (x, i) -> x + {noise})").alias("e"),
     )
-    # Assign the planted vectors through the identical broadcast argmax the
-    # quantizer uses (ties: highest dot, then highest cluster_id).
-    planted_assigned = (
-        planted.join(F.broadcast(centroids), how="cross")
-        .withColumn("dot", _dot("ce", "e"))
-        .groupBy("vec_id")
-        .agg(
-            F.expr("max_by(cluster_id, struct(dot, cluster_id))").alias(
-                "cluster_id"
-            ),
-            F.first("e").alias("e"),
-        )
-    )
-    pool = index.select("vec_id", "e", "cluster_id").unionByName(
-        planted_assigned.select("vec_id", "e", "cluster_id")
-    )
-    n = pool.withColumn("nrm", _norm("e"))
-    a = n.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-        "cluster_id",
-    )
-    b = n.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-        F.col("cluster_id").alias("cluster_b"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("cluster_id") == F.col("cluster_b"))
-            & (F.col("a_id") < F.col("b_id")),
-        )
-        .withColumn("dot", _dot("ea", "eb"))
-        .withColumn("nn", F.col("na") * F.col("nb"))
-        .filter(F.col("dot") >= 0.99 * F.col("nn"))
-        .select(
-            F.col("b_id").alias("dup_id"),
-            F.col("a_id").alias("canonical_id"),
-            "cluster_id",
-            (F.col("dot") / F.col("nn")).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("dup_id").orderBy("canonical_id")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "dup_id", "canonical_id", "cluster_id",
-            F.round("cos_sim", 9).alias("cos_sim"),
-        )
-    )
+    # Thin binding over operators.dedup.semantic_dedup (round-5
+    # extraction) on the session-cached quantizer's centroids: base and
+    # planted vectors alike go through the operator's broadcast argmax —
+    # identical assignments to the cached index (deterministic tie-break),
+    # one cheap broadcast join. The operator's n_clusters=None form derives
+    # K = max(16, ceil(sqrt(N))) — the executable SemDeDup scale law; this
+    # fixture pins K=16 via the shared cached centroids so the oracle CTEs
+    # replay bit-exactly.
+    pool = e.unionByName(planted)
+    return semantic_dedup(
+        pool, "vec_id", "e", threshold=0.99, centroids=centroids
+    ).withColumn("cos_sim", F.round("cos_sim", 9))
 
 
 _KNN_IVF_SQL = f"""
