@@ -448,6 +448,58 @@ def test_link_prediction_excludes_edges_and_matches_python(spark, sf_small):
     assert js == sorted(js, reverse=True)
 
 
+def test_link_prediction_capped_agrees_with_exact(spark, sf_small):
+    """Round-5: the degree-capped scale form (cap=64) must reproduce the
+    exact top-50 wherever no vertex exceeds the cap — which is everywhere
+    in the test corpus, so the outputs are identical pair-for-pair."""
+    from dataframe_differ_spark.queries.statsops import (
+        q_graph_link_prediction,
+        q_graph_link_prediction_capped,
+    )
+
+    exact = [
+        (r.part_a, r.part_b, r.n_common, r.n_union)
+        for r in q_graph_link_prediction(spark, sf_small).collect()
+    ]
+    capped = [
+        (r.part_a, r.part_b, r.n_common, r.n_union)
+        for r in q_graph_link_prediction_capped(spark, sf_small).collect()
+    ]
+    # corpus degrees are all < 64 → cap is a no-op; top-50 must agree
+    assert set(exact) == set(capped)
+
+
+def test_link_prediction_cap_bounds_hub_wedges(spark):
+    """Round-5 structural scale test: on a synthetic hub graph (one vertex
+    of degree 500) the capped neighbor sample bounds the hub's wedge
+    output at C(64, 2), where the uncapped form emits C(500, 2) — the
+    Σ deg² explosion the cap exists to prevent."""
+    from pyspark.sql import functions as SF
+
+    from dataframe_differ_spark.operators.ranks import partitioned_topk
+
+    hub_edges = [(0, i) for i in range(1, 501)] + [(1000, 1001), (1000, 1002)]
+    edges = spark.createDataFrame(hub_edges, ["u", "v"])
+    sym = edges.unionAll(
+        edges.select(SF.col("v").alias("u"), SF.col("u").alias("v"))
+    )
+    hkey = SF.md5(
+        SF.concat_ws(":", SF.col("u").cast("string"), SF.col("v").cast("string"))
+    )
+    capped = partitioned_topk(sym, ["u"], [hkey, "v"], 64)
+    # per-vertex neighbor lists are capped at 64
+    degs = capped.groupBy("u").count().collect()
+    assert max(r["count"] for r in degs) == 64
+    a = capped.select(SF.col("u").alias("w"), SF.col("v").alias("x"))
+    b = capped.select(SF.col("u").alias("w"), SF.col("v").alias("y"))
+    wedges = a.join(b, "w").filter(SF.col("x") < SF.col("y"))
+    hub_wedges = wedges.filter(SF.col("w") == 0).count()
+    assert hub_wedges == 64 * 63 // 2  # vs 500*499/2 uncapped
+    # the deterministic hash sample is reproducible run to run
+    again = partitioned_topk(sym, ["u"], [hkey, "v"], 64)
+    assert sorted(capped.collect()) == sorted(again.collect())
+
+
 def test_welch_matches_numpy(spark, sf_small):
     import numpy as np
 
