@@ -25,6 +25,7 @@ from dataframe_differ_spark.operators.dedup import (
     simhash_dedup,
 )
 from dataframe_differ_spark.operators.similarity import (
+    cosine_join_lsh,
     ivf_index,
     topk_cosine,
     topk_cosine_ivf,
@@ -50,6 +51,7 @@ __all__ = [
     "semantic_dedup",
     "shingles",
     "simhash_dedup",
+    "cosine_join_lsh",
     "ivf_index",
     "topk_cosine",
     "topk_cosine_ivf",

@@ -43,6 +43,7 @@ __all__ = [
     "topk_cosine",
     "lsh_band_signatures",
     "topk_cosine_lsh",
+    "cosine_join_lsh",
     "assign_clusters",
     "ivf_index",
     "topk_cosine_ivf",
@@ -200,6 +201,87 @@ def topk_cosine_lsh(
         .withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
         .select(query_id_col, id_col, rank_col, sim_col)
+    )
+
+
+def cosine_join_lsh(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    threshold: float = 0.9,
+    planes: Sequence[Sequence[float]] | None = None,
+    n_planes: int = 50,
+    n_bands: int = 5,
+    seed: int = 42,
+    dim: int | None = None,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+    sim_col: str = "cos_sim",
+) -> DataFrame:
+    """LSH-blocked self similarity join: all pairs with cosine ≥ threshold.
+
+    Sign-LSH banding as candidate generation (pairs sharing ANY band
+    signature), exact sequential-fold cosine as verification — the
+    declared 100 TB form of a similarity join: candidates come from an
+    equi-join on (band, sig) whose bucket sizes are n·2^-bits in
+    expectation, never an all-pairs product. Recall < 1 by construction
+    (S-curve of the band parameters); pairs are returned with
+    ``out_a < out_b``.
+
+    Planes ship as a broadcast table, not per-row literals — the literal
+    form blows past codegen method limits and falls back to interpreted
+    evaluation (measured 14 s → 3 s at sf0.1). In-bucket pairs are
+    generated with a bounded HOF over the sorted member list, so the
+    signature computation runs once and no join side recomputes it.
+    Fixture binding + full DuckDB oracle: ``sim_join_lsh``.
+    """
+    if planes is None:
+        if dim is None:
+            raise ValueError("pass planes= or dim= to generate them")
+        planes = random_planes(dim, n_planes, seed)
+    if len(planes) % n_bands != 0:
+        raise ValueError(f"n_planes={len(planes)} not divisible by n_bands={n_bands}")
+    band_bits = len(planes) // n_bands
+    pool = df.select(id_col, vec_col)
+    planes_df = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(planes)],
+        "plane_id int, p array<double>",
+    )
+    bit_rows = pool.crossJoin(F.broadcast(planes_df)).select(
+        id_col,
+        F.expr(f"plane_id div {band_bits}").alias("band"),
+        (F.col("plane_id") % band_bits).alias("pos"),
+        F.when(_dot("p", vec_col) >= 0, 1).otherwise(0).alias("bit"),
+    )
+    sigs = bit_rows.groupBy(id_col, "band").agg(
+        F.expr("sum(bit * shiftleft(1, pos))").alias("sig")
+    )
+    buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (x, i) -> "
+                    "transform(slice(m, i + 2, size(m) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias(out_a), F.col("p.b").alias(out_b))
+        .distinct()
+    )
+    pa = pool.select(F.col(id_col).alias(out_a), F.col(vec_col).alias("_si_ea"))
+    pb = pool.select(F.col(id_col).alias(out_b), F.col(vec_col).alias("_si_eb"))
+    scored = cand.join(pa, out_a).join(pb, out_b).withColumn(
+        sim_col, _dot("_si_ea", "_si_eb") / (_norm("_si_ea") * _norm("_si_eb"))
+    )
+    return scored.filter(F.col(sim_col) >= threshold).select(
+        out_a, out_b, sim_col
     )
 
 

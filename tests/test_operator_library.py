@@ -207,6 +207,31 @@ def test_topk_cosine_lsh_recall(vec_df):
         assert len(by_q.get(qid, set()) & set(want)) >= 3
 
 
+def test_cosine_join_lsh_finds_planted_pair(spark, vec_df):
+    from dataframe_differ_spark.operators.similarity import cosine_join_lsh
+
+    planted = vec_df.filter(F.col("vid") < 2).select(
+        (F.col("vid") + 1000).alias("vid"),
+        F.expr("transform(emb, x -> CAST(x * 1.0001 AS DOUBLE))").alias("emb"),
+    )
+    pool = vec_df.unionByName(planted)
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_join_lsh(
+            pool,
+            id_col="vid",
+            vec_col="emb",
+            threshold=0.999,
+            planes=random_planes(8, 16, seed=5),
+            n_bands=4,
+        ).collect()
+    }
+    for vid in range(2):
+        assert (vid, 1000 + vid) in pairs
+    assert all(a < b for (a, b) in pairs)
+    assert all(s >= 0.999 for s in pairs.values())
+
+
 def test_ivf_index_and_topk(vec_df):
     index, centroids = ivf_index(vec_df, "vid", "emb", n_clusters=2)
     assert centroids.count() == 2
