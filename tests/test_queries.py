@@ -391,6 +391,29 @@ def test_semdedup_recovers_planted_dups(spark, sf_small, registry):
     assert recall >= 0.85, f"SemDeDup recall too low: {recall:.2f}"
 
 
+def test_semdedup_sqrtn_derives_k_and_recovers_dups(spark, sf_small, registry):
+    # Round-5: the sqrt(N) variant must derive K = max(16, ceil(sqrt(N)))
+    # from the corpus and keep the planted-pair recovery property.
+    import math
+
+    out = registry["dedup_semantic_sqrtn"].fn(spark, sf_small).collect()
+    n = spark.read.parquet(f"{sf_small}/embeddings.parquet").count()
+    expect_k = max(16, math.ceil(math.sqrt(n)))
+    assert all(r.n_clusters == expect_k for r in out)
+    assert all(
+        r.dup_id >= 100000 and r.canonical_id == r.dup_id - 100000 for r in out
+    ), "sqrtn SemDeDup reported a non-planted pair"
+    planted = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .filter("vec_id % 7 = 0")
+        .select("vec_id")
+        .collect()
+    }
+    recall = len({r.dup_id - 100000 for r in out} & planted) / len(planted)
+    assert recall >= 0.85, f"sqrtn SemDeDup recall too low: {recall:.2f}"
+
+
 def test_tokenize_greedy_matches_python_maximal_munch(spark, sf_small, registry):
     # The fold-based segmentation must equal true longest-match-first
     # tokenization (guaranteed by prefix closure) — verified against an
@@ -475,3 +498,75 @@ def test_recursive_cte_components_equal_iterative_loop(spark, sf_small, registry
     a = _rows(registry["sql_recursive_components"].fn(spark, sf_small).select(*cols), cols)
     b = _rows(registry["dedup_clusters"].fn(spark, sf_small).select(*cols), cols)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Round-5: state-store semantics of the rows-only stream_* queries.
+# Output equality with the batch twin (tests above) proves WHAT was
+# computed; these assert HOW — that the streaming run really exercised
+# watermark drops / dedup state / session state, via the progress metrics
+# captured by streaming.record_progress.
+# ---------------------------------------------------------------------------
+
+
+def _state_ops(prefix):
+    from dataframe_differ_spark.streaming import LAST_PROGRESS
+
+    return [
+        op
+        for p in LAST_PROGRESS[prefix]
+        for op in p.get("stateOperators", [])
+    ]
+
+
+def test_stream_dedup_state_holds_exactly_distinct_ids(spark, sf_small, registry):
+    from dataframe_differ_spark.tables import load_table
+
+    registry["stream_dedup"].fn(spark, sf_small)
+    ops = [o for o in _state_ops("dedup") if o.get("operatorName") == "dedupe"]
+    assert ops, "dedupe state operator missing from streaming progress"
+    n_distinct = (
+        load_table(spark, sf_small, "events").select("event_id").distinct().count()
+    )
+    # state keeps first-seen per key: exactly the distinct ids, and the
+    # union-doubled duplicates never became state updates
+    assert max(o["numRowsTotal"] for o in ops) == n_distinct
+    assert sum(o["numRowsUpdated"] for o in ops) == n_distinct
+
+
+def test_stream_append_finalized_really_drops_late_rows(spark, sf_small, registry):
+    registry["stream_append_finalized"].fn(spark, sf_small)
+    dropped = sum(
+        o.get("numRowsDroppedByWatermark", 0) for o in _state_ops("appendfin")
+    )
+    # the hash-split replay delivers old events in later batches; once the
+    # 30-min watermark passed them they MUST be discarded, not aggregated
+    assert dropped > 0
+
+
+def test_stream_session_uses_session_window_state(spark, sf_small, registry):
+    registry["stream_session"].fn(spark, sf_small)
+    ops = [
+        o
+        for o in _state_ops("session")
+        if "sessionWindow" in o.get("operatorName", "")
+    ]
+    assert ops, "session-window state operator missing from progress"
+    assert max(o["numRowsTotal"] for o in ops) > 0
+
+
+def test_stream_dedup_watermarked_evicts_state(spark, sf_small, registry):
+    from dataframe_differ_spark.tables import load_table
+
+    registry["stream_dedup_watermarked"].fn(spark, sf_small)
+    ops = [
+        o
+        for o in _state_ops("dedupww")
+        if "dedupe" in o.get("operatorName", "")
+    ]
+    assert ops, "watermarked-dedup state operator missing from progress"
+    n_events = load_table(spark, sf_small, "events").count()
+    # state is bounded by the watermark horizon: strictly fewer rows kept
+    # than the stream delivered (eviction happened), but non-empty
+    peak = max(o["numRowsTotal"] for o in ops)
+    assert 0 < peak <= n_events
