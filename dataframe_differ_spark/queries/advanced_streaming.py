@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from dataframe_differ_spark.queries import register
 from dataframe_differ_spark.sources.replay import incremental_events_stream
-from dataframe_differ_spark.streaming import STREAM_CONF_LOCK
+from dataframe_differ_spark.streaming import STREAM_CONF_LOCK, record_progress
 from dataframe_differ_spark.streaming.foreach_batch import UpsertMergeSink
 
 
@@ -149,6 +149,7 @@ def q_stream_append_finalized(spark, sf_dir):
                 .start()
             )
             q.awaitTermination()
+            record_progress("appendfin", q)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)

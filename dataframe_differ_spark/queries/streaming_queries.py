@@ -24,7 +24,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from dataframe_differ_spark.queries import register
-from dataframe_differ_spark.streaming import STREAM_CONF_LOCK
+from dataframe_differ_spark.streaming import STREAM_CONF_LOCK, record_progress
 from dataframe_differ_spark.queries.relational import SQL_DSUM, dsum
 from dataframe_differ_spark.tables import load_table
 
@@ -192,6 +192,7 @@ def _run_to_memory(df, name_prefix: str, mode: str = "complete"):
                 .start()
             )
             q.awaitTermination()
+            record_progress(name_prefix, q)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
     return name

@@ -19,3 +19,20 @@ import threading
 #: into the session (A saves 32→sets 8; B saves 8; A restores 32; B
 #: "restores" 8).
 STREAM_CONF_LOCK = threading.Lock()
+
+#: Streaming-progress capture (round-5): query-name-PREFIX → list of
+#: per-micro-batch progress dicts from the most recent run. Lets the
+#: batch-twin pytests assert the STATE-STORE semantics of the rows-only
+#: stream_* queries (rows dropped by the watermark, state rows held for
+#: dedup/session operators) instead of only output equality. Keyed by the
+#: stable prefix ("dedup", "appendfin", ...), not the uuid-suffixed sink
+#: name, so tests can find the entry; one-per-prefix is enough because the
+#: capture is only read immediately after a query function returns.
+LAST_PROGRESS: dict[str, list[dict]] = {}
+
+
+def record_progress(prefix: str, query) -> None:
+    """Store a finished StreamingQuery's recentProgress under ``prefix``."""
+    import json as _json
+
+    LAST_PROGRESS[prefix] = [_json.loads(p.json) for p in query.recentProgress]
