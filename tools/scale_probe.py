@@ -151,7 +151,55 @@ HEADLINE = [
     "agg_weighted_median",
     "orders_cohort_ltv",
     "events_sliding_distinct",
+    # round-5 additions
+    "graph_link_prediction",
+    "graph_link_prediction_capped",
+    "dedup_semantic_sqrtn",
 ]
+
+
+def _mutate_copy(name: str, df, i: int):
+    """Deterministic per-copy content mutation (round-4 verdict item #5).
+
+    Verbatim duplication made every pair-output query (dedup_*, semantic
+    dedup, similarity joins) measure planted-pair OUTPUT blow-up instead of
+    candidate-generation scaling: copy k of a doc is a 100%-Jaccard dup of
+    copies 0..k-1, so pair counts grew quadratically in `copies`. Mutating
+    each copy breaks cross-copy near-duplicity while keeping realistic text
+    / vector statistics:
+
+    - documents: every 4th token (phase i mod 4) is rewritten to a
+      copy-tagged token → ~75% of 3-gram shingles change → Jaccard vs the
+      original ~0.14, far below every dedup threshold (0.5 / est 0.35),
+      and SimHash moves ~30 bits. Planted WITHIN-corpus dups (the %13
+      truncations each query builds itself) are unaffected.
+    - embeddings: a deterministic integer-formula perturbation of ±0.05
+      per dim (E[cos] ≈ 0.975 vs the original — below the 0.99 SemDeDup
+      threshold) with vec_id+dim+copy seeding, so cross-copy vectors stop
+      being exact semantic dups while unit-norm geometry stays realistic.
+    """
+    if i == 0:
+        return df
+    if name == "documents":
+        phase = i % 4
+        return df.withColumn(
+            "text",
+            F.expr(
+                "array_join(transform(split(text, ' '), (t, p) -> "
+                f"IF(p % 4 = {phase}, concat('c{i}', substr(t, 1, 2)), t)"
+                "), ' ')"
+            ),
+        )
+    if name == "embeddings":
+        return df.withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, j) -> CAST(x + "
+                f"(((vec_id * 31 + j * 7 + {i} * 13) % 101) - 50) * 0.001 "
+                "AS FLOAT))"
+            ),
+        )
+    return df
 
 
 def build(spark, copies: int) -> None:
@@ -162,7 +210,7 @@ def build(spark, copies: int) -> None:
             df = base
             for col, step in shifts:
                 df = df.withColumn(col, F.col(col) + F.lit(i * step))
-            parts.append(df)
+            parts.append(_mutate_copy(name, df, i))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
