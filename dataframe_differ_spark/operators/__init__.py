@@ -31,6 +31,16 @@ from dataframe_differ_spark.operators.similarity import (
     topk_cosine_ivf,
     topk_cosine_lsh,
 )
+from dataframe_differ_spark.operators.multimodal import (
+    decode_features,
+    dedup_payloads,
+    sample_frames,
+)
+from dataframe_differ_spark.operators.pipeline import (
+    decontaminate,
+    hash_split,
+    pack_sequences,
+)
 from dataframe_differ_spark.operators.textquality import (
     language_id,
     quality_features,
@@ -59,4 +69,10 @@ __all__ = [
     "language_id",
     "quality_features",
     "token_counts",
+    "decontaminate",
+    "hash_split",
+    "pack_sequences",
+    "decode_features",
+    "dedup_payloads",
+    "sample_frames",
 ]

@@ -17,6 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dataframe_differ_spark.operators.pipeline import (
+    decontaminate,
+    hash_split,
+    pack_sequences,
+)
 from dataframe_differ_spark.queries import register
 from dataframe_differ_spark.tables import load_table
 
@@ -149,15 +154,12 @@ def q_split_train_val_test(spark, sf_dir):
     must survive re-ingestion at 100 TB. The bucket char compare and the
     token count pipeline with the scan; one shuffle for the summary.
     """
+    # Thin binding over operators.pipeline.hash_split (round-5 extraction):
+    # default (13, 2, 1)/16 split — bucket 15 ('f') = test, 13–14 ('d','e')
+    # = val, the oracle's exact membership.
     docs = _docs_tok(spark, sf_dir)
-    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     return (
-        docs.withColumn(
-            "split",
-            F.when(b == "f", "test")
-            .when(b.isin("d", "e"), "val")
-            .otherwise("train"),
-        )
+        hash_split(docs, "doc_id")
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -261,15 +263,11 @@ def q_seq_pack_budget(spark, sf_dir):
     #sources wide and no global sort exists; at 100 TB you'd sub-salt
     sources by date to widen it further. One shuffle total.
     """
+    # Thin binding over operators.pipeline.pack_sequences (round-5
+    # extraction).
     sized = _docs_tok(spark, sf_dir).select("source", "doc_id", "n_tok")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    packed = sized.withColumn(
-        "pack_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512.0)),
+    packed = pack_sequences(
+        sized, "n_tok", 512, partition_cols=["source"], order_cols=["doc_id"]
     )
     return packed.groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -368,39 +366,15 @@ def q_contamination_check(spark, sf_dir):
     per-doc distinct-count. At 100 TB this is the difference between a
     full corpus self-join and a map-side lookup.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.withColumn("toks", F.split("text", " "))
-        .withColumn("t2", F.expr("slice(toks, 2, size(toks))"))
-        .withColumn("t3", F.expr("slice(toks, 3, size(toks))"))
-        .withColumn(
-            "is_bench",
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f",
-        )
-        .select(
-            "doc_id",
-            "is_bench",
-            F.explode(
-                F.expr(
-                    "array_distinct(filter("
-                    "  zip_with(zip_with(toks, t2, (a, b) -> concat_ws(' ', a, b)),"
-                    "           t3, (ab, c) -> IF(c IS NULL, NULL, concat_ws(' ', ab, c))),"
-                    "  x -> x IS NOT NULL))"
-                )
-            ).alias("shingle"),
-        )
-    )
-    train = sh.filter(~F.col("is_bench")).select("doc_id", "shingle")
-    bench = sh.filter(F.col("is_bench")).select(
-        F.col("doc_id").alias("bench_doc"), "shingle"
-    )
-    return (
-        train.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("bench_doc").alias("n_bench_docs"),
-            F.countDistinct("shingle").alias("n_shared_shingles"),
-        )
+    # Thin binding over operators.pipeline.decontaminate (round-5
+    # extraction): the held-out pool is hash_split's test bucket
+    # (md5 char 'f'), matching the oracle's is_bench predicate.
+    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    return decontaminate(
+        docs.filter(F.col("split") != "test"),
+        docs.filter(F.col("split") == "test"),
+        "doc_id",
+        "text",
     )
 
 
