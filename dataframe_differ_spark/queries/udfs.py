@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from dataframe_differ_spark.operators.multimodal import (
+    decode_features,
+    sample_frames,
+)
 from dataframe_differ_spark.queries import register
 from dataframe_differ_spark.tables import load_table
 
@@ -207,29 +211,13 @@ def q_multimodal_features(spark, sf_dir):
     decoder without touching any Spark code.
     """
 
-    def _decode_stub(payload: bytes) -> tuple[int, int, int]:
-        # Stand-in for PIL.Image.open(io.BytesIO(payload)): derive fake
-        # dimensions deterministically from the bytes themselves.
-        return 64 + len(payload) % 512, 64 + payload[0] % 64, 3
-
-    def extract(batches):
-        for pdf in batches:
-            dims = [_decode_stub(b) for b in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(b) for b in pdf["payload"]],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "channels": [d[2] for d in dims],
-                }
-            )
-
+    # Thin binding over operators.multimodal.decode_features (round-5
+    # extraction): the operator owns the Arrow plumbing; the decoder is
+    # the pluggable stub (swap in a Pillow callable in production).
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    schema = "doc_id bigint, n_bytes int, width int, height int, channels int"
-    return d.mapInPandas(extract, schema)
+    return decode_features(d, "doc_id", "payload")
 
 
 @register(
@@ -410,36 +398,13 @@ def q_multimodal_framesample(spark, sf_dir):
     reproduce the byte slices with substr. Pipeline stays shuffle-free:
     scan -> Arrow -> Python -> Arrow, partition-local.
     """
-    import hashlib
-
-    def _sample_stub(payload: bytes):
-        # Stand-in for real frame extraction: up to 3 fixed-stride
-        # 100-byte windows, at least one even for short payloads.
-        n = max(1, min(3, len(payload) // 100))
-        for i in range(n):
-            yield i, i * 100, hashlib.md5(payload[i * 100 : i * 100 + 100]).hexdigest()
-
-    def sample(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = text.encode("utf-8")
-                for idx, off, h in _sample_stub(payload):
-                    rows.append((doc_id, idx, off, h))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "byte_offset", "frame_hash"]
-            )
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("byte_offset", T.IntegerType()),
-            T.StructField("frame_hash", T.StringType()),
-        ]
+    # Thin binding over operators.multimodal.sample_frames (round-5
+    # extraction): the operator owns the variable-rows-per-input Arrow
+    # plumbing; the sampler is the pluggable stub (ffmpeg in production).
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return d.mapInPandas(sample, schema)
+    return sample_frames(d, "doc_id", "payload")
 
 
 _DPP_SQL = """
