@@ -1990,3 +1990,47 @@ def q_sql_pipe_syntax(spark, sf_dir):
         |> SELECT o_orderpriority, n_orders, total_price, n_finished
         """
     )
+
+
+@register(
+    "agg_arg_minmax",
+    oracle="""
+SELECT c_nationkey,
+       arg_max(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000
+                       + c_custkey) AS richest_customer,
+       arg_min(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000
+                       + c_custkey) AS poorest_customer,
+       MAX(c_acctbal) AS max_bal,
+       MIN(c_acctbal) AS min_bal,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def q_agg_arg_minmax(spark, sf_dir):
+    """D-family completion (round 5): argument-extrema aggregates —
+    max_by / min_by (SQL:2023 ANY_VALUE-adjacent; DuckDB arg_max/arg_min)
+    pulling the NAME at the balance extremes per nation in the same
+    single hash aggregate as the extremes themselves.
+
+    Determinism under ties: the comparison key is an injective BIGINT
+    composite (balance cents × 1e6 + custkey — cents fit ~1e6, custkey
+    < 1e6 at every sf), so both engines select the identical row without
+    relying on engine-specific tie behavior. One map-side-combinable
+    shuffle on the nation key; at 100 TB this is the canonical "top-1 per
+    group without a window" plan.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.expr(
+            "max_by(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000"
+            " + c_custkey)"
+        ).alias("richest_customer"),
+        F.expr(
+            "min_by(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000"
+            " + c_custkey)"
+        ).alias("poorest_customer"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )

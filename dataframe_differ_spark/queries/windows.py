@@ -535,3 +535,44 @@ def q_timeseries_ewma(spark, sf_dir):
         "n",
         ewma.alias("ewma"),
     )
+
+
+@register(
+    "win_percent_rank_cume",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 9) AS cume,
+       CAST(c_acctbal >= QUANTILE_CONT(c_acctbal, 0.5)
+              OVER (PARTITION BY c_nationkey) AS INTEGER) AS above_median
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_win_percent_rank_cume(spark, sf_dir):
+    """E1 completion (round 5): percent_rank + cume_dist + an
+    above-partition-median flag — the relative-standing family that
+    rounds out the ranking windows (row_number/rank/dense_rank/ntile in
+    `win_rank`).
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank_last/n are pure
+    rank arithmetic over the same single sort as E1 — one shuffle on the
+    partition key, nothing global. The median flag uses Spark's
+    partition-scoped percentile (exact, Greenwald-Khanna not needed at
+    per-nation cardinality) ≡ DuckDB QUANTILE_CONT ... OVER; both
+    interpolate linearly, and the >= compare keeps only the BOOLEAN
+    cross-engine (float interpolation never reaches the hash). Ratios are
+    exact dyadic divisions of small integers, rounded to 9 dp like every
+    ratio in the suite.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("c_nationkey")
+    med = F.expr("percentile(c_acctbal, 0.5)").over(wp)
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        (F.col("c_acctbal") >= med).cast("int").alias("above_median"),
+    )

@@ -316,3 +316,104 @@ def test_rolling_fingerprint_order_sensitive(spark):
         "pk", rolling_fingerprint("body").alias("fp")
     ).collect()}
     assert out[1] == out[2] and out[1] != out[3]
+
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    from dataframe_differ_spark.operators.pipeline import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["rec"])
+    out = hash_split(df, "rec", (("a", 8), ("b", 8)))
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"a", "b"}
+    # md5 is uniform: an 8/8 split lands near 50/50
+    assert abs(counts["a"] - counts["b"]) < 300
+    # identical membership across invocations (the anti-randomSplit point)
+    again = {r.rec: r.split for r in hash_split(df, "rec", (("a", 8), ("b", 8))).collect()}
+    assert all(again[r.rec] == r.split for r in out.collect())
+    with pytest.raises(ValueError):
+        hash_split(df, "rec", (("a", 9), ("b", 8)))
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    from dataframe_differ_spark.operators.pipeline import pack_sequences
+
+    rows = [("s1", i, 40) for i in range(10)] + [("s2", i, 100) for i in range(3)]
+    df = spark.createDataFrame(rows, ["src", "seq", "n"])
+    out = pack_sequences(
+        df, "n", 100, partition_cols=["src"], order_cols=["seq"]
+    ).collect()
+    got = {(r.src, r.seq): r.pack_id for r in out}
+    # s1: offsets 0,40,80,120,... -> packs 0,0,0,1,1,2,2,2,3,3
+    assert [got[("s1", i)] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # s2: offsets 0,100,200 -> packs 0,1,2
+    assert [got[("s2", i)] for i in range(3)] == [0, 1, 2]
+
+
+def test_decontaminate_counts_shared_shingles(spark):
+    from dataframe_differ_spark.operators.pipeline import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),
+            (2, "completely different words here entirely now"),
+        ],
+        ["pk", "body"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox leaps"), (101, "brown fox jumps far")],
+        ["pk", "body"],
+    )
+    out = {r.pk: r for r in decontaminate(train, bench, "pk", "body").collect()}
+    # doc 1 shares "quick brown fox" (bench 100) and "brown fox jumps" (101)
+    assert out[1].n_bench_docs == 2 and out[1].n_shared_shingles == 2
+    assert 2 not in out  # clean doc reports nothing
+
+
+def test_decode_features_custom_decoder(spark):
+    from dataframe_differ_spark.operators.multimodal import decode_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcd")), (2, bytearray(b"xy"))], ["img_id", "blob"]
+    )
+
+    def my_decoder(payload: bytes):
+        # user-pluggable decoder: derive dims from content (stand-in for PIL)
+        return len(payload) * 10, len(payload) * 20, 1
+
+    out = {
+        r.img_id: r
+        for r in decode_features(
+            df, "img_id", "blob", decoder=my_decoder
+        ).collect()
+    }
+    assert out[1].n_bytes == 4 and out[1].width == 40 and out[1].height == 80
+    assert out[2].channels == 1
+
+
+def test_sample_frames_variable_rows(spark):
+    from dataframe_differ_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"z" * 250)), (8, bytearray(b"q" * 10))],
+        ["vid_id", "blob"],
+    )
+    out = sample_frames(df, "vid_id", "blob").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.vid_id, []).append((r.frame_idx, r.byte_offset))
+    assert by_id[7] == [(0, 0), (1, 100)]  # 250 bytes -> 2 frames
+    assert by_id[8] == [(0, 0)]  # short payload -> at least 1 frame
+
+
+def test_dedup_payloads_binary_groups(spark):
+    from dataframe_differ_spark.operators.multimodal import dedup_payloads
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"same")), (2, bytearray(b"same")), (3, bytearray(b"other"))],
+        ["asset", "blob"],
+    )
+    out = {
+        r.canonical_asset: r.copies
+        for r in dedup_payloads(df, "blob", "asset").collect()
+    }
+    assert out == {1: 2, 3: 1}
