@@ -32,6 +32,35 @@ from dataframe_differ_spark.operators.diff_core import (
     report,
     schema_diff,
 )
+from dataframe_differ_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_dedup,
+    semantic_dedup,
+    simhash_dedup,
+)
+from dataframe_differ_spark.operators.multimodal import (
+    decode_features,
+    dedup_payloads,
+    sample_frames,
+)
+from dataframe_differ_spark.operators.pipeline import (
+    decontaminate,
+    hash_split,
+    pack_sequences,
+)
+from dataframe_differ_spark.operators.similarity import (
+    cosine_join_lsh,
+    ivf_index,
+    topk_cosine,
+    topk_cosine_ivf,
+    topk_cosine_lsh,
+)
+from dataframe_differ_spark.operators.textquality import (
+    language_id,
+    quality_features,
+    token_counts,
+)
 from dataframe_differ_spark.session import get_spark, configure_session
 from dataframe_differ_spark.tables import load_tables, TABLE_NAMES
 
@@ -45,6 +74,26 @@ __all__ = [
     "duplicate_keys",
     "changed_sample",
     "report",
+    # LLM-pipeline operator library (round-5 extraction; SURVEY.md §12)
+    "connected_components",
+    "exact_dedup",
+    "minhash_dedup",
+    "semantic_dedup",
+    "simhash_dedup",
+    "cosine_join_lsh",
+    "ivf_index",
+    "topk_cosine",
+    "topk_cosine_ivf",
+    "topk_cosine_lsh",
+    "language_id",
+    "quality_features",
+    "token_counts",
+    "decontaminate",
+    "hash_split",
+    "pack_sequences",
+    "decode_features",
+    "dedup_payloads",
+    "sample_frames",
     # session / data helpers
     "get_spark",
     "configure_session",
