@@ -2589,3 +2589,105 @@ def q_km_survival_users(spark, sf_dir):
         F.col("v.c").alias("n_censored"),
         F.round(F.col("v.s"), 9).alias("survival"),
     )
+
+
+_BASKET_LIFT_SQL = f"""
+WITH {copurchase_edges_ctes()},
+pp AS (
+  SELECT a.l_orderkey,
+         LEAST(a.l_partkey, b.l_partkey) AS u,
+         GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM picked a JOIN picked b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+pc AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support_pair
+       FROM pp GROUP BY u, v),
+ic AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS supp
+       FROM picked GROUP BY l_partkey),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM picked)
+SELECT pc.u AS part_a, pc.v AS part_b, pc.support_pair,
+       iu.supp AS supp_a, iv.supp AS supp_b,
+       ROUND(CAST(pc.support_pair AS DOUBLE) / CAST(iu.supp AS DOUBLE), 9)
+         AS confidence,
+       ROUND(CAST(nb.n * pc.support_pair AS DOUBLE)
+             / CAST(iu.supp * iv.supp AS DOUBLE), 9) AS lift
+FROM pc
+JOIN ic iu ON iu.p = pc.u
+JOIN ic iv ON iv.p = pc.v
+CROSS JOIN nb
+ORDER BY lift DESC, pc.u, pc.v LIMIT 20
+"""
+
+
+@register("orders_market_basket_lift", oracle=_BASKET_LIFT_SQL)
+def q_orders_market_basket_lift(spark, sf_dir):
+    """Market-basket association rules: support / confidence / lift for
+    co-purchased part pairs — the "customers who bought A also bought B"
+    analytics next to `graph_link_prediction`'s neighborhood scoring.
+
+    Baskets are the same md5-deterministic 3-parts-per-order pick the
+    co-purchase graph uses (bounded C(3,2)=3 pairs per order → pair volume
+    is O(orders) at any scale, never the unbounded per-basket quadratic),
+    but WITHOUT the distinct-edge collapse: supports count per-order
+    occurrences. lift = N·supp(a,b) / (supp(a)·supp(b)) — all-integer
+    numerators/denominators (exact at any sf below 2^53), single double
+    division, rounded 9. Plan: one lineitem distinct, one basket groupBy,
+    one in-basket HOF pair expansion, two broadcast item-support joins,
+    top-20 via TakeOrdered.
+    """
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    picked = lp.groupBy("l_orderkey").agg(
+        F.expr(
+            "slice(transform(array_sort(collect_list(struct("
+            "md5(concat_ws(':', CAST(l_orderkey AS STRING), "
+            "CAST(l_partkey AS STRING))) AS h, l_partkey AS p))), "
+            "x -> x.p), 1, 3)"
+        ).alias("m")
+    ).localCheckpoint(eager=False)
+    pairs = picked.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(m, (x, i) -> "
+                "transform(slice(m, i + 2, size(m) - i - 1), "
+                "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    pc = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("support_pair")
+    )
+    ic = picked.select(F.explode("m").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("supp")
+    )
+    nb = picked.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        pc.join(
+            F.broadcast(ic.select(F.col("p").alias("u"), F.col("supp").alias("supp_a"))),
+            "u",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("p").alias("v"), F.col("supp").alias("supp_b"))),
+            "v",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "support_pair",
+            "supp_a",
+            "supp_b",
+            F.round(
+                F.col("support_pair").cast("double") / F.col("supp_a").cast("double"),
+                9,
+            ).alias("confidence"),
+            F.round(
+                (F.col("n") * F.col("support_pair")).cast("double")
+                / (F.col("supp_a") * F.col("supp_b")).cast("double"),
+                9,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "part_a", "part_b").limit(20)

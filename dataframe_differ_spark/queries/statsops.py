@@ -2706,3 +2706,98 @@ def q_stats_chi2_independence(spark, sf_dir):
             "cramers_v"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact higher-moment statistics (skewness / excess kurtosis)
+# ---------------------------------------------------------------------------
+
+_SKEWKURT_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         CAST(SUM(q * q) AS BIGINT) AS s2,
+         CAST(SUM(q * q * q) AS BIGINT) AS s3,
+         CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+  FROM (SELECT l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT) AS q
+        FROM lineitem)
+  GROUP BY l_returnflag),
+d AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n AS a2,
+         CAST(s3 AS DOUBLE) / n AS a3,
+         CAST(s4 AS DOUBLE) / n AS a4
+  FROM m),
+c AS (
+  SELECT l_returnflag, n, mean,
+         a2 - mean * mean AS m2,
+         a3 - 3 * mean * a2 + 2 * mean * mean * mean AS m3,
+         a4 - 4 * mean * a3 + 6 * mean * mean * a2
+            - 3 * mean * mean * mean * mean AS m4
+  FROM d)
+SELECT l_returnflag, n,
+       ROUND(mean, 9) AS mean_qty,
+       ROUND(m2, 9) AS var_pop,
+       ROUND(m3 / (m2 * sqrt(m2)), 9) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3, 9) AS excess_kurtosis
+FROM c
+"""
+
+
+@register("agg_skewness_kurtosis", oracle=_SKEWKURT_SQL)
+def q_agg_skewness_kurtosis(spark, sf_dir):
+    """Exact population skewness and excess kurtosis of order quantities
+    per return flag — the higher-moment companions to mean/variance.
+
+    Spark's built-in `skewness`/`kurtosis` accumulate central moments in
+    floats whose partial-aggregation order is partition-dependent — the
+    classic cross-engine (and cross-run) hash breaker. Here the raw
+    moments Σq..Σq⁴ are EXACT BIGINTs (quantity ≤ 50 → q⁴ ≤ 6.25e6; the
+    sums stay under 2^63 beyond sf100), and the central-moment expansion
+    m₂..m₄ runs as one fixed left-associated IEEE chain on both engines —
+    identical doubles, no rounding tricks needed beyond the final 9 dp.
+    sqrt(m2) instead of pow(m2, 1.5): sqrt is IEEE-exact, pow is a libm
+    ulp hazard. One map-side-combinable groupBy — scan-bound at any sf.
+    """
+    q = F.floor(F.col("l_quantity")).cast("long")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", q.alias("q"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+            F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+            F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    a2 = F.col("s2").cast("double") / F.col("n")
+    a3 = F.col("s3").cast("double") / F.col("n")
+    a4 = F.col("s4").cast("double") / F.col("n")
+    d = m.select("l_returnflag", "n", mean.alias("mean"), a2.alias("a2"),
+                 a3.alias("a3"), a4.alias("a4"))
+    mn = F.col("mean")
+    m2 = F.col("a2") - mn * mn
+    m3 = F.col("a3") - 3 * mn * F.col("a2") + 2 * mn * mn * mn
+    m4 = (
+        F.col("a4")
+        - 4 * mn * F.col("a3")
+        + 6 * mn * mn * F.col("a2")
+        - 3 * mn * mn * mn * mn
+    )
+    c = d.select("l_returnflag", "n", "mean", m2.alias("m2"), m3.alias("m3"),
+                 m4.alias("m4"))
+    return c.select(
+        "l_returnflag",
+        "n",
+        F.round("mean", 9).alias("mean_qty"),
+        F.round("m2", 9).alias("var_pop"),
+        F.round(F.col("m3") / (F.col("m2") * F.sqrt("m2")), 9).alias("skewness"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 9).alias(
+            "excess_kurtosis"
+        ),
+    )

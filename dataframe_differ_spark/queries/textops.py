@@ -1566,3 +1566,92 @@ def q_eval_calibration_bins(spark, sf_dir):
         F.round(gap_dec.cast("double") / F.col("n"), 9).alias("gap"),
         F.round(F.col("gap_sum").cast("double") / F.col("nt"), 9).alias("ece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf exponent fit over the token frequency curve
+# ---------------------------------------------------------------------------
+
+_ZIPF_SQL = """
+WITH cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token),
+top AS (
+  SELECT token, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+  FROM cnt ORDER BY n DESC, token LIMIT 1000),
+xy AS (
+  SELECT rank, ROUND(ln(CAST(rank AS DOUBLE)), 9) AS x,
+         ROUND(ln(CAST(n AS DOUBLE)), 9) AS y
+  FROM top),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+  FROM xy)
+SELECT k AS n_tokens_fit,
+       ROUND(-((k * sxy - sx * sy) / (k * sxx - sx * sx)), 6) AS zipf_alpha,
+       ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+         AS log_c
+FROM s
+"""
+
+
+@register("text_zipf_alpha", oracle=_ZIPF_SQL)
+def q_text_zipf_alpha(spark, sf_dir):
+    """Zipf exponent of the corpus token distribution: OLS of ln(count) on
+    ln(rank) over the top-1000 tokens — alpha ≈ 1 is the natural-language
+    signature, and the fit is the one-number summary tokenizer/mixture
+    design reads off the `vocab_coverage` curve.
+
+    Parity devices: per-term ln rounded to 9 dp (libm ulp absorber), x·x /
+    x·y products rounded to 12 dp and DECIMAL-summed (order-free), the
+    slope/intercept as one fixed IEEE chain on the 1-row sums, outputs at
+    6 dp. Plan: one token-count shuffle (map-side combined to vocabulary
+    size), top-1000 via TakeOrdered, residual rank window over the 1000
+    survivors (whitelisted bounded global window, the vocab_coverage
+    device), one 1-row aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        cnt.orderBy(F.col("n").desc(), "token")
+        .limit(1000)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "token"))
+            .cast("long"),
+        )
+    )
+    xy = top.select(
+        F.round(F.log(F.col("rank").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 9).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast("decimal(28,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    k = F.col("k")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        k.alias("n_tokens_fit"),
+        F.round(-slope, 6).alias("zipf_alpha"),
+        F.round((F.col("sy") - slope * F.col("sx")) / k, 6).alias("log_c"),
+    )

@@ -85,6 +85,8 @@ GLOBAL_WINDOW_OK = {
     # bounded-input global windows (documented in each docstring)
     "contingency_chisq": "windows over the ~35-cell contingency table",
     "vocab_coverage": "windows over post-limit top-30 rows",
+    "text_zipf_alpha": "rank window over post-limit top-1000 rows "
+    "(TakeOrdered feeds it; the fit aggregate is 1 row)",
     "events_cumulative_uniques": "running sum over the 30-row day spine",
     "dim_surrogate_keys": "row_number over DISTINCT dims (verifier; "
     "sibling dim_surrogate_keys_sketch ships window-free)",

@@ -155,6 +155,9 @@ HEADLINE = [
     "graph_link_prediction",
     "graph_link_prediction_capped",
     "dedup_semantic_sqrtn",
+    "orders_market_basket_lift",
+    "agg_skewness_kurtosis",
+    "text_zipf_alpha",
 ]
 
 
