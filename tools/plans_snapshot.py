@@ -26,6 +26,23 @@ OUT = os.path.join(
 
 # query -> what the plan proves
 FLAGSHIPS = {
+    "graph_link_prediction_capped": (
+        "round-5 scale path: per-vertex top-64 neighbor sample via the "
+        "two-phase partitioned_topk (per-(vertex, input-partition) prune "
+        "then per-vertex rank) BEFORE the wedge self-join — sum(deg^2) is "
+        "bounded at 64^2 per vertex; existing edges drop via left_anti"
+    ),
+    "dedup_semantic_sqrtn": (
+        "SemDeDup with derived K=ceil(sqrt(N)): broadcast argmax cluster "
+        "assignment, in-cluster pair join on the uniform cluster_id key — "
+        "no all-pairs product; the quantizer chain is checkpointed and "
+        "session-cached"
+    ),
+    "orders_market_basket_lift": (
+        "association rules: one basket groupBy + bounded in-basket HOF "
+        "pair expansion (C(3,2) per order), item supports broadcast to "
+        "the pair counts, top-20 via TakeOrderedAndProject"
+    ),
     "sketch_cms_topk": (
         "mergeable sketch: one md5 per record, map-side partial aggregation "
         "collapses the shuffle to <=1024 (r, bucket) cells; probe side joins "
