@@ -2691,3 +2691,72 @@ def q_orders_market_basket_lift(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("lift"), "part_a", "part_b").limit(20)
+
+
+_RETENTION_SQL = """
+WITH firstw AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+           AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS act_week
+  FROM events),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM firstw GROUP BY cohort_week),
+cells AS (
+  SELECT f.cohort_week,
+         CAST((a.act_week - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM activity a JOIN firstw f ON a.user_id = f.user_id
+  GROUP BY 1, 2)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       c.week_offset, c.n_active, s.cohort_size,
+       ROUND(CAST(c.n_active AS DOUBLE) / s.cohort_size, 9) AS retention
+FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""
+
+
+@register("events_retention_matrix", oracle=_RETENTION_SQL)
+def q_events_retention_matrix(spark, sf_dir):
+    """Weekly cohort retention triangle: users bucketed by first-activity
+    week, each cell = fraction of the cohort active w weeks later — the
+    canonical product-analytics matrix next to `orders_cohort_ltv`
+    (revenue by cohort age) and the funnel/DAU-WAU queries.
+
+    Plan: one user-keyed min-aggregate (cohort assignment), one distinct
+    over (user, week) — both map-side combinable on uniform keys — then a
+    user-keyed equi-join and a (cohort, offset) rollup; cohort sizes
+    broadcast back onto the cells. All integers until the final ratio.
+    Week truncation is Monday-start in both engines (Spark date_trunc
+    'week' ≡ DuckDB date_trunc 'week'); offsets are exact day-diffs / 7.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("w")
+    )
+    firstw = e.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    activity = e.distinct().withColumnRenamed("w", "act_week")
+    sizes = firstw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        activity.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 9
+        ).alias("retention"),
+    )

@@ -2801,3 +2801,115 @@ def q_agg_skewness_kurtosis(spark, sf_dir):
             "excess_kurtosis"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) test
+# ---------------------------------------------------------------------------
+
+_MWU_SQL = """
+WITH base AS (
+  SELECT o_totalprice AS v,
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8' AS grp
+  FROM orders),
+vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM base GROUP BY v),
+r AS (
+  SELECT v, c, c1,
+         CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+              AS BIGINT) AS cprev
+  FROM vals),
+s AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c - c1) AS BIGINT) AS n2,
+         CAST(SUM(c1 * (2 * cprev + c + 1)) AS BIGINT) AS r1x2,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+  FROM r),
+u AS (
+  SELECT n1, n2, ties, n1 + n2 AS n,
+         CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1
+  FROM s)
+SELECT n1, n2, u1,
+       CAST(n1 AS DOUBLE) * n2 - u1 AS u2,
+       ROUND((u1 - CAST(n1 AS DOUBLE) * n2 / 2)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                    * ((n + 1) - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE)
+                                                         * (n - 1)))), 9)
+         AS z_score
+FROM u
+"""
+
+
+@register("stats_mann_whitney", oracle=_MWU_SQL)
+def q_stats_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) test of order value between the
+    md5 cohorts — the nonparametric companion to `stats_welch_ttest`
+    (no normality assumption) and `drift_ks_test` (tests location shift
+    rather than any-distribution difference). Normal approximation with
+    the standard tie correction.
+
+    Exactness device: midranks are computed on the DISTINCT-VALUE frame —
+    rank sums stay INTEGERS by carrying 2·R1 = Σ c1_v·(2·C_prev + c_v + 1)
+    (each value's midrank doubled), so U, the tie term Σ(t³−t), and every
+    input to the z formula are exact BIGINTs; z is one fixed IEEE chain
+    (fits 2^63 up to ~sf5; beyond that the sum moves to DECIMAL(38,0) —
+    one cast). Scale shape: one value-keyed groupBy (uniform key), then
+    the ordered prefix sum runs through operators.ranks.ranked on the
+    distinct-value frame (bucket rank + offset merge — no single-partition
+    window over the corpus), and a 1-row aggregate.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        (
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "8"
+        ).alias("grp"),
+    )
+    vals = base.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("grp"), 1).otherwise(0)).alias("c1"),
+    )
+    r = ranked(
+        vals,
+        F.col("v"),
+        ["v"],
+        running_sum=F.col("c"),
+        running_col="cum",
+    ).withColumn("cprev", F.col("cum") - F.col("c"))
+    s = r.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cprev") + F.col("c") + 1)).alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("ties"),
+    )
+    n1d = F.col("n1").cast("double")
+    u = s.select(
+        "n1",
+        "n2",
+        "ties",
+        (F.col("n1") + F.col("n2")).alias("n"),
+        ((F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2).alias(
+            "u1"
+        ),
+    )
+    return u.select(
+        "n1",
+        "n2",
+        "u1",
+        (n1d * F.col("n2") - F.col("u1")).alias("u2"),
+        F.round(
+            (F.col("u1") - n1d * F.col("n2") / 2)
+            / F.sqrt(
+                n1d
+                * F.col("n2")
+                / 12
+                * (
+                    (F.col("n") + 1)
+                    - F.col("ties").cast("double")
+                    / (F.col("n").cast("double") * (F.col("n") - 1))
+                )
+            ),
+            9,
+        ).alias("z_score"),
+    )

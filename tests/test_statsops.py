@@ -577,3 +577,34 @@ def test_chi2_matches_numpy(spark, sf_small):
     assert r.dof == (nr - 1) * (nc - 1)
     assert abs(r.chi2 - chi2) < 1e-5
     assert abs(r.cramers_v - math.sqrt(chi2 / (n * min(nr - 1, nc - 1)))) < 1e-8
+
+
+def test_mann_whitney_matches_python_reference(spark, sf_small):
+    """Round-5: U statistic and tie-corrected z against a pure-Python
+    midrank computation at sf0.001."""
+    from dataframe_differ_spark.queries.statsops import q_stats_mann_whitney
+
+    row = q_stats_mann_whitney(spark, sf_small).collect()[0]
+    t = pq.read_table(sf_small + "/orders.parquet").to_pandas()
+    t["grp"] = t["o_orderkey"].map(_md5_base)
+    vals = sorted(t["o_totalprice"])
+    # midrank per value
+    import collections
+
+    cnt = collections.Counter(vals)
+    midrank, cum = {}, 0
+    for v in sorted(cnt):
+        midrank[v] = cum + (cnt[v] + 1) / 2
+        cum += cnt[v]
+    a = t[t.grp]["o_totalprice"]
+    r1 = sum(midrank[v] for v in a)
+    n1, n2 = len(a), len(t) - len(a)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert row.n1 == n1 and row.n2 == n2
+    assert abs(row.u1 - u1) < 1e-9
+    assert abs(row.u2 - (n1 * n2 - u1)) < 1e-9
+    n = n1 + n2
+    ties = sum(c**3 - c for c in cnt.values())
+    sigma2 = n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / sigma2**0.5
+    assert abs(row.z_score - round(z, 9)) < 1e-8

@@ -158,6 +158,8 @@ HEADLINE = [
     "orders_market_basket_lift",
     "agg_skewness_kurtosis",
     "text_zipf_alpha",
+    "stats_mann_whitney",
+    "events_retention_matrix",
 ]
 
 
