@@ -2913,3 +2913,134 @@ def q_stats_mann_whitney(spark, sf_dir):
             9,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman / Pearson correlation of order value vs basket size
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_SQL = """
+WITH li AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS y FROM lineitem
+  GROUP BY l_orderkey),
+pairs AS (
+  SELECT o.o_orderkey,
+         o.o_totalprice AS x,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS xc,
+         li.y
+  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey),
+xv AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY x),
+xr AS (
+  SELECT x, 2 * (CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) - c) + c + 1 AS rx2
+  FROM xv),
+yv AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY y),
+yr AS (
+  SELECT y, 2 * (CAST(SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) - c) + c + 1 AS ry2
+  FROM yv),
+j AS (
+  SELECT p.xc, p.y, xr.rx2, yr.ry2
+  FROM pairs p JOIN xr ON xr.x = p.x JOIN yr ON yr.y = p.y),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS DOUBLE) AS srx,
+         CAST(SUM(ry2) AS DOUBLE) AS sry,
+         CAST(SUM(rx2 * ry2) AS DOUBLE) AS srxy,
+         CAST(SUM(rx2 * rx2) AS DOUBLE) AS srxx,
+         CAST(SUM(ry2 * ry2) AS DOUBLE) AS sryy,
+         CAST(SUM(xc) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xc * y) AS DOUBLE) AS sxy,
+         CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM j)
+SELECT n,
+       ROUND((n * srxy - srx * sry)
+             / sqrt((n * srxx - srx * srx) * (n * sryy - sry * sry)), 9)
+         AS spearman_rho,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+         AS pearson_r_cents
+FROM s
+"""
+
+
+@register("stats_spearman_corr", oracle=_SPEARMAN_SQL)
+def q_stats_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation (and exact-cents Pearson) between order
+    value and basket size — the monotone-association companion to the
+    OLS/chi²/Mann-Whitney family. Spearman is Pearson on midranks, so
+    ties are handled exactly.
+
+    Exactness devices: midranks carried DOUBLED (2·rank is an integer even
+    at tie midpoints — the Mann-Whitney device applied to BOTH variables),
+    Pearson on integer CENTS — so every sum entering either correlation is
+    an exact integer (DuckDB HUGEINT / Spark DECIMAL(38,0), cast to double
+    only at the 1-row formula, where both engines round the same integer
+    to the same double). The scale factors (2×, 100×) cancel in the
+    normalized ratios. Plan: per-variable distinct-value frames with
+    ordered prefix sums via operators.ranks.ranked (no corpus-wide
+    window), two uniform value-keyed joins back, one 1-row aggregate.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    pairs = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("xc"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("x", "xc", "y")
+    )
+
+    def midrank2(df, col):
+        vals = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        r = ranked(
+            vals, F.col(col), [col], running_sum=F.col("c"), running_col="cum"
+        )
+        return r.select(
+            col,
+            (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1).alias(
+                f"r{col}2"
+            ),
+        )
+
+    j = (
+        pairs.join(midrank2(pairs, "x"), "x")
+        .join(F.broadcast(midrank2(pairs, "y")), "y")
+        .select("xc", "y", "rx2", "ry2")
+    )
+    dec = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx2").cast(dec)).cast("double").alias("srx"),
+        F.sum(F.col("ry2").cast(dec)).cast("double").alias("sry"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(dec)).cast("double").alias("srxy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(dec)).cast("double").alias("srxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(dec)).cast("double").alias("sryy"),
+        F.sum(F.col("xc").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("xc") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("xc") * F.col("xc")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    rho = (n * F.col("srxy") - F.col("srx") * F.col("sry")) / F.sqrt(
+        (n * F.col("srxx") - F.col("srx") * F.col("srx"))
+        * (n * F.col("sryy") - F.col("sry") * F.col("sry"))
+    )
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "n",
+        F.round(rho, 9).alias("spearman_rho"),
+        F.round(r, 9).alias("pearson_r_cents"),
+    )

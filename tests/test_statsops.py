@@ -608,3 +608,42 @@ def test_mann_whitney_matches_python_reference(spark, sf_small):
     sigma2 = n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1)))
     z = (u1 - n1 * n2 / 2) / sigma2**0.5
     assert abs(row.z_score - round(z, 9)) < 1e-8
+
+
+def test_spearman_matches_python_reference(spark, sf_small):
+    """Round-5: Spearman rho and cents-Pearson against a pure-Python
+    midrank/Pearson computation at sf0.001."""
+    from dataframe_differ_spark.queries.statsops import q_stats_spearman_corr
+
+    row = q_stats_spearman_corr(spark, sf_small).collect()[0]
+    o = pq.read_table(sf_small + "/orders.parquet").to_pandas()
+    li = pq.read_table(sf_small + "/lineitem.parquet").to_pandas()
+    ycnt = li.groupby("l_orderkey").size()
+    df = o.set_index("o_orderkey").join(ycnt.rename("y"), how="inner")
+    xs = list(df["o_totalprice"])
+    ys = list(df["y"])
+
+    def midranks(vs):
+        import collections
+
+        cnt = collections.Counter(vs)
+        mid, cum = {}, 0
+        for v in sorted(cnt):
+            mid[v] = cum + (cnt[v] + 1) / 2
+            cum += cnt[v]
+        return [mid[v] for v in vs]
+
+    def pearson(a, b):
+        n = len(a)
+        sa, sb = sum(a), sum(b)
+        sab = sum(x * y for x, y in zip(a, b))
+        saa = sum(x * x for x in a)
+        sbb = sum(y * y for y in b)
+        return (n * sab - sa * sb) / (
+            ((n * saa - sa * sa) * (n * sbb - sb * sb)) ** 0.5
+        )
+
+    assert row.n == len(xs)
+    assert abs(row.spearman_rho - pearson(midranks(xs), midranks(ys))) < 1e-8
+    cents = [round(x * 100) for x in xs]
+    assert abs(row.pearson_r_cents - pearson(cents, ys)) < 1e-8

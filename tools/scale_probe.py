@@ -160,6 +160,7 @@ HEADLINE = [
     "text_zipf_alpha",
     "stats_mann_whitney",
     "events_retention_matrix",
+    "stats_spearman_corr",
 ]
 
 
