@@ -39,6 +39,14 @@ from dataframe_differ_spark.operators.dedup import (
     semantic_dedup,
     simhash_dedup,
 )
+from dataframe_differ_spark.operators.graph import (
+    bfs_hops,
+    degrees,
+    link_prediction,
+    pagerank,
+    symmetrize,
+    triangle_count,
+)
 from dataframe_differ_spark.operators.multimodal import (
     decode_features,
     dedup_payloads,
@@ -48,6 +56,14 @@ from dataframe_differ_spark.operators.pipeline import (
     decontaminate,
     hash_split,
     pack_sequences,
+)
+from dataframe_differ_spark.operators.stats import (
+    anova_f,
+    chi2_independence,
+    fdr_bh,
+    mann_whitney,
+    spearman,
+    welch_ttest,
 )
 from dataframe_differ_spark.operators.similarity import (
     cosine_join_lsh,
@@ -59,6 +75,7 @@ from dataframe_differ_spark.operators.similarity import (
 from dataframe_differ_spark.operators.textquality import (
     language_id,
     quality_features,
+    rolling_fingerprint,
     token_counts,
 )
 from dataframe_differ_spark.session import get_spark, configure_session
@@ -74,6 +91,20 @@ __all__ = [
     "duplicate_keys",
     "changed_sample",
     "report",
+    # statistics operator library (round-6 extraction; SURVEY.md §13)
+    "anova_f",
+    "chi2_independence",
+    "fdr_bh",
+    "mann_whitney",
+    "spearman",
+    "welch_ttest",
+    # graph operator library (round-6 extraction; SURVEY.md §13)
+    "bfs_hops",
+    "degrees",
+    "link_prediction",
+    "pagerank",
+    "symmetrize",
+    "triangle_count",
     # LLM-pipeline operator library (round-5 extraction; SURVEY.md §12)
     "connected_components",
     "exact_dedup",
@@ -87,6 +118,7 @@ __all__ = [
     "topk_cosine_lsh",
     "language_id",
     "quality_features",
+    "rolling_fingerprint",
     "token_counts",
     "decontaminate",
     "hash_split",

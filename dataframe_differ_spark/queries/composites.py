@@ -2035,43 +2035,17 @@ def q_graph_triangle_count(spark, sf_dir):
 
     Output: top-50 parts by triangle participation with their degrees —
     all exact integer math, full oracle.
+
+    Thin binding over the parametric
+    :func:`operators.graph.triangle_count` (round-6 extraction — the
+    compact-forward algorithm described above lives there).
     """
+    from dataframe_differ_spark.operators.graph import triangle_count
+
     edges = copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
-    lower = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    ori = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
-            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
-        )
-    )
-    w1 = ori.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    w2 = ori.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    w3 = ori.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = w1.join(w2, "y").join(w3, ["x", "z"])
-    pernode = (
-        tri.select(F.col("x").alias("n"))
-        .unionAll(tri.select(F.col("y").alias("n")))
-        .unionAll(tri.select(F.col("z").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    tc = triangle_count(edges, src="u", dst="v")
     return (
-        pernode.join(deg, "n")
-        .select(
-            F.col("n").alias("part"),
-            "n_triangles",
-            F.col("d").alias("degree"),
-        )
+        tc.select(F.col("node").alias("part"), "n_triangles", "degree")
         .orderBy(F.col("n_triangles").desc(), "part")
         .limit(50)
     )

@@ -476,32 +476,17 @@ def q_graph_bfs_hops(spark, sf_dir):
     scales to any graph that fits a cluster. The oracle is a recursive
     CTE whose UNION dedup bounds expansion to <= hops * |V| rows with a
     final min(hop) per node — identical reachability semantics.
+
+    Thin binding over the parametric :func:`operators.graph.bfs_hops`
+    (round-6 extraction) — the algorithm above lives there, callable on
+    any edge DataFrame.
     """
+    from dataframe_differ_spark.operators.graph import bfs_hops
+
     edges = copurchase_edges(spark, sf_dir)
-    sym = (
-        edges.unionAll(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-    ).localCheckpoint(eager=False)
-    dist = (
-        edges.agg(F.min("u").alias("n"))
-        .withColumn("hop", F.lit(0))
-        .localCheckpoint(eager=False)
-    )
-    frontier = dist
-    for k in range(1, 5):
-        nxt = (
-            sym.join(frontier.select(F.col("n").alias("u")), "u")
-            .select(F.col("v").alias("n"))
-            .distinct()
-            .join(dist.select("n"), "n", "left_anti")
-            .withColumn("hop", F.lit(k))
-            .localCheckpoint(eager=False)
-        )
-        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
-        frontier = nxt
-    return dist.select(
-        F.col("n").alias("part"), F.col("hop").cast("int").alias("hop")
+    roots = edges.agg(F.min("u").alias("node"))
+    return bfs_hops(edges, roots, src="u", dst="v", max_hops=4).select(
+        F.col("node").alias("part"), "hop"
     )
 
 
@@ -989,53 +974,22 @@ def q_graph_pagerank_parts(spark, sf_dir):
     iteration (same device as drift_js_divergence; rounding bias is
     < |E| * 5e-13 per rank). Undirected symmetrized edges mean no
     dangling nodes. The oracle unrolls the 5 iterations as CTEs.
+
+    Thin binding over the parametric :func:`operators.graph.pagerank`
+    (round-6 extraction; ``portable=True`` is the DECIMAL(38,12)
+    contribution-sum device described above).
     """
+    from dataframe_differ_spark.operators.graph import pagerank
+
     edges = copurchase_edges(spark, sf_dir)
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
-    nodes = sym.select(F.col("u").alias("n")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    deg = sym.groupBy(F.col("u").alias("n")).agg(
-        F.count(F.lit(1)).alias("d")
+    pr = pagerank(
+        edges, src="u", dst="v", iters=_PR_ITERS, checkpoint_every=2
     )
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "n", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
-    )
-    for it in range(_PR_ITERS):
-        contrib = (
-            sym.join(pr.withColumnRenamed("n", "u"), "u")
-            .join(deg.withColumnRenamed("n", "u"), "u")
-            .select(
-                F.col("v").alias("n"),
-                F.round(F.col("pr") / F.col("d"), 12)
-                .cast("decimal(38,12)")
-                .alias("c"),
-            )
-        )
-        pr = (
-            contrib.groupBy("n")
-            .agg(F.sum("c").alias("s"))
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "n",
-                (
-                    F.lit(0.15) / F.col("n_nodes")
-                    + F.lit(0.85) * F.col("s").cast("double")
-                ).alias("pr"),
-            )
-        )
-        # Checkpoint every OTHER iteration: lineage stays bounded for any
-        # iteration count, but half the materialization jobs (measured
-        # 12.9 s -> 7.5 s at sf0.1 — each checkpoint is a full job).
-        if (it + 1) % 2 == 0:
-            pr = pr.localCheckpoint(eager=False)
     return (
-        pr.join(deg, "n")
-        .select(
-            F.col("n").alias("part"),
-            F.col("d").alias("degree"),
-            F.round("pr", 9).alias("pagerank"),
+        pr.select(
+            F.col("node").alias("part"),
+            "degree",
+            F.round("pagerank", 9).alias("pagerank"),
         )
         .orderBy(F.col("pagerank").desc(), "part")
         .limit(50)
@@ -1763,46 +1717,23 @@ def q_graph_link_prediction(spark, sf_dir):
     second pass. All-integer until the final ratio. Top-50 via
     TakeOrdered. Completes the graph family: components, triangles,
     BFS, PageRank, link prediction.
+
+    Thin binding over the parametric
+    :func:`operators.graph.link_prediction` (round-6 extraction;
+    ``cap=None`` = this exact form).
     """
+    from dataframe_differ_spark.operators.graph import link_prediction
+
     edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = sym.groupBy(F.col("u").alias("n")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    a = sym.select(F.col("u").alias("w"), F.col("v").alias("x"))
-    b = sym.select(F.col("u").alias("w"), F.col("v").alias("y"))
-    wedge = a.join(b, "w").filter(F.col("x") < F.col("y"))
-    cn = wedge.groupBy("x", "y").agg(F.count(F.lit(1)).alias("common"))
-    cand = cn.join(
-        edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
-        ["x", "y"],
-        "left_anti",
-    )
-    scored = (
-        cand.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x")
-        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
-        .select(
-            "x",
-            "y",
-            "common",
-            (F.col("dx") + F.col("dy") - F.col("common")).alias("uni"),
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("dx") + F.col("dy") - F.col("common")),
-                9,
-            ).alias("jaccard"),
-        )
-    )
+    lp = link_prediction(edges, src="u", dst="v", cap=None)
     return (
-        scored.orderBy(F.col("jaccard").desc(), "x", "y")
+        lp.orderBy(F.col("jaccard").desc(), "u", "v")
         .limit(50)
         .select(
-            F.col("x").alias("part_a"),
-            F.col("y").alias("part_b"),
-            F.col("common").alias("n_common"),
-            F.col("uni").alias("n_union"),
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "n_common",
+            "n_union",
             "jaccard",
         )
     )
@@ -1870,52 +1801,23 @@ def q_graph_link_prediction_capped(spark, sf_dir):
     so no per-vertex window ever sees more than ~cap·partitions rows even
     on a hot key. Degrees for the Jaccard union are the CAPPED degrees
     (the estimator stays internally consistent: common ≤ min(d_x, d_y)).
+
+    Thin binding over the parametric
+    :func:`operators.graph.link_prediction` with ``cap=64`` (round-6
+    extraction — the cap mechanics described above live there).
     """
-    from dataframe_differ_spark.operators.ranks import partitioned_topk
+    from dataframe_differ_spark.operators.graph import link_prediction
 
     edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    hkey = F.md5(
-        F.concat_ws(":", F.col("u").cast("string"), F.col("v").cast("string"))
-    )
-    capped = partitioned_topk(sym, ["u"], [hkey, "v"], _LINKPRED_CAP)
-    deg = capped.groupBy(F.col("u").alias("n")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    a = capped.select(F.col("u").alias("w"), F.col("v").alias("x"))
-    b = capped.select(F.col("u").alias("w"), F.col("v").alias("y"))
-    wedge = a.join(b, "w").filter(F.col("x") < F.col("y"))
-    cn = wedge.groupBy("x", "y").agg(F.count(F.lit(1)).alias("common"))
-    cand = cn.join(
-        edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
-        ["x", "y"],
-        "left_anti",
-    )
-    scored = (
-        cand.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x")
-        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
-        .select(
-            "x",
-            "y",
-            "common",
-            (F.col("dx") + F.col("dy") - F.col("common")).alias("uni"),
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("dx") + F.col("dy") - F.col("common")),
-                9,
-            ).alias("jaccard"),
-        )
-    )
+    lp = link_prediction(edges, src="u", dst="v", cap=_LINKPRED_CAP)
     return (
-        scored.orderBy(F.col("jaccard").desc(), "x", "y")
+        lp.orderBy(F.col("jaccard").desc(), "u", "v")
         .limit(50)
         .select(
-            F.col("x").alias("part_a"),
-            F.col("y").alias("part_b"),
-            F.col("common").alias("n_common"),
-            F.col("uni").alias("n_union"),
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "n_common",
+            "n_union",
             "jaccard",
         )
     )
@@ -2119,7 +2021,13 @@ def q_stats_welch_ttest(spark, sf_dir):
     (documented: df is in the hundreds at bench scale, where t and z
     quantiles agree to 3 dp). One user shuffle + a 2-row rollup;
     scan-bound at any scale.
+
+    Thin binding over the parametric :func:`operators.stats.welch_ttest`
+    (round-6 extraction) — the moment chain above lives there, callable
+    on any (integer-exact value, boolean arm) DataFrame.
     """
+    from dataframe_differ_spark.operators.stats import welch_ttest
+
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy(
         "user_id",
@@ -2134,57 +2042,15 @@ def q_stats_welch_ttest(spark, sf_dir):
             ).otherwise(F.lit(0))
         ).alias("cents")
     )
-    arm = per_user.groupBy("treat").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("cents").cast("double").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).cast("double").alias("q"),
-    )
-    w = arm.agg(
-        F.max(F.when(F.col("treat"), F.col("n"))).alias("na"),
-        F.max(F.when(F.col("treat"), F.col("s"))).alias("sa"),
-        F.max(F.when(F.col("treat"), F.col("q"))).alias("qa"),
-        F.max(F.when(~F.col("treat"), F.col("n"))).alias("nb"),
-        F.max(F.when(~F.col("treat"), F.col("s"))).alias("sb"),
-        F.max(F.when(~F.col("treat"), F.col("q"))).alias("qb"),
-    )
-    na, nb = F.col("na"), F.col("nb")
-    v = w.select(
-        na,
-        nb,
-        (F.col("sa") / na).alias("ma"),
-        (F.col("sb") / nb).alias("mb"),
-        ((F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - 1)).alias(
-            "va"
-        ),
-        ((F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - 1)).alias(
-            "vb"
-        ),
-    )
-    sea = F.col("va") / na
-    seb = F.col("vb") / nb
-    t = v.select(
-        na,
-        nb,
-        "ma",
-        "mb",
-        "va",
-        "vb",
-        ((F.col("ma") - F.col("mb")) / F.sqrt(sea + seb)).alias("t_stat"),
-        (
-            (sea + seb)
-            * (sea + seb)
-            / (sea * sea / (na - 1) + seb * seb / (nb - 1))
-        ).alias("df"),
-    )
-    return t.select(
-        na.cast("long").alias("n_treat"),
-        nb.cast("long").alias("n_control"),
-        F.round("ma", 4).alias("mean_treat_cents"),
-        F.round("mb", 4).alias("mean_control_cents"),
-        F.round(F.col("ma") - F.col("mb"), 4).alias("mean_diff_cents"),
-        F.round("t_stat", 9).alias("t_stat"),
-        F.round("df", 9).alias("df_welch"),
-        (F.abs(F.col("t_stat")) > 1.96).alias("significant_95"),
+    return welch_ttest(per_user, "cents", "treat", z_crit=1.96).select(
+        F.col("n_a").alias("n_treat"),
+        F.col("n_b").alias("n_control"),
+        F.col("mean_a").alias("mean_treat_cents"),
+        F.col("mean_b").alias("mean_control_cents"),
+        F.col("mean_diff").alias("mean_diff_cents"),
+        "t_stat",
+        "df_welch",
+        F.col("significant").alias("significant_95"),
     )
 
 
@@ -2275,7 +2141,13 @@ def q_stats_fdr_bh(spark, sf_dir):
     Scale: the user->nation attach is an equi-join on the user
     dimension (shuffle on user_id, AQE-brokered); everything after the
     per-nation rollup is constant-size.
+
+    Thin binding over the parametric :func:`operators.stats.fdr_bh`
+    (round-6 extraction) — the step-up mechanics live there; this query
+    keeps the z-test + erf-polynomial p-value construction.
     """
+    from dataframe_differ_spark.operators.stats import fdr_bh
+
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
     per_user = (
@@ -2357,44 +2229,21 @@ def q_stats_fdr_bh(spark, sf_dir):
         "zval",
         F.round(poly * F.exp(-x * x), 9).alias("p_two"),
         F.round(F.abs(F.col("zval")) * 1e9).cast("bigint").alias("zkey"),
-    ).localCheckpoint(eager=False)
-    other = pv.select(
-        F.col("nation").alias("o_nation"), F.col("zkey").alias("o_zkey")
     )
-    ranked_df = (
-        pv.crossJoin(F.broadcast(other))
-        .filter(
-            (F.col("o_zkey") > F.col("zkey"))
-            | (
-                (F.col("o_zkey") == F.col("zkey"))
-                & (F.col("o_nation") <= F.col("nation"))
-            )
-        )
-        .groupBy("nation", "n_t", "c_t", "n_c", "c_c", "zval", "p_two")
-        .agg(F.count(F.lit(1)).alias("rk"))
-        .crossJoin(
-            F.broadcast(pv.agg(F.count(F.lit(1)).alias("m")))
-        )
-    )
-    kstar = ranked_df.filter(
-        F.col("p_two") <= 0.05 * F.col("rk") / F.col("m")
-    ).agg(F.coalesce(F.max("rk"), F.lit(0)).alias("k"))
     return (
-        ranked_df.crossJoin(F.broadcast(kstar))
+        fdr_bh(pv, "p_two", sig_key_col="zkey", tie_col="nation", q=0.05)
         .select(
             "nation",
-            F.col("rk").alias("p_rank"),
-            F.col("m").alias("n_tests"),
+            "p_rank",
+            "n_tests",
             "n_t",
             "c_t",
             "n_c",
             "c_c",
             F.round("zval", 9).alias("z"),
             "p_two",
-            F.round(0.05 * F.col("rk") / F.col("m"), 9).alias(
-                "bh_critical"
-            ),
-            (F.col("rk") <= F.col("k")).alias("reject_fdr05"),
+            "bh_critical",
+            F.col("reject").alias("reject_fdr05"),
         )
         .orderBy("p_rank")
     )
@@ -2466,7 +2315,13 @@ def q_stats_anova_f(spark, sf_dir):
     Plan: a dimension equi-join (AQE handles the build side) + a
     25-group map-side-combinable rollup; the fold runs over k=25 rows
     regardless of data size — scan-bound at 100 TB.
+
+    Thin binding over the parametric :func:`operators.stats.anova_f`
+    (round-6 extraction) — the sorted-fold device lives there, callable
+    on any (integer-exact value, group) DataFrame.
     """
+    from dataframe_differ_spark.operators.stats import anova_f
+
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     obs = o.join(
@@ -2479,53 +2334,7 @@ def q_stats_anova_f(spark, sf_dir):
         "nation",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    grp = obs.groupBy("nation").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
-            "q"
-        ),
-    )
-    terms = grp.withColumn(
-        "t",
-        F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"),
-    )
-    tot = terms.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("n").alias("nn"),
-        F.sum("s").alias("ss"),
-        F.sum("q").cast("double").alias("sq"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("nation", "t"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["t"],
-        ).alias("st"),
-    )
-    parts = tot.select(
-        "k",
-        "nn",
-        (
-            F.col("st")
-            - F.col("ss").cast("double")
-            * F.col("ss").cast("double")
-            / F.col("nn")
-        ).alias("ssb"),
-        (F.col("sq") - F.col("st")).alias("ssw"),
-    )
-    return parts.select(
-        F.col("k").alias("k_groups"),
-        F.col("nn").alias("n_obs"),
-        F.col("ssb").alias("ss_between"),
-        F.col("ssw").alias("ss_within"),
-        F.round(
-            (F.col("ssb") / (F.col("k") - 1))
-            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
-            9,
-        ).alias("f_stat"),
-        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 9).alias(
-            "eta_sq"
-        ),
-    )
+    return anova_f(obs, "cents", "nation")
 
 
 # ---------------------------------------------------------------------------
@@ -2660,51 +2469,22 @@ def q_stats_chi2_independence(spark, sf_dir):
     one map-side-combinable groupBy, two tiny rollups re-joined
     broadcast; the fold runs over r*c rows (125 here) regardless of
     data volume — scan-bound at 100 TB.
+
+    Thin binding over the parametric
+    :func:`operators.stats.chi2_independence` (round-6 extraction) —
+    the sorted-fold device lives there, callable on any two-categorical
+    DataFrame.
     """
+    from dataframe_differ_spark.operators.stats import chi2_independence
+
     c = load_table(spark, sf_dir, "customer")
-    cells = c.groupBy(
-        F.col("c_nationkey").alias("nation"),
-        F.col("c_mktsegment").alias("seg"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    rowt = cells.groupBy("nation").agg(F.sum("cnt").alias("rt"))
-    colt = cells.groupBy("seg").agg(F.sum("cnt").alias("ct"))
-    tot = cells.agg(
-        F.sum("cnt").alias("n"),
-        F.countDistinct("nation").alias("r"),
-        F.countDistinct("seg").alias("c"),
-    )
-    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
-    terms = (
-        cells.join(F.broadcast(rowt), "nation")
-        .join(F.broadcast(colt), "seg")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "nation",
-            "seg",
-            "n",
-            "r",
-            "c",
-            ((F.col("cnt") - e) * (F.col("cnt") - e) / e).alias("term"),
-        )
-    )
-    folded = terms.groupBy("n", "r", "c").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("nation", "seg", "term"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["term"],
-        ).alias("chi2")
-    )
-    min_dim = F.when(F.col("r") < F.col("c"), F.col("r") - 1).otherwise(
-        F.col("c") - 1
-    )
-    return folded.select(
-        F.col("n").alias("n_obs"),
-        (F.col("r") * F.col("c")).alias("n_cells"),
-        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
-        F.round(F.col("chi2"), 9).alias("chi2"),
-        F.round(F.sqrt(F.col("chi2") / (F.col("n") * min_dim)), 9).alias(
-            "cramers_v"
+    return chi2_independence(
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
         ),
+        "nation",
+        "seg",
     )
 
 
@@ -2859,60 +2639,19 @@ def q_stats_mann_whitney(spark, sf_dir):
     the ordered prefix sum runs through operators.ranks.ranked on the
     distinct-value frame (bucket rank + offset merge — no single-partition
     window over the corpus), and a 1-row aggregate.
+
+    Thin binding over the parametric :func:`operators.stats.mann_whitney`
+    (round-6 extraction) — the doubled-midrank device lives there.
     """
+    from dataframe_differ_spark.operators.stats import mann_whitney
+
     base = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("v"),
         (
             F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "8"
         ).alias("grp"),
     )
-    vals = base.groupBy("v").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum(F.when(F.col("grp"), 1).otherwise(0)).alias("c1"),
-    )
-    r = ranked(
-        vals,
-        F.col("v"),
-        ["v"],
-        running_sum=F.col("c"),
-        running_col="cum",
-    ).withColumn("cprev", F.col("cum") - F.col("c"))
-    s = r.agg(
-        F.sum("c1").alias("n1"),
-        F.sum(F.col("c") - F.col("c1")).alias("n2"),
-        F.sum(F.col("c1") * (2 * F.col("cprev") + F.col("c") + 1)).alias("r1x2"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("ties"),
-    )
-    n1d = F.col("n1").cast("double")
-    u = s.select(
-        "n1",
-        "n2",
-        "ties",
-        (F.col("n1") + F.col("n2")).alias("n"),
-        ((F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2).alias(
-            "u1"
-        ),
-    )
-    return u.select(
-        "n1",
-        "n2",
-        "u1",
-        (n1d * F.col("n2") - F.col("u1")).alias("u2"),
-        F.round(
-            (F.col("u1") - n1d * F.col("n2") / 2)
-            / F.sqrt(
-                n1d
-                * F.col("n2")
-                / 12
-                * (
-                    (F.col("n") + 1)
-                    - F.col("ties").cast("double")
-                    / (F.col("n").cast("double") * (F.col("n") - 1))
-                )
-            ),
-            9,
-        ).alias("z_score"),
-    )
+    return mann_whitney(base, "v", "grp")
 
 
 # ---------------------------------------------------------------------------
@@ -2982,7 +2721,13 @@ def q_stats_spearman_corr(spark, sf_dir):
     normalized ratios. Plan: per-variable distinct-value frames with
     ordered prefix sums via operators.ranks.ranked (no corpus-wide
     window), two uniform value-keyed joins back, one 1-row aggregate.
+
+    Thin binding over the parametric :func:`operators.stats.spearman`
+    (round-6 extraction) — both doubled-midrank prefixes and the
+    integer-exact Pearson live there.
     """
+    from dataframe_differ_spark.operators.stats import spearman
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -2998,49 +2743,10 @@ def q_stats_spearman_corr(spark, sf_dir):
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("x", "xc", "y")
     )
-
-    def midrank2(df, col):
-        vals = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        r = ranked(
-            vals, F.col(col), [col], running_sum=F.col("c"), running_col="cum"
-        )
-        return r.select(
-            col,
-            (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1).alias(
-                f"r{col}2"
-            ),
-        )
-
-    j = (
-        pairs.join(midrank2(pairs, "x"), "x")
-        .join(F.broadcast(midrank2(pairs, "y")), "y")
-        .select("xc", "y", "rx2", "ry2")
-    )
-    dec = "decimal(38,0)"
-    s = j.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("rx2").cast(dec)).cast("double").alias("srx"),
-        F.sum(F.col("ry2").cast(dec)).cast("double").alias("sry"),
-        F.sum((F.col("rx2") * F.col("ry2")).cast(dec)).cast("double").alias("srxy"),
-        F.sum((F.col("rx2") * F.col("rx2")).cast(dec)).cast("double").alias("srxx"),
-        F.sum((F.col("ry2") * F.col("ry2")).cast(dec)).cast("double").alias("sryy"),
-        F.sum(F.col("xc").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("xc") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
-        F.sum((F.col("xc") * F.col("xc")).cast(dec)).cast("double").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
-    )
-    n = F.col("n")
-    rho = (n * F.col("srxy") - F.col("srx") * F.col("sry")) / F.sqrt(
-        (n * F.col("srxx") - F.col("srx") * F.col("srx"))
-        * (n * F.col("sryy") - F.col("sry") * F.col("sry"))
-    )
-    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    return s.select(
+    return spearman(
+        pairs, "x", "y", x_exact_col="xc", broadcast_y_ranks=True
+    ).select(
         "n",
-        F.round(rho, 9).alias("spearman_rho"),
-        F.round(r, 9).alias("pearson_r_cents"),
+        "spearman_rho",
+        F.col("pearson_r").alias("pearson_r_cents"),
     )
