@@ -444,6 +444,35 @@ def q_agg_incremental_maintain(spark, sf_dir):
     )
 
 
+def _fastss_variants():
+    """FastSS ≤2-deletion neighborhood of ``c_name`` as an array Column.
+
+    Shared by the exact (`dedup_fuzzy_names`) and capped
+    (`dedup_fuzzy_names_capped`) forms so the blocking scheme cannot
+    drift between them. Built entirely with JVM-side HOFs
+    (transform/flatten over index sequences) — no Python per row.
+    """
+    L = F.length("c_name")
+    del1 = F.expr(
+        "transform(sequence(1, length(c_name)), d -> "
+        "concat(substring(c_name, 1, d - 1), substring(c_name, d + 1, length(c_name))))"
+    )
+    del2 = F.expr(
+        "flatten(transform(sequence(1, length(c_name) - 1), d1 -> "
+        "transform(sequence(d1 + 1, length(c_name)), d2 -> "
+        "concat(substring(c_name, 1, d1 - 1), "
+        "substring(c_name, d1 + 1, d2 - d1 - 1), "
+        "substring(c_name, d2 + 1, length(c_name))))))"
+    )
+    return F.array_distinct(
+        F.concat(
+            F.array(F.col("c_name")),
+            F.when(L >= 1, del1).otherwise(F.array()),
+            F.when(L >= 2, del2).otherwise(F.array()),
+        )
+    )
+
+
 @register(
     "dedup_fuzzy_names",
     oracle="""
@@ -454,6 +483,7 @@ FROM customer a JOIN customer b
   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """,
+    scale_path="dedup_fuzzy_names_capped",
 )
 def q_dedup_fuzzy_names(spark, sf_dir):
     """Fuzzy entity dedup: edit-distance pairs via FastSS deletion blocking.
@@ -475,25 +505,7 @@ def q_dedup_fuzzy_names(spark, sf_dir):
     Pure relational plan — survives 100 TB where the all-pairs form dies.
     """
     c = load_table(spark, sf_dir, "customer")
-    L = F.length("c_name")
-    del1 = F.expr(
-        "transform(sequence(1, length(c_name)), d -> "
-        "concat(substring(c_name, 1, d - 1), substring(c_name, d + 1, length(c_name))))"
-    )
-    del2 = F.expr(
-        "flatten(transform(sequence(1, length(c_name) - 1), d1 -> "
-        "transform(sequence(d1 + 1, length(c_name)), d2 -> "
-        "concat(substring(c_name, 1, d1 - 1), "
-        "substring(c_name, d1 + 1, d2 - d1 - 1), "
-        "substring(c_name, d2 + 1, length(c_name))))))"
-    )
-    variants = F.array_distinct(
-        F.concat(
-            F.array(F.col("c_name")),
-            F.when(L >= 1, del1).otherwise(F.array()),
-            F.when(L >= 2, del2).otherwise(F.array()),
-        )
-    )
+    variants = _fastss_variants()
     # Rebalance BEFORE the ~100× variant explode: the parquet scan of a
     # small dim arrives as one split, and a row-amplifying operator must
     # spread before amplification, not after (AQE only rebalances at the
@@ -546,6 +558,122 @@ def q_dedup_fuzzy_names(spark, sf_dir):
         # Threshold form runs the banded O(k·n) DP with early exit (returns
         # -1 above the bound) instead of the full O(n²) table.
         .withColumn("dist", F.levenshtein("name_a", "name_b", 2))
+        .filter(F.col("dist") >= 0)
+        .select("custkey_a", "custkey_b", "nationkey", "dist")
+    )
+
+
+# Bucket cap for the scale form of the FastSS fuzzy dedup: at 100 TB a
+# viral name value (think "John Smith" in a person table) makes its
+# (nation, signature) buckets grow linearly with rows, and pair generation
+# inside a bucket costs |bucket|² — so each bucket keeps only its top-64
+# members by a deterministic engine-portable hash of the member key (an
+# unbiased fixed-size sample, the same mitigation as
+# graph_link_prediction_capped's neighbor cap). The election key is
+# md5(custkey) alone — bucket-INdependent — so a record elected in one of
+# its signature buckets is elected in all of them and the kept sub-corpus
+# is coherent. 64 ≥ every real bucket here (max 24 at sf0.01, 42 at
+# sf0.1, measured), so capped == exact on the corpus; the cap binds only
+# on the hot buckets it exists to protect (pytest asserts both).
+_FUZZY_CAP = 64
+
+_FUZZY_CAPPED_SQL = f"""
+WITH vars AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         unnest(list_distinct(
+           [c_name]
+           || [substr(c_name, 1, d - 1) || substr(c_name, d + 1, length(c_name))
+               for d in range(1, length(c_name) + 1)]
+           || flatten([[substr(c_name, 1, d1 - 1)
+                        || substr(c_name, d1 + 1, d2 - d1 - 1)
+                        || substr(c_name, d2 + 1, length(c_name))
+                        for d2 in range(d1 + 1, length(c_name) + 1)]
+                       for d1 in range(1, length(c_name))])
+         )) AS v
+  FROM customer),
+sigs AS (
+  SELECT c_custkey, c_name, c_nationkey, md5(v) AS sig FROM vars),
+capped AS (
+  SELECT c_custkey, c_name, c_nationkey, sig FROM (
+    SELECT c_custkey, c_name, c_nationkey, sig,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey, sig
+             ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+    FROM sigs) WHERE rn <= {_FUZZY_CAP}),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+         a.c_nationkey AS nationkey, a.c_name AS name_a, b.c_name AS name_b
+  FROM capped a JOIN capped b
+    ON a.c_nationkey = b.c_nationkey AND a.sig = b.sig
+   AND a.c_custkey < b.c_custkey)
+SELECT custkey_a, custkey_b, nationkey,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 2
+"""
+
+
+@register("dedup_fuzzy_names_capped", oracle=_FUZZY_CAPPED_SQL)
+def q_dedup_fuzzy_names_capped(spark, sf_dir):
+    """Bucket-capped FastSS fuzzy dedup — the declared 100 TB form.
+
+    Same scheme as `dedup_fuzzy_names` (shared `_fastss_variants`
+    blocking, banded levenshtein(·,·,2) verify), but every (nation,
+    signature) bucket is first sampled down to its top-64 members by
+    md5(custkey) — see the `_FUZZY_CAP` note above for why the election
+    key is bucket-independent. Candidate work drops from Σ|bucket|²
+    (which a single viral name turns quadratic at 100× data) to
+    Σ min(|bucket|, 64)², at the price of missed pairs among records
+    beyond the cap of a hot bucket (none in this corpus — capped == exact
+    here, asserted pair-for-pair in pytest along with the C(64,2)
+    output bound on a synthetic 200-copy hot bucket).
+
+    The cap itself is the two-phase `partitioned_topk` (operators/ranks),
+    so no per-bucket window ever sees more than ~cap·partitions rows even
+    on a hot signature. Signatures are md5 strings here (engine-portable,
+    matching the oracle CTE bit-for-bit); a production deployment would
+    flip to xxhash64 exactly as `minhash_dedup(portable=False)` does.
+    """
+    from dataframe_differ_spark.operators.ranks import partitioned_topk
+
+    c = load_table(spark, sf_dir, "customer")
+    variants = _fastss_variants()
+    sigs = (
+        c.repartition("c_custkey")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.explode(variants).alias("v"),
+        )
+        .select("c_custkey", "c_name", "c_nationkey", F.md5("v").alias("sig"))
+    )
+    hkey = F.md5(F.col("c_custkey").cast("string"))
+    capped = partitioned_topk(
+        sigs, ["c_nationkey", "sig"], [hkey, "c_custkey"], _FUZZY_CAP
+    )
+    buckets = (
+        capped.groupBy("c_nationkey", "sig")
+        .agg(F.sort_array(F.collect_list(F.struct("c_custkey", "c_name"))).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    pairs = buckets.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.explode(
+            F.expr(
+                "flatten(transform(m, (x, i) -> "
+                "transform(slice(m, i + 2, size(m) - i - 1), y -> struct(x, y))))"
+            )
+        ).alias("p"),
+    )
+    cand = pairs.select(
+        F.col("p.x.c_custkey").alias("custkey_a"),
+        F.col("p.y.c_custkey").alias("custkey_b"),
+        "nationkey",
+        F.col("p.x.c_name").alias("name_a"),
+        F.col("p.y.c_name").alias("name_b"),
+    ).distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b", 2))
         .filter(F.col("dist") >= 0)
         .select("custkey_a", "custkey_b", "nationkey", "dist")
     )

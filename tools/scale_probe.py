@@ -161,6 +161,8 @@ HEADLINE = [
     "stats_mann_whitney",
     "events_retention_matrix",
     "stats_spearman_corr",
+    # round-6 additions
+    "dedup_fuzzy_names_capped",
 ]
 
 
