@@ -72,6 +72,15 @@ from dataframe_differ_spark.operators.similarity import (
     topk_cosine_ivf,
     topk_cosine_lsh,
 )
+from dataframe_differ_spark.operators.timeseries import (
+    autocorr,
+    cusum,
+    ewma,
+    holt_linear,
+    mad_outliers,
+    seasonality,
+    theil_sen,
+)
 from dataframe_differ_spark.operators.textquality import (
     language_id,
     quality_features,
@@ -98,6 +107,14 @@ __all__ = [
     "mann_whitney",
     "spearman",
     "welch_ttest",
+    # time-series operator library (round-6 extraction; SURVEY.md §13)
+    "autocorr",
+    "cusum",
+    "ewma",
+    "holt_linear",
+    "mad_outliers",
+    "seasonality",
+    "theil_sen",
     # graph operator library (round-6 extraction; SURVEY.md §13)
     "bfs_hops",
     "degrees",

@@ -855,24 +855,10 @@ def q_events_anomaly_mad(spark, sf_dir):
     a broadcast join back; the per-group median at 100 TB would switch
     to percentile_approx, traded off in the docstring not the plan.
     """
+    from dataframe_differ_spark.operators.timeseries import mad_outliers
+
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.any_value("med").alias("med2"), F.median("adev").alias("mad")
-    )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.any_value("med").alias("med"),
-            F.any_value("mad").alias("mad"),
-            F.count_if(F.col("adev") > 3.5 * F.col("mad")).alias("n_outliers"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
+    return mad_outliers(e, ["event_type"], "value", thresh=3.5)
 
 
 PARETO_SQL = """
@@ -2169,68 +2155,28 @@ def q_events_changepoint_cusum(spark, sf_dir):
     """
     # Spark recursive CTEs RE-EVALUATE the non-recursive CTEs on every
     # step (measured 20 s at sf0.1: ~31 re-scans of events). Materialize
-    # the KB-sized day spine + params once and recurse over THOSE — the
-    # oracle keeps the single-statement form (DuckDB materializes CTEs).
+    # the KB-sized day spine once and recurse over THAT — the oracle
+    # keeps the single-statement form (DuckDB materializes CTEs). The
+    # fold itself is the parametric :func:`operators.timeseries.cusum`
+    # (round-6 extraction): one codegen'd sequential fold per event_type
+    # whose left-associated IEEE chain the oracle's recursive CTE
+    # replays bit-for-bit.
+    from dataframe_differ_spark.operators.timeseries import cusum
+
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.col("ts").cast("date").alias("d")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    idx = daily.withColumn(
-        "i",
-        F.row_number()
-        .over(Window.partitionBy("event_type").orderBy("d"))
-        .cast("long"),
-    ).localCheckpoint(eager=False)
-    stats = idx.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
     )
-    s1d = F.col("s1").cast("double")
-    s2d = F.col("s2").cast("double")
-    params = stats.select(
+    cs = cusum(daily, ["event_type"], "d", "x", k_sigma=0.5, alarm_sigma=4.0)
+    return cs.select(
         "event_type",
-        (s1d / F.col("n")).alias("mu"),
-        F.sqrt(
-            (s2d - s1d * F.col("s1") / F.col("n")) / F.col("n")
-        ).alias("sigma"),
-    ).localCheckpoint(eager=False)
-    # The recursion itself runs as ONE partitioned sequential fold per
-    # event_type (~31 steps over a collected day array) instead of a
-    # Spark recursive CTE: each CTE iteration is a scheduled job (~0.5 s
-    # x days, measured 16 s at sf0.1), while the fold is a single
-    # codegen'd expression with the identical left-associated IEEE op
-    # chain — bit-equal to the oracle's recursion.
-    joined = idx.join(F.broadcast(params), "event_type")
-    folded = joined.groupBy("event_type", "mu", "sigma").agg(
-        F.expr(
-            "aggregate("
-            "  array_sort(collect_list(struct(d, x))),"
-            "  CAST(array() AS array<struct<d: date, x: bigint,"
-            "                               s_hi: double, s_lo: double>>),"
-            "  (acc, e) -> concat(acc, array(struct("
-            "    e.d AS d, e.x AS x,"
-            "    greatest(CAST(0.0 AS DOUBLE),"
-            "      coalesce(element_at(acc, -1).s_hi, CAST(0.0 AS DOUBLE))"
-            "      + e.x - mu - 0.5 * sigma) AS s_hi,"
-            "    least(CAST(0.0 AS DOUBLE),"
-            "      coalesce(element_at(acc, -1).s_lo, CAST(0.0 AS DOUBLE))"
-            "      + e.x - mu + 0.5 * sigma) AS s_lo))))"
-        ).alias("cu")
-    )
-    out = folded.select(
-        "event_type", "sigma", F.explode("cu").alias("e")
-    )
-    return out.select(
-        "event_type",
-        F.col("e.d").cast("string").alias("day"),
-        F.col("e.x").alias("n_events"),
-        F.round("e.s_hi", 6).alias("cusum_hi"),
-        F.round("e.s_lo", 6).alias("cusum_lo"),
-        (
-            (F.col("e.s_hi") > 4.0 * F.col("sigma"))
-            | (F.col("e.s_lo") < -4.0 * F.col("sigma"))
-        ).alias("alarm"),
+        F.col("d").cast("string").alias("day"),
+        F.col("x").alias("n_events"),
+        F.round("cusum_hi", 6).alias("cusum_hi"),
+        F.round("cusum_lo", 6).alias("cusum_lo"),
+        "alarm",
     )
 
 
@@ -2273,35 +2219,22 @@ def q_events_autocorr(spark, sf_dir):
     sub/mul/sqrt/div chain, identical in both engines. At 100 TB only the
     daily rollup touches the corpus; the lag join runs on a KB spine.
     """
+    from dataframe_differ_spark.operators.timeseries import autocorr
+
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
-    b = daily.select(F.col("d").alias("d1"), F.col("x").alias("x1"))
-    pairs = (
-        daily.crossJoin(F.broadcast(lags))
-        .join(b, F.expr("date_add(d, lag)") == F.col("d1"))
-        .select("lag", F.col("x").alias("x0"), "x1")
+    # Integer day offsets from the series start: d ↔ i is a bijection
+    # with gaps preserved, so the operator's (i + lag = j) equi-join
+    # pairs exactly the rows the date join (d + lag = d1) would.
+    m = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(m)).select(
+        F.datediff("d", "d0").cast("long").alias("i"), "x"
     )
-    mom = pairs.groupBy("lag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x0").alias("sx"),
-        F.sum("x1").alias("sy"),
-        F.sum(F.col("x0") * F.col("x1")).alias("sxy"),
-        F.sum(F.col("x0") * F.col("x0")).alias("sxx"),
-        F.sum(F.col("x1") * F.col("x1")).alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    )
-    return mom.select(
-        "lag",
-        F.col("n").alias("n_pairs"),
-        F.round(num / den, 9).alias("autocorr"),
+    ac = autocorr(pts, "i", "x", max_lag=7)
+    return ac.select(
+        "lag", "n_pairs", F.round("autocorr", 9).alias("autocorr")
     )
 
 
@@ -2345,30 +2278,20 @@ def q_events_seasonality_dow(spark, sf_dir):
     bit-for-bit before the cosmetic 9-dp round. One corpus-sized rollup;
     both joins are broadcasts of ≤7-row frames.
     """
+    from dataframe_differ_spark.operators.timeseries import seasonality
+
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("x")
     )
     daily = daily.withColumn("dow", (F.weekday("d") + F.lit(1)).cast("int"))
-    dow = daily.groupBy("dow").agg(
-        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("sd")
-    )
-    tot = daily.agg(
-        F.count(F.lit(1)).alias("nt"), F.sum("x").alias("st")
-    )
-    idx = (F.col("sd").cast("double") / F.col("nd")) / (
-        F.col("st").cast("double") / F.col("nt")
-    )
-    return (
-        daily.join(F.broadcast(dow), "dow")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("d").cast("string").alias("day"),
-            "dow",
-            F.col("x").alias("n_events"),
-            F.round(idx, 9).alias("seasonal_idx"),
-            F.round(F.col("x") / idx, 9).alias("deseasonalized"),
-        )
+    s = seasonality(daily, "dow", "x")
+    return s.select(
+        F.col("d").cast("string").alias("day"),
+        "dow",
+        F.col("x").alias("n_events"),
+        F.round("seasonal_idx", 9).alias("seasonal_idx"),
+        F.round("deseasonalized", 9).alias("deseasonalized"),
     )
 
 
@@ -2413,6 +2336,8 @@ def q_trend_theilsen_daily(spark, sf_dir):
     Intercept = median residual at the median slope (the standard
     Theil–Sen intercept).
     """
+    from dataframe_differ_spark.operators.timeseries import theil_sen
+
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("x")
@@ -2421,23 +2346,11 @@ def q_trend_theilsen_daily(spark, sf_dir):
     pts = daily.crossJoin(F.broadcast(m)).select(
         F.datediff("d", "d0").cast("long").alias("i"), "x"
     )
-    b = pts.select(F.col("i").alias("j"), F.col("x").alias("y"))
-    slopes = pts.join(b, F.col("j") > F.col("i")).select(
-        ((F.col("y") - F.col("x")).cast("double") / (F.col("j") - F.col("i"))).alias("s")
-    )
-    fit = slopes.agg(
-        F.median("s").alias("slope"), F.count(F.lit(1)).alias("n_pairs")
-    )
-    res = pts.crossJoin(F.broadcast(fit)).agg(
-        F.median(F.col("x") - F.col("slope") * F.col("i")).alias("intercept"),
-        F.count(F.lit(1)).alias("n_days"),
-        F.any_value("slope").alias("slope"),
-        F.any_value("n_pairs").alias("n_pairs"),
-    )
-    return res.select(
+    fit = theil_sen(pts, "i", "x")
+    return fit.select(
         F.round("slope", 9).alias("slope"),
         F.round("intercept", 9).alias("intercept"),
-        "n_days",
+        F.col("n_points").alias("n_days"),
         "n_pairs",
     )
 

@@ -539,44 +539,26 @@ def q_events_holt_linear(spark, sf_dir):
     not a per-step Spark job), while the oracle steps the identical
     IEEE chain through a recursive CTE — bit-equal before the cosmetic
     9 dp round. At 100 TB only the daily rollup touches the corpus.
+
+    Thin binding over the parametric
+    :func:`operators.timeseries.holt_linear` (round-6 extraction — the
+    fold described above lives there, callable on any grouped series).
     """
+    from dataframe_differ_spark.operators.timeseries import holt_linear
+
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
     ).agg(F.count(F.lit(1)).alias("x"))
-    folded = daily.groupBy("event_type").agg(
-        F.expr(
-            "aggregate("
-            "  array_sort(collect_list(struct(d, x))),"
-            "  CAST(array() AS array<struct<d: date, x: bigint,"
-            "                               l: double, b: double,"
-            "                               yhat: double>>),"
-            "  (acc, e) -> concat(acc, array(struct("
-            "    e.d AS d, e.x AS x,"
-            "    CASE WHEN size(acc) = 0 THEN CAST(e.x AS DOUBLE)"
-            "         ELSE 0.5 * e.x + 0.5 * (element_at(acc, -1).l"
-            "                                 + element_at(acc, -1).b)"
-            "    END AS l,"
-            "    CASE WHEN size(acc) = 0 THEN CAST(0.0 AS DOUBLE)"
-            "         ELSE 0.25 * ((0.5 * e.x + 0.5 * (element_at(acc, -1).l"
-            "                                  + element_at(acc, -1).b))"
-            "                      - element_at(acc, -1).l)"
-            "              + 0.75 * element_at(acc, -1).b"
-            "    END AS b,"
-            "    CASE WHEN size(acc) = 0 THEN CAST(e.x AS DOUBLE)"
-            "         ELSE element_at(acc, -1).l + element_at(acc, -1).b"
-            "    END AS yhat))))"
-        ).alias("hh")
-    )
-    out = folded.select("event_type", F.explode("hh").alias("e"))
-    return out.select(
+    h = holt_linear(daily, ["event_type"], "d", "x", alpha=0.5, beta=0.25)
+    return h.select(
         "event_type",
-        F.col("e.d").cast("string").alias("day"),
-        F.col("e.x").alias("n_events"),
-        F.round("e.yhat", 9).alias("forecast"),
-        F.round(F.col("e.x") - F.col("e.yhat"), 9).alias("error"),
-        F.round("e.l", 9).alias("level"),
-        F.round("e.b", 9).alias("trend"),
+        F.col("d").cast("string").alias("day"),
+        F.col("x").alias("n_events"),
+        F.round("forecast", 9).alias("forecast"),
+        F.round(F.col("x") - F.col("forecast"), 9).alias("error"),
+        F.round("level", 9).alias("level"),
+        F.round("trend", 9).alias("trend"),
     )
 
 

@@ -495,10 +495,15 @@ def q_timeseries_ewma(spark, sf_dir):
     with the first element, matching DuckDB's list_reduce semantics).
     All arithmetic is two multiplies + one add per step in identical
     order in both engines → bit-identical doubles, no rounding needed.
-    Scale note: prefix lists are O(days²) per key — right for bounded
-    calendar series (30-day windows); unbounded series would switch to
-    applyInPandas with a true sequential scan per key.
+
+    Thin binding over the parametric :func:`operators.timeseries.ewma`
+    (round-6 extraction), which folds the WHOLE trajectory once per key —
+    O(days) per key instead of the O(days²) prefix-list window this
+    query originally shipped with, at bit-identical values (the same
+    left-associated IEEE chain; IEEE addition commutes).
     """
+    from dataframe_differ_spark.operators.timeseries import ewma as ts_ewma
+
     e = load_table(spark, sf_dir, "events")
     days = spark.range(1).select(
         F.explode(
@@ -518,22 +523,12 @@ def q_timeseries_ewma(spark, sf_dir):
         .join(daily, ["event_type", "day"], "left")
         .withColumn("n", F.coalesce("n", F.lit(0.0)))
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    hist = spine.withColumn("xs", F.collect_list("n").over(w))
-    ewma = F.aggregate(
-        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
-        F.element_at("xs", 1).cast("double"),
-        lambda acc, x: F.lit(0.5) * acc + F.lit(0.5) * x,
-    )
-    return hist.select(
+    out = ts_ewma(spine, ["event_type"], "day", "n", alpha=0.5)
+    return out.select(
         "event_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n",
-        ewma.alias("ewma"),
+        "ewma",
     )
 
 
