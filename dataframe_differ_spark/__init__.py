@@ -72,6 +72,14 @@ from dataframe_differ_spark.operators.similarity import (
     topk_cosine_ivf,
     topk_cosine_lsh,
 )
+from dataframe_differ_spark.operators.evalmetrics import (
+    auc_score,
+    calibration_bins,
+    mrr,
+    ndcg_at_k,
+    pairs_pr,
+    retrieval_recall,
+)
 from dataframe_differ_spark.operators.timeseries import (
     autocorr,
     cusum,
@@ -107,6 +115,13 @@ __all__ = [
     "mann_whitney",
     "spearman",
     "welch_ttest",
+    # eval-metric operator library (round-6 extraction; SURVEY.md §13)
+    "auc_score",
+    "calibration_bins",
+    "mrr",
+    "ndcg_at_k",
+    "pairs_pr",
+    "retrieval_recall",
     # time-series operator library (round-6 extraction; SURVEY.md §13)
     "autocorr",
     "cusum",

@@ -1657,6 +1657,8 @@ def q_eval_auc_score(spark, sf_dir):
     Parity: everything is exact integers until the single final division
     (and gini = 2*auc - 1 with identical op order both engines).
     """
+    from dataframe_differ_spark.operators.evalmetrics import auc_score
+
     docs = load_table(spark, sf_dir, "documents")
     sc = docs.select(
         F.expr(
@@ -1664,26 +1666,11 @@ def q_eval_auc_score(spark, sf_dir):
         ).alias("s"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    hist = sc.groupBy("s").agg(
-        F.count(F.lit(1)).alias("ns"), F.sum("y").alias("ps")
-    )
-    lower = hist.select(F.col("s").alias("s_b"), F.col("ns").alias("ns_b"))
-    cum = (
-        hist.join(F.broadcast(lower), F.col("s_b") < F.col("s"), "left")
-        .groupBy("s", "ns", "ps")
-        .agg(F.coalesce(F.sum("ns_b"), F.lit(0)).cast("long").alias("cumb"))
-    )
-    agg = cum.agg(
-        F.sum(F.col("ps") * (2 * F.col("cumb") + F.col("ns") + 1)).alias("r2"),
-        F.sum("ps").alias("npos"),
-        F.sum("ns").alias("n"),
-    )
-    num = (F.col("r2") - F.col("npos") * (F.col("npos") + 1)).cast("double")
-    den = (2 * F.col("npos") * (F.col("n") - F.col("npos"))).cast("double")
-    return agg.select(
+    roc = auc_score(sc, "s", "y")
+    return roc.select(
         F.col("n").alias("n_docs"),
-        F.col("npos").alias("n_pos"),
-        (F.col("n") - F.col("npos")).alias("n_neg"),
-        F.round(num / den, 9).alias("auc"),
-        F.round(F.lit(2.0) * (num / den) - F.lit(1.0), 9).alias("gini"),
+        "n_pos",
+        "n_neg",
+        F.round("auc", 9).alias("auc"),
+        F.round("gini", 9).alias("gini"),
     )

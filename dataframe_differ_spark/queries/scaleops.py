@@ -2183,33 +2183,22 @@ def q_eval_dedup_pr(spark, sf_dir):
         .filter(2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
         .select("doc_a", "doc_b")
     )
+    from dataframe_differ_spark.operators.evalmetrics import pairs_pr
+
     cb = cand.filter(
         (F.col("doc_a") % 100000 < _PR_BLOCK)
         & (F.col("doc_b") % 100000 < _PR_BLOCK)
     )
-    tp_df = truth.join(cb, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("tp")
-    )
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    n_cand = cb.agg(F.count(F.lit(1)).alias("n_cand"))
-    cnt = (
-        n_truth.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(tp_df))
-    )
-    return cnt.select(
+    pr = pairs_pr(cb, truth, ["doc_a", "doc_b"])
+    return pr.select(
         "n_truth",
         "n_cand",
         "tp",
-        (F.col("n_cand") - F.col("tp")).alias("fp"),
-        (F.col("n_truth") - F.col("tp")).alias("fn"),
-        F.round(F.col("tp").cast("double") / F.col("n_cand"), 9).alias(
-            "precision"
-        ),
-        F.round(F.col("tp").cast("double") / F.col("n_truth"), 9).alias(
-            "recall"
-        ),
-        F.round(
-            (2 * F.col("tp")).cast("double")
-            / (F.col("n_cand") + F.col("n_truth")),
+        "fp",
+        "fn",
+        F.round("precision", 9).alias("precision"),
+        F.round("recall", 9).alias("recall"),
+        F.round("f1",
             9,
         ).alias("f1"),
     )

@@ -321,27 +321,17 @@ def q_eval_ndcg_retrieval(spark, sf_dir):
         q_sim_topk_lsh,
     )
 
+    from dataframe_differ_spark.operators.evalmetrics import ndcg_at_k
+
     ex = q_sim_topk(spark, sf_dir).select("query_id", "vec_id", "rank")
     ap = q_sim_topk_lsh(spark, sf_dir).select("query_id", "vec_id", "rank")
-    gain = F.round(F.lit(1.0) / F.log2(F.col("rank") + 1), 9)
-    hit = ex.select("query_id", "vec_id").withColumn("hit", F.lit(1))
-    g = ap.join(hit, ["query_id", "vec_id"], "left").select(
-        "query_id",
-        F.when(F.col("hit").isNotNull(), gain).otherwise(0.0).alias("gain"),
-    )
-    dcg = g.groupBy("query_id").agg(
-        F.sum(F.when(F.col("gain") > 0, 1).otherwise(0)).alias("n_hits"),
-        F.sum(F.col("gain").cast("decimal(20,9)")).cast("double").alias("dcg"),
-    )
-    idcg = ex.groupBy("query_id").agg(
-        F.sum(gain.cast("decimal(20,9)")).cast("double").alias("idcg")
-    )
-    return dcg.join(idcg, "query_id").select(
+    nd = ndcg_at_k(ex, ap, "query_id", "vec_id", "rank", gain_decimals=9)
+    return nd.select(
         "query_id",
         "n_hits",
         "dcg",
         "idcg",
-        F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+        F.round("ndcg", 9).alias("ndcg"),
     )
 
 
@@ -803,35 +793,14 @@ def q_eval_mrr_retrieval(spark, sf_dir):
         q_sim_topk_lsh,
     )
 
-    ex = q_sim_topk(spark, sf_dir).select("query_id", "vec_id")
+    from dataframe_differ_spark.operators.evalmetrics import mrr
+
+    ex = q_sim_topk(spark, sf_dir).select("query_id", "vec_id", "rank")
     ap = q_sim_topk_lsh(spark, sf_dir).select("query_id", "vec_id", "rank")
-    hits = (
-        ap.join(ex, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.min("rank").cast("int").alias("fr"))
+    out = mrr(ex, ap, "query_id", "vec_id", "rank", rr_decimals=9)
+    return out.select(
+        "query_id", "first_hit_rank", "rr", F.round("mrr", 9).alias("mrr")
     )
-    per = (
-        ex.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("fr"), F.lit(0)).cast("int").alias(
-                "first_hit_rank"
-            ),
-            F.when(F.col("fr").isNull(), 0.0)
-            .otherwise(F.round(F.lit(1.0) / F.col("fr"), 9))
-            .alias("rr"),
-        )
-    )
-    tot = per.agg(
-        F.round(
-            F.sum(F.col("rr").cast("decimal(20,9)")).cast("double")
-            / F.count(F.lit(1)),
-            9,
-        ).alias("mrr")
-    )
-    return per.crossJoin(F.broadcast(tot))
 
 
 # ---------------------------------------------------------------------------

@@ -1541,30 +1541,24 @@ def q_eval_calibration_bins(spark, sf_dir):
     scored = feats.withColumn(
         "q_score", F.round(F.expr(f"1.0 / (1.0 + exp(-({_LRQ_Z})))"), 6)
     )
-    binned = scored.select(
-        F.least(F.floor(F.col("q_score") * 10), F.lit(9)).cast("int").alias("bin"),
-        F.col("q_score").cast("decimal(12,6)").alias("qd"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-    )
-    grp = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("y").alias("p"),
-        F.sum("qd").alias("sp"),
-    )
-    gap_dec = F.abs(F.col("sp") - F.col("p").cast("decimal(18,6)"))
-    tot = grp.agg(
-        F.sum("n").alias("nt"),
-        F.sum(F.abs(F.col("sp") - F.col("p").cast("decimal(18,6)"))).alias(
-            "gap_sum"
+    from dataframe_differ_spark.operators.evalmetrics import calibration_bins
+
+    cal = calibration_bins(
+        scored.select(
+            "q_score", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
         ),
+        "q_score",
+        "y",
+        n_bins=10,
+        score_decimals=6,
     )
-    return grp.crossJoin(F.broadcast(tot)).select(
+    return cal.select(
         "bin",
         "n",
-        F.round(F.col("p").cast("double") / F.col("n"), 9).alias("frac_pos"),
-        F.round(F.col("sp").cast("double") / F.col("n"), 9).alias("mean_pred"),
-        F.round(gap_dec.cast("double") / F.col("n"), 9).alias("gap"),
-        F.round(F.col("gap_sum").cast("double") / F.col("nt"), 9).alias("ece"),
+        F.round("frac_pos", 9).alias("frac_pos"),
+        F.round("mean_pred", 9).alias("mean_pred"),
+        F.round("gap", 9).alias("gap"),
+        F.round("ece", 9).alias("ece"),
     )
 
 

@@ -1181,31 +1181,15 @@ def q_eval_retrieval_recall(spark, sf_dir):
     whatever the two inputs cost (the eval itself joins two ≤ 50-row
     frames).
     """
+    from dataframe_differ_spark.operators.evalmetrics import retrieval_recall
+
     ex = q_sim_topk(spark, sf_dir).select("query_id", "vec_id")
-    ap = (
-        q_sim_topk_lsh(spark, sf_dir)
-        .select("query_id", "vec_id")
-        .withColumn("hit", F.lit(1))
-    )
-    per = (
-        ex.join(ap, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
-        )
-    )
-    tot = per.agg(
-        F.sum("n_hit").alias("th"), F.sum("n_exact").alias("te")
-    )
-    return per.crossJoin(F.broadcast(tot)).select(
+    ap = q_sim_topk_lsh(spark, sf_dir).select("query_id", "vec_id")
+    rec = retrieval_recall(ex, ap, "query_id", "vec_id")
+    return rec.select(
         "query_id",
         "n_exact",
         "n_hit",
-        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 9).alias(
-            "recall_at_k"
-        ),
-        F.round(F.col("th").cast("double") / F.col("te"), 9).alias(
-            "macro_recall"
-        ),
+        F.round("recall_at_k", 9).alias("recall_at_k"),
+        F.round("macro_recall", 9).alias("macro_recall"),
     )
