@@ -72,6 +72,12 @@ from dataframe_differ_spark.operators.similarity import (
     topk_cosine_ivf,
     topk_cosine_lsh,
 )
+from dataframe_differ_spark.operators.sketches import (
+    cms_build,
+    cms_lookup,
+    hll_rollup,
+    psi_bins,
+)
 from dataframe_differ_spark.operators.evalmetrics import (
     auc_score,
     calibration_bins,
@@ -115,6 +121,11 @@ __all__ = [
     "mann_whitney",
     "spearman",
     "welch_ttest",
+    # sketch operator library (round-6 extraction; SURVEY.md §13)
+    "cms_build",
+    "cms_lookup",
+    "hll_rollup",
+    "psi_bins",
     # eval-metric operator library (round-6 extraction; SURVEY.md §13)
     "auc_score",
     "calibration_bins",

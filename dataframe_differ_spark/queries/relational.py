@@ -1287,32 +1287,18 @@ def q_agg_hll_merge(spark, sf_dir):
     the exact counts and literal TRUE. The merge plumbing is unchanged
     and now verified against exact at every level.
     """
+    from dataframe_differ_spark.operators.sketches import hll_rollup
+
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-    per_nation = joined.groupBy("n_regionkey", "n_name").agg(
-        F.hll_sketch_agg("c_custkey").alias("sk")
+    estimates = hll_rollup(
+        joined,
+        "c_custkey",
+        ["n_regionkey", "n_name"],
+        {"nation": ["n_name"], "region": ["n_regionkey"], "global": []},
+        lgk=12,
     )
-    nation_level = per_nation.select(
-        F.lit("nation").alias("level"),
-        F.col("n_name").alias("key"),
-        F.hll_sketch_estimate("sk").alias("estimate"),
-    )
-    region_level = (
-        per_nation.groupBy("n_regionkey")
-        .agg(F.hll_union_agg("sk").alias("sk"))
-        .select(
-            F.lit("region").alias("level"),
-            F.col("n_regionkey").cast("string").alias("key"),
-            F.hll_sketch_estimate("sk").alias("estimate"),
-        )
-    )
-    global_level = per_nation.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("global").alias("level"),
-        F.lit("all").alias("key"),
-        F.hll_sketch_estimate("sk").alias("estimate"),
-    )
-    estimates = nation_level.unionAll(region_level).unionAll(global_level)
     nation_exact = joined.groupBy("n_name").agg(
         F.countDistinct("c_custkey").alias("exact_distinct")
     ).select(F.lit("nation").alias("level"), F.col("n_name").alias("key"), "exact_distinct")

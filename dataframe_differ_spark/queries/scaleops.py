@@ -43,23 +43,6 @@ _SQL_CMS_BUCKET = (
 )
 
 
-def _cms_bucket(r_col, key_col):
-    """Portable CMS hash row: slice 8 hex chars per row r out of a single
-    md5 digest of the key — one hash per record, d buckets, identical
-    integers in both engines (the 128-bit digest funds 4 x 32-bit slices).
-    """
-    return F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(key_col.cast("string")), r_col * 8 + 1, F.lit(8)
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(_CMS_W),
-    )
-
-
 @register(
     "sketch_cms_topk",
     oracle=f"""
@@ -96,45 +79,22 @@ def q_sketch_cms_topk(spark, sf_dir):
     can only overcount, asserted by `no_undercount`. Hashes are portable
     md5 math (module docstring) so the estimate itself is full-oracle.
     """
+    from dataframe_differ_spark.operators.sketches import cms_build, cms_lookup
+
     keys = load_table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
-    rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
-    # One md5 per RECORD (not per record x row): digest first, then explode
-    # r and slice — the hot-path cost at 100 TB is the hashing, not the
-    # 1024-cell shuffle.
-    sketch = (
-        keys.select(F.md5(F.col("k").cast("string")).alias("h"))
-        .select("h", rows)
-        .select(
-            "r",
-            F.pmod(
-                F.conv(
-                    F.substring(F.col("h"), F.col("r") * 8 + 1, F.lit(8)), 16, 10
-                ).cast("long"),
-                F.lit(_CMS_W),
-            ).alias("b"),
-        )
-        .groupBy("r", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    sketch = cms_build(keys, "k", depth=_CMS_D, width=_CMS_W)
     exact = (
         keys.groupBy("k")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), "k")
         .limit(10)
     )
-    probes = exact.select("k", "exact_cnt", rows).select(
-        "k", "exact_cnt", "r", _cms_bucket(F.col("r"), F.col("k")).alias("b")
-    )
-    return (
-        probes.join(F.broadcast(sketch), ["r", "b"])
-        .groupBy("k", "exact_cnt")
-        .agg(F.min("cnt").alias("cms_est"))
-        .select(
-            F.col("k").alias("l_suppkey"),
-            "exact_cnt",
-            "cms_est",
-            (F.col("cms_est") >= F.col("exact_cnt")).alias("no_undercount"),
-        )
+    est = cms_lookup(sketch, exact, "k", depth=_CMS_D, width=_CMS_W)
+    return est.select(
+        F.col("k").alias("l_suppkey"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("no_undercount"),
     )
 
 
@@ -232,6 +192,8 @@ def q_drift_psi(spark, sf_dir):
     non-IEEE-portable op here (round-1 lesson), so the contribution is
     rounded to 6 dp on both sides before hashing.
     """
+    from dataframe_differ_spark.operators.sketches import psi_bins
+
     orders = load_table(spark, sf_dir, "orders")
     binned = orders.select(
         F.least(
@@ -244,23 +206,12 @@ def q_drift_psi(spark, sf_dir):
             "is_base"
         ),
     )
-    per_bin = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
-        F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("n_cur"),
-    )
-    tot = per_bin.agg(
-        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
-    )
-    p = (F.col("n_base") + 1).cast("double") / (F.col("tb") + 10)
-    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + 10)
-    return (
-        per_bin.crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "n_base",
-            "n_cur",
-            F.round((p - q) * F.log(p / q), 6).alias("psi_bin"),
-        )
+    # n_bins=10 is the FIXED width of the binning scheme above (not the
+    # occupied count), so the smoothing denominator matches the oracle
+    # even if a price band is empty at tiny scales.
+    out = psi_bins(binned, "bin", "is_base", smoothing=1, n_bins=10)
+    return out.select(
+        "bin", "n_base", "n_cur", F.round("psi_bin", 6).alias("psi_bin")
     )
 
 
