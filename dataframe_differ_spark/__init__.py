@@ -61,6 +61,9 @@ from dataframe_differ_spark.operators.stats import (
     anova_f,
     chi2_independence,
     fdr_bh,
+    gini,
+    kendall_tau,
+    levene_bf,
     mann_whitney,
     spearman,
     welch_ttest,
@@ -71,6 +74,13 @@ from dataframe_differ_spark.operators.similarity import (
     topk_cosine,
     topk_cosine_ivf,
     topk_cosine_lsh,
+)
+from dataframe_differ_spark.operators.sampling import (
+    balanced_sample,
+    hash_sample,
+    neyman_sample,
+    stratified_sample,
+    weighted_sample,
 )
 from dataframe_differ_spark.operators.sketches import (
     cms_build,
@@ -118,9 +128,18 @@ __all__ = [
     "anova_f",
     "chi2_independence",
     "fdr_bh",
+    "gini",
+    "kendall_tau",
+    "levene_bf",
     "mann_whitney",
     "spearman",
     "welch_ttest",
+    # sampling operator library (round-6 extraction; SURVEY.md §13)
+    "balanced_sample",
+    "hash_sample",
+    "neyman_sample",
+    "stratified_sample",
+    "weighted_sample",
     # sketch operator library (round-6 extraction; SURVEY.md §13)
     "cms_build",
     "cms_lookup",

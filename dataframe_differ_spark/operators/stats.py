@@ -48,6 +48,9 @@ __all__ = [
     "mann_whitney",
     "spearman",
     "fdr_bh",
+    "kendall_tau",
+    "levene_bf",
+    "gini",
 ]
 
 _DEC = "decimal(38,0)"
@@ -497,4 +500,159 @@ def fdr_bh(
             "bh_critical"
         ),
         (F.col("p_rank") <= F.col("_st_k")).alias("reject"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation → one row ``(n, n_concordant,
+    n_discordant, ties_x, ties_y, tau_b)`` (tau_b an unrounded double).
+
+    Built for BOUNDED-cardinality ordinal variables (buckets, grades,
+    small counts): the data collapses to the (x, y) contingency grid in
+    one map-side-combinable groupBy, and concordant/discordant pair
+    counts come from a broadcast self-join of the tiny grid (cell pairs
+    with x₂>x₁ ∧ y₂>y₁ are concordant, x₂>x₁ ∧ y₂<y₁ discordant) — all
+    BIGINT until the final τ-b ratio (C − D) / √((n₀−n₁)(n₀−n₂)) with
+    n₀ = n(n−1)/2 and n₁/n₂ the x/y tie-pair counts. Grid cost is
+    O(|grid|²) — bucket continuous variables first. No window, no sort;
+    the corpus is touched once.
+    """
+    _check_reserved(df)
+    grid = df.groupBy(
+        F.col(x_col).alias("_st_x"), F.col(y_col).alias("_st_y")
+    ).agg(F.count(F.lit(1)).alias("_st_c"))
+    other = grid.select(
+        F.col("_st_x").alias("_st_x2"),
+        F.col("_st_y").alias("_st_y2"),
+        F.col("_st_c").alias("_st_c2"),
+    )
+    pairs = grid.join(
+        F.broadcast(other),
+        (F.col("_st_x2") > F.col("_st_x"))
+        & (F.col("_st_y2") != F.col("_st_y")),
+    ).select(
+        (F.col("_st_c") * F.col("_st_c2")).alias("_st_w"),
+        (F.col("_st_y2") > F.col("_st_y")).alias("_st_conc"),
+    )
+    cd = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_st_conc"), F.col("_st_w"))), F.lit(0)
+        ).alias("C"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_st_conc"), F.col("_st_w"))), F.lit(0)
+        ).alias("D"),
+    )
+    xt = grid.groupBy("_st_x").agg(F.sum("_st_c").alias("_st_t"))
+    yt = grid.groupBy("_st_y").agg(F.sum("_st_c").alias("_st_t"))
+    # tie-pair sums stay in BIGINT integer division (`div`), never floats
+    xties = xt.agg(
+        F.sum("_st_t").alias("_st_n"),
+        F.sum(F.col("_st_t") * (F.col("_st_t") - 1)).alias("_st_tx"),
+    ).select("_st_n", F.expr("_st_tx div 2").alias("n1"))
+    yties = yt.agg(
+        F.sum(F.col("_st_t") * (F.col("_st_t") - 1)).alias("_st_ty")
+    ).select(F.expr("_st_ty div 2").alias("n2"))
+    row = cd.crossJoin(F.broadcast(xties)).crossJoin(F.broadcast(yties))
+    n0 = F.expr("(_st_n * (_st_n - 1)) div 2")
+    return row.select(
+        F.col("_st_n").alias("n"),
+        F.col("C").alias("n_concordant"),
+        F.col("D").alias("n_discordant"),
+        F.col("n1").alias("ties_x"),
+        F.col("n2").alias("ties_y"),
+        (
+            (F.col("C") - F.col("D")).cast("double")
+            / F.sqrt(
+                ((n0 - F.col("n1")) * (n0 - F.col("n2"))).cast("double")
+            )
+        ).alias("tau_b"),
+    )
+
+
+def levene_bf(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) variance-equality test →
+    one row ``(k_groups, n_obs, ss_between, ss_within, f_stat,
+    eta_sq)`` — the ANOVA F applied to absolute deviations from the
+    GROUP MEDIAN (robust to non-normality; Brown & Forsythe 1974).
+
+    ``value_col`` must be integer-exact (e.g. cents). The exactness
+    device: deviations are carried DOUBLED — z = |2·v − 2·median| is a
+    BIGINT even when the median of an even group falls on a half — and
+    the F statistic is scale-invariant, so F(2z) = F(z) exactly while
+    every sufficient statistic stays an exact integer (ss_between /
+    ss_within are reported on the doubled scale: 4× the conventional
+    values; f_stat and eta_sq are unaffected). Composes
+    :func:`anova_f` for the sorted-fold between-term. Two shuffles
+    (median rollup + moment rollup), both on the group key.
+    """
+    _check_reserved(df)
+    med = df.groupBy(F.col(group_col).alias("_st_mg")).agg(
+        F.median(value_col).alias("_st_med")
+    )
+    z = df.join(
+        F.broadcast(med), F.col(group_col) == F.col("_st_mg")
+    ).select(
+        F.col(group_col).alias("_bf_g"),
+        F.abs(
+            2 * F.col(value_col) - (2 * F.col("_st_med")).cast("long")
+        ).alias("_bf_z"),
+    )
+    return anova_f(z, "_bf_z", "_bf_g", round_dp=round_dp)
+
+
+def gini(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    *,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Gini coefficient of a non-negative quantity → one row
+    ``(n, total, gini)`` (gini an unrounded double until ``round_dp``).
+
+    The inequality measure over e.g. per-customer revenue: with values
+    ranked ascending (ties broken by ``tie_col`` for determinism),
+    G = (2·Σᵢ rᵢ·vᵢ − (n+1)·Σv) / (n·Σv). ``value_col`` must be
+    integer-exact (cents) so Σ(r·v) — accumulated as DECIMAL(38,0),
+    BIGINT overflows at ~10⁸ rows × 10⁷ cents — and Σv are exact; one
+    final double division. The global rank is the two-phase bucketed
+    rank (``operators.ranks.ranked``) — approx-percentile boundaries,
+    per-bucket windows, broadcast offset merge — never a corpus-wide
+    single-partition window.
+    """
+    _check_reserved(df)
+    from dataframe_differ_spark.operators.ranks import ranked
+
+    r = ranked(
+        df.select(F.col(value_col).alias("_st_v"), F.col(tie_col).alias("_st_t")),
+        F.col("_st_v"),
+        ["_st_v", "_st_t"],
+        rank_col="_st_rk",
+        n_col="_st_n",
+    )
+    agg = r.agg(
+        F.max("_st_n").alias("n"),
+        F.sum("_st_v").alias("total"),
+        F.sum(F.col("_st_rk").cast(_DEC) * F.col("_st_v")).alias("_st_rv"),
+    )
+    return agg.select(
+        "n",
+        "total",
+        F.round(
+            (
+                2 * F.col("_st_rv") - (F.col("n") + 1).cast(_DEC) * F.col("total")
+            ).cast("double")
+            / (F.col("n").cast(_DEC) * F.col("total")).cast("double"),
+            round_dp,
+        ).alias("gini"),
     )

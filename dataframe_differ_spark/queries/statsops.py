@@ -1889,17 +1889,12 @@ def q_sample_balanced_classes(spark, sf_dir):
     picked ids, so the oracle pins the exact membership, not just the
     counts.
     """
+    from dataframe_differ_spark.operators.sampling import balanced_sample
+
     emb = load_table(spark, sf_dir, "embeddings")
     sized = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
-    k = sized.agg(F.min("n_before").alias("k"))
-    w = Window.partitionBy("label").orderBy(
-        F.md5(F.col("vec_id").cast("string")), "vec_id"
-    )
-    picked = (
-        emb.select("label", "vec_id")
-        .withColumn("rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(k))
-        .filter(F.col("rn") <= F.col("k"))
+    picked = balanced_sample(
+        emb.select("label", "vec_id"), "vec_id", "label", per_class=None
     )
     return (
         sized.join(picked, "label")
@@ -2701,3 +2696,272 @@ def q_stats_spearman_corr(spark, sf_dir):
         "spearman_rho",
         F.col("pearson_r").alias("pearson_r_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between basket size and price band (round 6)
+# ---------------------------------------------------------------------------
+
+_KENDALL_SQL = """
+WITH li AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+  FROM lineitem GROUP BY l_orderkey),
+pairs AS (
+  SELECT li.x,
+         LEAST(9, GREATEST(0, CAST(FLOOR(o.o_totalprice / 50000) AS BIGINT)))
+           AS y
+  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey),
+grid AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY x, y),
+cd AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN a.c * b.c END), 0)
+              AS BIGINT) AS con,
+         CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN a.c * b.c END), 0)
+              AS BIGINT) AS dis
+  FROM grid a JOIN grid b ON b.x > a.x AND b.y <> a.y),
+xt AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS n1
+  FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS t FROM grid GROUP BY x)),
+yt AS (
+  SELECT CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS n2
+  FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS t FROM grid GROUP BY y))
+SELECT n, con AS n_concordant, dis AS n_discordant,
+       n1 AS ties_x, n2 AS ties_y,
+       ROUND(CAST(con - dis AS DOUBLE)
+             / sqrt(CAST((n * (n - 1) // 2 - n1) * (n * (n - 1) // 2 - n2)
+                         AS DOUBLE)), 9) AS tau_b
+FROM cd CROSS JOIN xt CROSS JOIN yt
+"""
+
+
+@register("stats_kendall_tau", oracle=_KENDALL_SQL)
+def q_stats_kendall_tau(spark, sf_dir):
+    """Kendall tau-b between order basket size and price band.
+
+    The third rank-correlation of the family (Pearson: stats_ols_multi,
+    Spearman: stats_spearman_corr): tau-b counts concordant vs discordant
+    pairs with full tie correction, the right association measure when
+    BOTH variables are coarse ordinals (basket size 1-7, price band
+    0-9). The engine answer to the O(n^2) pair count: collapse to the
+    <= 70-cell contingency grid in one map-side-combinable groupBy, then
+    count pair blocks on the broadcast grid self-join — all BIGINT, no
+    window, no sort, one corpus scan (integer `div` for the tie-pair
+    halves, so no float hop anywhere before the final ratio).
+
+    Thin binding over the parametric :func:`operators.stats.kendall_tau`
+    (round-6 extraction).
+    """
+    from dataframe_differ_spark.operators.stats import kendall_tau
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    pairs = (
+        load_table(spark, sf_dir, "orders")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "x",
+            F.least(
+                F.lit(9),
+                F.greatest(
+                    F.lit(0), F.floor(F.col("o_totalprice") / 50000)
+                ),
+            ).cast("long").alias("y"),
+        )
+    )
+    kt = kendall_tau(pairs, "x", "y")
+    return kt.select(
+        "n",
+        "n_concordant",
+        "n_discordant",
+        "ties_x",
+        "ties_y",
+        F.round("tau_b", 9).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-equality test across order priorities (round 6)
+# ---------------------------------------------------------------------------
+
+_LEVENE_SQL = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+med AS (SELECT g, MEDIAN(cents) AS m FROM v GROUP BY g),
+z AS (
+  SELECT v.g,
+         ABS(2 * v.cents - CAST(2 * med.m AS BIGINT)) AS z
+  FROM v JOIN med ON v.g = med.g),
+grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(z) AS BIGINT) AS s,
+         CAST(SUM(CAST(z AS HUGEINT) * z) AS DECIMAL(38, 0)) AS q
+  FROM z GROUP BY g),
+terms AS (
+  SELECT g, n, s, q, CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS t
+  FROM grp),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(q) AS DOUBLE) AS sq,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(t ORDER BY g)), (acc, x) -> acc + x) AS st
+  FROM terms),
+parts AS (
+  SELECT k, nn,
+         st - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / nn AS ssb,
+         sq - st AS ssw
+  FROM folded)
+SELECT k AS k_groups, nn AS n_obs, ssb AS ss_between, ssw AS ss_within,
+       ROUND((ssb / (k - 1)) / (ssw / (nn - k)), 9) AS f_stat,
+       ROUND(ssb / (ssb + ssw), 9) AS eta_sq
+FROM parts
+"""
+
+
+@register("stats_levene_bf", oracle=_LEVENE_SQL)
+def q_stats_levene_bf(spark, sf_dir):
+    """Brown-Forsythe (median-centered Levene) test: do order-price
+    VARIANCES differ across the five order priorities?
+
+    The variance-equality companion the ANOVA family was missing — ANOVA
+    compares means and silently assumes equal variances; this is the
+    robust (median-centered, Brown & Forsythe 1974) gatekeeper for that
+    assumption. Exactness devices stack three rounds of parity lessons:
+    deviations carried DOUBLED so |2v - 2*median| is a BIGINT even at
+    half-valued medians (the Mann-Whitney midrank device), F is
+    scale-invariant so F(2z) = F(z) exactly (ss_* are reported on the
+    doubled scale, 4x conventional), and the k-term between-group fold
+    runs in sorted group order (the anova_f device). Two group-keyed
+    shuffles; scan-bound at 100 TB.
+
+    Thin binding over the parametric :func:`operators.stats.levene_bf`
+    (round-6 extraction), which composes :func:`operators.stats.anova_f`.
+    """
+    from dataframe_differ_spark.operators.stats import levene_bf
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return levene_bf(v, "cents", "g")
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness of daily event volume (round 6)
+# ---------------------------------------------------------------------------
+
+_FANO_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type)
+SELECT event_type, n AS n_days,
+       ROUND(CAST(s1 AS DOUBLE) / n, 9) AS mean_daily,
+       ROUND(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * s1 AS DOUBLE), 9)
+         AS fano,
+       CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * s1 AS DOUBLE) > 1.0
+         AS overdispersed
+FROM mom
+"""
+
+
+@register("events_fano_burstiness", oracle=_FANO_SQL)
+def q_events_fano_burstiness(spark, sf_dir):
+    """Fano factor (index of dispersion) of daily event counts per type.
+
+    The burstiness screen for event streams: a Poisson-arrival process
+    has variance = mean on any aggregation window (Fano = 1); Fano >> 1
+    flags bursty/overdispersed types (incident storms, batch replays),
+    Fano << 1 metronomic ones (cron heartbeats). Var_pop/mean collapses
+    algebraically to (n*Sx^2 - Sx*Sx) / (n*Sx) - exact BIGINT moments
+    from one daily rollup, ONE double division, one comparison against
+    literal 1.0 (no epsilon: the division is the same IEEE op in both
+    engines). The corpus is touched once; everything after is per-type
+    KB frames.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    fano = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n") * F.col("s1")).cast("double")
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.col("s1").cast("double") / F.col("n"), 9).alias("mean_daily"),
+        F.round(fano, 9).alias("fano"),
+        (fano > F.lit(1.0)).alias("overdispersed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue concentration (round 6)
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+rk AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS r
+  FROM per_cust),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total,
+         SUM(CAST(r AS DECIMAL(38,0)) * cents) AS rv
+  FROM rk)
+SELECT n, total,
+       ROUND(CAST(2 * rv - CAST(n + 1 AS DECIMAL(38,0)) * total AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * total AS DOUBLE), 9) AS gini
+FROM agg
+"""
+
+
+@register("orders_gini_revenue", oracle=_GINI_SQL)
+def q_orders_gini_revenue(spark, sf_dir):
+    """Gini coefficient of per-customer revenue concentration.
+
+    The single-number companion to `revenue_pareto` ("how few customers
+    make 80%"): G = (2*sum(r_i*v_i) - (n+1)*sum(v)) / (n*sum(v)) over
+    ascending-ranked exact cents. The oracle ranks with a window; the
+    engine side NEVER does - the global rank is the two-phase bucketed
+    rank (operators/ranks.ranked: approx_percentile boundaries ->
+    per-bucket windows -> broadcast offset merge), the plan that
+    survives 1000 executors. sum(r*v) accumulates as DECIMAL(38,0)
+    (BIGINT overflows at ~1e8 customers x 1e7 cents); one final double
+    division.
+
+    Thin binding over the parametric :func:`operators.stats.gini`
+    (round-6 extraction).
+    """
+    from dataframe_differ_spark.operators.stats import gini
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    return gini(per_cust, "cents", "o_custkey")

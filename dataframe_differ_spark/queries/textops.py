@@ -19,6 +19,7 @@ from dataframe_differ_spark.operators.dedup import (
     connected_components,
     exact_dedup,
     minhash_dedup,
+    shingles,
     simhash_dedup,
 )
 from dataframe_differ_spark.operators.textquality import (
@@ -1648,4 +1649,84 @@ def q_text_zipf_alpha(spark, sf_dir):
         k.alias("n_tokens_fit"),
         F.round(-slope, 6).alias("zipf_alpha"),
         F.round((F.col("sy") - slope * F.col("sx")) / k, 6).alias("log_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split n-gram novelty (memorization screen) — round 6
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SQL = """
+WITH sp AS (
+  SELECT doc_id, source, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT < 12
+           AS is_train
+  FROM documents),
+tri AS (
+  SELECT source, is_train,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i + 1] || ' ' ||
+                string_split(text, ' ')[i + 2]))) AS g
+  FROM sp),
+train_set AS (SELECT DISTINCT g FROM tri WHERE is_train),
+hold AS (SELECT DISTINCT source, g FROM tri WHERE NOT is_train),
+novel AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM hold WHERE g NOT IN (SELECT g FROM train_set) GROUP BY source),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_holdout_ngrams
+  FROM hold GROUP BY source)
+SELECT per.source, n_holdout_ngrams,
+       CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+       ROUND(CAST(COALESCE(n_novel, 0) AS DOUBLE) / n_holdout_ngrams, 9)
+         AS novelty
+FROM per LEFT JOIN novel ON novel.source = per.source
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_SQL)
+def q_text_ngram_novelty(spark, sf_dir):
+    """Cross-split trigram novelty per source — the memorization screen.
+
+    The eval-design question behind every held-out benchmark: how much of
+    the holdout's n-gram space already appears in training data? Low
+    novelty = the holdout is effectively memorizable; per-source rates
+    show which corpora leak. A pure composition of two library operators:
+    `pipeline.hash_split` (deterministic md5 split, 12/16 train) and
+    `dedup.shingles` (one-pass zip_with trigrams), then novelty =
+    |holdout trigrams \\ train trigrams| / |holdout trigrams| via one
+    distinct + one left-anti join on the trigram key — the
+    `contamination_check` shape pointed inward at the corpus itself.
+    At 100 TB both sides shuffle once on the uniform trigram hash; the
+    anti join is the decontamination plan, not an all-pairs comparison.
+    """
+    from dataframe_differ_spark.operators.pipeline import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sp = hash_split(docs, "doc_id", splits=(("train", 12), ("holdout", 4)))
+    tri = sp.select(
+        "source",
+        (F.col("split") == "train").alias("is_train"),
+        F.explode(shingles(F.col("text"), 3)).alias("g"),
+    )
+    train_set = tri.filter(F.col("is_train")).select("g").distinct()
+    hold = tri.filter(~F.col("is_train")).select("source", "g").distinct()
+    novel = hold.join(train_set, "g", "left_anti")
+    per = hold.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_holdout_ngrams")
+    )
+    nov = novel.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    return per.join(nov, "source", "left").select(
+        "source",
+        "n_holdout_ngrams",
+        F.coalesce(F.col("nv"), F.lit(0)).alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("nv"), F.lit(0)).cast("double")
+            / F.col("n_holdout_ngrams"),
+            9,
+        ).alias("novelty"),
     )

@@ -223,3 +223,100 @@ def test_reserved_prefix_rejected(spark):
     df = spark.createDataFrame([Row(_st_v=1, g=True)])
     with pytest.raises(ValueError, match="_st_"):
         welch_ttest(df, "_st_v", "g")
+
+
+def test_kendall_tau_matches_python(spark):
+    rng = random.Random(13)
+    rows = [
+        Row(sz=rng.randrange(1, 8), band=min(9, rng.randrange(0, 8) + rng.randrange(0, 3)))
+        for _ in range(300)
+    ]
+    from dataframe_differ_spark.operators.stats import kendall_tau
+
+    got = kendall_tau(spark.createDataFrame(rows), "sz", "band").collect()[0]
+    pts = [(r.sz, r.band) for r in rows]
+    C = D = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = (pts[i][0] > pts[j][0]) - (pts[i][0] < pts[j][0])
+            dy = (pts[i][1] > pts[j][1]) - (pts[i][1] < pts[j][1])
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+    n = len(pts)
+    from collections import Counter
+
+    n1 = sum(c * (c - 1) // 2 for c in Counter(x for x, _ in pts).values())
+    n2 = sum(c * (c - 1) // 2 for c in Counter(y for _, y in pts).values())
+    n0 = n * (n - 1) // 2
+    tau = (C - D) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert (got.n, got.n_concordant, got.n_discordant) == (n, C, D)
+    assert (got.ties_x, got.ties_y) == (n1, n2)
+    assert abs(got.tau_b - tau) < 1e-12
+
+
+def test_kendall_tau_perfect_orders(spark):
+    from dataframe_differ_spark.operators.stats import kendall_tau
+
+    inc = spark.createDataFrame([Row(a=i, b=i * 2) for i in range(20)])
+    assert kendall_tau(inc, "a", "b").collect()[0].tau_b == 1.0
+    dec = spark.createDataFrame([Row(a=i, b=-i) for i in range(20)])
+    assert kendall_tau(dec, "a", "b").collect()[0].tau_b == -1.0
+
+
+def test_levene_bf_matches_python(spark):
+    rng = random.Random(29)
+    # group B has ~3x the spread of group A -> large F
+    rows = [Row(g="A", v=1000 + rng.randrange(-50, 51)) for _ in range(151)]
+    rows += [Row(g="B", v=1000 + rng.randrange(-150, 151)) for _ in range(140)]
+    from dataframe_differ_spark.operators.stats import levene_bf
+
+    got = levene_bf(spark.createDataFrame(rows), "v", "g").collect()[0]
+
+    def _median(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.g, []).append(r.v)
+    z = {
+        g: [abs(2 * v - int(2 * _median(vs))) for v in vs]
+        for g, vs in groups.items()
+    }
+    allz = [x for vs in z.values() for x in vs]
+    gm = sum(allz) / len(allz)
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in z.values())
+    ssw = sum(
+        sum((x - sum(vs) / len(vs)) ** 2 for x in vs) for vs in z.values()
+    )
+    f = (ssb / (2 - 1)) / (ssw / (len(allz) - 2))
+    assert got.k_groups == 2 and got.n_obs == len(rows)
+    assert abs(got.f_stat - f) < 1e-6
+    assert got.f_stat > 10  # the planted variance gap is material
+
+
+def test_gini_extremes_and_reference(spark):
+    from dataframe_differ_spark.operators.stats import gini
+
+    equal = spark.createDataFrame([Row(uid=i, cents=500) for i in range(40)])
+    assert abs(gini(equal, "cents", "uid").collect()[0].gini) < 1e-12
+    # one holder owns everything -> G = (n-1)/n
+    conc = spark.createDataFrame(
+        [Row(uid=i, cents=0) for i in range(39)] + [Row(uid=99, cents=10_000)]
+    )
+    g = gini(conc, "cents", "uid").collect()[0]
+    assert abs(g.gini - 39 / 40) < 1e-12
+    # general reference: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    rng = random.Random(37)
+    vals = [rng.randrange(0, 10_000) for _ in range(200)]
+    df = spark.createDataFrame([Row(uid=i, cents=v) for i, v in enumerate(vals)])
+    got = gini(df, "cents", "uid").collect()[0]
+    s = sorted(vals)
+    ref = (
+        2 * sum((i + 1) * v for i, v in enumerate(s)) - (200 + 1) * sum(s)
+    ) / (200 * sum(s))
+    assert abs(got.gini - ref) < 1e-9
+    assert got.n == 200 and got.total == sum(vals)

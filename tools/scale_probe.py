@@ -163,6 +163,11 @@ HEADLINE = [
     "stats_spearman_corr",
     # round-6 additions
     "dedup_fuzzy_names_capped",
+    "stats_kendall_tau",
+    "stats_levene_bf",
+    "events_fano_burstiness",
+    "orders_gini_revenue",
+    "text_ngram_novelty",
 ]
 
 
