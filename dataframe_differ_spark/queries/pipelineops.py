@@ -787,19 +787,11 @@ def q_sample_weighted(spark, sf_dir):
     shape that samples 100 TB with k·partitions memory. The division is
     one IEEE op on identical operands → identical doubles both engines.
     """
-    o = load_table(spark, sf_dir, "orders")
-    u = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    scored = o.select(
-        "o_orderkey",
-        "o_totalprice",
-        (u.cast("double") / F.col("o_totalprice")).alias("score"),
-    )
-    return (
-        scored.orderBy("score", "o_orderkey")
-        .limit(200)
-        .select("o_orderkey", "o_totalprice", "score")
+    from dataframe_differ_spark.operators.sampling import weighted_sample
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return weighted_sample(o, "o_orderkey", "o_totalprice", 200).select(
+        "o_orderkey", "o_totalprice", "score"
     )
 
 
@@ -1550,60 +1542,15 @@ def q_sample_neyman_allocation(spark, sf_dir):
     stratum). At 100 TB stage 3's window partitions on the stratum key;
     if one stratum dominates, swap in the two-phase rank operator.
     """
+    from dataframe_differ_spark.operators.sampling import neyman_sample
+
     orders = load_table(spark, sf_dir, "orders")
     c = orders.select(
         "o_orderkey",
         F.col("o_orderpriority").alias("stratum"),
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    m = c.groupBy("stratum").agg(
-        F.count(F.lit(1)).alias("nh"),
-        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
-        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
-            "s2"
-        ),
-    )
-    s1d = F.col("s1").cast("double")
-    s2d = F.col("s2").cast("double")
-    w = m.select(
-        "stratum",
-        "nh",
-        (
-            F.col("nh")
-            * F.sqrt(
-                (s2d - s1d * F.col("s1") / F.col("nh")) / F.col("nh")
-            )
-        ).alias("wh"),
-    )
-    tot = w.agg(
-        F.expr(
-            "aggregate(transform(array_sort(collect_list(struct(stratum, wh))),"
-            " x -> x.wh), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-        ).alias("t")
-    )
-    alloc = w.crossJoin(F.broadcast(tot)).select(
-        "stratum",
-        "nh",
-        F.floor(F.lit(1000.0) * F.col("wh") / F.col("t"))
-        .cast("long")
-        .alias("n_alloc"),
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("stratum").orderBy(
-            F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
-        )
-    )
-    return (
-        c.join(F.broadcast(alloc), "stratum")
-        .withColumn("rn", rn)
-        .filter(F.col("rn") <= F.col("n_alloc"))
-        .select(
-            "o_orderkey",
-            "stratum",
-            F.col("nh").alias("n_stratum"),
-            "n_alloc",
-        )
-    )
+    return neyman_sample(c, "o_orderkey", "stratum", "cents", budget=1000)
 
 
 # --------------------------------------------------------------------------

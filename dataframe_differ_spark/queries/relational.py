@@ -801,10 +801,12 @@ def q_sample_hash(spark, sf_dir):
     """Deterministic hash sampling (~1/16): the reproducible, engine-stable
     alternative to rng TABLESAMPLE — at 100 TB the same rows are sampled on
     every run and every engine, and the predicate pipelines with the scan."""
+    from dataframe_differ_spark.operators.sampling import hash_sample
+
     orders = load_table(spark, sf_dir, "orders")
-    return orders.filter(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
-    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    return hash_sample(orders, "o_orderkey", sixteenths=1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
 
 
 @register(
@@ -1090,14 +1092,16 @@ def q_sample_stratified(spark, sf_dir):
     collect, valid at any scale. Used to downsample over-represented
     strata (the training-data curation move) reproducibly.
     """
+    from dataframe_differ_spark.operators.sampling import stratified_sample
+
     o = load_table(spark, sf_dir, "orders")
-    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
-    rate_cap = (
-        F.when(F.col("o_orderstatus") == "F", F.lit("8"))
-        .when(F.col("o_orderstatus") == "P", F.lit("4"))
-        .otherwise(F.lit("1"))
-    )
-    return o.filter(bucket < rate_cap).select("o_orderkey", "o_orderstatus")
+    return stratified_sample(
+        o,
+        "o_orderkey",
+        "o_orderstatus",
+        {"F": 8, "P": 4},
+        default_sixteenths=1,
+    ).select("o_orderkey", "o_orderstatus")
 
 
 @register(
