@@ -75,6 +75,14 @@ from dataframe_differ_spark.operators.similarity import (
     topk_cosine_ivf,
     topk_cosine_lsh,
 )
+from dataframe_differ_spark.operators.drift import (
+    js_divergence,
+    ks_test,
+)
+from dataframe_differ_spark.operators.privacy import (
+    k_anonymity,
+    l_diversity,
+)
 from dataframe_differ_spark.operators.sampling import (
     balanced_sample,
     hash_sample,
@@ -134,6 +142,11 @@ __all__ = [
     "mann_whitney",
     "spearman",
     "welch_ttest",
+    # drift + privacy operator libraries (round-6 extraction; SURVEY.md §13)
+    "js_divergence",
+    "ks_test",
+    "k_anonymity",
+    "l_diversity",
     # sampling operator library (round-6 extraction; SURVEY.md §13)
     "balanced_sample",
     "hash_sample",

@@ -35,10 +35,8 @@ from dataframe_differ_spark.tables import load_table
 # Exact two-sample Kolmogorov-Smirnov drift test
 # ---------------------------------------------------------------------------
 
-# Cohort-count encoder: one running sum carries BOTH cumulative counts
-# (base * 2^31 + total), decoded with DIV / %. Total row count per cohort
-# stays < 2^31 up to ~sf100; the encoded sum stays < 2^62.
-_KS_BIG = 2_147_483_648
+# The base-2^31 cohort-count encoder lives in operators/drift.py since the
+# round-6 extraction (drift.ks_test).
 
 _KS_SQL = f"""
 WITH flags AS (
@@ -92,72 +90,16 @@ def q_drift_ks_test(spark, sf_dir):
     At 100 TB: one shuffle to distinct values, one bucketed rank pass,
     then aggregates — scan-bound.
     """
+    from dataframe_differ_spark.operators.drift import ks_test
+
     orders = load_table(spark, sf_dir, "orders")
-    g = (
-        orders.select(
-            F.col("o_totalprice").alias("v"),
-            (
-                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
-                < "8"
-            ).alias("is_base"),
-        )
-        .groupBy("v")
-        .agg(
-            F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("ca"),
-            F.count(F.lit(1)).alias("ct"),
-        )
+    flags = orders.select(
+        F.col("o_totalprice").alias("v"),
+        (
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "8"
+        ).alias("is_base"),
     )
-    kdf = ranked(
-        g,
-        F.col("v"),
-        ["v"],
-        running_sum=F.col("ca") * F.lit(_KS_BIG) + F.col("ct"),
-        running_col="cum",
-        running_total_col="tot",
-    )
-    cum_a = F.expr(f"cum DIV {_KS_BIG}")
-    cum_t = F.col("cum") % F.lit(_KS_BIG)
-    n_a = F.expr(f"tot DIV {_KS_BIG}")
-    n_t = F.col("tot") % F.lit(_KS_BIG)
-    scored = kdf.select(
-        "v",
-        n_a.alias("n_a"),
-        (n_t - n_a).alias("n_b"),
-        F.abs(
-            cum_a * (n_t - n_a) - (cum_t - cum_a) * n_a
-        ).alias("num"),
-    ).localCheckpoint(eager=False)
-    mx = scored.agg(F.max("num").alias("d_num"))
-    d_stat = F.round(
-        F.col("d_num").cast("double") / (F.col("n_base") * F.col("n_cur")), 9
-    )
-    row = (
-        scored.crossJoin(F.broadcast(mx))
-        .filter(F.col("num") == F.col("d_num"))
-        .groupBy("n_a", "n_b", "d_num")
-        .agg(F.min("v").alias("at_value"))
-        .select(
-            F.col("n_a").alias("n_base"),
-            F.col("n_b").alias("n_cur"),
-            "d_num",
-            "at_value",
-        )
-    )
-    return row.select(
-        "n_base",
-        "n_cur",
-        "d_num",
-        d_stat.alias("d_stat"),
-        "at_value",
-        F.round(
-            d_stat
-            * F.sqrt(
-                (F.col("n_base") * F.col("n_cur")).cast("double")
-                / (F.col("n_base") + F.col("n_cur"))
-            ),
-            9,
-        ).alias("lambda_stat"),
-    )
+    return ks_test(flags, "v", "is_base", round_dp=9)
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +162,8 @@ def q_drift_js_divergence(spark, sf_dir):
     At 100 TB: one scan, one token shuffle, a broadcast 1-row totals
     join, and a TakeOrdered top-10 — scan-bound.
     """
+    from dataframe_differ_spark.operators.drift import js_divergence
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(F.split("text", " ")).alias("token"),
@@ -227,43 +171,19 @@ def q_drift_js_divergence(spark, sf_dir):
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
         ).alias("is_base"),
     )
-    per = tok.groupBy("token").agg(
-        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("cb"),
-    )
-    tot = per.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
-    p = F.col("ca").cast("double") / F.col("ta")
-    q = F.col("cb").cast("double") / F.col("tb")
-    m = 0.5 * (p + q)
-    contrib = F.round(
-        0.5 * F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(0.0)
-        + 0.5 * F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(0.0),
-        12,
-    )
-    c = (
-        per.crossJoin(F.broadcast(tot))
-        .withColumn("contrib", contrib)
-        .localCheckpoint(eager=False)
-    )
-    j = c.agg(
-        F.count(F.lit(1)).alias("vocab_size"),
-        F.sum(F.col("contrib").cast("decimal(38,12)"))
-        .cast("double")
-        .alias("jsd"),
-    )
+    c = js_divergence(tok, "token", "is_base", contrib_dp=12)
     return (
-        c.crossJoin(F.broadcast(j))
-        .orderBy(F.col("contrib").desc(), "token")
+        c.orderBy(F.col("contrib").desc(), "token")
         .limit(10)
         .select(
             "token",
-            F.col("ca").alias("cnt_base"),
-            F.col("cb").alias("cnt_cur"),
+            "cnt_base",
+            "cnt_cur",
             F.col("contrib").alias("contrib_nats"),
             F.round("jsd", 9).alias("jsd_nats"),
             "vocab_size",
-            F.col("ta").alias("n_tokens_base"),
-            F.col("tb").alias("n_tokens_cur"),
+            F.col("n_base").alias("n_tokens_base"),
+            F.col("n_cur").alias("n_tokens_cur"),
         )
     )
 
@@ -1816,38 +1736,17 @@ def q_privacy_k_anonymity(spark, sf_dir):
     via TakeOrdered. At 100 TB this is a scan-bound aggregation on a
     uniform composite key — the same shape as any rollup.
     """
-    c = load_table(spark, sf_dir, "customer")
-    qi = c.groupBy(
+    from dataframe_differ_spark.operators.privacy import k_anonymity
+
+    c = load_table(spark, sf_dir, "customer").select(
         "c_nationkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
             "balance_band"
         ),
-    ).agg(F.count(F.lit(1)).alias("grp_size"))
-    tot = qi.agg(
-        F.count(F.lit(1)).alias("n_groups"),
-        F.sum(F.when(F.col("grp_size") < 5, 1).otherwise(0)).alias(
-            "n_groups_lt_k"
-        ),
-        F.sum(
-            F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0)
-        ).alias("n_rows_at_risk"),
-        F.min("grp_size").alias("min_group_size"),
     )
-    return (
-        qi.crossJoin(F.broadcast(tot))
-        .orderBy("grp_size", "c_nationkey", "c_mktsegment", "balance_band")
-        .limit(10)
-        .select(
-            "c_nationkey",
-            "c_mktsegment",
-            "balance_band",
-            "grp_size",
-            "n_groups",
-            "n_groups_lt_k",
-            "n_rows_at_risk",
-            "min_group_size",
-        )
+    return k_anonymity(
+        c, ["c_nationkey", "c_mktsegment", "balance_band"], k=5, top_n=10
     )
 
 
@@ -2324,40 +2223,27 @@ def q_privacy_l_diversity(spark, sf_dir):
     1-row broadcast of corpus risk stats; the 10 least-diverse classes
     surface via TakeOrdered. Scan-bound at 100 TB.
     """
-    c = load_table(spark, sf_dir, "customer")
-    cls = c.groupBy(
+    from dataframe_differ_spark.operators.privacy import l_diversity
+
+    c = load_table(spark, sf_dir, "customer").select(
         "c_nationkey",
         F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
             "balance_band"
         ),
-    ).agg(
-        F.count(F.lit(1)).alias("grp_size"),
-        F.countDistinct("c_mktsegment").alias("l_distinct"),
+        "c_mktsegment",
     )
-    tot = cls.agg(
-        F.count(F.lit(1)).alias("n_classes"),
-        F.min("l_distinct").alias("min_l"),
-        F.sum(F.when(F.col("l_distinct") < 3, 1).otherwise(0)).alias(
-            "n_classes_lt_l"
-        ),
-        F.sum(
-            F.when(F.col("l_distinct") < 3, F.col("grp_size")).otherwise(0)
-        ).alias("n_rows_at_risk"),
+    out = l_diversity(
+        c, ["c_nationkey", "balance_band"], "c_mktsegment", l=3, top_n=10
     )
-    return (
-        cls.crossJoin(F.broadcast(tot))
-        .orderBy("l_distinct", "grp_size", "c_nationkey", "balance_band")
-        .limit(10)
-        .select(
-            "c_nationkey",
-            "balance_band",
-            "grp_size",
-            "l_distinct",
-            "n_classes",
-            "min_l",
-            "n_classes_lt_l",
-            "n_rows_at_risk",
-        )
+    return out.select(
+        "c_nationkey",
+        "balance_band",
+        "grp_size",
+        "l_distinct",
+        "n_classes",
+        "min_l",
+        "n_classes_lt_l",
+        "n_rows_at_risk",
     )
 
 
