@@ -2647,3 +2647,98 @@ def q_events_retention_matrix(spark, sf_dir):
             F.col("n_active").cast("double") / F.col("cohort_size"), 9
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles of customer revenue (round 6)
+# ---------------------------------------------------------------------------
+
+_LORENZ_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+rk AS (
+  SELECT cents,
+         CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS INTEGER)
+           AS decile
+  FROM per_cust),
+d AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS decile_cents
+  FROM rk GROUP BY decile),
+tot AS (SELECT CAST(SUM(decile_cents) AS BIGINT) AS total FROM d),
+cum AS (
+  SELECT a.decile, a.n_customers, a.decile_cents,
+         CAST((SELECT SUM(b.decile_cents) FROM d b
+               WHERE b.decile <= a.decile) AS BIGINT) AS cum_cents
+  FROM d a)
+SELECT decile, n_customers, decile_cents,
+       ROUND(CAST(decile_cents AS DOUBLE) / total, 9) AS revenue_share,
+       ROUND(CAST(cum_cents AS DOUBLE) / total, 9) AS cum_share
+FROM cum CROSS JOIN tot
+"""
+
+
+@register("orders_lorenz_deciles", oracle=_LORENZ_SQL)
+def q_orders_lorenz_deciles(spark, sf_dir):
+    """Lorenz curve by revenue decile — the distribution behind the
+    single-number `orders_gini_revenue` and `revenue_pareto` summaries:
+    customers ranked ascending by spend, the share of total revenue each
+    decile holds, and the running (Lorenz) share the Gini integrates.
+
+    The rank is the two-phase bucketed global rank + exact NTILE formula
+    (operators/ranks — never a corpus-wide window; DuckDB's ntile window
+    IS the oracle side, the agg_histogram_equidepth_sketch precedent).
+    Revenue stays in exact integer cents through every sum; the two
+    share divisions are the only float ops, on identical BIGINT operands
+    in both engines. One scan + one customer rollup + the bucketed rank
+    pass; the decile frames are 10 rows.
+    """
+    from dataframe_differ_spark.operators.ranks import ntile_from_rank, ranked
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    r = ranked(
+        per_cust,
+        F.col("cents"),
+        ["cents", "o_custkey"],
+        rank_col="rk",
+        n_col="nn",
+    )
+    deciled = r.select(
+        "cents",
+        ntile_from_rank(F.col("rk"), F.col("nn"), 10).cast("int").alias(
+            "decile"
+        ),
+    )
+    d = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("decile_cents"),
+    )
+    tot = d.agg(F.sum("decile_cents").alias("total"))
+    lo = d.select(F.col("decile").alias("d2"), F.col("decile_cents").alias("c2"))
+    cum = (
+        d.join(F.broadcast(lo), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n_customers", "decile_cents")
+        .agg(F.sum("c2").alias("cum_cents"))
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.round(
+            F.col("decile_cents").cast("double") / F.col("total"), 9
+        ).alias("revenue_share"),
+        F.round(F.col("cum_cents").cast("double") / F.col("total"), 9).alias(
+            "cum_share"
+        ),
+    )

@@ -1730,3 +1730,122 @@ def q_text_ngram_novelty(spark, sf_dir):
             9,
         ).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law: vocabulary growth over corpus prefixes — round 6
+# ---------------------------------------------------------------------------
+
+_HEAPS_SQL = """
+WITH dd AS (
+  SELECT doc_id, CAST(ntile(10) OVER (ORDER BY doc_id) AS INTEGER) AS dec
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+firstd AS (
+  SELECT token, MIN(dec) AS fd
+  FROM tok JOIN dd USING (doc_id) GROUP BY token),
+perd AS (SELECT fd, CAST(COUNT(*) AS BIGINT) AS newt FROM firstd GROUP BY fd),
+nd AS (SELECT dec, CAST(COUNT(*) AS BIGINT) AS ndocs FROM dd GROUP BY dec),
+cum AS (
+  SELECT d.dec,
+         CAST((SELECT SUM(n2.ndocs) FROM nd n2 WHERE n2.dec <= d.dec)
+              AS BIGINT) AS n_docs_prefix,
+         CAST((SELECT COALESCE(SUM(p.newt), 0) FROM perd p
+               WHERE p.fd <= d.dec) AS BIGINT) AS vocab_prefix
+  FROM nd d),
+xy AS (
+  SELECT dec, n_docs_prefix, vocab_prefix,
+         ROUND(ln(CAST(n_docs_prefix AS DOUBLE)), 9) AS x,
+         ROUND(ln(CAST(vocab_prefix AS DOUBLE)), 9) AS y
+  FROM cum),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+  FROM xy)
+SELECT xy.dec AS decile, n_docs_prefix, vocab_prefix,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS heaps_beta,
+       ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+         AS heaps_logk
+FROM xy CROSS JOIN s
+"""
+
+
+@register("text_heaps_law", oracle=_HEAPS_SQL)
+def q_text_heaps_law(spark, sf_dir):
+    """Heaps' law fit: vocabulary growth V(n) ~ K * n^beta over corpus
+    prefixes — the companion curve to `text_zipf_alpha` (the two laws are
+    duals) and the number that sizes a tokenizer's vocab budget before
+    training: natural text has beta ~ 0.4-0.6; beta near 1 means the
+    corpus keeps inventing tokens (noise/IDs), near 0 means it is
+    repetitive.
+
+    Prefixes are doc-id deciles via the two-phase bucketed rank +
+    ntile_from_rank (never a global ntile window over the corpus —
+    DuckDB's window IS the oracle side). Each token charges its FIRST
+    decile (min over its docs — monotone in rank, so min(decile) is the
+    decile of the first occurrence); V(n_d) is then a 10-row cumulative
+    triangle join. The log-log OLS reuses the zipf parity devices:
+    per-point ln rounded to 9 dp, products DECIMAL-summed order-free,
+    one fixed IEEE chain for slope/intercept. One corpus scan + one
+    token shuffle; everything after is 10-row frames.
+    """
+    from dataframe_differ_spark.operators.ranks import ntile_from_rank, ranked
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    r = ranked(
+        docs.select("doc_id"), F.col("doc_id"), ["doc_id"],
+        rank_col="rk", n_col="nn",
+    )
+    dd = r.select(
+        "doc_id",
+        ntile_from_rank(F.col("rk"), F.col("nn"), 10).cast("int").alias("dec"),
+    )
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token")).join(
+        dd, "doc_id"
+    )
+    firstd = tok.groupBy("token").agg(F.min("dec").alias("fd"))
+    perd = firstd.groupBy("fd").agg(F.count(F.lit(1)).alias("newt"))
+    nd = dd.groupBy("dec").agg(F.count(F.lit(1)).alias("ndocs"))
+    lo_d = nd.select(F.col("dec").alias("d2"), F.col("ndocs").alias("nd2"))
+    lo_t = perd.select(F.col("fd").alias("d3"), F.col("newt").alias("nt3"))
+    cum = (
+        nd.join(F.broadcast(lo_d), F.col("d2") <= F.col("dec"))
+        .groupBy("dec")
+        .agg(F.sum("nd2").alias("n_docs_prefix"))
+        .join(F.broadcast(lo_t), F.col("d3") <= F.col("dec"), "left")
+        .groupBy("dec", "n_docs_prefix")
+        .agg(F.coalesce(F.sum("nt3"), F.lit(0)).alias("vocab_prefix"))
+    )
+    xy = cum.select(
+        "dec",
+        "n_docs_prefix",
+        "vocab_prefix",
+        F.round(F.log(F.col("n_docs_prefix").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("vocab_prefix").cast("double")), 9).alias("y"),
+    ).localCheckpoint(eager=False)
+    s = xy.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast("decimal(28,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    k = F.col("k")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return xy.crossJoin(F.broadcast(s)).select(
+        F.col("dec").alias("decile"),
+        "n_docs_prefix",
+        "vocab_prefix",
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - slope * F.col("sx")) / k, 6).alias("heaps_logk"),
+    )

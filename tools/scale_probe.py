@@ -168,6 +168,8 @@ HEADLINE = [
     "events_fano_burstiness",
     "orders_gini_revenue",
     "text_ngram_novelty",
+    "text_heaps_law",
+    "orders_lorenz_deciles",
 ]
 
 
