@@ -71,6 +71,7 @@ from dataframe_differ_spark.operators.stats import (
 from dataframe_differ_spark.operators.similarity import (
     cosine_join_lsh,
     ivf_index,
+    rrf_fuse,
     topk_cosine,
     topk_cosine_ivf,
     topk_cosine_lsh,
@@ -106,6 +107,7 @@ from dataframe_differ_spark.operators.evalmetrics import (
 )
 from dataframe_differ_spark.operators.timeseries import (
     autocorr,
+    crosscorr,
     cusum,
     ewma,
     holt_linear,
@@ -114,6 +116,7 @@ from dataframe_differ_spark.operators.timeseries import (
     theil_sen,
 )
 from dataframe_differ_spark.operators.textquality import (
+    bm25_scores,
     language_id,
     quality_features,
     rolling_fingerprint,
@@ -167,6 +170,7 @@ __all__ = [
     "retrieval_recall",
     # time-series operator library (round-6 extraction; SURVEY.md §13)
     "autocorr",
+    "crosscorr",
     "cusum",
     "ewma",
     "holt_linear",
@@ -191,6 +195,8 @@ __all__ = [
     "topk_cosine",
     "topk_cosine_ivf",
     "topk_cosine_lsh",
+    "rrf_fuse",
+    "bm25_scores",
     "language_id",
     "quality_features",
     "rolling_fingerprint",

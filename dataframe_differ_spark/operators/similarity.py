@@ -47,6 +47,7 @@ __all__ = [
     "assign_clusters",
     "ivf_index",
     "topk_cosine_ivf",
+    "rrf_fuse",
 ]
 
 
@@ -447,4 +448,38 @@ def topk_cosine_ivf(
         .withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
         .select(query_id_col, id_col, rank_col, sim_col)
+    )
+
+
+def rrf_fuse(runs, item_col: str, rank_col: str, *, k: int = 60, round_dp: int = 9):
+    """Reciprocal Rank Fusion of N ranked retrieval runs → one row per
+    item: ``(item, rank_1..rank_N, rrf_score)`` — the standard
+    zero-tuning hybrid-search combiner (Cormack et al. 2009).
+
+    ``runs`` is a sequence of DataFrames each holding (item, rank); runs
+    are FULL-outer fused so an item ranked by only one run still
+    surfaces, its missing ranks contributing 0 to the score
+    Σ 1/(k + rank_i). Cost is N−1 joins of per-query top-k frames —
+    whatever produced the runs dominates. The divisions are single IEEE
+    ops on identical operands in any engine; ``round_dp`` pins the sum
+    for oracle replays.
+    """
+    runs = list(runs)
+    if len(runs) < 2:
+        raise ValueError("rrf_fuse needs at least two runs")
+    fused = None
+    rank_cols = []
+    for idx, run in enumerate(runs, start=1):
+        rc = f"rank_{idx}"
+        rank_cols.append(rc)
+        side = run.select(
+            F.col(item_col), F.col(rank_col).cast("long").alias(rc)
+        )
+        fused = side if fused is None else fused.join(side, item_col, "full_outer")
+    score = None
+    for rc in rank_cols:
+        term = F.coalesce(F.lit(1.0) / (F.lit(k) + F.col(rc)), F.lit(0.0))
+        score = term if score is None else score + term
+    return fused.select(
+        item_col, *rank_cols, F.round(score, round_dp).alias("rrf_score")
     )

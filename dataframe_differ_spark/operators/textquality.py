@@ -26,6 +26,7 @@ __all__ = [
     "quality_features",
     "language_id",
     "rolling_fingerprint",
+    "bm25_scores",
 ]
 
 
@@ -152,4 +153,78 @@ def rolling_fingerprint(
     return F.expr(
         f"aggregate(split({text_col}, ' '), CAST(0 AS BIGINT), "
         f"(acc, t) -> (acc * {mult} + {code}) % {mod})"
+    )
+
+
+def bm25_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_tf: int = 1,
+    round_dp: int | None = 6,
+):
+    """BM25 term relevance over a corpus → ``(id, token, bm25)`` — the
+    IR-standard upgrade over TF-IDF for retrieval-quality filtering.
+
+    Robertson/Sparck-Jones BM25 with the standard (k1, b) defaults:
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturation k1+1 over
+    k1·(1 − b + b·dl/avgdl). Plan shape: one corpus shuffle for per-doc
+    term frequencies, broadcast df / doc-length tables, corpus stats
+    (N, avgdl) kept IN the plan as a broadcast 1-row crossJoin (a
+    collect() here would force an eager job per call). ``min_tf`` prunes
+    the long tf tail before the joins. The one ``ln`` per (doc, term) is
+    libm-tainted, so scores are rounded to ``round_dp`` for cross-engine
+    replays (``round_dp=None`` leaves them raw).
+    """
+    from pyspark.sql import functions as F
+
+    for c in df.columns:
+        if c.startswith("_tx_"):
+            raise ValueError(f"input column {c!r} collides with _tx_ internals")
+    tok = df.select(
+        F.col(id_col).alias("_tx_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    tf = tok.groupBy("_tx_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("_tx_tf")
+    )
+    dl = df.select(
+        F.col(id_col).alias("_tx_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("double").alias("_tx_dl"),
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("_tx_n"),
+        (
+            F.sum(F.size(F.split(F.col(text_col), " "))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_tx_avgdl"),
+    )
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("_tx_id").cast("double").alias("_tx_df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_tx_n") - F.col("_tx_df") + 0.5) / (F.col("_tx_df") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("_tx_tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("_tx_tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("_tx_dl") / F.col("_tx_avgdl"))
+        )
+    )
+    out = (
+        tf.filter(F.col("_tx_tf") >= min_tf)
+        .join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(dl), "_tx_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    bm25 = F.round(score, round_dp) if round_dp is not None else score
+    return out.select(
+        F.col("_tx_id").alias(id_col), "token", bm25.alias("bm25")
     )

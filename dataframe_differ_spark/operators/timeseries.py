@@ -53,6 +53,7 @@ __all__ = [
     "holt_linear",
     "cusum",
     "autocorr",
+    "crosscorr",
     "seasonality",
     "theil_sen",
     "mad_outliers",
@@ -413,3 +414,55 @@ def mad_outliers(
         F.count(F.lit(1)).alias("n"),
     )
     return agg.select(*gb, "med", "mad", "n_outliers", "n")
+
+
+def crosscorr(
+    a: DataFrame,
+    b: DataFrame,
+    index_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lagged cross-correlation between two integer-indexed series →
+    ``(lag, n_pairs, crosscorr)`` for lag in −max_lag..max_lag
+    (crosscorr an unrounded double).
+
+    Pearson r between series ``a`` at index i and series ``b`` at
+    i + lag — positive lags mean "a leads b". The lead/lag detector for
+    pipeline causality questions (do clicks today predict purchases in
+    k days?). Same devices as :func:`autocorr`: pairing by an
+    ``index + lag`` equi-join (gap-tolerant, no window), moments
+    accumulated in the value columns' native type (exact for integer
+    inputs), one final float chain per lag. Both inputs are expected to
+    be rollup spines; the 2·max_lag+1-row lag frame broadcasts.
+    """
+    _check_reserved(a)
+    _check_reserved(b)
+    spark = a.sparkSession
+    pa = a.select(F.col(index_col).alias("_ts_i"), F.col(value_col).alias("_ts_x"))
+    pb = b.select(F.col(index_col).alias("_ts_j"), F.col(value_col).alias("_ts_y"))
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        pa.crossJoin(F.broadcast(lags))
+        .join(pb, F.col("_ts_i") + F.col("lag") == F.col("_ts_j"))
+        .select("lag", F.col("_ts_x").alias("x0"), F.col("_ts_y").alias("x1"))
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("_ts_n"),
+        F.sum("x0").alias("_ts_sx"),
+        F.sum("x1").alias("_ts_sy"),
+        F.sum(F.col("x0") * F.col("x1")).alias("_ts_sxy"),
+        F.sum(F.col("x0") * F.col("x0")).alias("_ts_sxx"),
+        F.sum(F.col("x1") * F.col("x1")).alias("_ts_syy"),
+    )
+    n = F.col("_ts_n")
+    num = (n * F.col("_ts_sxy") - F.col("_ts_sx") * F.col("_ts_sy")).cast("double")
+    den = F.sqrt(
+        (n * F.col("_ts_sxx") - F.col("_ts_sx") * F.col("_ts_sx")).cast("double")
+    ) * F.sqrt(
+        (n * F.col("_ts_syy") - F.col("_ts_sy") * F.col("_ts_sy")).cast("double")
+    )
+    return mom.select("lag", n.alias("n_pairs"), (num / den).alias("crosscorr"))

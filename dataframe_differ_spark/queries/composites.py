@@ -2742,3 +2742,83 @@ def q_orders_lorenz_deciles(spark, sf_dir):
             "cum_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation: clicks lead purchases? (round 6)
+# ---------------------------------------------------------------------------
+
+_CROSSCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events GROUP BY CAST(ts AS DATE)),
+m AS (SELECT MIN(d) AS d0 FROM daily),
+pts AS (
+  SELECT CAST(datediff('day', m.d0, daily.d) AS BIGINT) AS i, ca, cb
+  FROM daily CROSS JOIN m),
+lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(-7, 8)),
+pairs AS (
+  SELECT l.lag, a.ca AS x0, b.cb AS x1
+  FROM pts a JOIN lags l ON TRUE
+  JOIN pts b ON b.i = a.i + l.lag),
+mom AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x0) AS BIGINT) AS sx, CAST(SUM(x1) AS BIGINT) AS sy,
+         CAST(SUM(x0 * x1) AS BIGINT) AS sxy,
+         CAST(SUM(x0 * x0) AS BIGINT) AS sxx,
+         CAST(SUM(x1 * x1) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag)
+SELECT lag, n AS n_pairs,
+       ROUND((CAST(n * sxy - sx * sy AS DOUBLE))
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS crosscorr
+FROM mom
+"""
+
+
+@register("events_crosscorr_types", oracle=_CROSSCORR_SQL)
+def q_events_crosscorr_types(spark, sf_dir):
+    """Lagged cross-correlation between the click and purchase daily
+    series: does click volume LEAD purchase volume (positive lags) or
+    trail it? The pipeline-causality companion to `events_autocorr` —
+    the lag with the peak correlation is the conversion delay a
+    marketing dashboard reports.
+
+    One daily rollup computes BOTH series as conditional sums; pairing is
+    the operator's index+lag equi-join over the KB day spine with the
+    15-row lag frame broadcast; all moments exact BIGINTs, one float
+    chain per lag (the `events_autocorr` devices, applied across two
+    series).
+
+    Thin binding over the parametric
+    :func:`operators.timeseries.crosscorr` (round-6 extraction).
+    """
+    from dataframe_differ_spark.operators.timeseries import crosscorr
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("cb"),
+    )
+    m = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(m)).select(
+        F.datediff("d", "d0").cast("long").alias("i"), "ca", "cb"
+    ).localCheckpoint(eager=False)
+    cc = crosscorr(
+        pts.select("i", F.col("ca").alias("x")),
+        pts.select("i", F.col("cb").alias("x")),
+        "i",
+        "x",
+        max_lag=7,
+    )
+    return cc.select(
+        "lag", "n_pairs", F.round("crosscorr", 9).alias("crosscorr")
+    )

@@ -538,18 +538,25 @@ def q_retrieval_hybrid_rrf(spark, sf_dir):
             .alias("rank_vec"),
         )
     )
-    fused = (
-        lex_ranked.join(vec_top, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            "rank_lex",
-            "rank_vec",
-            F.round(
-                F.coalesce(1.0 / (_RRF_K + F.col("rank_lex")), F.lit(0.0))
-                + F.coalesce(1.0 / (_RRF_K + F.col("rank_vec")), F.lit(0.0)),
-                9,
-            ).alias("rrf_score"),
-        )
+    # The fusion step is the parametric operators.similarity.rrf_fuse
+    # (round-6 extraction): full-outer N-way fuse, missing ranks
+    # contribute 0 to sum(1 / (k + rank_i)).
+    from dataframe_differ_spark.operators.similarity import rrf_fuse
+
+    fused = rrf_fuse(
+        [
+            lex_ranked.select("doc_id", F.col("rank_lex").alias("r")),
+            vec_top.select("doc_id", F.col("rank_vec").alias("r")),
+        ],
+        "doc_id",
+        "r",
+        k=_RRF_K,
+        round_dp=9,
+    ).select(
+        "doc_id",
+        F.col("rank_1").alias("rank_lex"),
+        F.col("rank_2").alias("rank_vec"),
+        "rrf_score",
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
 

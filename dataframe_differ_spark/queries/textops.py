@@ -703,42 +703,11 @@ def q_text_bm25(spark, sf_dir):
     — round 1 collect()ed them to the driver, which forced an eager job
     per call and broke laziness for two scalars.
     """
+    from dataframe_differ_spark.operators.textquality import bm25_scores
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    dl = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
-    )
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (
-            F.sum(F.size(F.split("text", " "))).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
-    )
-    df = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
-    )
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    score = (
-        idf
-        * (F.col("tf") * F.lit(2.2))
-        / (
-            F.col("tf")
-            + F.lit(1.2)
-            * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    return (
-        tf.filter(F.col("tf") >= 4)
-        .join(F.broadcast(df), "token")
-        .join(F.broadcast(dl), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "token", F.round(score, 6).alias("bm25"))
+    return bm25_scores(
+        docs, "doc_id", "text", k1=1.2, b=0.75, min_tf=4, round_dp=6
     )
 
 

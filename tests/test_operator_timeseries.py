@@ -177,3 +177,21 @@ def test_reserved_prefix_rejected(spark):
     df = spark.createDataFrame([Row(_ts_x=1, g="a", t=1)])
     with pytest.raises(ValueError, match="_ts_"):
         ewma(df, ["g"], "t", "_ts_x")
+
+
+def test_crosscorr_detects_lead(spark):
+    from dataframe_differ_spark.operators.timeseries import crosscorr
+
+    # b is a copy of a shifted 3 steps later: peak correlation at lag +3
+    base = [10, 50, 20, 80, 30, 90, 40, 100, 25, 60] * 3
+    a = spark.createDataFrame([Row(t=i, v=base[i]) for i in range(30)])
+    b = spark.createDataFrame(
+        [Row(t=i + 3, v=base[i]) for i in range(30)]
+    )
+    got = {r.lag: r for r in crosscorr(a, b, "t", "v", max_lag=5).collect()}
+    assert got[3].crosscorr == pytest.approx(1.0, abs=1e-12)
+    assert all(
+        got[k].crosscorr < 0.99 for k in got if k != 3
+    )
+    # pair counts shrink with |lag - 3| of the overlap window
+    assert got[3].n_pairs == 30

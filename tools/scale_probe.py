@@ -170,6 +170,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "text_heaps_law",
     "orders_lorenz_deciles",
+    "events_crosscorr_types",
 ]
 
 
