@@ -170,12 +170,23 @@ def anova_f(
         F.count(F.lit(1)).alias("k"),
         F.sum("_st_n").alias("nn"),
         F.sum("_st_s").alias("ss"),
-        F.sum("_st_q").cast("double").alias("sq"),
+        F.sum("_st_q").alias("_st_qsum"),
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("_st_g", "_st_t"))),
             F.lit(0.0),
             lambda acc, x: acc + x["_st_t"],
         ).alias("st"),
+    ).withColumn(
+        # Σv² can exceed 2^64, where DuckDB's int128→double cast rounds
+        # one ulp differently from Java/Python (measured round 6 on the
+        # Brown-Forsythe binding at sf0.1). Split-cast device: hi/lo at
+        # 2^30 are each exactly representable, and the reconstruction
+        # hi*2^30 + lo is two IEEE ops every engine performs identically,
+        # so the (possibly rounded) double is deterministic by
+        # construction instead of by engine-conversion luck.
+        "sq",
+        F.expr("_st_qsum div 1073741824").cast("double") * F.lit(1073741824.0)
+        + (F.col("_st_qsum") % F.lit(1073741824)).cast("double"),
     )
     parts = tot.select(
         "k",
@@ -565,9 +576,13 @@ def kendall_tau(
         F.col("n1").alias("ties_x"),
         F.col("n2").alias("ties_y"),
         (
+            # (n0-n1)*(n0-n2) overflows int64 past ~3e9 pairs per side —
+            # convert each factor (< 2^53, exact) to double FIRST; the
+            # product is then one IEEE multiply identical in any engine.
             (F.col("C") - F.col("D")).cast("double")
             / F.sqrt(
-                ((n0 - F.col("n1")) * (n0 - F.col("n2"))).cast("double")
+                (n0 - F.col("n1")).cast("double")
+                * (n0 - F.col("n2")).cast("double")
             )
         ).alias("tau_b"),
     )

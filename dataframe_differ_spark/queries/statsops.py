@@ -2116,7 +2116,11 @@ tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(n) AS BIGINT) AS nn,
          CAST(SUM(s) AS BIGINT) AS ss,
-         CAST(SUM(q) AS DOUBLE) AS sq,
+         -- split-cast: >2^64 int -> double via hi*2^30 + lo (DuckDB's
+         -- direct int128->double cast rounds 1 ulp off Java/Python)
+         CAST(CAST(SUM(q) AS HUGEINT) // 1073741824 AS DOUBLE)
+           * 1073741824.0
+           + CAST(CAST(SUM(q) AS HUGEINT) % 1073741824 AS DOUBLE) AS sq,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                                   list(t ORDER BY nation)),
                      (acc, x) -> acc + x) AS st
@@ -2613,9 +2617,12 @@ yt AS (
   FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS t FROM grid GROUP BY y))
 SELECT n, con AS n_concordant, dis AS n_discordant,
        n1 AS ties_x, n2 AS ties_y,
+       -- each factor < 2^53 converts to double exactly; multiplying in
+       -- double avoids the int64 overflow the product hits past ~3e9
+       -- pairs per side (caught at sf0.1, round 6)
        ROUND(CAST(con - dis AS DOUBLE)
-             / sqrt(CAST((n * (n - 1) // 2 - n1) * (n * (n - 1) // 2 - n2)
-                         AS DOUBLE)), 9) AS tau_b
+             / sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                    * CAST(n * (n - 1) // 2 - n2 AS DOUBLE)), 9) AS tau_b
 FROM cd CROSS JOIN xt CROSS JOIN yt
 """
 
@@ -2693,7 +2700,12 @@ folded AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(n) AS BIGINT) AS nn,
          CAST(SUM(s) AS BIGINT) AS ss,
-         CAST(SUM(q) AS DOUBLE) AS sq,
+         -- split-cast: >2^64 int -> double via hi*2^30 + lo (DuckDB's
+         -- direct int128->double cast rounds 1 ulp off Java/Python —
+         -- this binding at sf0.1 is where round 6 caught it)
+         CAST(CAST(SUM(q) AS HUGEINT) // 1073741824 AS DOUBLE)
+           * 1073741824.0
+           + CAST(CAST(SUM(q) AS HUGEINT) % 1073741824 AS DOUBLE) AS sq,
          list_reduce(
            list_prepend(CAST(0.0 AS DOUBLE),
                         list(t ORDER BY g)), (acc, x) -> acc + x) AS st
