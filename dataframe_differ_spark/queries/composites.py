@@ -2822,3 +2822,95 @@ def q_events_crosscorr_types(spark, sf_dir):
     return cc.select(
         "lag", "n_pairs", F.round("crosscorr", 9).alias("crosscorr")
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory-style classification of customers by revenue (round 6)
+# ---------------------------------------------------------------------------
+
+_ABC_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+rk AS (
+  SELECT o_custkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(cents) OVER () AS BIGINT) AS tot
+  FROM per_cust),
+cls AS (
+  SELECT CASE WHEN 100 * CAST(cum AS DECIMAL(38,0))
+                   <= 80 * CAST(tot AS DECIMAL(38,0)) THEN 'A'
+              WHEN 100 * CAST(cum AS DECIMAL(38,0))
+                   <= 95 * CAST(tot AS DECIMAL(38,0)) THEN 'B'
+              ELSE 'C' END AS abc_class,
+         cents, tot
+  FROM rk)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS class_cents,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / ANY_VALUE(tot), 9)
+         AS revenue_share
+FROM cls GROUP BY abc_class
+"""
+
+
+@register("orders_abc_classification", oracle=_ABC_SQL)
+def q_orders_abc_classification(spark, sf_dir):
+    """ABC classification of customers by revenue: A = customers inside
+    the top 80% of cumulative revenue (ranked by spend descending),
+    B = the next 15% band, C = the tail 5% — the inventory-management
+    Pareto cut applied to accounts, and the actionable grouping behind
+    `revenue_pareto` / `orders_lorenz_deciles`.
+
+    The cumulative share comes from the two-phase bucketed rank's
+    RUNNING SUM (operators/ranks `running_sum=` — per-bucket window
+    partial sums + a broadcast bucket-offset triangle join; the oracle's
+    corpus-wide cumsum window IS the thing the plan avoids). Class
+    boundaries compare 100·cum ≤ 80·total in exact DECIMAL — no float
+    enters until the final reported share, so a boundary customer can
+    never flip class on an ulp. One scan + one customer rollup + the
+    bucketed rank pass.
+    """
+    from dataframe_differ_spark.operators.ranks import ranked
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    r = ranked(
+        per_cust,
+        F.col("cents"),
+        [F.col("cents").desc(), "o_custkey"],
+        ascending=False,
+        running_sum=F.col("cents"),
+        running_col="cum",
+        running_total_col="tot",
+    )
+    dec = "decimal(38,0)"
+    cls = r.select(
+        "cents",
+        "tot",
+        F.when(
+            100 * F.col("cum").cast(dec) <= 80 * F.col("tot").cast(dec), "A"
+        )
+        .when(
+            100 * F.col("cum").cast(dec) <= 95 * F.col("tot").cast(dec), "B"
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("class_cents"),
+        F.round(
+            F.sum("cents").cast("double") / F.any_value("tot"), 9
+        ).alias("revenue_share"),
+    )

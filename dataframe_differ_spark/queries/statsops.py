@@ -2863,3 +2863,96 @@ def q_orders_gini_revenue(spark, sf_dir):
         .agg(F.sum("c").alias("cents"))
     )
     return gini(per_cust, "cents", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test on user conversion (round 6)
+# ---------------------------------------------------------------------------
+
+_PROP_Z_SQL = """
+WITH per_cell AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS treat,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+arm AS (
+  SELECT treat, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS x
+  FROM per_cell GROUP BY treat),
+w AS (
+  SELECT MAX(CASE WHEN treat THEN n END) AS n1,
+         MAX(CASE WHEN treat THEN x END) AS x1,
+         MAX(CASE WHEN NOT treat THEN n END) AS n2,
+         MAX(CASE WHEN NOT treat THEN x END) AS x2
+  FROM arm),
+c AS (
+  SELECT n1, x1, n2, x2,
+         CAST(x1 AS DOUBLE) / n1 AS p1,
+         CAST(x2 AS DOUBLE) / n2 AS p2,
+         CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+  FROM w)
+SELECT n1 AS n_treat, n2 AS n_control,
+       ROUND(p1, 9) AS conv_treat, ROUND(p2, 9) AS conv_control,
+       ROUND(pp, 9) AS conv_pooled,
+       ROUND((p1 - p2) / sqrt(pp * (1.0 - pp)
+                              * (1.0 / n1 + 1.0 / n2)), 9) AS z_score,
+       abs((p1 - p2) / sqrt(pp * (1.0 - pp)
+                            * (1.0 / n1 + 1.0 / n2))) > 1.96
+         AS significant_95
+FROM c
+"""
+
+
+@register("stats_two_proportions_z", oracle=_PROP_Z_SQL)
+def q_stats_two_proportions_z(spark, sf_dir):
+    """Two-proportion z-test: do the md5-split treatment arm's ACTIVE
+    USER-DAYS convert (>= 1 purchase that day) at a different rate?
+
+    The A/B statistic for binary outcomes — `stats_welch_ttest` compares
+    continuous spend, this compares conversion RATES: z = (p1 - p2) /
+    sqrt(p_pool*(1 - p_pool)*(1/n1 + 1/n2)). The unit is the active
+    (user, day) cell — per-USER conversion saturates at 1 on this corpus
+    (every user eventually buys), a real dashboard's daily-conversion
+    framing. Everything reduces to four exact BIGINTs (per-arm cells and
+    converting cells) from one (user, day) rollup; the statistic is ONE
+    fixed IEEE chain both engines evaluate identically, compared against
+    the plain literal 1.96 (no epsilon: same double both sides).
+    MAX(flag) per cell, not COUNT, so heavy purchasers cannot skew the
+    proportion. One uniform composite-keyed shuffle; scan-bound at
+    100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_cell = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+        ).alias("treat"),
+        "conv",
+    )
+    arm = per_cell.groupBy("treat").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    w = arm.agg(
+        F.max(F.when(F.col("treat"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("treat"), F.col("x"))).alias("x1"),
+        F.max(F.when(~F.col("treat"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("treat"), F.col("x"))).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return w.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n2").alias("n_control"),
+        F.round(p1, 9).alias("conv_treat"),
+        F.round(p2, 9).alias("conv_control"),
+        F.round(pp, 9).alias("conv_pooled"),
+        F.round(z, 9).alias("z_score"),
+        (F.abs(z) > F.lit(1.96)).alias("significant_95"),
+    )

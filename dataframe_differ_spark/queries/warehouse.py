@@ -592,12 +592,14 @@ WITH vars AS (
          )) AS v
   FROM customer),
 sigs AS (
-  SELECT c_custkey, c_name, c_nationkey, md5(v) AS sig FROM vars),
+  SELECT c_custkey, c_name, c_nationkey,
+         ('0x' || substr(md5(v), 1, 15))::BIGINT AS sig FROM vars),
 capped AS (
   SELECT c_custkey, c_name, c_nationkey, sig FROM (
     SELECT c_custkey, c_name, c_nationkey, sig,
            ROW_NUMBER() OVER (PARTITION BY c_nationkey, sig
-             ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+             ORDER BY ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                      1, 15))::BIGINT, c_custkey) AS rn
     FROM sigs) WHERE rn <= {_FUZZY_CAP}),
 cand AS (
   SELECT DISTINCT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
@@ -629,14 +631,16 @@ def q_dedup_fuzzy_names_capped(spark, sf_dir):
 
     The cap itself is the two-phase `partitioned_topk` (operators/ranks),
     so no per-bucket window ever sees more than ~cap·partitions rows even
-    on a hot signature. Signatures are md5 strings here (engine-portable,
-    matching the oracle CTE bit-for-bit); a production deployment would
-    flip to xxhash64 exactly as `minhash_dedup(portable=False)` does.
+    on a hot signature. Signatures are 60-bit BIGINTs sliced from md5
+    (engine-portable — the minhash device — at a quarter of the shuffle
+    width of hex strings); a production deployment would flip to
+    xxhash64 exactly as `minhash_dedup(portable=False)` does.
     """
     from dataframe_differ_spark.operators.ranks import partitioned_topk
 
     c = load_table(spark, sf_dir, "customer")
     variants = _fastss_variants()
+    sig60 = F.conv(F.substring(F.md5("v"), 1, 15), 16, 10).cast("long")
     sigs = (
         c.repartition("c_custkey")
         .select(
@@ -645,9 +649,11 @@ def q_dedup_fuzzy_names_capped(spark, sf_dir):
             "c_nationkey",
             F.explode(variants).alias("v"),
         )
-        .select("c_custkey", "c_name", "c_nationkey", F.md5("v").alias("sig"))
+        .select("c_custkey", "c_name", "c_nationkey", sig60.alias("sig"))
     )
-    hkey = F.md5(F.col("c_custkey").cast("string"))
+    hkey = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
     capped = partitioned_topk(
         sigs, ["c_nationkey", "sig"], [hkey, "c_custkey"], _FUZZY_CAP
     )

@@ -171,6 +171,8 @@ HEADLINE = [
     "text_heaps_law",
     "orders_lorenz_deciles",
     "events_crosscorr_types",
+    "stats_two_proportions_z",
+    "orders_abc_classification",
 ]
 
 
