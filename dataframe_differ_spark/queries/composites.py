@@ -2914,3 +2914,155 @@ def q_orders_abc_classification(spark, sf_dir):
             F.sum("cents").cast("double") / F.any_value("tot"), 9
         ).alias("revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index with between/within-nation decomposition (round 6)
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+cn AS (
+  SELECT p.o_custkey, p.cents, n.n_name
+  FROM per_cust p
+  JOIN customer c ON c.c_custkey = p.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+gtot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS xt, CAST(COUNT(*) AS BIGINT) AS nt
+  FROM cn),
+grp AS (
+  SELECT n_name, CAST(SUM(cents) AS BIGINT) AS xg,
+         CAST(COUNT(*) AS BIGINT) AS ng
+  FROM cn GROUP BY n_name),
+tot AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (CAST(cents AS DOUBLE) / xt)
+           * ln(CAST(cents AS DOUBLE) * nt / xt), 12) AS DECIMAL(38,12)))
+         AS DOUBLE) AS theil_total
+  FROM cn CROSS JOIN gtot),
+within_g AS (
+  SELECT cn.n_name,
+         CAST(SUM(CAST(ROUND(
+           (CAST(cn.cents AS DOUBLE) / grp.xg)
+           * ln(CAST(cn.cents AS DOUBLE) * grp.ng / grp.xg), 12)
+           AS DECIMAL(38,12))) AS DOUBLE) AS theil_within
+  FROM cn JOIN grp ON grp.n_name = cn.n_name
+  GROUP BY cn.n_name),
+between_g AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (CAST(xg AS DOUBLE) / xt)
+           * ln((CAST(xg AS DOUBLE) / xt) * (CAST(nt AS DOUBLE) / ng)), 12)
+           AS DECIMAL(38,12))) AS DOUBLE) AS theil_between
+  FROM grp CROSS JOIN gtot)
+SELECT grp.n_name AS nation, grp.ng AS n_customers,
+       ROUND(CAST(grp.xg AS DOUBLE) / gtot.xt, 9) AS revenue_share,
+       ROUND(within_g.theil_within, 9) AS theil_within,
+       ROUND(between_g.theil_between, 9) AS theil_between,
+       ROUND(tot.theil_total, 9) AS theil_total
+FROM grp
+JOIN within_g ON within_g.n_name = grp.n_name
+CROSS JOIN between_g CROSS JOIN tot CROSS JOIN gtot
+"""
+
+
+@register("orders_theil_inequality", oracle=_THEIL_SQL)
+def q_orders_theil_inequality(spark, sf_dir):
+    """Theil T inequality of customer revenue, DECOMPOSED by nation —
+    the property Gini famously lacks: T_total = T_between +
+    Σ_g (share_g · T_within_g), so a data team can say how much revenue
+    concentration lives BETWEEN markets vs within them.
+
+    T = Σ (x_i/X)·ln(x_i/μ). The corpus-sized `ln` terms use the
+    rounded-ln DECIMAL device (each contribution rounded to 12 dp,
+    summed as DECIMAL(38,12) — order-free, so both engines agree despite
+    libm): one scan computes per-customer contributions against the
+    broadcast 1-row global (and per-nation broadcast stats for the
+    within terms); the between-term folds over 25 nation rows. Output:
+    one row per nation carrying its within-index and the shared
+    between/total indices.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    cn = per_cust.join(cust, "o_custkey").join(F.broadcast(nat), "c_nationkey")
+    glob = cn.agg(
+        F.sum("cents").alias("xt"), F.count(F.lit(1)).alias("nt")
+    )
+    grp = cn.groupBy("n_name").agg(
+        F.sum("cents").alias("xg"), F.count(F.lit(1)).alias("ng")
+    )
+    dec12 = "decimal(38,12)"
+    xd = F.col("cents").cast("double")
+    t_total = (
+        cn.crossJoin(F.broadcast(glob))
+        .select(
+            F.round(
+                (xd / F.col("xt")) * F.log(xd * F.col("nt") / F.col("xt")), 12
+            )
+            .cast(dec12)
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("theil_total"))
+    )
+    within = (
+        cn.join(F.broadcast(grp), "n_name")
+        .select(
+            "n_name",
+            F.round(
+                (xd / F.col("xg")) * F.log(xd * F.col("ng") / F.col("xg")), 12
+            )
+            .cast(dec12)
+            .alias("t"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("t").cast("double").alias("theil_within"))
+    )
+    xgd = F.col("xg").cast("double")
+    between = (
+        grp.crossJoin(F.broadcast(glob))
+        .select(
+            F.round(
+                (xgd / F.col("xt"))
+                * F.log(
+                    (xgd / F.col("xt"))
+                    * (F.col("nt").cast("double") / F.col("ng"))
+                ),
+                12,
+            )
+            .cast(dec12)
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("theil_between"))
+    )
+    return (
+        grp.join(within, "n_name")
+        .crossJoin(F.broadcast(between))
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("ng").alias("n_customers"),
+            F.round(F.col("xg").cast("double") / F.col("xt"), 9).alias(
+                "revenue_share"
+            ),
+            F.round("theil_within", 9).alias("theil_within"),
+            F.round("theil_between", 9).alias("theil_between"),
+            F.round("theil_total", 9).alias("theil_total"),
+        )
+    )

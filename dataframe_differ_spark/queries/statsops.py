@@ -2956,3 +2956,99 @@ def q_stats_two_proportions_z(spark, sf_dir):
         F.round(z, 9).alias("z_score"),
         (F.abs(z) > F.lit(1.96)).alias("significant_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum detectable effect / power design for the conversion A/B (round 6)
+# ---------------------------------------------------------------------------
+
+# Standard normal quantiles as shared 9-dp literals (public constants:
+# two-sided alpha = 0.05 -> z = Phi^-1(0.975); power 80% -> Phi^-1(0.8)).
+# Hard-coded so neither engine ever calls an inverse-CDF.
+_Z_ALPHA2 = 1.959963985
+_Z_BETA80 = 0.841621234
+
+_POWER_MDE_SQL = f"""
+WITH per_cell AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS treat,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+arm AS (
+  SELECT treat, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS x
+  FROM per_cell GROUP BY treat),
+w AS (
+  SELECT MAX(CASE WHEN treat THEN n END) AS n1,
+         MAX(CASE WHEN NOT treat THEN n END) AS n2,
+         CAST(SUM(x) AS BIGINT) AS xt, CAST(SUM(n) AS BIGINT) AS nt
+  FROM arm),
+c AS (
+  SELECT n1, n2, CAST(xt AS DOUBLE) / nt AS p,
+         ({_Z_ALPHA2} + {_Z_BETA80})
+           * sqrt((CAST(xt AS DOUBLE) / nt) * (1.0 - CAST(xt AS DOUBLE) / nt)
+                  * (1.0 / n1 + 1.0 / n2)) AS mde
+  FROM w)
+SELECT n1 AS n_treat, n2 AS n_control,
+       ROUND(p, 9) AS baseline_rate,
+       ROUND(mde, 9) AS mde_abs,
+       ROUND(mde / p, 9) AS mde_rel,
+       CAST(CEIL(2.0 * ({_Z_ALPHA2} + {_Z_BETA80}) * ({_Z_ALPHA2} + {_Z_BETA80})
+                 * p * (1.0 - p) / (0.01 * 0.01)) AS BIGINT)
+         AS n_per_arm_for_1pt
+FROM c
+"""
+
+
+@register("stats_power_mde", oracle=_POWER_MDE_SQL)
+def q_stats_power_mde(spark, sf_dir):
+    """Experiment-design companion to `stats_two_proportions_z`: at the
+    CURRENT arm sizes, what's the minimum detectable effect (80% power,
+    two-sided 95%) on the daily conversion rate — and how many cells per
+    arm would a 1-point absolute lift need?
+
+    MDE = (z_a/2 + z_b)·sqrt(p(1-p)(1/n1 + 1/n2)) on the pooled rate;
+    the normal quantiles are shared 9-dp literals (no inverse-CDF call
+    in either engine — the Poisson-CDF-constants device). Everything
+    reduces to three exact BIGINTs from the same one-rollup plan as the
+    z-test; both reported designs are single fixed IEEE chains. The
+    dashboard use: an experiment platform refuses to launch a test whose
+    expected lift is below the MDE this query reports.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_cell = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+        ).alias("treat"),
+        "conv",
+    )
+    arm = per_cell.groupBy("treat").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    w = arm.agg(
+        F.max(F.when(F.col("treat"), F.col("n"))).alias("n1"),
+        F.max(F.when(~F.col("treat"), F.col("n"))).alias("n2"),
+        F.sum("x").alias("xt"),
+        F.sum("n").alias("nt"),
+    )
+    p = F.col("xt").cast("double") / F.col("nt")
+    zsum = F.lit(_Z_ALPHA2 + _Z_BETA80)
+    mde = zsum * F.sqrt(
+        p * (F.lit(1.0) - p) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return w.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n2").alias("n_control"),
+        F.round(p, 9).alias("baseline_rate"),
+        F.round(mde, 9).alias("mde_abs"),
+        F.round(mde / p, 9).alias("mde_rel"),
+        F.ceil(
+            F.lit(2.0) * zsum * zsum * p * (F.lit(1.0) - p) / F.lit(0.01 * 0.01)
+        )
+        .cast("long")
+        .alias("n_per_arm_for_1pt"),
+    )

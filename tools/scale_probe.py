@@ -173,6 +173,8 @@ HEADLINE = [
     "events_crosscorr_types",
     "stats_two_proportions_z",
     "orders_abc_classification",
+    "stats_power_mde",
+    "orders_theil_inequality",
 ]
 
 
