@@ -37,12 +37,6 @@ __all__ = [
     "js_divergence",
 ]
 
-# Cohort-count encoder for the single running sum: base * 2^31 + total.
-# Per-cohort row counts must stay < 2^31 (fine to ~2e9 rows per side);
-# the encoded sum stays < 2^62.
-_KS_BIG = 2_147_483_648
-
-
 def _check_reserved(df: DataFrame, prefix: str = "_dr_") -> None:
     for c in df.columns:
         if c.startswith(prefix):
@@ -63,8 +57,11 @@ def ks_test(
     flagged by boolean ``is_base_col``, computed EXACTLY and distributed:
     per-distinct-value cohort counts cumulate through the two-phase
     bucketed running sum (``ranks.ranked`` — no single-partition window),
-    with ONE running sum carrying both cohorts via a base-2³¹ integer
-    encoding. The max-gap compare is BIGINT cross-multiplication; no
+    as TWO independent BIGINT running sums in the same pass (round 7:
+    the previous base-2³¹ packing of both cohorts into one sum silently
+    overflowed past ~2.1e9 TOTAL rows; the two-sum form is exact to
+    2^63 rows per cohort with no cliff). The max-gap compare is BIGINT
+    cross-multiplication; no
     float until the final D = num/(n_a·n_b). ``at_value`` is the smallest
     value attaining the max. λ = D·√(n_a·n_b/(n_a+n_b)) multiplies the
     ROUNDED D so a replaying oracle agrees bit-wise. One shuffle to
@@ -85,14 +82,15 @@ def ks_test(
         g,
         F.col("_dr_v"),
         ["_dr_v"],
-        running_sum=F.col("_dr_ca") * F.lit(_KS_BIG) + F.col("_dr_ct"),
-        running_col="_dr_cum",
-        running_total_col="_dr_tot",
+        running_sums=[
+            (F.col("_dr_ca"), "_dr_cum_a", "_dr_tot_a"),
+            (F.col("_dr_ct"), "_dr_cum_t", "_dr_tot_t"),
+        ],
     )
-    cum_a = F.expr(f"_dr_cum DIV {_KS_BIG}")
-    cum_t = F.col("_dr_cum") % F.lit(_KS_BIG)
-    n_a = F.expr(f"_dr_tot DIV {_KS_BIG}")
-    n_t = F.col("_dr_tot") % F.lit(_KS_BIG)
+    cum_a = F.col("_dr_cum_a")
+    cum_t = F.col("_dr_cum_t")
+    n_a = F.col("_dr_tot_a")
+    n_t = F.col("_dr_tot_t")
     scored = kdf.select(
         "_dr_v",
         n_a.alias("_dr_na"),

@@ -88,6 +88,7 @@ def ranked(
     running_sum: Column | None = None,
     running_col: str = "running",
     running_total_col: str | None = None,
+    running_sums: Sequence[tuple[Column, str, str | None]] | None = None,
 ) -> DataFrame:
     """Attach an exact 1-based global ``row_number`` over ``order_cols``.
 
@@ -99,10 +100,24 @@ def ranked(
     (inclusive running sum of ``running_sum`` in rank order) and
     ``running_total_col`` (its grand total) — all computed from the same
     tiny per-bucket stats frame, no extra pass over the data.
+
+    ``running_sums`` (round 7) generalizes to ANY number of running sums
+    in one pass: a sequence of ``(sum_expr, out_col, total_col_or_None)``
+    triples, each carried through the same per-bucket stats frame — so a
+    caller needing two cumulative counts (e.g. the two-cohort KS ECDF)
+    no longer has to pack them into one integer with a base encoding
+    (and inherit its overflow cliff). May be combined with the single
+    ``running_sum`` sugar; column costs are one extra value per bucket
+    row each — free.
     """
     for c in df.columns:
         if c.startswith("_rk_"):
             raise ValueError(f"input column {c!r} collides with _rk_ internals")
+    sums: list[tuple[Column, str, str | None]] = []
+    if running_sum is not None:
+        sums.append((running_sum, running_col, running_total_col))
+    if running_sums:
+        sums.extend(running_sums)
 
     key_d = bucket_key.cast("double")
     fracs = [i / n_buckets for i in range(1, n_buckets)]
@@ -125,8 +140,8 @@ def ranked(
 
     # Per-bucket stats: map-side partial aggregation, B rows shuffled.
     aggs = [F.count(F.lit(1)).cast("long").alias("_rk_cnt")]
-    if running_sum is not None:
-        aggs.append(F.sum(running_sum).alias("_rk_bsum"))
+    for i, (expr, _, _) in enumerate(sums):
+        aggs.append(F.sum(expr).alias(f"_rk_bsum{i}"))
     # ≤ B rows; lazily checkpointed so the offsets triangle join and the
     # totals aggregate don't each re-scan the input to rebuild it.
     stats = bucketed.groupBy("_rk_bkt").agg(*aggs).localCheckpoint(eager=False)
@@ -137,15 +152,15 @@ def ranked(
         F.col("_rk_bkt").alias("_rk_bkt_b"),
         F.col("_rk_cnt").alias("_rk_cnt_b"),
     ]
-    if running_sum is not None:
-        lower_cols.append(F.col("_rk_bsum").alias("_rk_bsum_b"))
+    for i in range(len(sums)):
+        lower_cols.append(F.col(f"_rk_bsum{i}").alias(f"_rk_bsum{i}_b"))
     lower = stats.select(*lower_cols)
     off_aggs = [
         F.coalesce(F.sum("_rk_cnt_b"), F.lit(0)).cast("long").alias("_rk_off")
     ]
-    if running_sum is not None:
+    for i in range(len(sums)):
         off_aggs.append(
-            F.coalesce(F.sum("_rk_bsum_b"), F.lit(0)).alias("_rk_runoff")
+            F.coalesce(F.sum(f"_rk_bsum{i}_b"), F.lit(0)).alias(f"_rk_runoff{i}")
         )
     offs = (
         stats.join(
@@ -158,17 +173,17 @@ def ranked(
     )
 
     tot_aggs = [F.sum("_rk_cnt").cast("long").alias("_rk_n")]
-    if running_sum is not None:
-        tot_aggs.append(F.sum("_rk_bsum").alias("_rk_runtot"))
+    for i in range(len(sums)):
+        tot_aggs.append(F.sum(f"_rk_bsum{i}").alias(f"_rk_runtot{i}"))
     tots = stats.agg(*tot_aggs)
 
     # Per-bucket window: the ONLY full-data shuffle, partitioned by bucket.
     wloc = Window.partitionBy("_rk_bkt").orderBy(*order_cols)
     loc = bucketed.withColumn("_rk_loc", F.row_number().over(wloc))
-    if running_sum is not None:
+    for i, (expr, _, _) in enumerate(sums):
         loc = loc.withColumn(
-            "_rk_lrun",
-            F.sum(running_sum).over(
+            f"_rk_lrun{i}",
+            F.sum(expr).over(
                 wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
@@ -180,15 +195,14 @@ def ranked(
     )
     if n_col is not None:
         out = out.withColumn(n_col, F.col("_rk_n"))
-    if running_sum is not None:
-        out = out.withColumn(
-            running_col, F.col("_rk_runoff") + F.col("_rk_lrun")
-        )
-        if running_total_col is not None:
-            out = out.withColumn(running_total_col, F.col("_rk_runtot"))
     drop = ["_rk_bkt", "_rk_loc", "_rk_off", "_rk_n"]
-    if running_sum is not None:
-        drop += ["_rk_lrun", "_rk_runoff", "_rk_runtot", "_rk_bsum"]
+    for i, (_, out_col, total_col) in enumerate(sums):
+        out = out.withColumn(
+            out_col, F.col(f"_rk_runoff{i}") + F.col(f"_rk_lrun{i}")
+        )
+        if total_col is not None:
+            out = out.withColumn(total_col, F.col(f"_rk_runtot{i}"))
+        drop += [f"_rk_lrun{i}", f"_rk_runoff{i}", f"_rk_runtot{i}", f"_rk_bsum{i}"]
     return out.drop(*drop)
 
 

@@ -101,12 +101,18 @@ def weighted_sample(
     df: DataFrame, key_col: str, weight_col: str, k: int
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement → the top-``k``
-    rows by hash-priority/weight, input columns + ``score``.
+    rows by Efraimidis–Spirakis priority, input columns + ``score``.
 
-    Efraimidis–Spirakis derandomized: each row's uniform draw is 60 bits
-    of md5(key) and its priority is u/weight, so higher-weight rows win
-    proportionally more often and the sample is reproducible across
-    engines and runs (priorities never change as the table grows). One
+    Efraimidis–Spirakis (2006) derandomized: each row's uniform draw is
+    60 bits of md5(key) mapped to u ∈ (0, 1], and its key is the
+    exponential draw E = −ln(u)/weight with the k SMALLEST kept —
+    equivalent to keep-largest u^(1/w), the form under which inclusion
+    probabilities are exactly weight-proportional (round 7: the earlier
+    u/weight priority was deterministic but biased relative to E–S).
+    The sample is reproducible across engines and runs (priorities never
+    change as the table grows); ``score`` is rounded to 12 dp so the
+    selection boundary survives a last-ulp libm ``ln`` difference on a
+    replaying engine, with ``key_col`` as the total-order tiebreak. One
     scan + TakeOrderedAndProject — no global sort; k·partitions rows at
     the merge, the shape that samples 100 TB.
     """
@@ -114,7 +120,11 @@ def weighted_sample(
     u = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    scored = df.withColumn("score", u.cast("double") / F.col(weight_col))
+    # (u + 1) / 2^60 ∈ (0, 1]: never 0 (ln(0) = -inf) and reaches 1.
+    u_norm = (u.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    scored = df.withColumn(
+        "score", F.round(-F.log(u_norm) / F.col(weight_col), 12)
+    )
     return scored.orderBy("score", key_col).limit(k)
 
 

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataframe_differ_spark.operators.numeric import split_cast_double
+
 __all__ = [
     "welch_ttest",
     "anova_f",
@@ -78,16 +80,21 @@ def welch_ttest(
     ``value_col`` must be integer-exact (e.g. money in cents) so the six
     sufficient statistics (n, Σv, Σv²) per arm are exact, and t plus the
     Welch–Satterthwaite degrees of freedom are ONE fixed double op chain
-    on them — bit-identical on any engine. ``significant`` gates |t| on
+    on them — bit-identical on any engine. Σv and Σv² accumulate in
+    DECIMAL(38,0) (round-7 fix: the native-BIGINT Σv² silently wrapped
+    past 2^63 with ANSI off, ~3e7 rows of 1e5-cent values) and convert
+    to double through the shared split-cast device so the conversion is
+    engine-portable past 2^64 too. ``significant`` gates |t| on
     ``z_crit`` (the normal approximation; at df in the hundreds t and z
     quantiles agree to 3 dp). One shuffle (2-row rollup); scan-bound at
     any scale.
     """
     _check_reserved(df)
+    v0 = F.col(value_col)
     arm = df.groupBy(F.col(treat_col).alias("_st_t")).agg(
         F.count(F.lit(1)).cast("double").alias("_st_n"),
-        F.sum(value_col).cast("double").alias("_st_s"),
-        F.sum(F.col(value_col) * F.col(value_col)).cast("double").alias("_st_q"),
+        split_cast_double(F.sum(v0.cast(_DEC))).alias("_st_s"),
+        split_cast_double(F.sum(v0.cast(_DEC) * v0)).alias("_st_q"),
     )
     w = arm.agg(
         F.max(F.when(F.col("_st_t"), F.col("_st_n"))).alias("na"),
@@ -179,14 +186,10 @@ def anova_f(
     ).withColumn(
         # Σv² can exceed 2^64, where DuckDB's int128→double cast rounds
         # one ulp differently from Java/Python (measured round 6 on the
-        # Brown-Forsythe binding at sf0.1). Split-cast device: hi/lo at
-        # 2^30 are each exactly representable, and the reconstruction
-        # hi*2^30 + lo is two IEEE ops every engine performs identically,
-        # so the (possibly rounded) double is deterministic by
-        # construction instead of by engine-conversion luck.
+        # Brown-Forsythe binding at sf0.1). Shared split-cast device —
+        # see operators/numeric.py for the full derivation.
         "sq",
-        F.expr("_st_qsum div 1073741824").cast("double") * F.lit(1073741824.0)
-        + (F.col("_st_qsum") % F.lit(1073741824)).cast("double"),
+        split_cast_double(F.col("_st_qsum")),
     )
     parts = tot.select(
         "k",

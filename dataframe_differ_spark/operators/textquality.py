@@ -172,10 +172,14 @@ def bm25_scores(
     Robertson/Sparck-Jones BM25 with the standard (k1, b) defaults:
     idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturation k1+1 over
     k1·(1 − b + b·dl/avgdl). Plan shape: one corpus shuffle for per-doc
-    term frequencies, broadcast df / doc-length tables, corpus stats
-    (N, avgdl) kept IN the plan as a broadcast 1-row crossJoin (a
-    collect() here would force an eager job per call). ``min_tf`` prunes
-    the long tf tail before the joins. The one ``ln`` per (doc, term) is
+    term frequencies; the per-document length table and the per-term df
+    table join back by SHUFFLE join (round 7: both grow with the corpus
+    — one row per document / per vocabulary term — so a forced
+    broadcast would OOM at scale; AQE still picks broadcast at small
+    sizes on its own). Only the true 1-row corpus stats (N, avgdl) stay
+    a broadcast crossJoin, kept IN the plan (a collect() here would
+    force an eager job per call). ``min_tf`` prunes the long tf tail
+    before the joins. The one ``ln`` per (doc, term) is
     libm-tainted, so scores are rounded to ``round_dp`` for cross-engine
     replays (``round_dp=None`` leaves them raw).
     """
@@ -220,8 +224,8 @@ def bm25_scores(
     )
     out = (
         tf.filter(F.col("_tx_tf") >= min_tf)
-        .join(F.broadcast(dfreq), "token")
-        .join(F.broadcast(dl), "_tx_id")
+        .join(dfreq, "token")
+        .join(dl, "_tx_id")
         .crossJoin(F.broadcast(stats))
     )
     bm25 = F.round(score, round_dp) if round_dp is not None else score

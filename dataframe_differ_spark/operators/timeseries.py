@@ -199,18 +199,30 @@ def cusum(
 
     S_hi = max(0, S_hi + x − μ − k·σ), S_lo = min(0, S_lo + x − μ + k·σ),
     alarm when S_hi > alarm·σ or S_lo < −alarm·σ. μ/σ are the group's own
-    mean / population std, derived from Σv and Σv² accumulated in the
-    value column's NATIVE type — exact for integer inputs (supply counts
-    or cents for bit-exact cross-engine replays) — then one fixed double
-    chain. Two shuffles on the group key (moment rollup + fold), both
-    map-side combinable.
+    mean / population std, derived from Σv and Σv² accumulated in
+    DECIMAL(38,0) for integral inputs (round 7: native BIGINT Σv² wraps
+    past 2^63 with ANSI off — same fix as stats.welch_ttest; float
+    inputs keep native double sums) — exact for integer inputs (supply
+    counts or cents for bit-exact cross-engine replays) — then one
+    fixed double chain. Two shuffles on the group key (moment
+    rollup + fold), both map-side combinable.
     """
     _check_reserved(df)
     e = df
+    # DECIMAL moments only for integral inputs; float inputs keep native
+    # double sums (a DECIMAL(38,0) cast would round them).
+    from pyspark.sql import types as T
+
+    vt = e.schema[value_col].dataType
+    integral = isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)) or (
+        isinstance(vt, T.DecimalType) and vt.scale == 0
+    )
+    v0 = F.col(value_col)
+    v1 = v0.cast("decimal(38,0)") if integral else v0
     stats = e.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_ts_n"),
-        F.sum(value_col).alias("_ts_s1"),
-        F.sum(F.col(value_col) * F.col(value_col)).alias("_ts_s2"),
+        F.sum(v1).alias("_ts_s1"),
+        F.sum(v1 * v0).alias("_ts_s2"),
     )
     s1d = F.col("_ts_s1").cast("double")
     s2d = F.col("_ts_s2").cast("double")
@@ -227,12 +239,18 @@ def cusum(
         else e.crossJoin(F.broadcast(params))
     )
     k, al = _lit(k_sigma), _lit(alarm_sigma)
+    # size(acc) = 0 guard (round 7): element_at(acc, -1) on the empty
+    # accumulator throws INVALID_ARRAY_INDEX under ANSI mode (Spark 4
+    # default on a user's own session) — the coalesce-on-NULL form only
+    # worked with ANSI off. Same guard as ewma/holt_linear.
     step = (
         f"greatest(CAST(0.0 AS DOUBLE),"
-        f"  coalesce(element_at(acc, -1).cusum_hi, CAST(0.0 AS DOUBLE))"
+        f"  (CASE WHEN size(acc) = 0 THEN CAST(0.0 AS DOUBLE)"
+        f"        ELSE element_at(acc, -1).cusum_hi END)"
         f"  + e.x - _ts_mu - {k} * _ts_sigma) AS cusum_hi,"
         f" least(CAST(0.0 AS DOUBLE),"
-        f"  coalesce(element_at(acc, -1).cusum_lo, CAST(0.0 AS DOUBLE))"
+        f"  (CASE WHEN size(acc) = 0 THEN CAST(0.0 AS DOUBLE)"
+        f"        ELSE element_at(acc, -1).cusum_lo END)"
         f"  + e.x - _ts_mu + {k} * _ts_sigma) AS cusum_lo"
     )
     out = _grouped_fold(

@@ -762,8 +762,10 @@ def q_doc_chunking(spark, sf_dir):
 _WEIGHTED_SAMPLE_SQL = """
 WITH scored AS (
   SELECT o_orderkey, o_totalprice,
-         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
-              AS BIGINT) / o_totalprice AS score
+         ROUND(-ln((CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                   / 1152921504606846976.0)
+               / o_totalprice, 12) AS score
   FROM orders)
 SELECT o_orderkey, o_totalprice, score
 FROM scored
@@ -774,18 +776,22 @@ LIMIT 200
 
 @register("sample_weighted", oracle=_WEIGHTED_SAMPLE_SQL)
 def q_sample_weighted(spark, sf_dir):
-    """Deterministic weighted sampling without replacement (top-k by
-    hash-priority / weight).
+    """Deterministic weighted sampling without replacement (k smallest
+    Efraimidis-Spirakis exponential keys).
 
-    Weighted reservoir sampling à la Efraimidis–Spirakis, derandomized:
-    each row's uniform draw is 60 bits of md5(key) and its priority is
-    u/weight, so higher-weight rows win proportionally more often, the
-    sample is reproducible across engines and runs, and re-running on a
-    grown table keeps previously chosen rows stable (priorities never
-    change). One scan + TakeOrderedAndProject (per-partition top-k, tiny
-    merge on the driver side of the exchange) — no global sort, the same
-    shape that samples 100 TB with k·partitions memory. The division is
-    one IEEE op on identical operands → identical doubles both engines.
+    Weighted reservoir sampling à la Efraimidis-Spirakis, derandomized:
+    each row's uniform draw is 60 bits of md5(key) mapped into (0, 1],
+    its priority the exponential key -ln(u)/weight with the k SMALLEST
+    kept (round 7: upgraded from the biased u/weight priority to the
+    true E-S key, under which inclusion odds are weight-proportional).
+    The sample is reproducible across engines and runs, and re-running
+    on a grown table keeps previously chosen rows stable (priorities
+    never change). One scan + TakeOrderedAndProject (per-partition
+    top-k, tiny merge on the driver side of the exchange) — no global
+    sort, the same shape that samples 100 TB with k·partitions memory.
+    Parity: both the output score and the selection cut use the 12-dp
+    ROUNDED key (the rounded-ln device), so a last-ulp libm difference
+    cannot reorder the boundary; o_orderkey breaks ties totally.
     """
     from dataframe_differ_spark.operators.sampling import weighted_sample
 

@@ -23,6 +23,7 @@ import pandas as pd  # noqa: F401  (resolves pandas_udf string annotations)
 from pyspark.sql import Window  # noqa: F401  (kept for parity with siblings)
 from pyspark.sql import functions as F
 
+from dataframe_differ_spark.operators.numeric import split_cast_sql as _split_sql
 from dataframe_differ_spark.operators.ranks import ranked
 from dataframe_differ_spark.queries import REGISTRY, register
 from dataframe_differ_spark.queries.composites import (
@@ -35,8 +36,9 @@ from dataframe_differ_spark.tables import load_table
 # Exact two-sample Kolmogorov-Smirnov drift test
 # ---------------------------------------------------------------------------
 
-# The base-2^31 cohort-count encoder lives in operators/drift.py since the
-# round-6 extraction (drift.ks_test).
+# The two-cohort ECDF machinery lives in operators/drift.py since the
+# round-6 extraction (drift.ks_test); round 7 replaced its base-2^31
+# packed running sum with two independent running sums (no overflow cliff).
 
 _KS_SQL = f"""
 WITH flags AS (
@@ -81,8 +83,9 @@ def q_drift_ks_test(spark, sf_dir):
     EXACTLY and distributed. The ECDFs come from per-distinct-value
     counts cumulated by `operators.ranks.ranked` (two-phase
     boundary-bucket running sums — no single-partition window, the
-    round-3 scale fix applied from the start). One running sum carries
-    both cohorts' cumulative counts via a base-2^31 integer encoding.
+    round-3 scale fix applied from the start). The two cohorts ride as
+    two independent running sums in the same rank pass (round 7 — no
+    packed-integer overflow cliff).
     The max-gap compare is pure BIGINT cross-multiplication
     (|cum_a*n_b - cum_b*n_a|), so no float enters until the final
     D = num/(n_a*n_b) division; the asymptotic lambda = D*sqrt(n_a*n_b/
@@ -1809,7 +1812,7 @@ def q_sample_balanced_classes(spark, sf_dir):
 # Welch's t-test on per-user purchase spend
 # ---------------------------------------------------------------------------
 
-_WELCH_SQL = """
+_WELCH_SQL = f"""
 WITH per_user AS (
   SELECT user_id,
          substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS treat,
@@ -1818,9 +1821,12 @@ WITH per_user AS (
                        ELSE 0 END) AS BIGINT) AS cents
   FROM events GROUP BY user_id),
 arm AS (
+  -- round 7: Σv / Σv² accumulate exactly (HUGEINT) and convert via the
+  -- shared split-cast device (operators/numeric.py), mirroring the
+  -- DECIMAL(38,0) sums in operators/stats.welch_ttest.
   SELECT treat, CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(cents) AS DOUBLE) AS s,
-         CAST(SUM(cents * cents) AS DOUBLE) AS q
+         {_split_sql('SUM(CAST(cents AS HUGEINT))')} AS s,
+         {_split_sql('SUM(CAST(cents AS HUGEINT) * cents)')} AS q
   FROM per_user GROUP BY treat),
 w AS (
   SELECT MAX(CASE WHEN treat THEN n END) AS na,

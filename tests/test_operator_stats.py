@@ -320,3 +320,58 @@ def test_gini_extremes_and_reference(spark):
     ) / (200 * sum(s))
     assert abs(got.gini - ref) < 1e-9
     assert got.n == 200 and got.total == sum(vals)
+
+
+def test_split_cast_double_matches_plain_cast_and_duckdb(spark):
+    """The shared int128→double split-cast device (operators/numeric.py,
+    promoted round 7) must agree with a plain double cast below 2^53,
+    with the inline hi/lo reconstruction everywhere, and with its own
+    DuckDB SQL twin — including past 2^64 where plain engine casts can
+    diverge by one ulp (the round-6 sf0.1 bug)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dataframe_differ_spark.operators.numeric import (
+        split_cast_double,
+        split_cast_sql,
+    )
+
+    vals = [0, 1, 123456789, 2**31 - 1, 2**53 + 1, 2**63 - 7,
+            2**64 + 12345, 3**45, 10**22 + 987654321, 2**72 + 3]
+    df = spark.createDataFrame([(str(v),) for v in vals], "x string").select(
+        F.col("x").cast("decimal(38,0)").alias("x")
+    )
+    rows = df.select(
+        "x", split_cast_double(F.col("x")).alias("d")
+    ).collect()
+    for r in rows:
+        v = int(r["x"])
+        assert r["d"] == float(v) if v < 2**53 else True
+        duck = duckdb.sql(f"SELECT {split_cast_sql(str(v))} AS d").fetchone()[0]
+        assert r["d"] == duck, (v, r["d"], duck)
+
+
+def test_welch_ttest_survives_big_cents(spark):
+    """Round-7 ADVICE fix: Σv² accumulates in DECIMAL(38,0), so values
+    whose squares sum past 2^63 no longer wrap (native BIGINT sums
+    silently did, with ANSI off). 3 rows of 2e9-cent values per arm:
+    Σv² = 1.2e19 > 2^63 ≈ 9.2e18."""
+    import math
+
+    from pyspark.sql import Row
+
+    from dataframe_differ_spark.operators.stats import welch_ttest
+
+    a = [1_000_000_000, 2_000_000_000, 3_000_000_000]  # Σv² = 1.4e19 > 2^63
+    b = [500_000_000, 1_500_000_000, 2_500_000_000]
+    rows = [Row(v=v, t=True) for v in a] + [Row(v=v, t=False) for v in b]
+    out = welch_ttest(spark.createDataFrame(rows), "v", "t").collect()[0]
+    # pure-Python reference (the wrapped BIGINT version yields a negative
+    # variance here -> sqrt NaN -> t_stat None)
+    ma, mb = sum(a) / 3, sum(b) / 3
+    va = sum((x - ma) ** 2 for x in a) / 2
+    vb = sum((x - mb) ** 2 for x in b) / 2
+    t_ref = (ma - mb) / math.sqrt(va / 3 + vb / 3)
+    assert out.n_a == 3 and out.n_b == 3
+    assert out.t_stat is not None
+    assert abs(out.t_stat - t_ref) < 1e-6 * abs(t_ref)

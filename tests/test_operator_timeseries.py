@@ -195,3 +195,20 @@ def test_crosscorr_detects_lead(spark):
     )
     # pair counts shrink with |lag - 3| of the overlap window
     assert got[3].n_pairs == 30
+
+
+def test_fold_operators_survive_ansi_mode(spark, series_df):
+    """ewma/holt/cusum run on a user session with ANSI on (Spark 4's
+    default): the empty-accumulator access must be guarded by
+    size(acc) = 0, not by NULL + coalesce (round-7 ADVICE fix for
+    cusum — element_at(acc, -1) throws INVALID_ARRAY_INDEX under ANSI)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        assert cusum(series_df, ["store"], "day", "sales").count() == 60
+        assert ewma(series_df, ["store"], "day", "sales", alpha=0.3).count() == 60
+        assert (
+            holt_linear(series_df, ["store"], "day", "sales").count() == 60
+        )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
