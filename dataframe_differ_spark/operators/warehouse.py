@@ -1,0 +1,428 @@
+"""Parametric warehouse / CDC operators over arbitrary DataFrames.
+
+Round-7 extraction (VERDICT r6 item #1): the warehouse family —
+previously fixture-bound ``queries()`` closures over the testdata schema
+(queries/warehouse.py, queries/windows.py) — as a reusable library a
+user can call on their OWN tables:
+
+    from dataframe_differ_spark.operators.warehouse import scd2_build
+    dim = scd2_build(events, keys=["account"], ts_col="changed_at")
+
+Design rules shared by every operator here (the graph/stats extraction
+pattern of rounds 5–6):
+
+- **Schema-agnostic**: key/timestamp/attribute column names are
+  parameters; internals use ``_wh_`` prefixed temporaries and refuse
+  colliding inputs. Output columns either keep the input names or have
+  fixed documented names (``valid_from``, ``span_start``, ``dim_sk`` …).
+- **Scale-first plan shapes**: every operator is one hash shuffle on its
+  natural key (per-key windows, never a global one); the only global
+  sort in the family — dense surrogate keys — runs through the two-phase
+  bucketed rank (``operators.ranks.ranked``), not a single-partition
+  window. Interval merging and point-in-time attribution use the
+  O(n log n) gaps-and-islands / union-tag devices, never the O(n·m)
+  range self-join.
+- **Reproducibility**: no ``monotonically_increasing_id``, no
+  partition-layout dependence; ties are broken by caller-named
+  tiebreak columns so replays (and replaying oracles) agree exactly.
+
+The registered queries (``scd2_build``, ``merge_upsert``,
+``join_temporal_scd2``, ``interval_merge``, ``timeseries_gapfill``,
+``dim_surrogate_keys_sketch``, ``diff_scd2_snapshots``) are thin fixture
+bindings over these functions; their DuckDB oracles and the golden
+corpus pin the operators' semantics release over release.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "scd2_build",
+    "snapshot_at",
+    "merge_upsert",
+    "pit_join",
+    "interval_merge",
+    "gapfill",
+    "surrogate_keys",
+]
+
+
+def _check_reserved(df: DataFrame, prefix: str = "_wh_") -> None:
+    for c in df.columns:
+        if c.startswith(prefix):
+            raise ValueError(f"input column {c!r} collides with {prefix} internals")
+
+
+def scd2_build(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    *,
+    tiebreak_cols: Sequence[str] = (),
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """State-change stream → SCD2 validity intervals, per key.
+
+    Each input row opens an interval ``[valid_from, valid_to)`` closed by
+    the next row for the same key (``lead`` over the key partition); the
+    final interval stays open with ``is_current = true``. Output: all
+    input columns (``ts_col`` renamed to ``from_col``) + ``to_col`` +
+    ``current_col``.
+
+    ``tiebreak_cols`` complete the per-key total order for same-instant
+    changes — name one (e.g. a change id) whenever ``ts_col`` can tie, or
+    the interval chain is nondeterministic.
+
+    Plan: ONE shuffle on the key; the window is per-key sequential, so
+    at 100 TB skew only matters for pathological single keys. Extracted
+    from the ``scd2_build`` binding (queries/windows.py).
+    """
+    _check_reserved(df)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak_cols)
+    nxt = F.lead(ts_col).over(w)
+    others = [c for c in df.columns if c != ts_col]
+    return df.select(
+        *others,
+        F.col(ts_col).alias(from_col),
+        nxt.alias(to_col),
+        nxt.isNull().alias(current_col),
+    )
+
+
+def snapshot_at(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    at: Column | str,
+    *,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-time snapshot: the latest row per key with
+    ``ts_col <= at`` → the input columns of the surviving rows.
+
+    The time-travel half of an SCD2 workflow (diffing two of these
+    reconstructs "what changed between T1 and T2" — the
+    ``diff_scd2_snapshots`` binding composes exactly that with the keyed
+    diff core). ``at`` is a timestamp literal string or Column.
+    ``tiebreak_cols`` disambiguate same-instant changes (latest wins by
+    the DESCENDING tiebreak, mirroring the timestamp direction).
+
+    Plan: one filter (pushed to the scan when ``ts_col`` is a file-sort
+    or partition column) + one per-key ``row_number`` shuffle.
+    """
+    _check_reserved(df)
+    cutoff = F.lit(at).cast("timestamp") if isinstance(at, str) else at
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.filter(F.col(ts_col) <= cutoff)
+        .withColumn("_wh_rn", F.row_number().over(w))
+        .filter(F.col("_wh_rn") == 1)
+        .drop("_wh_rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    *,
+    op_col: str = "op",
+    update_map: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Batch MERGE INTO semantics: apply a CDC changeset to a snapshot →
+    the merged table, with the target's columns.
+
+    ``changes`` carries the key columns, ``op_col`` ∈ {'U', 'D', 'I'},
+    and payload columns. Semantics per op (the Delta/Iceberg MERGE
+    contract): ``'D'`` WHEN MATCHED DELETE, ``'U'`` WHEN MATCHED UPDATE
+    the columns named by ``update_map`` (target column → changes column;
+    default: every non-key, non-op changes column that shares a target
+    column's name), ``'I'`` INSERT (those rows must carry every target
+    column). Target rows with no change pass through.
+
+    Plan: ONE left join on the target's natural key (AQE broadcasts a
+    small changeset and skew-splits hot keys on its own) + a union of
+    the inserts — the same plan Delta/Iceberg MERGE lowers to; no
+    window, no collect. Extracted from the ``merge_upsert`` binding
+    (queries/warehouse.py).
+    """
+    _check_reserved(target)
+    _check_reserved(changes)
+    if update_map is None:
+        update_map = {
+            c: c
+            for c in changes.columns
+            if c in set(target.columns) and c not in set(keys) and c != op_col
+        }
+    matched = changes.filter(F.col(op_col).isin("U", "D")).select(
+        *[F.col(k).alias(f"_wh_k_{k}") for k in keys],
+        F.col(op_col).alias("_wh_op"),
+        *[
+            F.col(src).alias(f"_wh_u_{tgt}")
+            for tgt, src in update_map.items()
+        ],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"_wh_k_{k}")
+        cond = c if cond is None else (cond & c)
+    merged = (
+        target.join(matched, cond, "left")
+        .filter(F.col("_wh_op").isNull() | (F.col("_wh_op") != "D"))
+        .select(
+            *[
+                F.when(F.col("_wh_op") == "U", F.col(f"_wh_u_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in update_map
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+    )
+    if set(target.columns) <= set(changes.columns):
+        inserts = changes.filter(F.col(op_col) == "I").select(*target.columns)
+        return merged.unionByName(inserts)
+    # update/delete-only changesets need not carry the full target schema
+    return merged
+
+
+def pit_join(
+    probe: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    state_cols: Sequence[str],
+    *,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-time (temporal / as-of) join of a probe stream to an
+    SCD2-style dimension → the probe's columns + ``state_cols`` holding
+    the dimension state valid AT each probe row's timestamp.
+
+    ``dim`` rows are state changes (keys + ``ts_col`` + ``state_cols``);
+    ``probe`` rows are lookups (keys + ``ts_col`` + payload). Both need
+    ``ts_col`` under the same name; ``tiebreak_cols``, if given, must
+    exist in both and complete the per-key total order. A probe at
+    exactly a state change's instant sees the NEW state (``valid_from``
+    inclusive — dim sorts before probe on ties).
+
+    Plan: the union-tag + running ``last(ignorenulls)`` device — ONE
+    shuffle on the key and O(n log n) per key, where the naive
+    ``valid_from <= ts < valid_to`` range join is O(n·m) per key and
+    explodes at 100 TB. Extracted from the ``join_temporal_scd2``
+    binding (queries/warehouse.py).
+    """
+    _check_reserved(probe)
+    _check_reserved(dim)
+    payload = [
+        c
+        for c in probe.columns
+        if c not in set(keys) and c != ts_col and c not in set(tiebreak_cols)
+    ]
+    d = dim.select(
+        *keys,
+        F.col(ts_col).alias("_wh_ts"),
+        F.lit(0).alias("_wh_tag"),
+        *tiebreak_cols,
+        F.struct(*state_cols).alias("_wh_state"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in payload],
+    )
+    p = probe.select(
+        *keys,
+        F.col(ts_col).alias("_wh_ts"),
+        F.lit(1).alias("_wh_tag"),
+        *tiebreak_cols,
+        F.lit(None)
+        .cast(dim.select(F.struct(*state_cols)).schema[0].dataType)
+        .alias("_wh_state"),
+        *payload,
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_wh_ts", "_wh_tag", *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = d.unionByName(p).withColumn(
+        "_wh_cur", F.last("_wh_state", ignorenulls=True).over(w)
+    )
+    return timeline.filter(F.col("_wh_tag") == 1).select(
+        *keys,
+        F.col("_wh_ts").alias(ts_col),
+        *tiebreak_cols,
+        *payload,
+        *[F.col("_wh_cur")[c].alias(c) for c in state_cols],
+    )
+
+
+def interval_merge(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+    *,
+    tiebreak_cols: Sequence[str] = (),
+    span_start_col: str = "span_start",
+    span_end_col: str = "span_end",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key → one row per merged
+    span: keys + ``span_start_col`` + ``span_end_col`` + ``count_col``.
+
+    Gaps-and-islands: a new island starts when an interval's start
+    exceeds the running MAX of all previous ends in the per-key start
+    order (plain max-over-window — handles out-of-order AND nested
+    intervals); islands then aggregate to spans. ``tiebreak_cols`` make
+    the per-key order total when starts can tie — without one, tied
+    rows can land in either island nondeterministically.
+
+    Plan: two windows + one aggregate over a SINGLE shuffle on the key;
+    no self-join — the classic O(n²) overlap-join formulation would not
+    survive 100 TB, this O(n log n) per-key form does. Extracted from
+    the ``interval_merge`` binding (queries/windows.py).
+    """
+    _check_reserved(df)
+    order = [start_col, *tiebreak_cols]
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.withColumn(
+        "_wh_new",
+        F.when(F.col(start_col) > F.max(end_col).over(w_prev), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("_wh_isl", F.sum("_wh_new").over(w_run))
+    return (
+        islands.groupBy(*keys, "_wh_isl")
+        .agg(
+            F.min(start_col).alias(span_start_col),
+            F.max(end_col).alias(span_end_col),
+            F.count(F.lit(1)).alias(count_col),
+        )
+        .select(*keys, span_start_col, span_end_col, count_col)
+    )
+
+
+def gapfill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_cols: Mapping[str, str],
+    *,
+    step: str = "1 day",
+) -> DataFrame:
+    """Dense time spine + fill: every (key, tick) in the data's own
+    [min, max] range gets a row → keys + ``ts_col`` + filled
+    ``value_cols``.
+
+    ``value_cols`` maps each value column to its fill policy: ``'zero'``
+    (missing ticks become typed 0 — counts) or ``'ffill'`` (carry the
+    last observed value forward — levels/sums; leading gaps stay NULL).
+    ``step`` is a SQL interval body (``'1 day'``, ``'15 minutes'``).
+    Input is one row per (keys, ts) — aggregate first.
+
+    Plan: the spine is generated relationally from the data's own
+    min/max (``sequence`` + ``explode`` — no driver collect), sized
+    |ticks| × |key combos| — trivially small relative to the raw data
+    at any scale, so the left join broadcasts the spine's build side;
+    the ffill window is per-key. Extracted from the
+    ``timeseries_gapfill`` binding (queries/windows.py).
+    """
+    _check_reserved(df)
+    bounds = df.agg(
+        F.min(ts_col).alias("_wh_d0"), F.max(ts_col).alias("_wh_d1")
+    )
+    ticks = bounds.select(
+        F.explode(
+            F.expr(f"sequence(_wh_d0, _wh_d1, interval {step})")
+        ).alias(ts_col)
+    )
+    spine = ticks.crossJoin(df.select(*keys).distinct()) if keys else ticks
+    joined = spine.join(df, [ts_col, *keys], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled: list[Column] = []
+    for c, how in value_cols.items():
+        if how == "zero":
+            filled.append(
+                F.coalesce(F.col(c), F.lit(0).cast(df.schema[c].dataType)).alias(c)
+            )
+        elif how == "ffill":
+            filled.append(F.last(c, ignorenulls=True).over(w).alias(c))
+        else:
+            raise ValueError(f"unknown fill policy {how!r} for column {c!r}")
+    return joined.select(*keys, ts_col, *filled)
+
+
+def surrogate_keys(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    sk_col: str = "dim_sk",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic DENSE surrogate keys for a dimension → ``sk_col``
+    (1-based BIGINT in ``cols`` order) + the distinct natural keys.
+
+    The warehouse-load primitive ``monotonically_increasing_id`` gets
+    wrong: that function is partition-layout-dependent (different ids
+    every run/cluster), while a surrogate key must be REPRODUCIBLE.
+    Distinct natural keys + an exact global rank in their total order
+    gives stable, dense, engine-independent ids.
+
+    Plan: the rank is the two-phase bucketed form
+    (``operators.ranks.ranked``) — never a single-partition window — so
+    a billion-row dimension ranks at ~n/B rows per task. The bucket
+    proxy derives from the leading column's type (string → big-endian
+    8-byte prefix, numeric/date/timestamp → double). For a dimension so
+    large even dense ids are pointless, prefer ``xxhash64`` of the
+    natural key instead (sparse but join-stable). Extracted from the
+    ``dim_surrogate_keys_sketch`` binding (queries/warehouse.py).
+    """
+    from pyspark.sql import types as T
+
+    from dataframe_differ_spark.operators.ranks import (
+        DEFAULT_BUCKETS,
+        ranked,
+        string_bucket_key,
+    )
+
+    _check_reserved(df)
+    dims = df.select(*cols).distinct()
+    lead_t = dims.schema[cols[0]].dataType
+    if isinstance(lead_t, T.StringType):
+        # NUL separator keeps concatenation order == tuple order for the
+        # string prefix proxy (proper prefixes sort below extensions).
+        proxy = string_bucket_key(
+            F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols])
+            if len(cols) > 1
+            else F.col(cols[0])
+        )
+    elif isinstance(lead_t, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        proxy = F.col(cols[0]).cast("timestamp").cast("double")
+    else:
+        proxy = F.col(cols[0]).cast("double")
+    r = ranked(
+        dims,
+        proxy,
+        list(cols),
+        rank_col="_wh_rk",
+        n_buckets=n_buckets or DEFAULT_BUCKETS,
+    )
+    return r.select(F.col("_wh_rk").cast("bigint").alias(sk_col), *cols)
