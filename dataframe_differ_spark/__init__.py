@@ -115,6 +115,15 @@ from dataframe_differ_spark.operators.timeseries import (
     seasonality,
     theil_sen,
 )
+from dataframe_differ_spark.operators.warehouse import (
+    gapfill,
+    interval_merge,
+    merge_upsert,
+    pit_join,
+    scd2_build,
+    snapshot_at,
+    surrogate_keys,
+)
 from dataframe_differ_spark.operators.textquality import (
     bm25_scores,
     language_id,
@@ -207,6 +216,14 @@ __all__ = [
     "decode_features",
     "dedup_payloads",
     "sample_frames",
+    # warehouse / CDC operator library (round-7 extraction; SURVEY.md §14)
+    "scd2_build",
+    "snapshot_at",
+    "merge_upsert",
+    "pit_join",
+    "interval_merge",
+    "gapfill",
+    "surrogate_keys",
     # session / data helpers
     "get_spark",
     "configure_session",

@@ -68,37 +68,37 @@ def q_merge_upsert(spark, sf_dir):
     handles hot keys. The changeset is derived deterministically from
     orders itself so both engines merge the identical pair; the 1.05
     price revision is one IEEE double multiply — bit-identical cross-engine.
+
+    Thin binding over the parametric
+    :func:`operators.warehouse.merge_upsert` (round-7 extraction) —
+    the op-tagged changeset (U/D/I) applies to any keyed target.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    from dataframe_differ_spark.operators.warehouse import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_OUT)
     k = F.col("o_orderkey")
     dels = orders.filter(k % 13 == 0).select(
-        k.alias("mk"),
+        "o_orderkey",
         F.lit("D").alias("op"),
         F.lit(None).cast("double").alias("new_price"),
     )
     upds = orders.filter((k % 13 != 0) & (k % 7 == 0)).select(
-        k.alias("mk"),
+        "o_orderkey",
         F.lit("U").alias("op"),
         (F.col("o_totalprice") * F.lit(1.05)).alias("new_price"),
     )
-    ins = orders.filter(k % 11 == 0).withColumn(
-        "o_orderkey", k + F.lit(20000000)
+    ins = (
+        orders.filter(k % 11 == 0)
+        .withColumn("o_orderkey", k + F.lit(20000000))
+        .withColumn("op", F.lit("I"))
+        .withColumn("new_price", F.lit(None).cast("double"))
     )
-    merged = (
-        orders.join(dels.unionByName(upds), k == F.col("mk"), "left")
-        .filter(F.col("op").isNull() | (F.col("op") != "D"))
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            "o_orderstatus",
-            F.when(F.col("op") == "U", F.col("new_price"))
-            .otherwise(F.col("o_totalprice"))
-            .alias("o_totalprice"),
-            "o_orderdate",
-            "o_orderpriority",
-        )
+    changes = dels.unionByName(upds).unionByName(
+        ins, allowMissingColumns=True
     )
-    return merged.unionByName(ins.select(*ORDER_OUT))
+    return merge_upsert(
+        orders, changes, ["o_orderkey"], update_map={"o_totalprice": "new_price"}
+    )
 
 
 _SNAP_SQL = """
@@ -139,23 +139,23 @@ def q_diff_scd2_snapshots(spark, sf_dir):
     the diff's full-outer join reuses the partitioning); statuses come out
     as N/C/I/D exactly like any other keyed diff. ts is normalized to µs
     in the oracle (events.ts is ns in parquet — FIXTURES.md).
+
+    Thin binding over the parametric
+    :func:`operators.warehouse.snapshot_at` (round-7 extraction)
+    composed with the Layer-A keyed diff core.
     """
+    from dataframe_differ_spark.operators.warehouse import snapshot_at
+
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("signup", "purchase"))
         .select("user_id", "event_type", "ts", "event_id")
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
 
     def snapshot(cutoff: str):
-        return (
-            e.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", F.col("event_type").alias("state"))
-        )
+        return snapshot_at(
+            e, ["user_id"], "ts", cutoff, tiebreak_cols=["event_id"]
+        ).select("user_id", F.col("event_type").alias("state"))
 
     return D.diff(
         snapshot("2024-01-10 00:00:00"),
@@ -720,28 +720,27 @@ def q_join_temporal_scd2(spark, sf_dir):
     `valid_from <= ts < valid_to` range join is O(n·m) per key and
     explodes at 100 TB. Dim rows tag 0 so a click at exactly the state
     change's instant sees the NEW state (valid_from inclusive).
+
+    Thin binding over the parametric
+    :func:`operators.warehouse.pit_join` (round-7 extraction) — the
+    union-tag device above lives there, callable on any probe/dim pair.
     """
+    from dataframe_differ_spark.operators.warehouse import pit_join
+
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
     dim = e.filter(F.col("event_type").isin("signup", "purchase")).select(
-        "user_id", "ts", F.lit(0).alias("tag"), "event_id",
-        F.col("event_type").alias("dim_state"),
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
     )
     probe = e.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.lit(1).alias("tag"), "event_id",
-        F.lit(None).cast("string").alias("dim_state"),
+        "user_id", "ts", "event_id"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "tag", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    timeline = dim.unionByName(probe).withColumn(
-        "state", F.last("dim_state", ignorenulls=True).over(w)
+    attributed = pit_join(
+        probe, dim, ["user_id"], "ts", ["state"], tiebreak_cols=["event_id"]
     )
     return (
-        timeline.filter((F.col("tag") == 1) & F.col("state").isNotNull())
+        attributed.filter(F.col("state").isNotNull())
         .groupBy("state")
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
@@ -1185,21 +1184,14 @@ def q_dim_surrogate_keys_sketch(spark, sf_dir):
     (operators.ranks.string_bucket_key) — the NUL separator makes the
     concatenation order equal the (lang, source) tuple order, so the
     proxy is monotone and the in-bucket window resolves the rest.
+
+    Thin binding over the parametric
+    :func:`operators.warehouse.surrogate_keys` (round-7 extraction).
     """
-    from dataframe_differ_spark.operators.ranks import (
-        ranked,
-        string_bucket_key,
-    )
+    from dataframe_differ_spark.operators.warehouse import surrogate_keys
 
     docs = load_table(spark, sf_dir, "documents")
-    dims = docs.select("lang", "source").distinct()
-    key = string_bucket_key(
-        F.concat(F.col("lang"), F.lit("\x00"), F.col("source"))
-    )
-    r = ranked(dims, key, ["lang", "source"], rank_col="rk")
-    return r.select(
-        F.col("rk").cast("bigint").alias("dim_sk"), "lang", "source"
-    )
+    return surrogate_keys(docs, ["lang", "source"])
 
 
 _DRILLDOWN_SQL = f"""

@@ -225,37 +225,35 @@ def q_timeseries_gapfill(spark, sf_dir):
     hardcoded range), sized |days| × |event types| — trivially small
     relative to the events themselves at any scale, so the left join
     broadcasts the spine at 100 TB.
+
+    Thin binding over the parametric :func:`operators.warehouse.gapfill`
+    (round-7 extraction): daily aggregate in, dense zero/ffill-filled
+    spine out.
     """
+    from dataframe_differ_spark.operators.warehouse import gapfill
+
     e = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    bounds = e.agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
-    )
-    days = bounds.select(
-        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
-    )
-    types = e.select("event_type").distinct()
-    spine = days.crossJoin(types)
     daily = e.groupBy(
         F.col("event_type"), F.to_date("ts").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
-    joined = spine.join(daily, ["day", "event_type"], "left")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = gapfill(
+        daily,
+        ["event_type"],
+        "day",
+        {"n_events": "zero", "sum_value": "ffill"},
     )
     # Date-typed outputs travel as ISO strings (DATE arrives as object vs
     # datetime64 across the Arrow/pandas boundary — established parity rule).
-    return joined.select(
+    return filled.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "event_type",
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.last("sum_value", ignorenulls=True).over(w).alias("carried_sum"),
+        "n_events",
+        F.col("sum_value").alias("carried_sum"),
     )
 
 
@@ -283,21 +281,21 @@ def q_scd2_build(spark, sf_dir):
     open (is_current). One shuffle on user_id; at 100 TB the window is
     per-user sequential so skew only matters for pathological single
     users. Ties broken by event_id to keep both engines' LEAD aligned.
+
+    Thin binding over the parametric
+    :func:`operators.warehouse.scd2_build` (round-7 extraction) —
+    callable on any (keys, ts, tiebreak) frame.
     """
+    from dataframe_differ_spark.operators.warehouse import scd2_build
+
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("signup", "purchase"))
         .select("user_id", "event_type", "ts", "event_id")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = F.lead("ts").over(w)
-    return e.select(
-        "user_id",
-        "event_type",
-        F.col("ts").alias("valid_from"),
-        nxt.alias("valid_to"),
-        nxt.isNull().alias("is_current"),
-    )
+    return scd2_build(
+        e, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")
 
 
 @register(
@@ -425,39 +423,29 @@ def q_interval_merge(spark, sf_dir):
     on user_id; no self-join — the classic O(n²) overlap-join
     formulation would not survive 100 TB, this O(n log n) per-key form
     does. NULL running-max on each user's first row is handled by the
-    CASE defaulting to 0 with SUM starting islands at 0.
+    CASE defaulting to 0 with SUM starting islands at 0. Tiebreak by
+    event_id, not (s, e): e is always s + 30min, so tied-instant peers
+    would land in either island nondeterministically without it.
+
+    Thin binding over the parametric
+    :func:`operators.warehouse.interval_merge` (round-7 extraction).
     """
+    from dataframe_differ_spark.operators.warehouse import interval_merge
+
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").alias("s"),
         (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
         "event_id",
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    return interval_merge(
+        e,
+        ["user_id"],
+        "s",
+        "e",
+        tiebreak_cols=["event_id"],
+        count_col="n_events",
     )
-    flagged = e.withColumn(
-        "new_island",
-        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
-    )
-    # Order by (s, event_id), not (s, e): e is always s + 30min, so (s, e)
-    # ties whenever two events share a timestamp, and a tied peer sorted
-    # before the new_island=1 row would land in the previous island —
-    # nondeterministically. event_id makes the total order unique and
-    # matches the flag window above.
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
-    return islands.groupBy("user_id", "island").agg(
-        F.min("s").alias("span_start"),
-        F.max("e").alias("span_end"),
-        F.count(F.lit(1)).alias("n_events"),
-    ).select("user_id", "span_start", "span_end", "n_events")
 
 
 _EWMA_SQL = """
