@@ -115,6 +115,12 @@ from dataframe_differ_spark.operators.timeseries import (
     seasonality,
     theil_sen,
 )
+from dataframe_differ_spark.operators.tokenize import (
+    bpe_pair_stats,
+    chunk_docs,
+    train_bpe,
+    wordpiece_apply,
+)
 from dataframe_differ_spark.operators.warehouse import (
     gapfill,
     interval_merge,
@@ -216,6 +222,11 @@ __all__ = [
     "decode_features",
     "dedup_payloads",
     "sample_frames",
+    # tokenizer operator library (round-7 extraction; SURVEY.md §14)
+    "bpe_pair_stats",
+    "train_bpe",
+    "wordpiece_apply",
+    "chunk_docs",
     # warehouse / CDC operator library (round-7 extraction; SURVEY.md §14)
     "scd2_build",
     "snapshot_at",

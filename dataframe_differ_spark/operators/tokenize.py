@@ -1,0 +1,311 @@
+"""Parametric tokenizer operators over arbitrary text DataFrames.
+
+Round-7 extraction (VERDICT r6 item #2): the tokenizer family —
+previously fixture-bound ``queries()`` closures over the testdata
+``documents`` table (queries/pipelineops.py, queries/textops.py) — as a
+reusable library a user can call on their OWN corpus:
+
+    from dataframe_differ_spark.operators.tokenize import train_bpe
+    merges = train_bpe(corpus, text_col="body", n_merges=50)
+
+Shared design (the warehouse/graph/stats extraction pattern):
+
+- **Dictionary-encode before per-character work.** Every operator that
+  folds over characters (BPE training, WordPiece apply) first builds
+  the corpus WORD HISTOGRAM (one shuffle), then does all per-character
+  work on DISTINCT words weighted by frequency — bounded by vocabulary
+  size, not corpus size. This is exactly how production tokenizer
+  trainers amortize; the naive per-document char fold measured 85×
+  slower at sf0.1 (``text_tokenize_greedy`` docstring).
+- **No UDFs**: symbolization, pair explosion, greedy folds, and merge
+  application are built-in HOFs (``transform``/``aggregate``/
+  ``zip_with``) and string ops, JVM-side end to end.
+- **Engine-portable**: character access is explicit ``substring``
+  (empty-separator splits differ across engines); the BPE merge apply
+  is ``replace('a|b' → 'ab')`` on the joined symbol string — leftmost
+  non-overlapping in every engine, which IS BPE's greedy apply rule.
+
+The registered queries (``bpe_pair_counts``, ``bpe_train_merges``,
+``text_tokenize_greedy``, ``doc_chunking``) are thin fixture bindings
+over these functions; their DuckDB oracles and the golden corpus pin
+the semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bpe_pair_stats",
+    "train_bpe",
+    "wordpiece_apply",
+    "chunk_docs",
+]
+
+
+def _check_reserved(df: DataFrame, prefix: str = "_tk_") -> None:
+    for c in df.columns:
+        if c.startswith(prefix):
+            raise ValueError(f"input column {c!r} collides with {prefix} internals")
+
+
+def _word_histogram(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace words + corpus frequencies — the one corpus-scale
+    shuffle every operator here shares."""
+    return (
+        df.select(
+            F.explode(
+                F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+            ).alias("_tk_w")
+        )
+        .groupBy("_tk_w")
+        .agg(F.count(F.lit(1)).alias("_tk_freq"))
+    )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str,
+    *,
+    end_of_word: str | None = "</w>",
+    top_k: int | None = 20,
+) -> DataFrame:
+    """One BPE training iteration's heavy step: frequency-weighted
+    adjacent-symbol pair counts → ``(left_sym, right_sym, pair_count)``,
+    the top pair being the next merge rule (Sennrich et al. 2016).
+
+    ``end_of_word`` appends a terminal marker symbol to each word
+    (classic BPE; ``None`` omits it). ``top_k`` returns only the best
+    candidates via TakeOrdered (count desc, pair asc — a total order);
+    ``None`` returns the full pair table.
+
+    Plan: the pair aggregate runs on the word histogram (vocabulary-
+    sized, map-side combinable), so the corpus is scanned exactly once
+    regardless of how many iterations a trainer runs on top.
+    """
+    _check_reserved(df)
+    words = _word_histogram(df, text_col)
+    tail = ", array('" + end_of_word + "')" if end_of_word is not None else ""
+    base = (
+        "transform(sequence(1, length(_tk_w)), i -> substring(_tk_w, i, 1))"
+    )
+    syms = words.select(
+        "_tk_freq",
+        F.expr(f"concat({base}{tail})" if tail else base).alias("_tk_s"),
+    )
+    pairs = syms.select(
+        "_tk_freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_tk_s) - 1), i -> "
+                "struct(element_at(_tk_s, i) AS l, "
+                "element_at(_tk_s, i + 1) AS r))"
+            )
+        ).alias("_tk_p"),
+    )
+    agg = pairs.groupBy(
+        F.col("_tk_p.l").alias("left_sym"), F.col("_tk_p.r").alias("right_sym")
+    ).agg(F.sum("_tk_freq").cast("long").alias("pair_count"))
+    if top_k is None:
+        return agg
+    return agg.orderBy(
+        F.col("pair_count").desc(), "left_sym", "right_sym"
+    ).limit(top_k)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """BPE tokenizer TRAINING: ``n_merges`` full merge rounds, fully
+    relational → one row per merge ``(merge_rank, left_sym, right_sym,
+    pair_count, corpus_tokens_after)`` plus a rank-0 baseline row with
+    the pre-merge corpus token count.
+
+    Each round: weighted adjacent-pair count → argmax (count desc, pair
+    asc) → apply the merge corpus-wide → recount. Symbol strings live
+    '|'-joined on the DISTINCT-word histogram, so a round costs
+    vocabulary work only — at 100 TB the corpus is scanned once for the
+    histogram and each of a real trainer's ~50k rounds stays
+    vocabulary-sized. The merge apply is ``replace('a|b' → 'ab')`` —
+    leftmost non-overlapping, BPE's greedy rule (after a merge the new
+    symbol cannot re-match its own left half).
+
+    ``checkpoint_every`` cuts lineage with a lazy ``localCheckpoint``
+    every that-many rounds so the plan never deepens past a few rounds'
+    worth of operators (the ``graph.pagerank`` device).
+    """
+    _check_reserved(df)
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = _word_histogram(df, text_col).select(
+        F.col("_tk_w").alias("w"), F.col("_tk_freq").alias("freq")
+    )
+    s = words.withColumn("s", F.expr("array_join(split(w, ''), '|')"))
+
+    def pair_top(sdf: DataFrame) -> DataFrame:
+        pairs = sdf.select(
+            "freq", F.expr("split(s, '[|]')").alias("t")
+        ).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), "
+                    "slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))"
+                )
+            ).alias("p"),
+        )
+        return (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+
+    def tokens(sdf: DataFrame) -> DataFrame:
+        return sdf.agg(
+            F.sum(F.col("freq") * F.size(F.expr("split(s, '[|]')"))).alias("n")
+        )
+
+    def report(rank: int, m: DataFrame, t: DataFrame) -> DataFrame:
+        return m.crossJoin(F.broadcast(t)).select(
+            F.lit(rank).alias("merge_rank"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+            F.col("n").alias("corpus_tokens_after"),
+        )
+
+    out = tokens(s).select(
+        F.lit(0).alias("merge_rank"),
+        F.lit("").alias("left_sym"),
+        F.lit("").alias("right_sym"),
+        F.lit(0).cast("long").alias("pair_count"),
+        F.col("n").alias("corpus_tokens_after"),
+    )
+    cur = s
+    for rank in range(1, n_merges + 1):
+        m = pair_top(cur)
+        cur = cur.crossJoin(F.broadcast(m)).select(
+            "w",
+            "freq",
+            F.expr("replace(s, concat(a, '|', b), concat(a, b))").alias("s"),
+        )
+        if rank % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+        out = out.unionByName(report(rank, m, tokens(cur)))
+    return out
+
+
+def wordpiece_apply(
+    df: DataFrame,
+    word_col: str,
+    vocab: Sequence[str],
+) -> DataFrame:
+    """Greedy subword tokenization (WordPiece-style maximal munch) →
+    the input columns + ``subwords`` (array<string>) + ``n_sub``.
+
+    ``vocab`` must be PREFIX-CLOSED (every prefix of every entry is
+    also an entry) — that is what lets greedy longest-match-first run
+    as a single left-to-right fold (extend the current token while
+    token+next_char stays in the vocab, else cut), with the fold's
+    local decision equal to the global longest-match answer. Words are
+    whatever the caller pre-split into ``word_col`` (one word per row).
+
+    Plan: dictionary-encode before tokenizing — the per-char fold runs
+    over DISTINCT words only (bounded by corpus vocabulary, not corpus
+    size), then a broadcast join maps words back to their cached
+    segmentations; no UDF anywhere. Extracted from the
+    ``text_tokenize_greedy`` binding (queries/textops.py).
+    """
+    _check_reserved(df)
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    quoted = ", ".join("'" + v.replace("'", "\\'") + "'" for v in sorted(set(vocab)))
+    arr = f"array({quoted})"
+    dict_df = (
+        df.select(F.col(word_col).alias("_tk_w"))
+        .distinct()
+        .withColumn(
+            "_tk_ts",
+            F.expr(
+                "aggregate(split(_tk_w, ''), '', (st, c) -> CASE "
+                "WHEN st = '' THEN c "
+                f"WHEN array_contains({arr}, "
+                "concat(element_at(split(st, '[|]'), -1), c)) "
+                "THEN concat(st, c) "
+                "ELSE concat(st, '|', c) END)"
+            ),
+        )
+    )
+    joined = df.join(
+        F.broadcast(dict_df), df[word_col] == dict_df["_tk_w"]
+    )
+    return joined.select(
+        *df.columns,
+        F.split("_tk_ts", "[|]").alias("subwords"),
+        F.size(F.split("_tk_ts", "[|]")).alias("n_sub"),
+    )
+
+
+def chunk_docs(
+    df: DataFrame,
+    text_col: str,
+    *,
+    window: int = 40,
+    stride: int = 30,
+    chunk_id_col: str = "chunk_id",
+    chunk_text_col: str = "chunk_text",
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    token windows → the input columns (minus ``text_col``) +
+    ``chunk_id`` (0-based int), ``n_chunk_tokens``, ``chunk_text``.
+
+    The canonical LLM-ingest transform between cleaning and packing:
+    whitespace-token windows of ``window`` tokens advancing by
+    ``stride`` (overlap = window − stride); the chunk count
+    ``1 + ceil(max(n − window, 0)/stride)`` is pure integer arithmetic,
+    trailing chunks clamp at the document end.
+
+    Plan: 1→N row expansion via ``explode(sequence(...))`` + array
+    slice — all JVM-side ops on the tokenized column, NO shuffle at all
+    (chunking is embarrassingly row-parallel; output inherits the
+    scan's partitioning). Extracted from the ``doc_chunking`` binding
+    (queries/pipelineops.py).
+    """
+    _check_reserved(df)
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+    others = [c for c in df.columns if c != text_col]
+    toks = df.select(
+        *others, F.split(F.col(text_col), " ").alias("_tk_t")
+    ).withColumn("_tk_n", F.size("_tk_t"))
+    counted = toks.withColumn(
+        "_tk_nc",
+        F.lit(1)
+        + F.expr(
+            f"(greatest(_tk_n - {window}, 0) + {stride - 1}) div {stride}"
+        ).cast("int"),
+    )
+    chunks = counted.select(
+        *others,
+        "_tk_t",
+        F.explode(F.sequence(F.lit(0), F.col("_tk_nc") - 1)).alias(
+            chunk_id_col
+        ),
+    )
+    sl = F.slice(
+        "_tk_t", F.col(chunk_id_col) * stride + 1, F.lit(window)
+    )
+    return chunks.select(
+        *others,
+        F.col(chunk_id_col).cast("int").alias(chunk_id_col),
+        F.size(sl).alias("n_chunk_tokens"),
+        F.array_join(sl, " ").alias(chunk_text_col),
+    )

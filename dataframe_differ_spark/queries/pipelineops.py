@@ -737,26 +737,14 @@ def q_doc_chunking(spark, sf_dir):
     output inherits the scan's partitioning). Chunk count is pure integer
     arithmetic [1 + ⌈max(n−40,0)/30⌉] so both engines agree exactly;
     trailing chunks clamp at the document end in both slice semantics.
+
+    Thin binding over the parametric :func:`operators.tokenize.chunk_docs`
+    (round-7 extraction).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split("text", " ").alias("t")
-    ).withColumn("n", F.size("t"))
-    counted = toks.withColumn(
-        "n_chunks",
-        F.lit(1) + F.expr("(greatest(n - 40, 0) + 29) div 30").cast("int"),
-    )
-    chunks = counted.select(
-        "doc_id", "t",
-        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
-    )
-    sl = F.slice("t", F.col("chunk_id") * 30 + 1, F.lit(40))
-    return chunks.select(
-        "doc_id",
-        F.col("chunk_id").cast("int").alias("chunk_id"),
-        F.size(sl).alias("n_chunk_tokens"),
-        F.array_join(sl, " ").alias("chunk_text"),
-    )
+    from dataframe_differ_spark.operators.tokenize import chunk_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_docs(docs, "text", window=40, stride=30)
 
 
 _WEIGHTED_SAMPLE_SQL = """
@@ -1108,38 +1096,14 @@ def q_bpe_pair_counts(spark, sf_dir):
     top-20 merge candidates (full tiebreak) form the oracle. At 100 TB
     the pair aggregate is vocabulary-sized, combines map-side, and the
     top-20 is TakeOrdered — never a full sort.
+
+    Thin binding over the parametric
+    :func:`operators.tokenize.bpe_pair_stats` (round-7 extraction).
     """
+    from dataframe_differ_spark.operators.tokenize import bpe_pair_stats
+
     docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    syms = words.select(
-        "freq",
-        F.expr(
-            "concat(transform(sequence(1, length(word)), "
-            "i -> substring(word, i, 1)), array('</w>'))"
-        ).alias("s"),
-    )
-    pairs = syms.select(
-        "freq",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(s) - 1), "
-                "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"
-            )
-        ).alias("p"),
-    )
-    return (
-        pairs.groupBy(
-            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
-        )
-        .agg(F.sum("freq").cast("long").alias("pair_count"))
-        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
-        .limit(20)
-    )
+    return bpe_pair_stats(docs, "text", end_of_word="</w>", top_k=20)
 
 
 @register(
@@ -1418,81 +1382,15 @@ def q_bpe_train_merges(spark, sf_dir):
     The merge apply is replace('a|b' -> 'ab') on the joined symbol
     string — leftmost non-overlapping in both engines, which IS the BPE
     greedy apply rule. All counts exact integers.
+
+    Thin binding over the parametric :func:`operators.tokenize.train_bpe`
+    (round-7 extraction) — the n-round trainer with lineage
+    checkpointing; the oracle pins the 2-round unrolled form.
     """
+    from dataframe_differ_spark.operators.tokenize import train_bpe
+
     docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(
-            F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
-                "w"
-            )
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    s = words.withColumn(
-        "s", F.expr("array_join(split(w, ''), '|')")
-    )
-
-    def pair_top(sdf):
-        pairs = sdf.select(
-            "freq", F.expr("split(s, '[|]')").alias("t")
-        ).select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "zip_with(slice(t, 1, size(t) - 1), "
-                    "slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))"
-                )
-            ).alias("p"),
-        )
-        return (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-        )
-
-    def apply_merge(sdf, m):
-        return sdf.crossJoin(F.broadcast(m)).select(
-            "w",
-            "freq",
-            F.expr(
-                "replace(s, concat(a, '|', b), concat(a, b))"
-            ).alias("s"),
-        )
-
-    def tokens(sdf):
-        return sdf.agg(
-            F.sum(F.col("freq") * F.size(F.expr("split(s, '[|]')"))).alias("n")
-        )
-
-    m1 = pair_top(s)
-    s1 = apply_merge(s, m1)
-    m2 = pair_top(s1)
-    s2 = apply_merge(s1, m2)
-
-    def row(rank, m, t):
-        return (
-            m.crossJoin(F.broadcast(t))
-            .select(
-                F.lit(rank).alias("merge_rank"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.col("cnt").alias("pair_count"),
-                F.col("n").alias("corpus_tokens_after"),
-            )
-        )
-
-    base_row = tokens(s).select(
-        F.lit(0).alias("merge_rank"),
-        F.lit("").alias("left_sym"),
-        F.lit("").alias("right_sym"),
-        F.lit(0).cast("long").alias("pair_count"),
-        F.col("n").alias("corpus_tokens_after"),
-    )
-    return row(1, m1, tokens(s1)).unionByName(row(2, m2, tokens(s2))).unionByName(
-        base_row
-    )
+    return train_bpe(docs, "text", n_merges=2)
 
 
 _NEYMAN_SQL = """

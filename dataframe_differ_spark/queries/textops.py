@@ -1113,7 +1113,14 @@ def q_text_tokenize_greedy(spark, sf_dir):
     Both engines fold char-by-char with identical CASE logic and identical
     vocab literals, so token boundaries, counts, and the head sample all
     hash-match exactly.
+
+    Thin binding over the parametric
+    :func:`operators.tokenize.wordpiece_apply` (round-7 extraction) —
+    the dictionary-encoded maximal-munch fold lives there, callable with
+    any prefix-closed vocabulary.
     """
+    from dataframe_differ_spark.operators.tokenize import wordpiece_apply
+
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -1124,31 +1131,17 @@ def q_text_tokenize_greedy(spark, sf_dir):
         )
         .filter(F.col("w") != "")
     )
-    dict_df = words.select("w").distinct().withColumn(
-        "ts",
-        F.expr(
-            "aggregate(split(w, ''), '', (st, c) -> CASE "
-            "WHEN st = '' THEN c "
-            f"WHEN array_contains({_TOK_VOCAB_SPARK}, "
-            "concat(element_at(split(st, '[|]'), -1), c)) THEN concat(st, c) "
-            "ELSE concat(st, '|', c) END)"
-        ),
-    ).withColumn("n_sub", F.size(F.split("ts", "[|]")))
-    tok = words.join(F.broadcast(dict_df), "w")
+    tok = wordpiece_apply(words, "w", _TOKENIZER_VOCAB)
     return tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_sub").alias("n_tokens"),
         F.array_join(
             F.slice(
-                F.split(
-                    F.concat_ws(
-                        "|",
-                        F.expr(
-                            "transform(array_sort(collect_list(struct(pos, ts))),"
-                            " x -> x.ts)"
-                        ),
-                    ),
-                    "[|]",
+                F.flatten(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, subwords))),"
+                        " x -> x.subwords)"
+                    )
                 ),
                 1,
                 5,
