@@ -197,14 +197,20 @@ def neyman_sample(
         F.sum(v).alias("_sa_s1"),
         F.sum(v * F.col(value_col)).alias("_sa_s2"),
     )
-    s1d = F.col("_sa_s1").cast("double")
-    s2d = F.col("_sa_s2").cast("double")
+    # split-cast (round 7): Σv² crosses 2^64 at ~1e9 rows of 1e5-cent
+    # values — both engines convert via operators/numeric.py, and the
+    # Σv·Σv product uses the converted double twice (no implicit
+    # decimal→double promotion left in the chain).
+    from dataframe_differ_spark.operators.numeric import split_cast_double
+
+    s1d = split_cast_double(F.col("_sa_s1"))
+    s2d = split_cast_double(F.col("_sa_s2"))
     w = m.select(
         "_sa_st",
         "_sa_nh",
         (
             F.col("_sa_nh")
-            * F.sqrt((s2d - s1d * F.col("_sa_s1") / F.col("_sa_nh")) / F.col("_sa_nh"))
+            * F.sqrt((s2d - s1d * s1d / F.col("_sa_nh")) / F.col("_sa_nh"))
         ).alias("_sa_wh"),
     )
     tot = w.agg(

@@ -426,18 +426,23 @@ def spearman(
     )
     rx, ry = F.col("_st_rx2"), F.col("_st_ry2")
     xv, yv = F.col("_st_xe"), F.col("_st_ye")
+    # split-cast (round 7): Σr², Σ(r·r') ≈ n³/3 cross 2^64 past ~4e6
+    # rows, where plain engine int128→double casts can differ one ulp
+    # (operators/numeric.py) — every moment converts through the device.
     s = j.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(rx.cast(_DEC)).cast("double").alias("srx"),
-        F.sum(ry.cast(_DEC)).cast("double").alias("sry"),
-        F.sum((rx * ry).cast(_DEC)).cast("double").alias("srxy"),
-        F.sum((rx * rx).cast(_DEC)).cast("double").alias("srxx"),
-        F.sum((ry * ry).cast(_DEC)).cast("double").alias("sryy"),
-        F.sum(xv.cast(_DEC)).cast("double").alias("sx"),
-        F.sum(yv.cast(_DEC)).cast("double").alias("sy"),
-        F.sum((xv * yv).cast(_DEC)).cast("double").alias("sxy"),
-        F.sum((xv * xv).cast(_DEC)).cast("double").alias("sxx"),
-        F.sum((yv * yv).cast(_DEC)).cast("double").alias("syy"),
+        split_cast_double(F.sum(rx.cast(_DEC))).alias("srx"),
+        split_cast_double(F.sum(ry.cast(_DEC))).alias("sry"),
+        # products cast-FIRST: a BIGINT rx*ry wraps past ~1.5e9 rows
+        # before the DECIMAL cast could save it (round-7 audit fix).
+        split_cast_double(F.sum(rx.cast(_DEC) * ry)).alias("srxy"),
+        split_cast_double(F.sum(rx.cast(_DEC) * rx)).alias("srxx"),
+        split_cast_double(F.sum(ry.cast(_DEC) * ry)).alias("sryy"),
+        split_cast_double(F.sum(xv.cast(_DEC))).alias("sx"),
+        split_cast_double(F.sum(yv.cast(_DEC))).alias("sy"),
+        split_cast_double(F.sum(xv.cast(_DEC) * yv)).alias("sxy"),
+        split_cast_double(F.sum(xv.cast(_DEC) * xv)).alias("sxx"),
+        split_cast_double(F.sum(yv.cast(_DEC) * yv)).alias("syy"),
     )
     n = F.col("n")
     rho = (n * F.col("srxy") - F.col("srx") * F.col("sry")) / F.sqrt(
@@ -663,14 +668,16 @@ def gini(
         F.sum("_st_v").alias("total"),
         F.sum(F.col("_st_rk").cast(_DEC) * F.col("_st_v")).alias("_st_rv"),
     )
+    # split-cast (round 7): 2·Σrv and n·Σv cross 2^64 past ~1e6 rows of
+    # 1e7-cent values — both engines convert via operators/numeric.py.
     return agg.select(
         "n",
         "total",
         F.round(
-            (
+            split_cast_double(
                 2 * F.col("_st_rv") - (F.col("n") + 1).cast(_DEC) * F.col("total")
-            ).cast("double")
-            / (F.col("n").cast(_DEC) * F.col("total")).cast("double"),
+            )
+            / split_cast_double(F.col("n").cast(_DEC) * F.col("total")),
             round_dp,
         ).alias("gini"),
     )

@@ -224,12 +224,18 @@ def cusum(
         F.sum(v1).alias("_ts_s1"),
         F.sum(v1 * v0).alias("_ts_s2"),
     )
-    s1d = F.col("_ts_s1").cast("double")
-    s2d = F.col("_ts_s2").cast("double")
+    if integral:
+        from dataframe_differ_spark.operators.numeric import split_cast_double
+
+        s1d = split_cast_double(F.col("_ts_s1"))
+        s2d = split_cast_double(F.col("_ts_s2"))
+    else:
+        s1d = F.col("_ts_s1").cast("double")
+        s2d = F.col("_ts_s2").cast("double")
     params = stats.select(
         *group_cols,
         (s1d / F.col("_ts_n")).alias("_ts_mu"),
-        F.sqrt((s2d - s1d * F.col("_ts_s1") / F.col("_ts_n")) / F.col("_ts_n")).alias(
+        F.sqrt((s2d - s1d * s1d / F.col("_ts_n")) / F.col("_ts_n")).alias(
             "_ts_sigma"
         ),
     )
@@ -276,6 +282,49 @@ def cusum(
     )
 
 
+def _is_integral(df: DataFrame, col: str) -> bool:
+    from pyspark.sql import types as T
+
+    vt = df.schema[col].dataType
+    return isinstance(
+        vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) or (isinstance(vt, T.DecimalType) and vt.scale == 0)
+
+
+def _lag_corr(pairs: DataFrame, integral: bool, out_name: str) -> DataFrame:
+    """Per-lag Pearson r from (lag, x0, x1) pairs. With ``integral``,
+    moments accumulate in DECIMAL(38,0) and convert via the shared
+    split-cast device (exact to ~10^38 in the n·Σxy−Σx·Σy products —
+    round 7: the previous native BIGINT sums wrapped past 2^63, i.e.
+    ~1e8-count daily values); float inputs keep native double sums."""
+    from dataframe_differ_spark.operators.numeric import split_cast_double
+
+    x0, x1 = F.col("x0"), F.col("x1")
+    if integral:
+        x0a, x1a = x0.cast("decimal(38,0)"), x1.cast("decimal(38,0)")
+        conv = split_cast_double
+    else:
+        x0a, x1a = x0, x1
+
+        def conv(c):
+            return c.cast("double")
+
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("_ts_n"),
+        F.sum(x0a).alias("_ts_sx"),
+        F.sum(x1a).alias("_ts_sy"),
+        F.sum(x0a * x1).alias("_ts_sxy"),
+        F.sum(x0a * x0).alias("_ts_sxx"),
+        F.sum(x1a * x1).alias("_ts_syy"),
+    )
+    n = F.col("_ts_n")
+    num = conv(n * F.col("_ts_sxy") - F.col("_ts_sx") * F.col("_ts_sy"))
+    den = F.sqrt(
+        conv(n * F.col("_ts_sxx") - F.col("_ts_sx") * F.col("_ts_sx"))
+    ) * F.sqrt(conv(n * F.col("_ts_syy") - F.col("_ts_sy") * F.col("_ts_sy")))
+    return mom.select("lag", n.alias("n_pairs"), (num / den).alias(out_name))
+
+
 def autocorr(
     df: DataFrame,
     index_col: str,
@@ -289,8 +338,10 @@ def autocorr(
     Pearson r between the series and its lag-k shift, paired by an
     equi-JOIN on ``index + lag`` — no global window, no ordering
     assumption, gap indices simply produce fewer pairs. Moments (Σx, Σy,
-    Σxy, Σx², Σy²) accumulate in the value column's native type (exact
-    for integer inputs); the only float ops are the final
+    Σxy, Σx², Σy²) accumulate in DECIMAL(38,0) for integral inputs
+    (round 7: native BIGINT Σx² wraps past 2^63 at ~1e8-count daily
+    series; float inputs keep native double sums) and convert through
+    the shared split-cast device; the only float ops are the final
     sub/mul/sqrt/div chain. The lag join runs on the caller's (usually
     KB-sized) rollup spine; a broadcast of the max_lag-row lag frame
     keeps it shuffle-free.
@@ -305,22 +356,7 @@ def autocorr(
         .join(b, F.col("_ts_i") + F.col("lag") == F.col("_ts_j"))
         .select("lag", F.col("_ts_x").alias("x0"), F.col("_ts_y").alias("x1"))
     )
-    mom = pairs.groupBy("lag").agg(
-        F.count(F.lit(1)).alias("_ts_n"),
-        F.sum("x0").alias("_ts_sx"),
-        F.sum("x1").alias("_ts_sy"),
-        F.sum(F.col("x0") * F.col("x1")).alias("_ts_sxy"),
-        F.sum(F.col("x0") * F.col("x0")).alias("_ts_sxx"),
-        F.sum(F.col("x1") * F.col("x1")).alias("_ts_syy"),
-    )
-    n = F.col("_ts_n")
-    num = (n * F.col("_ts_sxy") - F.col("_ts_sx") * F.col("_ts_sy")).cast("double")
-    den = F.sqrt(
-        (n * F.col("_ts_sxx") - F.col("_ts_sx") * F.col("_ts_sx")).cast("double")
-    ) * F.sqrt(
-        (n * F.col("_ts_syy") - F.col("_ts_sy") * F.col("_ts_sy")).cast("double")
-    )
-    return mom.select("lag", n.alias("n_pairs"), (num / den).alias("autocorr"))
+    return _lag_corr(pairs, _is_integral(df, value_col), "autocorr")
 
 
 def seasonality(
@@ -450,10 +486,11 @@ def crosscorr(
     i + lag — positive lags mean "a leads b". The lead/lag detector for
     pipeline causality questions (do clicks today predict purchases in
     k days?). Same devices as :func:`autocorr`: pairing by an
-    ``index + lag`` equi-join (gap-tolerant, no window), moments
-    accumulated in the value columns' native type (exact for integer
-    inputs), one final float chain per lag. Both inputs are expected to
-    be rollup spines; the 2·max_lag+1-row lag frame broadcasts.
+    ``index + lag`` equi-join (gap-tolerant, no window), moments in
+    DECIMAL(38,0) for integral inputs + split-cast conversion (round 7 —
+    see :func:`autocorr`), one final float chain per lag. Both inputs
+    are expected to be rollup spines; the 2·max_lag+1-row lag frame
+    broadcasts.
     """
     _check_reserved(a)
     _check_reserved(b)
@@ -468,19 +505,5 @@ def crosscorr(
         .join(pb, F.col("_ts_i") + F.col("lag") == F.col("_ts_j"))
         .select("lag", F.col("_ts_x").alias("x0"), F.col("_ts_y").alias("x1"))
     )
-    mom = pairs.groupBy("lag").agg(
-        F.count(F.lit(1)).alias("_ts_n"),
-        F.sum("x0").alias("_ts_sx"),
-        F.sum("x1").alias("_ts_sy"),
-        F.sum(F.col("x0") * F.col("x1")).alias("_ts_sxy"),
-        F.sum(F.col("x0") * F.col("x0")).alias("_ts_sxx"),
-        F.sum(F.col("x1") * F.col("x1")).alias("_ts_syy"),
-    )
-    n = F.col("_ts_n")
-    num = (n * F.col("_ts_sxy") - F.col("_ts_sx") * F.col("_ts_sy")).cast("double")
-    den = F.sqrt(
-        (n * F.col("_ts_sxx") - F.col("_ts_sx") * F.col("_ts_sx")).cast("double")
-    ) * F.sqrt(
-        (n * F.col("_ts_syy") - F.col("_ts_sy") * F.col("_ts_sy")).cast("double")
-    )
-    return mom.select("lag", n.alias("n_pairs"), (num / den).alias("crosscorr"))
+    integral = _is_integral(a, value_col) and _is_integral(b, value_col)
+    return _lag_corr(pairs, integral, "crosscorr")

@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dataframe_differ_spark.operators import diff_core as D
+from dataframe_differ_spark.operators.numeric import split_cast_sql as _split_sql
 from dataframe_differ_spark.queries import register
 from dataframe_differ_spark.queries._mutation import MUTATED_ORDERS_SQL
 from dataframe_differ_spark.queries.relational import SQL_DSUM, SQL_REV_DEC, dsum, rev_dec
@@ -2180,7 +2181,7 @@ def q_events_changepoint_cusum(spark, sf_dir):
     )
 
 
-_AUTOCORR_SQL = """
+_AUTOCORR_SQL = f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
   FROM events GROUP BY CAST(ts AS DATE)),
@@ -2190,16 +2191,18 @@ pairs AS (
   FROM daily a JOIN lags l ON TRUE
   JOIN daily b ON b.d = a.d + l.lag),
 mom AS (
-  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x0) AS BIGINT) AS sx, CAST(SUM(x1) AS BIGINT) AS sy,
-         CAST(SUM(x0 * x1) AS BIGINT) AS sxy,
-         CAST(SUM(x0 * x0) AS BIGINT) AS sxx,
-         CAST(SUM(x1 * x1) AS BIGINT) AS syy
+  -- round 7: HUGEINT moments + the shared split-cast device
+  -- (operators/numeric.py) — BIGINT Sxx wrapped past ~1e8-count days.
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x0 AS HUGEINT)) AS sx, SUM(CAST(x1 AS HUGEINT)) AS sy,
+         SUM(CAST(x0 AS HUGEINT) * x1) AS sxy,
+         SUM(CAST(x0 AS HUGEINT) * x0) AS sxx,
+         SUM(CAST(x1 AS HUGEINT) * x1) AS syy
   FROM pairs GROUP BY lag)
-SELECT lag, n AS n_pairs,
-       ROUND((CAST(n * sxy - sx * sy AS DOUBLE))
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS autocorr
+SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+       ROUND({_split_sql('n * sxy - sx * sy')}
+             / (sqrt({_split_sql('n * sxx - sx * sx')})
+                * sqrt({_split_sql('n * syy - sy * sy')})), 9) AS autocorr
 FROM mom
 """
 
@@ -2748,7 +2751,7 @@ def q_orders_lorenz_deciles(spark, sf_dir):
 # Lagged cross-correlation: clicks lead purchases? (round 6)
 # ---------------------------------------------------------------------------
 
-_CROSSCORR_SQL = """
+_CROSSCORR_SQL = f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
@@ -2766,16 +2769,18 @@ pairs AS (
   FROM pts a JOIN lags l ON TRUE
   JOIN pts b ON b.i = a.i + l.lag),
 mom AS (
-  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x0) AS BIGINT) AS sx, CAST(SUM(x1) AS BIGINT) AS sy,
-         CAST(SUM(x0 * x1) AS BIGINT) AS sxy,
-         CAST(SUM(x0 * x0) AS BIGINT) AS sxx,
-         CAST(SUM(x1 * x1) AS BIGINT) AS syy
+  -- round 7: HUGEINT moments + the shared split-cast device
+  -- (operators/numeric.py) — BIGINT Sxx wrapped past ~1e8-count days.
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x0 AS HUGEINT)) AS sx, SUM(CAST(x1 AS HUGEINT)) AS sy,
+         SUM(CAST(x0 AS HUGEINT) * x1) AS sxy,
+         SUM(CAST(x0 AS HUGEINT) * x0) AS sxx,
+         SUM(CAST(x1 AS HUGEINT) * x1) AS syy
   FROM pairs GROUP BY lag)
-SELECT lag, n AS n_pairs,
-       ROUND((CAST(n * sxy - sx * sy AS DOUBLE))
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS crosscorr
+SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+       ROUND({_split_sql('n * sxy - sx * sy')}
+             / (sqrt({_split_sql('n * sxx - sx * sx')})
+                * sqrt({_split_sql('n * syy - sy * sy')})), 9) AS crosscorr
 FROM mom
 """
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dataframe_differ_spark.operators.numeric import split_cast_sql as _split_sql
 from dataframe_differ_spark.operators.pipeline import (
     decontaminate,
     hash_split,
@@ -1393,7 +1394,7 @@ def q_bpe_train_merges(spark, sf_dir):
     return train_bpe(docs, "text", n_merges=2)
 
 
-_NEYMAN_SQL = """
+_NEYMAN_SQL = f"""
 WITH c AS (
   SELECT o_orderkey, o_orderpriority AS stratum,
          CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
@@ -1405,8 +1406,12 @@ m AS (
            AS s2
   FROM c GROUP BY stratum),
 w AS (
+  -- round 7: moments convert via the shared split-cast device
+  -- (operators/numeric.py); the s1*s1 product reuses the converted
+  -- double (no implicit decimal->double promotion).
   SELECT stratum, nh,
-         nh * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh)
+         nh * sqrt(({_split_sql('s2')}
+                    - {_split_sql('s1')} * {_split_sql('s1')} / nh)
                    / nh) AS wh
   FROM m),
 tot AS (

@@ -2500,7 +2500,7 @@ def q_stats_mann_whitney(spark, sf_dir):
 # Spearman / Pearson correlation of order value vs basket size
 # ---------------------------------------------------------------------------
 
-_SPEARMAN_SQL = """
+_SPEARMAN_SQL = f"""
 WITH li AS (
   SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS y FROM lineitem
   GROUP BY l_orderkey),
@@ -2524,17 +2524,20 @@ j AS (
   SELECT p.xc, p.y, xr.rx2, yr.ry2
   FROM pairs p JOIN xr ON xr.x = p.x JOIN yr ON yr.y = p.y),
 s AS (
+  -- round 7: every moment converts via the shared split-cast device
+  -- (operators/numeric.py) — the rank-product sums cross 2^64 past ~4e6
+  -- rows, where plain int128->double casts can differ one ulp.
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(rx2) AS DOUBLE) AS srx,
-         CAST(SUM(ry2) AS DOUBLE) AS sry,
-         CAST(SUM(rx2 * ry2) AS DOUBLE) AS srxy,
-         CAST(SUM(rx2 * rx2) AS DOUBLE) AS srxx,
-         CAST(SUM(ry2 * ry2) AS DOUBLE) AS sryy,
-         CAST(SUM(xc) AS DOUBLE) AS sx,
-         CAST(SUM(y) AS DOUBLE) AS sy,
-         CAST(SUM(xc * y) AS DOUBLE) AS sxy,
-         CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
-         CAST(SUM(y * y) AS DOUBLE) AS syy
+         {_split_sql('SUM(CAST(rx2 AS HUGEINT))')} AS srx,
+         {_split_sql('SUM(CAST(ry2 AS HUGEINT))')} AS sry,
+         {_split_sql('SUM(CAST(rx2 AS HUGEINT) * ry2)')} AS srxy,
+         {_split_sql('SUM(CAST(rx2 AS HUGEINT) * rx2)')} AS srxx,
+         {_split_sql('SUM(CAST(ry2 AS HUGEINT) * ry2)')} AS sryy,
+         {_split_sql('SUM(CAST(xc AS HUGEINT))')} AS sx,
+         {_split_sql('SUM(CAST(y AS HUGEINT))')} AS sy,
+         {_split_sql('SUM(CAST(xc AS HUGEINT) * y)')} AS sxy,
+         {_split_sql('SUM(CAST(xc AS HUGEINT) * xc)')} AS sxx,
+         {_split_sql('SUM(CAST(y AS HUGEINT) * y)')} AS syy
   FROM j)
 SELECT n,
        ROUND((n * srxy - srx * sry)
@@ -2818,7 +2821,7 @@ def q_events_fano_burstiness(spark, sf_dir):
 # Gini coefficient of customer revenue concentration (round 6)
 # ---------------------------------------------------------------------------
 
-_GINI_SQL = """
+_GINI_SQL = f"""
 WITH per_cust AS (
   SELECT o_custkey,
          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -2831,11 +2834,13 @@ rk AS (
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(cents) AS BIGINT) AS total,
-         SUM(CAST(r AS DECIMAL(38,0)) * cents) AS rv
+         SUM(CAST(r AS HUGEINT) * cents) AS rv
   FROM rk)
+-- round 7: numerator/denominator cross 2^64 at scale; both engines
+-- convert via the shared split-cast device (operators/numeric.py).
 SELECT n, total,
-       ROUND(CAST(2 * rv - CAST(n + 1 AS DECIMAL(38,0)) * total AS DOUBLE)
-             / CAST(CAST(n AS DECIMAL(38,0)) * total AS DOUBLE), 9) AS gini
+       ROUND({_split_sql('2 * rv - CAST(n + 1 AS HUGEINT) * total')}
+             / {_split_sql('CAST(n AS HUGEINT) * total')}, 9) AS gini
 FROM agg
 """
 

@@ -337,7 +337,10 @@ def test_split_cast_double_matches_plain_cast_and_duckdb(spark):
     )
 
     vals = [0, 1, 123456789, 2**31 - 1, 2**53 + 1, 2**63 - 7,
-            2**64 + 12345, 3**45, 10**22 + 987654321, 2**72 + 3]
+            2**64 + 12345, 3**45, 10**22 + 987654321, 2**72 + 3,
+            # sign-safety: Spark's trunc-division form and DuckDB's //
+            # agree for negatives too (covariance numerators)
+            -5, -(2**64 + 12345), -(10**22 + 987654321)]
     df = spark.createDataFrame([(str(v),) for v in vals], "x string").select(
         F.col("x").cast("decimal(38,0)").alias("x")
     )
