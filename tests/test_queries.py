@@ -570,3 +570,61 @@ def test_stream_dedup_watermarked_evicts_state(spark, sf_small, registry):
     # than the stream delivered (eviction happened), but non-empty
     peak = max(o["numRowsTotal"] for o in ops)
     assert 0 < peak <= n_events
+
+
+def test_stream_watermark_equals_batch_twin(spark, sf_small, registry):
+    """G4 batch twin (round 7): with availableNow replay nothing is late,
+    so the watermarked hourly counts must equal a plain batch windowed
+    aggregation — the watermark only bounds state, never the values."""
+    from pyspark.sql import functions as F
+
+    from dataframe_differ_spark.tables import load_table
+
+    stream = registry["stream_watermark"].fn(spark, sf_small)
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    s = _rows(
+        stream.selectExpr("CAST(window_start AS STRING) ws", "n_events"),
+        ["ws", "n_events"],
+    )
+    b = _rows(
+        batch.selectExpr("CAST(window_start AS STRING) ws", "n_events"),
+        ["ws", "n_events"],
+    )
+    assert s == b
+
+
+def test_stream_stream_join_equals_batch_twin(spark, sf_small, registry):
+    """Stream-stream join batch twin (round 7): the watermarked two-stream
+    inner join must produce exactly the pairs of the equivalent batch
+    time-range self-join (availableNow replay drops nothing)."""
+    from pyspark.sql import functions as F
+
+    from dataframe_differ_spark.tables import load_table
+
+    stream = registry["stream_stream_join"].fn(spark, sf_small)
+    e = load_table(spark, sf_small, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_id", "c_id", "p_user")
+    s = _rows(stream, ["p_id", "c_id", "p_user"])
+    b = _rows(batch, ["p_id", "c_id", "p_user"])
+    assert s == b
