@@ -60,6 +60,7 @@ from dataframe_differ_spark.operators.pipeline import (
 from dataframe_differ_spark.operators.stats import (
     anova_f,
     chi2_independence,
+    cohens_d,
     fdr_bh,
     gini,
     kendall_tau,
@@ -71,6 +72,7 @@ from dataframe_differ_spark.operators.stats import (
 from dataframe_differ_spark.operators.similarity import (
     cosine_join_lsh,
     ivf_index,
+    range_search,
     rrf_fuse,
     topk_cosine,
     topk_cosine_ivf,
@@ -83,6 +85,7 @@ from dataframe_differ_spark.operators.drift import (
 from dataframe_differ_spark.operators.privacy import (
     k_anonymity,
     l_diversity,
+    t_closeness,
 )
 from dataframe_differ_spark.operators.sampling import (
     balanced_sample,
@@ -92,6 +95,8 @@ from dataframe_differ_spark.operators.sampling import (
     weighted_sample,
 )
 from dataframe_differ_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
     cms_build,
     cms_lookup,
     hll_rollup,
@@ -100,6 +105,7 @@ from dataframe_differ_spark.operators.sketches import (
 from dataframe_differ_spark.operators.evalmetrics import (
     auc_score,
     calibration_bins,
+    pr_auc,
     mrr,
     ndcg_at_k,
     pairs_pr,
@@ -117,6 +123,7 @@ from dataframe_differ_spark.operators.timeseries import (
 )
 from dataframe_differ_spark.operators.tokenize import (
     bpe_pair_stats,
+    bpe_segment,
     chunk_docs,
     train_bpe,
     wordpiece_apply,
@@ -126,6 +133,7 @@ from dataframe_differ_spark.operators.warehouse import (
     interval_merge,
     merge_upsert,
     pit_join,
+    scd2_apply,
     scd2_build,
     snapshot_at,
     surrogate_keys,
@@ -153,6 +161,7 @@ __all__ = [
     # statistics operator library (round-6 extraction; SURVEY.md §13)
     "anova_f",
     "chi2_independence",
+    "cohens_d",
     "fdr_bh",
     "gini",
     "kendall_tau",
@@ -165,6 +174,7 @@ __all__ = [
     "ks_test",
     "k_anonymity",
     "l_diversity",
+    "t_closeness",
     # sampling operator library (round-6 extraction; SURVEY.md §13)
     "balanced_sample",
     "hash_sample",
@@ -172,6 +182,8 @@ __all__ = [
     "stratified_sample",
     "weighted_sample",
     # sketch operator library (round-6 extraction; SURVEY.md §13)
+    "bloom_build",
+    "bloom_probe",
     "cms_build",
     "cms_lookup",
     "hll_rollup",
@@ -179,6 +191,7 @@ __all__ = [
     # eval-metric operator library (round-6 extraction; SURVEY.md §13)
     "auc_score",
     "calibration_bins",
+    "pr_auc",
     "mrr",
     "ndcg_at_k",
     "pairs_pr",
@@ -207,6 +220,7 @@ __all__ = [
     "simhash_dedup",
     "cosine_join_lsh",
     "ivf_index",
+    "range_search",
     "topk_cosine",
     "topk_cosine_ivf",
     "topk_cosine_lsh",
@@ -224,11 +238,13 @@ __all__ = [
     "sample_frames",
     # tokenizer operator library (round-7 extraction; SURVEY.md §14)
     "bpe_pair_stats",
+    "bpe_segment",
     "train_bpe",
     "wordpiece_apply",
     "chunk_docs",
     # warehouse / CDC operator library (round-7 extraction; SURVEY.md §14)
     "scd2_build",
+    "scd2_apply",
     "snapshot_at",
     "merge_upsert",
     "pit_join",

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "auc_score",
+    "pr_auc",
     "calibration_bins",
     "retrieval_recall",
     "ndcg_at_k",
@@ -104,6 +105,78 @@ def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         (F.col("_ev_n") - F.col("_ev_npos")).alias("n_neg"),
         (num / den).alias("auc"),
         (F.lit(2.0) * (num / den) - F.lit(1.0)).alias("gini"),
+    )
+
+
+def pr_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact average precision (step-wise PR-AUC, the sklearn
+    ``average_precision_score`` definition with ties grouped) → one row
+    ``(n, n_pos, avg_precision, best_f1)``.
+
+    The class-imbalance-honest companion to :func:`auc_score` (ROC-AUC
+    flatters a filter when negatives dominate; AP weights by the
+    positive class). Same histogram device: per-distinct-score (n_s,
+    p_s) counts, DESCENDING cumulatives from a broadcast triangle join
+    (``s' ≥ s``), AP = Σ_s (p_s/n_pos)·(cumP_s/cumN_s) where every
+    ratio is a division of identical BIGINTs on any engine, and the
+    spine-sized float sum folds in sorted score order (the ``anova_f``
+    order-free device). ``best_f1`` is the max 9-dp-rounded F1 over the
+    threshold spine (max is order-free). No row ranking, no global
+    window; the corpus is touched once.
+    """
+    _check_reserved(df)
+    sc = df.select(
+        F.col(score_col).alias("_ev_s"),
+        F.when(F.col(label_col).cast("boolean"), 1).otherwise(0).alias("_ev_y"),
+    )
+    hist = sc.groupBy("_ev_s").agg(
+        F.count(F.lit(1)).alias("_ev_ns"), F.sum("_ev_y").alias("_ev_ps")
+    )
+    upper = hist.select(
+        F.col("_ev_s").alias("_ev_sb"),
+        F.col("_ev_ns").alias("_ev_nsb"),
+        F.col("_ev_ps").alias("_ev_psb"),
+    )
+    cum = (
+        hist.join(F.broadcast(upper), F.col("_ev_sb") >= F.col("_ev_s"))
+        .groupBy("_ev_s", "_ev_ns", "_ev_ps")
+        .agg(
+            F.sum("_ev_nsb").cast("long").alias("_ev_cumn"),
+            F.sum("_ev_psb").cast("long").alias("_ev_cump"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("_ev_ns").cast("long").alias("_ev_n"),
+        F.sum("_ev_ps").cast("long").alias("_ev_npos"),
+    )
+    prec = F.col("_ev_cump").cast("double") / F.col("_ev_cumn")
+    rec = F.col("_ev_cump").cast("double") / F.col("_ev_npos")
+    per = cum.crossJoin(F.broadcast(tot)).select(
+        "_ev_s",
+        "_ev_n",
+        "_ev_npos",
+        (
+            (F.col("_ev_ps").cast("double") / F.col("_ev_npos")) * prec
+        ).alias("_ev_c"),
+        F.when(
+            F.col("_ev_cump") > 0,
+            F.round(2.0 * prec * rec / (prec + rec), 9),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_ev_f1"),
+    )
+    return per.groupBy("_ev_n", "_ev_npos").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_ev_s", "_ev_c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_ev_c"],
+        ).alias("avg_precision"),
+        F.max("_ev_f1").alias("best_f1"),
+    ).select(
+        F.col("_ev_n").alias("n"),
+        F.col("_ev_npos").alias("n_pos"),
+        "avg_precision",
+        "best_f1",
     )
 
 

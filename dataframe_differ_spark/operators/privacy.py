@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "k_anonymity",
     "l_diversity",
+    "t_closeness",
 ]
 
 
@@ -132,5 +133,90 @@ def l_diversity(
             "min_l",
             "n_classes_lt_l",
             "n_rows_at_risk",
+        )
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    *,
+    t: float = 0.2,
+    top_n: int = 10,
+    round_dp: int = 9,
+) -> DataFrame:
+    """t-closeness audit for an ORDERED sensitive attribute → the
+    ``top_n`` worst equivalence classes as ``(qi..., n_class, emd,
+    exceeds_t)``.
+
+    Completes the k-anonymity → l-diversity → t-closeness ladder (Li,
+    Li, Venkatasubramanian 2007): a class can be k-anonymous and
+    l-diverse yet still leak if its sensitive distribution differs from
+    the global one. For ordered values the distance is the Earth
+    Mover's Distance with unit ground distance between adjacent values:
+    EMD = Σᵢ |Σ_{j≤i} (p_j − q_j)| / (m − 1) over the m-value spine.
+
+    Exactness: class and global counts are BIGINTs; p_j − q_j is a
+    difference of two BIGINT ratios (identical doubles on any engine);
+    the per-class |running| sum folds over the sorted value spine
+    (order-free cross-engine) — never a corpus sort. Plan: one
+    (qi, value) rollup + one value rollup, a DENSE class × value spine
+    built from two bounded distinct frames (QI combos × sensitive
+    values — both bounded at 100 TB), per-class cumulative via a
+    partitioned window over the tiny spine, TakeOrdered for the report.
+    """
+    _check_reserved(df)
+    from pyspark.sql import Window
+
+    cv = df.groupBy(*qi_cols, F.col(sensitive_col).alias("_pr_v")).agg(
+        F.count(F.lit(1)).alias("_pr_c")
+    )
+    classes = cv.groupBy(*qi_cols).agg(F.sum("_pr_c").alias("_pr_nc"))
+    gv = df.groupBy(F.col(sensitive_col).alias("_pr_v")).agg(
+        F.count(F.lit(1)).alias("_pr_g")
+    )
+    gtot = gv.agg(
+        F.sum("_pr_g").alias("_pr_n"), F.count(F.lit(1)).alias("_pr_m")
+    )
+    spine = classes.crossJoin(F.broadcast(gv))
+    dense = spine.join(cv, [*qi_cols, "_pr_v"], "left").select(
+        *qi_cols,
+        "_pr_nc",
+        "_pr_v",
+        F.coalesce("_pr_c", F.lit(0)).alias("_pr_c"),
+        "_pr_g",
+    )
+    w = (
+        Window.partitionBy(*qi_cols)
+        .orderBy("_pr_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = dense.crossJoin(F.broadcast(gtot)).withColumn(
+        "_pr_r",
+        F.sum(
+            F.col("_pr_c").cast("double") / F.col("_pr_nc")
+            - F.col("_pr_g").cast("double") / F.col("_pr_n")
+        ).over(w),
+    )
+    emd = run.groupBy(*qi_cols, "_pr_nc", "_pr_m").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_pr_v", "_pr_r"))),
+                F.lit(0.0),
+                lambda acc, x: acc + F.abs(x["_pr_r"]),
+            )
+            / (F.col("_pr_m") - 1),
+            round_dp,
+        ).alias("emd")
+    )
+    return (
+        emd.orderBy(F.col("emd").desc(), *qi_cols)
+        .limit(top_n)
+        .select(
+            *qi_cols,
+            F.col("_pr_nc").alias("n_class"),
+            "emd",
+            (F.col("emd") > t).alias("exceeds_t"),
         )
     )

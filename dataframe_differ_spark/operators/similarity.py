@@ -41,6 +41,7 @@ from dataframe_differ_spark.operators.ranks import partitioned_topk
 __all__ = [
     "random_planes",
     "topk_cosine",
+    "range_search",
     "lsh_band_signatures",
     "topk_cosine_lsh",
     "cosine_join_lsh",
@@ -97,6 +98,46 @@ def topk_cosine(
         k,
         rank_col=rank_col,
     ).select(query_id_col, id_col, rank_col, sim_col)
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+    exclude_self: bool = True,
+    sim_col: str = "cos_sim",
+) -> DataFrame:
+    """Exact cosine RANGE query: every corpus vector with
+    ``cos ≥ threshold`` of each query → ``(query_id, id, sim)``.
+
+    The radius-based sibling of :func:`topk_cosine` (top-k fixes the
+    result COUNT, range search fixes the result QUALITY — the right
+    primitive for "all near-duplicates of these exemplars" sweeps).
+    The threshold compare is done as ``dot ≥ τ·|q|·|v|`` — same
+    predicate, but division-free, so the filter runs inside the scan's
+    codegen and no sim is computed for rejected rows. Plan: broadcast
+    queries, ONE corpus scan, no shuffle at all (output inherits the
+    scan's partitioning) — linear at 100 TB; for huge query sets swap
+    in the LSH-bucketed ``cosine_join_lsh``.
+    """
+    cond = (
+        F.col(id_col) != F.col(query_id_col)
+        if exclude_self
+        else F.lit(True)
+    )
+    scored = corpus.join(F.broadcast(queries), cond).withColumn(
+        "_sim_dot", _dot(query_vec_col, vec_col)
+    ).withColumn("_sim_nn", _norm(query_vec_col) * _norm(vec_col))
+    return (
+        scored.filter(F.col("_sim_dot") >= F.lit(threshold) * F.col("_sim_nn"))
+        .withColumn(sim_col, F.col("_sim_dot") / F.col("_sim_nn"))
+        .select(query_id_col, id_col, sim_col)
+    )
 
 
 def lsh_band_signatures(

@@ -43,6 +43,8 @@ __all__ = [
     "cms_lookup",
     "psi_bins",
     "hll_rollup",
+    "bloom_build",
+    "bloom_probe",
 ]
 
 
@@ -215,3 +217,104 @@ def hll_rollup(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_bits: int = 65536,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Deterministic Bloom filter over a key set → the set-bit table
+    ``(bit,)`` (distinct BIGINT positions, ≤ min(n_bits, k·|keys|) rows).
+
+    Bit position i of key x is an md5-derived integer
+    ``md5(i || ':' || x)[:15hex] mod n_bits`` — engine-portable, so a
+    replaying oracle sets the identical bits (the CMS hashing rule).
+    The bit table is the MERGEABLE, broadcastable form of the filter: a
+    union of two builds is the filter of the union of the sets, and at
+    n_bits = 2²⁶ it is a few hundred MB worst-case — still a broadcast.
+    """
+    _check_reserved(df)
+    k = F.col(key_col).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{i}:"), k)), 1, 15
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(n_bits),
+                        )
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_bits: int = 65536,
+    n_hashes: int = 4,
+    out_col: str = "bloom_positive",
+) -> DataFrame:
+    """Probe a :func:`bloom_build` bit table → ``df`` + boolean
+    ``out_col`` (true iff ALL ``n_hashes`` bit positions are set — i.e.
+    "possibly in the set"; false is a guaranteed miss).
+
+    Plan: the probe explodes each key into its ``n_hashes`` positions,
+    left-joins the BROADCAST bit table, and reduces with a groupBy over
+    the input columns (map-side combinable — the n_hashes exploded rows
+    of one input row share a partition). Contract: probe rows must be
+    DISTINCT (probe a distinct-key frame); duplicate rows collapse.
+    """
+    _check_reserved(df)
+    k = F.col(key_col).cast("string")
+    probes = df.select(
+        *df.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{i}:"), k)), 1, 15
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.lit(n_bits),
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("_sk_bit"),
+    )
+    hit = probes.join(
+        F.broadcast(bits.withColumnRenamed("bit", "_sk_bit").withColumn(
+            "_sk_set", F.lit(1)
+        )),
+        "_sk_bit",
+        "left",
+    )
+    return (
+        hit.groupBy(*df.columns)
+        .agg(
+            (F.sum(F.coalesce("_sk_set", F.lit(0))) == n_hashes).alias(
+                out_col
+            )
+        )
+    )

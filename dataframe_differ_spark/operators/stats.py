@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from dataframe_differ_spark.operators.numeric import split_cast_double
 
 __all__ = [
+    "cohens_d",
     "welch_ttest",
     "anova_f",
     "chi2_independence",
@@ -136,6 +137,64 @@ def welch_ttest(
         F.round("t_stat", round_dp).alias("t_stat"),
         F.round("df", round_dp).alias("df_welch"),
         (F.abs(F.col("t_stat")) > z_crit).alias("significant"),
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    treat_col: str,
+    *,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Cohen's d standardized effect size between two arms → one row
+    ``(n_a, n_b, mean_diff, pooled_sd, cohens_d, hedges_g)``.
+
+    The practical-significance companion to :func:`welch_ttest` (a tiny
+    p-value can hide a negligible effect at large n): d = (μa − μb)/s_p
+    with the pooled SD s_p = √(((na−1)s²a + (nb−1)s²b)/(na+nb−2)), and
+    Hedges' g = d·(1 − 3/(4(na+nb) − 9)) corrects d's small-sample bias.
+    Same exactness contract as welch_ttest: integer-exact ``value_col``,
+    DECIMAL(38,0) moments, split-cast conversion, one fixed double
+    chain. One shuffle (2-row rollup); scan-bound at any scale.
+    """
+    _check_reserved(df)
+    v0 = F.col(value_col)
+    arm = df.groupBy(F.col(treat_col).alias("_st_t")).agg(
+        F.count(F.lit(1)).cast("double").alias("_st_n"),
+        split_cast_double(F.sum(v0.cast(_DEC))).alias("_st_s"),
+        split_cast_double(F.sum(v0.cast(_DEC) * v0)).alias("_st_q"),
+    )
+    w = arm.agg(
+        F.max(F.when(F.col("_st_t"), F.col("_st_n"))).alias("na"),
+        F.max(F.when(F.col("_st_t"), F.col("_st_s"))).alias("sa"),
+        F.max(F.when(F.col("_st_t"), F.col("_st_q"))).alias("qa"),
+        F.max(F.when(~F.col("_st_t"), F.col("_st_n"))).alias("nb"),
+        F.max(F.when(~F.col("_st_t"), F.col("_st_s"))).alias("sb"),
+        F.max(F.when(~F.col("_st_t"), F.col("_st_q"))).alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    v = w.select(
+        na,
+        nb,
+        ((F.col("sa") / na) - (F.col("sb") / nb)).alias("md"),
+        ((F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - 1)).alias("va"),
+        ((F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - 1)).alias("vb"),
+    )
+    sp = F.sqrt(
+        ((na - 1) * F.col("va") + (nb - 1) * F.col("vb")) / (na + nb - 2)
+    )
+    d = F.col("md") / F.col("sp")
+    out = v.select(na, nb, "md", sp.alias("sp"))
+    return out.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round("md", round_dp).alias("mean_diff"),
+        F.round("sp", round_dp).alias("pooled_sd"),
+        F.round(d, round_dp).alias("cohens_d"),
+        F.round(
+            d * (F.lit(1.0) - F.lit(3.0) / (4 * (na + nb) - 9)), round_dp
+        ).alias("hedges_g"),
     )
 
 

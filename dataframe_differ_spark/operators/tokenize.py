@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "bpe_pair_stats",
     "train_bpe",
+    "bpe_segment",
     "wordpiece_apply",
     "chunk_docs",
 ]
@@ -144,34 +145,7 @@ def train_bpe(
     _check_reserved(df)
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    words = _word_histogram(df, text_col).select(
-        F.col("_tk_w").alias("w"), F.col("_tk_freq").alias("freq")
-    )
-    s = words.withColumn("s", F.expr("array_join(split(w, ''), '|')"))
-
-    def pair_top(sdf: DataFrame) -> DataFrame:
-        pairs = sdf.select(
-            "freq", F.expr("split(s, '[|]')").alias("t")
-        ).select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "zip_with(slice(t, 1, size(t) - 1), "
-                    "slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))"
-                )
-            ).alias("p"),
-        )
-        return (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-        )
-
-    def tokens(sdf: DataFrame) -> DataFrame:
-        return sdf.agg(
-            F.sum(F.col("freq") * F.size(F.expr("split(s, '[|]')"))).alias("n")
-        )
+    s = _bpe_symbolized(df, text_col)
 
     def report(rank: int, m: DataFrame, t: DataFrame) -> DataFrame:
         return m.crossJoin(F.broadcast(t)).select(
@@ -182,7 +156,7 @@ def train_bpe(
             F.col("n").alias("corpus_tokens_after"),
         )
 
-    out = tokens(s).select(
+    out = _bpe_tokens(s).select(
         F.lit(0).alias("merge_rank"),
         F.lit("").alias("left_sym"),
         F.lit("").alias("right_sym"),
@@ -191,16 +165,90 @@ def train_bpe(
     )
     cur = s
     for rank in range(1, n_merges + 1):
-        m = pair_top(cur)
-        cur = cur.crossJoin(F.broadcast(m)).select(
-            "w",
-            "freq",
-            F.expr("replace(s, concat(a, '|', b), concat(a, b))").alias("s"),
-        )
+        m = _bpe_pair_top(cur)
+        cur = _bpe_apply(cur, m)
         if rank % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=False)
-        out = out.unionByName(report(rank, m, tokens(cur)))
+        out = out.unionByName(report(rank, m, _bpe_tokens(cur)))
     return out
+
+
+def _bpe_symbolized(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq, s): word histogram with '|'-joined symbol strings."""
+    words = _word_histogram(df, text_col).select(
+        F.col("_tk_w").alias("w"), F.col("_tk_freq").alias("freq")
+    )
+    return words.withColumn("s", F.expr("array_join(split(w, ''), '|')"))
+
+
+def _bpe_pair_top(sdf: DataFrame) -> DataFrame:
+    """1-row argmax merge candidate (count desc, pair asc)."""
+    pairs = sdf.select("freq", F.expr("split(s, '[|]')").alias("t")).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), "
+                "slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(1)
+    )
+
+
+def _bpe_apply(sdf: DataFrame, m: DataFrame) -> DataFrame:
+    """Apply one merge corpus-wide (leftmost non-overlapping replace)."""
+    return sdf.crossJoin(F.broadcast(m)).select(
+        "w",
+        "freq",
+        F.expr("replace(s, concat(a, '|', b), concat(a, b))").alias("s"),
+    )
+
+
+def _bpe_tokens(sdf: DataFrame) -> DataFrame:
+    return sdf.agg(
+        F.sum(F.col("freq") * F.size(F.expr("split(s, '[|]')"))).alias("n")
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """BPE tokenizer APPLY after ``n_merges`` training rounds → the
+    segmented word histogram ``(word, freq, subwords array<string>,
+    n_sub)`` — the inference half of :func:`train_bpe` (which reports
+    the merge rules; this returns what they do to the corpus).
+
+    Train and apply share one plan: each round's argmax merge is learned
+    on the same '|'-joined symbol strings it is then applied to, so the
+    result is exactly the dictionary a ``train_bpe``-exported ruleset
+    would produce. Vocabulary-sized work per round (the corpus is
+    scanned once for the histogram); lineage checkpointed every
+    ``checkpoint_every`` rounds.
+    """
+    _check_reserved(df)
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    cur = _bpe_symbolized(df, text_col)
+    for rank in range(1, n_merges + 1):
+        cur = _bpe_apply(cur, _bpe_pair_top(cur))
+        if rank % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+    sub = F.expr("split(s, '[|]')")
+    return cur.select(
+        F.col("w").alias("word"),
+        "freq",
+        sub.alias("subwords"),
+        F.size(sub).alias("n_sub"),
+    )
 
 
 def wordpiece_apply(

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "scd2_build",
+    "scd2_apply",
     "snapshot_at",
     "merge_upsert",
     "pit_join",
@@ -92,6 +93,53 @@ def scd2_build(
         F.col(ts_col).alias(from_col),
         nxt.alias(to_col),
         nxt.isNull().alias(current_col),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    *,
+    tiebreak_cols: Sequence[str] = (),
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Apply a batch of keyed state changes to an existing SCD2
+    dimension → the updated dimension (same schema).
+
+    ``dim`` is a :func:`scd2_build` output (version rows with
+    ``from_col``/``to_col``/``current_col``); ``changes`` carries new
+    versions as (keys + ``ts_col`` + the same attribute columns). The
+    type-2 upsert: each changed key's open interval closes at its first
+    new change and the new versions chain after it.
+
+    Implemented as REBUILD-from-versions: the dimension's version rows
+    (their ``from_col`` is the state-change instant) union the changes,
+    then :func:`scd2_build` re-derives every interval. This makes the
+    invariant ``scd2_apply(build(old), new) == build(old ∪ new)`` hold
+    BY CONSTRUCTION — late-arriving changes splice into place instead of
+    corrupting the chain (the failure mode of close-current-row-only
+    implementations). Plan: one union + one per-key window shuffle —
+    the same cost as the incremental form, without its ordering bugs.
+    """
+    _check_reserved(dim)
+    _check_reserved(changes)
+    version_cols = [
+        c for c in dim.columns if c not in (from_col, to_col, current_col)
+    ]
+    old = dim.select(*version_cols, F.col(from_col).alias(ts_col))
+    new = changes.select(*version_cols, ts_col)
+    return scd2_build(
+        old.unionByName(new),
+        keys,
+        ts_col,
+        tiebreak_cols=tiebreak_cols,
+        from_col=from_col,
+        to_col=to_col,
+        current_col=current_col,
     )
 
 

@@ -1530,3 +1530,160 @@ def q_eval_auc_score(spark, sf_dir):
         F.round("auc", 9).alias("auc"),
         F.round("gini", 9).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE apply: corpus token distribution after the learned merges (round 7)
+# ---------------------------------------------------------------------------
+
+_BPE_APPLY_SQL = """
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS w FROM documents)
+  GROUP BY w),
+s0 AS (
+  SELECT w, freq,
+         array_to_string(list_transform(range(1, length(w) + 1),
+                                        i -> substr(w, i, 1)), '|') AS s
+  FROM words),
+p0 AS (
+  SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(s, '|') AS t FROM s0)
+  CROSS JOIN (SELECT unnest(range(1, 60)) AS i)
+  WHERE i < len(t)
+  GROUP BY t[i], t[i + 1]),
+m1 AS (SELECT a, b FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
+s1 AS (
+  SELECT s0.w, s0.freq,
+         replace(s0.s, m1.a || '|' || m1.b, m1.a || m1.b) AS s
+  FROM s0 CROSS JOIN m1),
+p1 AS (
+  SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(s, '|') AS t FROM s1)
+  CROSS JOIN (SELECT unnest(range(1, 60)) AS i)
+  WHERE i < len(t)
+  GROUP BY t[i], t[i + 1]),
+m2 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+s2 AS (
+  SELECT s1.w, s1.freq,
+         replace(s1.s, m2.a || '|' || m2.b, m2.a || m2.b) AS s
+  FROM s1 CROSS JOIN m2),
+tok AS (
+  SELECT unnest(string_split(s, '|')) AS token, freq
+  FROM s2)
+SELECT token, CAST(SUM(freq) AS BIGINT) AS corpus_freq
+FROM tok GROUP BY token
+ORDER BY corpus_freq DESC, token LIMIT 20
+"""
+
+
+@register("bpe_apply_merges", oracle=_BPE_APPLY_SQL)
+def q_bpe_apply_merges(spark, sf_dir):
+    """BPE tokenizer INFERENCE: the corpus token distribution after the
+    two learned merges — what `bpe_train_merges` (which reports the
+    rules) actually does to the corpus. The top-20 subword tokens by
+    weighted frequency are the vocabulary head a trained tokenizer
+    would ship.
+
+    Same dictionary-encoded plan as training: segmentation lives on the
+    DISTINCT-word histogram, tokens explode from the vocabulary-sized
+    frame (never the corpus), counts are exact BIGINTs weighted by word
+    frequency, and the top-20 is TakeOrdered with a full (freq desc,
+    token asc) tiebreak.
+
+    Thin binding over the parametric :func:`operators.tokenize.bpe_segment`
+    (round-7 addition).
+    """
+    from dataframe_differ_spark.operators.tokenize import bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = bpe_segment(docs, "text", n_merges=2)
+    return (
+        seg.select("freq", F.explode("subwords").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("corpus_freq"))
+        .orderBy(F.col("corpus_freq").desc(), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PR-AUC (average precision) of the screening score (round 7)
+# ---------------------------------------------------------------------------
+
+_PR_AUC_SQL = f"""
+WITH sc AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN {_AUC_STOP})) AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+hist AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS ns, CAST(SUM(y) AS BIGINT) AS ps
+  FROM sc GROUP BY s),
+cum AS (
+  SELECT s, ns, ps,
+         CAST(SUM(ns) OVER (ORDER BY s DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumn,
+         CAST(SUM(ps) OVER (ORDER BY s DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cump
+  FROM hist),
+tot AS (
+  SELECT CAST(SUM(ns) AS BIGINT) AS n, CAST(SUM(ps) AS BIGINT) AS npos
+  FROM hist),
+per AS (
+  SELECT cum.s, tot.n, tot.npos,
+         (CAST(ps AS DOUBLE) / npos)
+           * (CAST(cump AS DOUBLE) / cumn) AS c,
+         CASE WHEN cump > 0 THEN ROUND(
+           2.0 * (CAST(cump AS DOUBLE) / cumn)
+               * (CAST(cump AS DOUBLE) / npos)
+           / ((CAST(cump AS DOUBLE) / cumn)
+              + (CAST(cump AS DOUBLE) / npos)), 9)
+         ELSE 0.0 END AS f1
+  FROM cum CROSS JOIN tot)
+SELECT n AS n_docs, npos AS n_pos,
+       ROUND(list_reduce(list_prepend(0.0, list(c ORDER BY s)),
+                         (acc, x) -> acc + x), 9) AS avg_precision,
+       MAX(f1) AS best_f1
+FROM per GROUP BY n, npos
+"""
+
+
+@register("eval_pr_auc", oracle=_PR_AUC_SQL)
+def q_eval_pr_auc(spark, sf_dir):
+    """Average precision (step-wise PR-AUC) of the stopword screening
+    score for English docs — the class-imbalance-honest companion to
+    `eval_auc_score` on the SAME score/label cells (ROC-AUC flatters a
+    filter when negatives dominate; AP weights by the positive class,
+    and best_f1 names the operating point a pipeline would gate at).
+
+    Devices: the auc_score histogram spine (per-distinct-score BIGINT
+    counts, descending cumulatives via a broadcast triangle join — no
+    row ranking, no global window), every precision/recall a division
+    of identical BIGINTs, the spine-sized AP sum folded in sorted score
+    order (order-free cross-engine), best_f1 a MAX of 9-dp-rounded
+    values (order-free). Corpus touched once; spine ~tens of rows at
+    any scale.
+
+    Thin binding over the parametric :func:`operators.evalmetrics.pr_auc`
+    (round-7 addition).
+    """
+    from dataframe_differ_spark.operators.evalmetrics import pr_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.select(
+        F.expr(
+            f"cast(size(filter(split(text, ' '), x -> x IN {_AUC_STOP})) as bigint)"
+        ).alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    out = pr_auc(sc, "s", "y")
+    return out.select(
+        F.col("n").alias("n_docs"),
+        "n_pos",
+        F.round("avg_precision", 9).alias("avg_precision"),
+        "best_f1",
+    )

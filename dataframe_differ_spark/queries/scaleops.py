@@ -2160,3 +2160,122 @@ def q_eval_dedup_pr(spark, sf_dir):
             9,
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership screen with measured FPR (round 7)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 2048
+_BLOOM_K = 4
+
+
+def _bloom_hash_sql(i: int, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{i}:' || CAST({key} AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+_BLOOM_SQL = f"""
+WITH a AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < 0),
+bits AS (
+  SELECT DISTINCT bit FROM a CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i)
+  CROSS JOIN LATERAL (SELECT CASE i
+    WHEN 0 THEN {_bloom_hash_sql(0, 'c_custkey')}
+    WHEN 1 THEN {_bloom_hash_sql(1, 'c_custkey')}
+    WHEN 2 THEN {_bloom_hash_sql(2, 'c_custkey')}
+    ELSE {_bloom_hash_sql(3, 'c_custkey')} END AS bit) t),
+probe AS (SELECT DISTINCT o_custkey FROM orders),
+pb AS (
+  SELECT o_custkey, CASE i
+    WHEN 0 THEN {_bloom_hash_sql(0, 'o_custkey')}
+    WHEN 1 THEN {_bloom_hash_sql(1, 'o_custkey')}
+    WHEN 2 THEN {_bloom_hash_sql(2, 'o_custkey')}
+    ELSE {_bloom_hash_sql(3, 'o_custkey')} END AS bit
+  FROM probe CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i)),
+hit AS (
+  SELECT pb.o_custkey,
+         CAST(SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)
+              = {_BLOOM_K} AS BOOLEAN) AS pos
+  FROM pb LEFT JOIN bits ON bits.bit = pb.bit
+  GROUP BY pb.o_custkey),
+flag AS (
+  SELECT hit.o_custkey, hit.pos,
+         a.c_custkey IS NOT NULL AS is_member
+  FROM hit LEFT JOIN a ON a.c_custkey = hit.o_custkey)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_set,
+       CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+       CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       CAST(SUM(CASE WHEN pos AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       CAST(SUM(CASE WHEN NOT pos AND is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_negative,
+       ROUND(CAST(SUM(CASE WHEN pos AND NOT is_member THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 9) AS fpr
+FROM flag
+"""
+
+
+@register("sketch_bloom_membership", oracle=_BLOOM_SQL)
+def q_sketch_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership screen with its false-positive rate
+    MEASURED, not assumed: build a {_BLOOM_BITS}-bit / 4-hash filter
+    over the delinquent customers (negative balance), probe every
+    ordering customer, and count hits vs ground truth. The pre-join
+    screen a 100 TB pipeline uses to skip shuffling rows that cannot
+    match (Bloom guarantees zero false NEGATIVES — asserted as an
+    output column that must be 0).
+
+    Engine-portable: bit i of key x is md5('i:'||x)[:15hex] mod m (the
+    CMS hashing rule), so both engines set the identical bits and even
+    the false positives match EXACTLY — the fpr is hash-checked, not
+    bounded. Plan: the bit table is ≤ m rows and broadcasts; the probe
+    side is one scan + a map-side-combinable groupBy; truth is one join
+    on the probe key. At scale m grows (2^26 bits is still a
+    broadcast); the filter stays mergeable (bit-table union).
+    """
+    from dataframe_differ_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") < 0).select("c_custkey").distinct()
+    bits = bloom_build(a, "c_custkey", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K)
+    probe = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    )
+    probed = bloom_probe(
+        bits, probe, "o_custkey", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K
+    )
+    flag = probed.join(
+        a.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+            "_m", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
+    ).select(
+        "bloom_positive", F.col("_m").isNotNull().alias("is_member")
+    )
+    # set/bit counts stay IN the plan (1-row broadcasts) — no
+    # driver-side count() actions
+    n_set = a.agg(F.count(F.lit(1)).alias("n_set"))
+    n_bits_set = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    pos = F.col("bloom_positive")
+    mem = F.col("is_member")
+    return flag.crossJoin(F.broadcast(n_set)).crossJoin(
+        F.broadcast(n_bits_set)
+    ).groupBy("n_set", "n_bits_set").agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(pos.cast("long")).alias("n_positive"),
+        F.sum((pos & ~mem).cast("long")).alias("n_false_positive"),
+        F.sum((~pos & mem).cast("long")).alias("n_false_negative"),
+        F.round(
+            F.sum((pos & ~mem).cast("double")) / F.sum((~mem).cast("long")),
+            9,
+        ).alias("fpr"),
+    )

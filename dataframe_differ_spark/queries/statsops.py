@@ -23,7 +23,10 @@ import pandas as pd  # noqa: F401  (resolves pandas_udf string annotations)
 from pyspark.sql import Window  # noqa: F401  (kept for parity with siblings)
 from pyspark.sql import functions as F
 
-from dataframe_differ_spark.operators.numeric import split_cast_sql as _split_sql
+from dataframe_differ_spark.operators.numeric import (
+    split_cast_double as _split_dbl,
+    split_cast_sql as _split_sql,
+)
 from dataframe_differ_spark.operators.ranks import ranked
 from dataframe_differ_spark.queries import REGISTRY, register
 from dataframe_differ_spark.queries.composites import (
@@ -1906,6 +1909,262 @@ def q_stats_welch_ttest(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Cohen's d effect size on per-user purchase spend (round 7)
+# ---------------------------------------------------------------------------
+
+_COHENS_D_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS treat,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY user_id),
+arm AS (
+  SELECT treat, CAST(COUNT(*) AS DOUBLE) AS n,
+         {_split_sql('SUM(CAST(cents AS HUGEINT))')} AS s,
+         {_split_sql('SUM(CAST(cents AS HUGEINT) * cents)')} AS q
+  FROM per_user GROUP BY treat),
+w AS (
+  SELECT MAX(CASE WHEN treat THEN n END) AS na,
+         MAX(CASE WHEN treat THEN s END) AS sa,
+         MAX(CASE WHEN treat THEN q END) AS qa,
+         MAX(CASE WHEN NOT treat THEN n END) AS nb,
+         MAX(CASE WHEN NOT treat THEN s END) AS sb,
+         MAX(CASE WHEN NOT treat THEN q END) AS qb
+  FROM arm),
+v AS (
+  SELECT na, nb, (sa / na) - (sb / nb) AS md,
+         (qa - sa * sa / na) / (na - 1) AS va,
+         (qb - sb * sb / nb) / (nb - 1) AS vb
+  FROM w),
+e AS (
+  SELECT na, nb, md,
+         sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) AS sp
+  FROM v)
+SELECT CAST(na AS BIGINT) AS n_treat, CAST(nb AS BIGINT) AS n_control,
+       ROUND(md, 9) AS mean_diff_cents,
+       ROUND(sp, 9) AS pooled_sd,
+       ROUND(md / sp, 9) AS cohens_d,
+       ROUND((md / sp) * (1.0 - 3.0 / (4 * (na + nb) - 9)), 9) AS hedges_g
+FROM e
+"""
+
+
+@register("stats_cohens_d", oracle=_COHENS_D_SQL)
+def q_stats_cohens_d(spark, sf_dir):
+    """Cohen's d / Hedges' g effect size between the md5 A/B arms on
+    per-user purchase spend — the practical-significance companion to
+    `stats_welch_ttest` (same cells): a tiny p-value at large n can hide
+    a negligible standardized effect, and d is what a launch review
+    actually reads. Exactness: the welch devices verbatim — integer
+    cents, DECIMAL(38,0) moments, split-cast conversion, ONE fixed
+    IEEE chain (sub/mul/div/sqrt) on both engines. One user shuffle +
+    a 2-row rollup; scan-bound at any scale.
+
+    Thin binding over the parametric :func:`operators.stats.cohens_d`
+    (round-7 addition).
+    """
+    from dataframe_differ_spark.operators.stats import cohens_d
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy(
+        "user_id",
+        (
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+        ).alias("treat"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("cents")
+    )
+    return cohens_d(per_user, "cents", "treat").select(
+        F.col("n_a").alias("n_treat"),
+        F.col("n_b").alias("n_control"),
+        F.col("mean_diff").alias("mean_diff_cents"),
+        "pooled_sd",
+        "cohens_d",
+        "hedges_g",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman revenue concentration per nation (round 7)
+# ---------------------------------------------------------------------------
+
+_HHI_SQL = f"""
+WITH per_cust AS (
+  SELECT c.c_nationkey,
+         o.o_custkey,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, o.o_custkey),
+per_nation AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         {_split_sql('SUM(CAST(cents AS HUGEINT) * cents)')} AS sq,
+         {_split_sql('SUM(CAST(cents AS HUGEINT))')} AS s
+  FROM per_cust GROUP BY c_nationkey)
+SELECT n.n_name AS nation, p.n_customers,
+       ROUND(p.sq / (p.s * p.s), 9) AS hhi,
+       ROUND((p.s * p.s) / p.sq, 9) AS effective_n
+FROM per_nation p JOIN nation n ON n.n_nationkey = p.c_nationkey
+"""
+
+
+@register("orders_hhi_concentration", oracle=_HHI_SQL)
+def q_orders_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman index of per-customer revenue concentration,
+    by nation — the antitrust-style companion to `orders_gini_revenue`
+    (Gini measures inequality of the distribution, HHI measures how few
+    customers dominate it; effective_n = 1/HHI is "how many equal-sized
+    customers this market behaves like").
+
+    Exactness: HHI = Σc²/(Σc)² over exact integer cents; both sums
+    accumulate in DECIMAL(38,0)/HUGEINT and convert through the shared
+    split-cast device, then ONE IEEE div/mul chain — bit-identical
+    cross-engine, no per-row float. Plan: one (nation, customer) rollup
+    with map-side combine, one 25-row nation rollup, broadcast nation
+    name join — scan-bound at 100 TB, no window anywhere.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c0"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("c0").alias("cents"))
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    per_nation = per_cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _split_dbl(F.sum(dec * F.col("cents"))).alias("sq"),
+        _split_dbl(F.sum(dec)).alias("s"),
+    )
+    return per_nation.join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        F.round(F.col("sq") / (F.col("s") * F.col("s")), 9).alias("hhi"),
+        F.round((F.col("s") * F.col("s")) / F.col("sq"), 9).alias(
+            "effective_n"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily volume series (round 7)
+# ---------------------------------------------------------------------------
+
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)),
+m AS (SELECT MIN(d) AS d0 FROM daily),
+pts AS (
+  SELECT CAST(datediff('day', m.d0, daily.d) AS BIGINT) AS i, x
+  FROM daily CROSS JOIN m),
+signs AS (
+  SELECT a.i,
+         CASE WHEN b.x > a.x THEN 1 ELSE 0 END AS up
+  FROM pts a JOIN pts b ON b.i = a.i + 1
+  WHERE b.x <> a.x),
+rk AS (
+  SELECT up, CAST(ROW_NUMBER() OVER (ORDER BY i) AS BIGINT) AS r
+  FROM signs),
+runs AS (
+  SELECT CAST(1 + SUM(CASE WHEN a.up <> b.up THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_runs
+  FROM rk a JOIN rk b ON b.r = a.r + 1),
+counts AS (
+  SELECT CAST(SUM(up) AS BIGINT) AS n1,
+         CAST(SUM(1 - up) AS BIGINT) AS n2
+  FROM rk),
+z AS (
+  SELECT n1, n2, n_runs,
+         2.0 * n1 * n2 / (n1 + n2) + 1.0 AS mu,
+         sqrt((2.0 * n1 * n2) * (2.0 * n1 * n2 - n1 - n2)
+              / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
+           AS sigma
+  FROM counts CROSS JOIN runs)
+SELECT n1 AS n_up, n2 AS n_down, n_runs,
+       ROUND((n_runs - mu) / sigma, 9) AS z_stat
+FROM z
+"""
+
+
+@register("events_runs_test", oracle=_RUNS_SQL)
+def q_events_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of the daily event-volume
+    direction sequence — the trend/oscillation detector that belongs
+    next to `events_autocorr` (too FEW runs = trending, too MANY =
+    oscillating; |z| > 1.96 rejects randomness).
+
+    Up/down signs come from a day-to-day+1 equi-join on the daily rollup
+    (zero-change days dropped by both engines); the run count is
+    1 + #(sign flips between CONSECUTIVE retained days), where
+    consecutiveness is an exact rank from `operators.ranks.ranked` —
+    so the whole chain is joins + integer counts, no global window on
+    the engine side, no ordering assumption, gap-tolerant. The z
+    statistic is one fixed IEEE chain on four BIGINTs. At 100 TB the
+    daily rollup is KB-sized; everything downstream is trivial.
+    """
+    from dataframe_differ_spark.operators.ranks import ranked
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    m = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(m)).select(
+        F.datediff("d", "d0").cast("long").alias("i"), "x"
+    )
+    b = pts.select(F.col("i").alias("j"), F.col("x").alias("y"))
+    signs = (
+        pts.join(b, F.col("j") == F.col("i") + 1)
+        .filter(F.col("y") != F.col("x"))
+        .select("i", (F.col("y") > F.col("x")).cast("int").alias("up"))
+    )
+    rk = ranked(signs, F.col("i"), ["i"], rank_col="r").select("up", "r")
+    nxt = rk.select(F.col("r").alias("r2"), F.col("up").alias("up2"))
+    runs = (
+        rk.join(nxt, F.col("r2") == F.col("r") + 1)
+        .agg(
+            (
+                F.lit(1)
+                + F.sum((F.col("up") != F.col("up2")).cast("long"))
+            ).alias("n_runs")
+        )
+    )
+    counts = rk.agg(
+        F.sum("up").cast("long").alias("n1"),
+        F.sum(1 - F.col("up")).cast("long").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    sigma = F.sqrt(
+        (2.0 * n1 * n2)
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return counts.crossJoin(F.broadcast(runs)).select(
+        n1.alias("n_up"),
+        n2.alias("n_down"),
+        "n_runs",
+        F.round((F.col("n_runs") - mu) / sigma, 9).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benjamini-Hochberg FDR across per-nation A/B tests
 # ---------------------------------------------------------------------------
 
@@ -3062,4 +3321,86 @@ def q_stats_power_mde(spark, sf_dir):
         )
         .cast("long")
         .alias("n_per_arm_for_1pt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit over customer quasi-identifiers (round 7)
+# ---------------------------------------------------------------------------
+
+_TCLOSE_SQL = """
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+  FROM customer),
+cv AS (
+  SELECT c_nationkey, c_mktsegment, band, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY c_nationkey, c_mktsegment, band),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS nc
+  FROM cv GROUP BY c_nationkey, c_mktsegment),
+gv AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS g FROM base GROUP BY band),
+gtot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS m
+  FROM gv),
+dense AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, cl.nc, gv.band, gv.g,
+         COALESCE(cv.c, 0) AS c
+  FROM classes cl CROSS JOIN gv
+  LEFT JOIN cv ON cv.c_nationkey = cl.c_nationkey
+              AND cv.c_mktsegment = cl.c_mktsegment
+              AND cv.band = gv.band),
+run AS (
+  SELECT d.c_nationkey, d.c_mktsegment, d.nc, d.band, gtot.m,
+         SUM(CAST(d.c AS DOUBLE) / d.nc - CAST(d.g AS DOUBLE) / gtot.n)
+           OVER (PARTITION BY d.c_nationkey, d.c_mktsegment
+                 ORDER BY d.band ROWS UNBOUNDED PRECEDING) AS r
+  FROM dense d CROSS JOIN gtot),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, nc,
+         ROUND(list_reduce(list_prepend(0.0, list(abs(r) ORDER BY band)),
+                           (acc, x) -> acc + x) / (ANY_VALUE(m) - 1), 9)
+           AS emd
+  FROM run GROUP BY c_nationkey, c_mktsegment, nc)
+SELECT c_nationkey, c_mktsegment, nc AS n_class, emd,
+       emd > 0.2 AS exceeds_t
+FROM emd
+ORDER BY emd DESC, c_nationkey, c_mktsegment
+LIMIT 10
+"""
+
+
+@register("privacy_t_closeness", oracle=_TCLOSE_SQL)
+def q_privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit (t = 0.2) over customer quasi-identifiers,
+    completing the k-anonymity -> l-diversity -> t-closeness governance
+    ladder (Li, Li, Venkatasubramanian 2007) on the same QI fixture: a
+    (nation, segment) class whose account-balance-band distribution
+    diverges from the global one leaks balance information even when
+    k-anonymous and l-diverse. Distance is the ordered-attribute Earth
+    Mover's Distance: EMD = sum over the band spine of |running
+    (p_j - q_j)| / (m - 1).
+
+    Exactness: all counts BIGINT; each p_j - q_j a difference of two
+    BIGINT ratios (identical doubles both engines); the per-class
+    |running| fold runs over the sorted ~14-band spine (order-free);
+    the top-10 cut orders by the ROUNDED emd with QI tie-breaks. Plan:
+    two rollups + a bounded classes x bands dense spine (125 x 14) +
+    partitioned windows over it — scan-bound at 100 TB.
+
+    Thin binding over the parametric
+    :func:`operators.privacy.t_closeness` (round-7 addition).
+    """
+    from dataframe_differ_spark.operators.privacy import t_closeness
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    return t_closeness(
+        c, ["c_nationkey", "c_mktsegment"], "band", t=0.2, top_n=10
+    ).select(
+        "c_nationkey", "c_mktsegment", "n_class", "emd", "exceeds_t"
     )

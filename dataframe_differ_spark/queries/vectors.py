@@ -1193,3 +1193,52 @@ def q_eval_retrieval_recall(spark, sf_dir):
         F.round("recall_at_k", 9).alias("recall_at_k"),
         F.round("macro_recall", 9).alias("macro_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cosine range search (radius query) around fixed exemplars (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {SQL_DOT('q.qe', 'e.e')} AS dot,
+         sqrt({SQL_DOT('q.qe', 'q.qe')}) * sqrt({SQL_DOT('e.e', 'e.e')}) AS nn
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, ROUND(dot / nn, 9) AS cos_sim
+FROM scored WHERE dot >= 0.3 * nn
+""",
+)
+def q_sim_range_search(spark, sf_dir):
+    """Cosine RANGE query: every vector within cosine >= 0.3 of each of
+    the 5 fixed exemplars — the radius-based sibling of `sim_topk`
+    (top-k fixes the result COUNT, range search fixes the result
+    QUALITY; it is the right primitive for "all near-duplicates of
+    these seed documents" sweeps where k is unknowable in advance).
+
+    The threshold compare runs division-free as dot >= 0.3*|q||v|
+    inside the scan's codegen (no sim computed for rejected rows), and
+    the kept rows' cosine is one division + 9-dp round — the identical
+    IEEE chain in the DuckDB oracle, so the boundary rows agree
+    exactly. Plan: 5 queries broadcast, ONE corpus scan, NO shuffle at
+    all (output inherits scan partitioning) — linear at 100 TB; a huge
+    query set swaps in the banded `sim_join_lsh` shape.
+
+    Thin binding over the parametric
+    :func:`operators.similarity.range_search` (round-7 addition).
+    """
+    from dataframe_differ_spark.operators.similarity import range_search
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return range_search(e, q, 0.3).withColumn(
+        "cos_sim", F.round("cos_sim", 9)
+    )

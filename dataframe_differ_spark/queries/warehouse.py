@@ -1376,3 +1376,63 @@ def q_benford_first_digit(spark, sf_dir):
             6,
         ).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 incremental apply == full rebuild (round 7)
+# ---------------------------------------------------------------------------
+
+_SCD2_APPLY_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type IN ('signup', 'purchase'))
+SELECT user_id, event_type, event_id,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL AS BOOLEAN) AS is_current
+FROM e
+"""
+
+
+@register("warehouse_scd2_apply", oracle=_SCD2_APPLY_SQL)
+def q_warehouse_scd2_apply(spark, sf_dir):
+    """SCD2 incremental load: apply a CDC batch to an existing dimension
+    and land exactly where a full rebuild would.
+
+    The nightly-warehouse contract made testable: the dimension built
+    from events BEFORE 2024-01-15 takes the later events as a change
+    batch through :func:`operators.warehouse.scd2_apply` (round-7
+    addition); the oracle is the one-shot SCD2 over ALL events — so the
+    query proves the invariant apply(build(old), new) == build(old ∪
+    new) value-for-value, including the re-closed is_current flags at
+    the splice point. Plan: scd2_apply is one union + one per-key
+    window shuffle (rebuild-from-versions semantics — late-arriving
+    changes splice instead of corrupting the chain).
+    """
+    from dataframe_differ_spark.operators.warehouse import (
+        scd2_apply,
+        scd2_build,
+    )
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    dim = scd2_build(
+        e.filter(F.col("ts") < cutoff),
+        ["user_id"],
+        "ts",
+        tiebreak_cols=["event_id"],
+    )
+    changes = e.filter(F.col("ts") >= cutoff)
+    out = scd2_apply(
+        dim, changes, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "user_id", "event_type", "event_id",
+        "valid_from", "valid_to", "is_current",
+    )

@@ -175,6 +175,16 @@ HEADLINE = [
     "orders_abc_classification",
     "stats_power_mde",
     "orders_theil_inequality",
+    # round-7 additions
+    "stats_cohens_d",
+    "orders_hhi_concentration",
+    "events_runs_test",
+    "warehouse_scd2_apply",
+    "bpe_apply_merges",
+    "sim_range_search",
+    "eval_pr_auc",
+    "privacy_t_closeness",
+    "sketch_bloom_membership",
 ]
 
 
