@@ -41,6 +41,7 @@ from dataframe_differ_spark.operators.dedup import (
 )
 from dataframe_differ_spark.operators.graph import (
     bfs_hops,
+    degree_assortativity,
     degrees,
     link_prediction,
     pagerank,
@@ -117,6 +118,7 @@ from dataframe_differ_spark.operators.timeseries import (
     cusum,
     ewma,
     holt_linear,
+    holt_winters,
     mad_outliers,
     seasonality,
     theil_sen,
@@ -202,11 +204,13 @@ __all__ = [
     "cusum",
     "ewma",
     "holt_linear",
+    "holt_winters",
     "mad_outliers",
     "seasonality",
     "theil_sen",
     # graph operator library (round-6 extraction; SURVEY.md §13)
     "bfs_hops",
+    "degree_assortativity",
     "degrees",
     "link_prediction",
     "pagerank",

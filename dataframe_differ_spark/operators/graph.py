@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "symmetrize",
     "degrees",
+    "degree_assortativity",
     "pagerank",
     "bfs_hops",
     "triangle_count",
@@ -346,4 +347,58 @@ def link_prediction(
         F.col("common").alias("n_common"),
         F.col("uni").alias("n_union"),
         "jaccard",
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    graph → one row ``(n_nodes, n_edges, assortativity)``.
+
+    Pearson correlation of the endpoint degrees over the symmetrized
+    edge list: r > 0 means hubs attach to hubs (social networks),
+    r < 0 hubs attach to leaves (tech/biological graphs) — the one-
+    number structure summary next to :func:`triangle_count`'s local
+    clustering. Input is canonical undirected edges (``src < dst``,
+    distinct).
+
+    Exactness: degrees are exact BIGINTs from one rollup; the five
+    moment sums over the 2|E| directed endpoints accumulate in
+    DECIMAL(38,0) and convert through the shared split-cast device
+    (Σd² crosses 2^64 past ~1e6-degree hubs), and symmetry makes
+    Σx = Σy / Σx² = Σy² EXACTLY, so r needs only three sums. Plan: one
+    degree rollup + two uniform vertex-keyed joins + a 1-row aggregate
+    — scan-bound in |E| at 100 TB.
+    """
+    from dataframe_differ_spark.operators.numeric import split_cast_double
+
+    for c in edges.columns:
+        if c.startswith("_g_"):
+            raise ValueError(f"input column {c!r} collides with _g_ internals")
+    deg = degrees(edges, src, dst)
+    both = symmetrize(edges, src, dst)
+    dx = deg.select(F.col("node").alias(src), F.col("degree").alias("_g_dx"))
+    dy = deg.select(F.col("node").alias(dst), F.col("degree").alias("_g_dy"))
+    j = both.join(dx, src).join(dy, dst)
+    x = F.col("_g_dx").cast("decimal(38,0)")
+    y = F.col("_g_dy")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("_g_m2"),
+        split_cast_double(F.sum(x)).alias("_g_sx"),
+        split_cast_double(F.sum(x * y)).alias("_g_sxy"),
+        split_cast_double(F.sum(x * F.col("_g_dx"))).alias("_g_sxx"),
+    )
+    n = F.col("_g_m2").cast("double")
+    num = n * F.col("_g_sxy") - F.col("_g_sx") * F.col("_g_sx")
+    den = n * F.col("_g_sxx") - F.col("_g_sx") * F.col("_g_sx")
+    nodes = deg.agg(F.count(F.lit(1)).alias("_g_nn"))
+    return agg.crossJoin(F.broadcast(nodes)).select(
+        F.col("_g_nn").alias("n_nodes"),
+        (F.col("_g_m2") / 2).cast("long").alias("n_edges"),
+        F.round(num / den, round_dp).alias("assortativity"),
     )

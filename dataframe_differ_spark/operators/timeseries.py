@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "ewma",
     "holt_linear",
+    "holt_winters",
     "cusum",
     "autocorr",
     "crosscorr",
@@ -507,3 +508,106 @@ def crosscorr(
     )
     integral = _is_integral(a, value_col) and _is_integral(b, value_col)
     return _lag_corr(pairs, integral, "crosscorr")
+
+
+def holt_winters(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    *,
+    period: int = 7,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    gamma: float = 0.25,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE triple exponential smoothing per group →
+    one row per post-warmup observation: group cols + ``order_col`` +
+    ``value_col`` + ``level``, ``trend``, ``seasonal``, ``fitted`` (the
+    one-step-ahead forecast l+b+s made BEFORE seeing the value).
+
+    Recurrences (t > 2·period, m = period):
+    ŷ_t = l_{t−1} + b_{t−1} + s_{t−m};
+    l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1});
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1};
+    s_t = γ(y_t − l_t) + (1−γ)s_{t−m}.
+    Init (classical two-season): l_{2m} = mean(season 2), b_{2m} =
+    (mean(season 2) − mean(season 1))/m, s = the two seasons'
+    demeaned averages. Groups shorter than 2m+1 rows emit nothing.
+    Defaults are exact binary fractions (¼, ⅛) so the chain is
+    engine-portable bit-for-bit; ``round_dp`` optionally rounds the four
+    outputs for hash-compared replays.
+
+    Plan: ONE shuffle (the groupBy); the per-group fold is O(len) with
+    the seasonal state carried as a list — the ``ewma``/``holt_linear``
+    rollup-then-recurse shape, supported for bounded spines (daily /
+    hourly rollups), which is where seasonal smoothing is computed at
+    100 TB anyway.
+    """
+    _check_reserved(df)
+    m = int(period)
+    if m < 2:
+        raise ValueError("period must be >= 2")
+    a, na = _lit(alpha), _lit(1.0 - alpha)
+    b, nb = _lit(beta), _lit(1.0 - beta)
+    g, ng = _lit(gamma), _lit(1.0 - gamma)
+    s1 = f"(aggregate(slice(xv, 1, {m}), CAST(0.0 AS DOUBLE), (q, v) -> q + v) / {m}.0)"
+    s2 = (
+        f"(aggregate(slice(xv, {m + 1}, {m}), CAST(0.0 AS DOUBLE),"
+        f" (q, v) -> q + v) / {m}.0)"
+    )
+    seas0 = (
+        f"zip_with(slice(xv, 1, {m}), slice(xv, {m + 1}, {m}),"
+        f" (p, q) -> ((p - {s1}) + (q - {s2})) / 2.0)"
+    )
+    sm = f"element_at(acc.seas, -{m})"
+    lp = f"({a} * (v - {sm}) + {na} * (acc.l + acc.b))"
+    bp = f"({b} * ({lp} - acc.l) + {nb} * acc.b)"
+    sp = f"({g} * (v - {lp}) + {ng} * {sm})"
+    fit = f"(acc.l + acc.b + {sm})"
+    traj = (
+        f"aggregate(slice(xv, {2 * m + 1}, greatest(size(xv) - {2 * m}, 0)),"
+        f" named_struct('l', {s2}, 'b', ({s2} - {s1}) / {m}.0,"
+        f"              'seas', {seas0},"
+        "               'rows', CAST(array() AS array<struct<"
+        "                 level: double, trend: double,"
+        "                 seasonal: double, fitted: double>>)),"
+        f" (acc, v) -> named_struct('l', {lp}, 'b', {bp},"
+        f"   'seas', concat(acc.seas, array({sp})),"
+        f"   'rows', concat(acc.rows, array(named_struct("
+        f"     'level', {lp}, 'trend', {bp},"
+        f"     'seasonal', {sp}, 'fitted', {fit})))),"
+        "  acc -> acc.rows)"
+    )
+    folded = df.groupBy(*group_cols).agg(
+        F.expr(
+            f"array_sort(collect_list(struct({order_col} AS o, {value_col} AS x)))"
+        ).alias("_ts_p")
+    ).select(
+        *group_cols,
+        F.expr("transform(_ts_p, e -> e.o)").alias("ov"),
+        F.expr("transform(_ts_p, e -> CAST(e.x AS DOUBLE))").alias("xv"),
+    )
+    tail = f"greatest(size(xv) - {2 * m}, 0)"
+    tails = folded.select(
+        *group_cols,
+        F.expr(f"slice(ov, {2 * m + 1}, {tail})").alias("_ts_ot"),
+        F.expr(f"slice(xv, {2 * m + 1}, {tail})").alias("_ts_xt"),
+        F.expr(traj).alias("_ts_rows"),
+    )
+    zipped = tails.select(
+        *group_cols,
+        F.explode(F.arrays_zip("_ts_ot", "_ts_xt", "_ts_rows")).alias("_ts_e"),
+    )
+    out_fields = ["level", "trend", "seasonal", "fitted"]
+    cols = [
+        F.col("_ts_e._ts_ot").alias(order_col),
+        F.col("_ts_e._ts_xt").alias(value_col),
+    ]
+    for fname in out_fields:
+        c = F.col("_ts_e._ts_rows")[fname]
+        cols.append(
+            (F.round(c, round_dp) if round_dp is not None else c).alias(fname)
+        )
+    return zipped.select(*group_cols, *cols)

@@ -3071,3 +3071,152 @@ def q_orders_theil_inequality(spark, sf_dir):
             F.round("theil_total", 9).alias("theil_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph (round 7)
+# ---------------------------------------------------------------------------
+
+_ASSORT_SQL = f"""
+WITH {copurchase_edges_ctes()},
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+  GROUP BY n),
+bothdir AS (
+  SELECT u AS s, v AS t FROM edges
+  UNION ALL SELECT v AS s, u AS t FROM edges),
+j AS (
+  SELECT dx.d AS x, dy.d AS y
+  FROM bothdir JOIN deg dx ON dx.n = bothdir.s
+  JOIN deg dy ON dy.n = bothdir.t),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         {_split_sql('SUM(CAST(x AS HUGEINT))')} AS sx,
+         {_split_sql('SUM(CAST(x AS HUGEINT) * y)')} AS sxy,
+         {_split_sql('SUM(CAST(x AS HUGEINT) * x)')} AS sxx
+  FROM j),
+nodes AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM deg)
+SELECT nodes.nn AS n_nodes,
+       CAST(agg.m2 // 2 AS BIGINT) AS n_edges,
+       ROUND((CAST(agg.m2 AS DOUBLE) * sxy - sx * sx)
+             / (CAST(agg.m2 AS DOUBLE) * sxx - sx * sx), 9)
+         AS assortativity
+FROM agg CROSS JOIN nodes
+"""
+
+
+@register("graph_assortativity", oracle=_ASSORT_SQL)
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the co-purchase graph — do
+    popular parts co-occur with popular parts? The one-number structure
+    summary next to `graph_triangle_count`'s clustering, on the SAME
+    shared edge fixture (built once per session, localCheckpointed).
+
+    Exactness: Pearson r of endpoint degrees over the symmetrized edge
+    list, from exact BIGINT degrees and three DECIMAL/HUGEINT moment
+    sums converted through the shared split-cast device; symmetry makes
+    the x and y marginals equal, so both engines compute the identical
+    three-sum formula. Plan: one degree rollup + two vertex-keyed joins
+    + a 1-row aggregate — scan-bound in |E|.
+
+    Thin binding over the parametric
+    :func:`operators.graph.degree_assortativity` (round-7 addition).
+    """
+    from dataframe_differ_spark.operators.graph import degree_assortativity
+
+    edges = copurchase_edges(spark, sf_dir)
+    return degree_assortativity(edges, src="u", dst="v")
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing of daily volumes (round 7)
+# ---------------------------------------------------------------------------
+
+def _hw_sql() -> str:
+    m = 7
+    s1 = f"(list_reduce(list_prepend(0.0, xs[1:{m}]), (a, v) -> a + v) / {m}.0)"
+    s2 = (
+        f"(list_reduce(list_prepend(0.0, xs[{m + 1}:{2 * m}]),"
+        f" (a, v) -> a + v) / {m}.0)"
+    )
+    sm = f"cu.seas[-{m}]"
+    lp = f"(0.25 * (idx.x - {sm}) + 0.75 * (cu.l + cu.b))"
+    bp = f"(0.125 * ({lp} - cu.l) + 0.875 * cu.b)"
+    sp = f"(0.25 * (idx.x - {lp}) + 0.75 * {sm})"
+    fit = f"(cu.l + cu.b + {sm})"
+    return f"""
+WITH RECURSIVE
+daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+idx AS MATERIALIZED (
+  SELECT event_type, d, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS i
+  FROM daily),
+packed AS MATERIALIZED (
+  SELECT event_type, list(x ORDER BY i) AS xs,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM idx GROUP BY event_type),
+seed AS MATERIALIZED (
+  SELECT event_type, n,
+         {s2} AS l0,
+         ({s2} - {s1}) / {m}.0 AS b0,
+         list_transform(range(1, {m + 1}),
+           j -> ((xs[j] - {s1}) + (xs[j + {m}] - {s2})) / 2.0) AS seas0
+  FROM packed WHERE n >= {2 * m + 1}),
+cu(event_type, t, l, b, seas, d, level, trend, seasonal, fitted) AS (
+  SELECT event_type, CAST({2 * m} AS BIGINT), l0, b0, seas0,
+         CAST(NULL AS DATE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM seed
+  UNION ALL
+  SELECT cu.event_type, cu.t + 1, {lp}, {bp},
+         list_append(cu.seas, {sp}),
+         idx.d, {lp}, {bp}, {sp}, {fit}
+  FROM cu JOIN idx ON idx.event_type = cu.event_type AND idx.i = cu.t + 1)
+SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day,
+       ROUND(level, 9) AS level, ROUND(trend, 9) AS trend,
+       ROUND(seasonal, 9) AS seasonal, ROUND(fitted, 9) AS fitted
+FROM cu WHERE t > {2 * m}
+"""
+
+
+@register("events_holt_winters", oracle=_hw_sql())
+def q_events_holt_winters(spark, sf_dir):
+    """Holt-Winters ADDITIVE triple exponential smoothing (period 7) of
+    the daily event volume per type — the seasonal upgrade of
+    `events_holt_linear`: level + trend + a weekly seasonal component,
+    with the one-step-ahead forecast made BEFORE each observation (what
+    an anomaly alert would compare against).
+
+    Parity devices: alpha/beta/gamma are exact binary fractions (1/4,
+    1/8, 1/4) so every recurrence step is the identical IEEE chain on
+    both engines; the classical two-season init runs on the collected
+    day array; outputs round at 9 dp. Plan: the engine side is ONE fold
+    over each type's ~30-day spine (operators/timeseries.holt_winters —
+    the rollup-then-recurse shape; the oracle replays it as a recursive
+    CTE, which is exactly the per-step job storm the fold avoids).
+
+    Thin binding over the parametric
+    :func:`operators.timeseries.holt_winters` (round-7 addition).
+    """
+    from dataframe_differ_spark.operators.timeseries import holt_winters
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    hw = holt_winters(
+        daily, ["event_type"], "d", "x", period=7, round_dp=9
+    )
+    return hw.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "level",
+        "trend",
+        "seasonal",
+        "fitted",
+    )

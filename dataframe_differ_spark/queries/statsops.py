@@ -3404,3 +3404,105 @@ def q_privacy_t_closeness(spark, sf_dir):
     ).select(
         "c_nationkey", "c_mktsegment", "n_class", "emd", "exceeds_t"
     )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test per return flag (round 7)
+# ---------------------------------------------------------------------------
+
+_JB_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         CAST(SUM(q * q) AS BIGINT) AS s2,
+         CAST(SUM(q * q * q) AS BIGINT) AS s3,
+         CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+  FROM (SELECT l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT) AS q
+        FROM lineitem)
+  GROUP BY l_returnflag),
+d AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n AS a2,
+         CAST(s3 AS DOUBLE) / n AS a3,
+         CAST(s4 AS DOUBLE) / n AS a4
+  FROM m),
+c AS (
+  SELECT l_returnflag, n, mean,
+         a2 - mean * mean AS m2,
+         a3 - 3 * mean * a2 + 2 * mean * mean * mean AS m3,
+         a4 - 4 * mean * a3 + 6 * mean * mean * a2
+            - 3 * mean * mean * mean * mean AS m4
+  FROM d),
+s AS (
+  SELECT l_returnflag, n,
+         (m3 / (m2 * sqrt(m2))) AS skew,
+         (m4 / (m2 * m2) - 3) AS exkurt
+  FROM c)
+SELECT l_returnflag, n,
+       ROUND(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0), 9) AS jb_stat,
+       n / 6.0 * (skew * skew + exkurt * exkurt / 4.0) > 5.991464547
+         AS reject_normal_95
+FROM s
+"""
+
+
+@register("stats_jarque_bera", oracle=_JB_SQL)
+def q_stats_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test per return flag — the hypothesis-test
+    face of `agg_skewness_kurtosis` on the SAME exact moment cells:
+    JB = n/6 * (S^2 + K^2/4) ~ chi^2(2) under normality, rejecting at
+    the 5.991 critical value (0.95 quantile, a fixed literal so no
+    quantile function enters the plan).
+
+    Exactness devices inherited verbatim: raw moments sum(q)..sum(q^4)
+    are exact BIGINTs (quantity <= 50; under 2^63 to ~sf200k, the
+    BASELINE.md round-7 audit bound), central moments expand in one
+    fixed left-associated IEEE chain, sqrt not pow. The rejection
+    boolean compares the UNROUNDED statistic identically on both
+    engines. One map-side-combinable groupBy — scan-bound at any sf.
+    """
+    q = F.floor(F.col("l_quantity")).cast("long")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", q.alias("q"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+            F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+            F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    a2 = F.col("s2").cast("double") / F.col("n")
+    a3 = F.col("s3").cast("double") / F.col("n")
+    a4 = F.col("s4").cast("double") / F.col("n")
+    d = m.select("l_returnflag", "n", mean.alias("mean"), a2.alias("a2"),
+                 a3.alias("a3"), a4.alias("a4"))
+    mn = F.col("mean")
+    m2 = F.col("a2") - mn * mn
+    m3 = F.col("a3") - 3 * mn * F.col("a2") + 2 * mn * mn * mn
+    m4 = (
+        F.col("a4")
+        - 4 * mn * F.col("a3")
+        + 6 * mn * mn * F.col("a2")
+        - 3 * mn * mn * mn * mn
+    )
+    c = d.select("l_returnflag", "n", m2.alias("m2"), m3.alias("m3"),
+                 m4.alias("m4"))
+    skew = F.col("m3") / (F.col("m2") * F.sqrt("m2"))
+    exk = F.col("m4") / (F.col("m2") * F.col("m2")) - 3
+    s = c.select("l_returnflag", "n", skew.alias("skew"), exk.alias("exkurt"))
+    jb = F.col("n") / 6.0 * (
+        F.col("skew") * F.col("skew")
+        + F.col("exkurt") * F.col("exkurt") / 4.0
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(jb, 9).alias("jb_stat"),
+        (jb > 5.991464547).alias("reject_normal_95"),
+    )

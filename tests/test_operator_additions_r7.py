@@ -199,3 +199,65 @@ def test_bpe_segment_consistent_with_train(spark):
     # total token count shrinks vs characters
     total = sum(len(s) for s in seg.values())
     assert total < sum(len(w) for w in seg)
+
+
+def test_holt_winters_matches_python(spark):
+    import random
+
+    rng = random.Random(5)
+    m = 7
+    xs = [
+        100 + 10 * math.sin(2 * math.pi * i / m) + 0.5 * i + rng.uniform(-2, 2)
+        for i in range(30)
+    ]
+    from dataframe_differ_spark import holt_winters
+
+    rows = [Row(g="a", t=i, x=float(v)) for i, v in enumerate(xs)]
+    out = {r.t: r for r in holt_winters(spark.createDataFrame(rows), ["g"], "t", "x", period=7).collect()}
+    A, B, G = 0.25, 0.125, 0.25
+    s1, s2 = sum(xs[:m]) / m, sum(xs[m : 2 * m]) / m
+    l, b = s2, (s2 - s1) / m
+    seas = [((xs[i] - s1) + (xs[m + i] - s2)) / 2.0 for i in range(m)]
+    assert len(out) == len(xs) - 2 * m
+    for t in range(2 * m, len(xs)):
+        v, sm = xs[t], seas[-m]
+        fit = l + b + sm
+        lp = A * (v - sm) + (1 - A) * (l + b)
+        bp = B * (lp - l) + (1 - B) * b
+        sp = G * (v - lp) + (1 - G) * sm
+        r = out[t]
+        assert abs(r.level - lp) < 1e-9 and abs(r.trend - bp) < 1e-9
+        assert abs(r.seasonal - sp) < 1e-9 and abs(r.fitted - fit) < 1e-9
+        l, b = lp, bp
+        seas.append(sp)
+    # groups shorter than 2m+1 emit nothing
+    short = holt_winters(
+        spark.createDataFrame([Row(g="s", t=i, x=1.0) for i in range(10)]),
+        ["g"], "t", "x", period=7,
+    ).count()
+    assert short == 0
+
+
+def test_degree_assortativity_star_vs_clique(spark):
+    from dataframe_differ_spark import degree_assortativity
+
+    # star graph: maximally disassortative (r = -1)
+    star = spark.createDataFrame([Row(a=0, b=i) for i in range(1, 6)])
+    r_star = degree_assortativity(star, "a", "b").collect()[0]
+    assert r_star.n_nodes == 6 and r_star.n_edges == 5
+    assert abs(r_star.assortativity - (-1.0)) < 1e-9
+    # path of 4: known r from the exact Pearson over symmetrized edges
+    path = spark.createDataFrame(
+        [Row(a=0, b=1), Row(a=1, b=2), Row(a=2, b=3)]
+    )
+    got = degree_assortativity(path, "a", "b").collect()[0]
+    deg = {0: 1, 1: 2, 2: 2, 3: 1}
+    pts = []
+    for u, v in [(0, 1), (1, 2), (2, 3)]:
+        pts += [(deg[u], deg[v]), (deg[v], deg[u])]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    ref = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    assert abs(got.assortativity - ref) < 1e-9

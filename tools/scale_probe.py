@@ -185,6 +185,9 @@ HEADLINE = [
     "eval_pr_auc",
     "privacy_t_closeness",
     "sketch_bloom_membership",
+    "stats_jarque_bera",
+    "graph_assortativity",
+    "events_holt_winters",
 ]
 
 
