@@ -2024,3 +2024,109 @@ def q_agg_arg_minmax(spark, sf_dir):
         F.min("c_acctbal").alias("min_bal"),
         F.count(F.lit(1)).alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor as-of join (round 7)
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE event_type IN ('purchase', 'click')),
+tagged AS (
+  SELECT *, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+  FROM e),
+tl AS (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN is_click = 1 THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, is_click DESC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_ts,
+         FIRST_VALUE(CASE WHEN is_click = 1 THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, is_click DESC, event_id ASC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_ts
+  FROM tagged)
+SELECT event_id, user_id, ts,
+       CASE WHEN prev_ts IS NULL THEN next_ts
+            WHEN next_ts IS NULL THEN prev_ts
+            WHEN ts - prev_ts <= next_ts - ts THEN prev_ts
+            ELSE next_ts END AS nearest_click_ts,
+       CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN 'none'
+            WHEN next_ts IS NULL THEN 'backward'
+            WHEN prev_ts IS NULL THEN 'forward'
+            WHEN ts - prev_ts <= next_ts - ts THEN 'backward'
+            ELSE 'forward' END AS direction
+FROM tl WHERE event_type = 'purchase'
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_SQL)
+def q_join_asof_nearest(spark, sf_dir):
+    """C7 variant: NEAREST as-of join — for each purchase, the click
+    with the smallest |time difference| in EITHER direction (pandas
+    merge_asof direction='nearest'), ties preferring the earlier click.
+
+    Neither Spark nor DuckDB has a nearest primitive; it composes from
+    TWO per-user window passes over one shuffled timeline — running
+    last click at-or-before + running first click at-or-after — then a
+    pure comparison picks the closer side. Same scale contract as
+    `join_asof`: one shuffle on user_id, O(n log n) per user, NO range
+    join (the O(n*m) formulation this replaces at 100 TB). A
+    same-instant click sorts before the purchase, lands in the backward
+    pass at distance 0, and wins in both engines.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    tagged = e.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).withColumn("is_click", (F.col("event_type") == "click").cast("int"))
+    order = [
+        F.col("ts").asc(),
+        F.col("is_click").desc(),
+        F.col("event_id").asc(),
+    ]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    tl = tagged.withColumn(
+        "prev_ts", F.last(click_ts, ignorenulls=True).over(wb)
+    ).withColumn("next_ts", F.first(click_ts, ignorenulls=True).over(wf))
+    # interval comparison (ts - prev <= next - ts) — TIMESTAMP_NTZ has no
+    # integer cast; both engines compare the same day-time intervals
+    closer_back = F.expr("ts - prev_ts <= next_ts - ts")
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(closer_back, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    direction = (
+        F.when(
+            F.col("prev_ts").isNull() & F.col("next_ts").isNull(),
+            F.lit("none"),
+        )
+        .when(F.col("next_ts").isNull(), F.lit("backward"))
+        .when(F.col("prev_ts").isNull(), F.lit("forward"))
+        .when(closer_back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    return tl.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest.alias("nearest_click_ts"),
+        direction.alias("direction"),
+    )

@@ -3506,3 +3506,132 @@ def q_stats_jarque_bera(spark, sf_dir):
         F.round(jb, 9).alias("jb_stat"),
         (jb > 5.991464547).alias("reject_normal_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on the daily volume series (round 7)
+# ---------------------------------------------------------------------------
+
+_MK_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)),
+m AS (SELECT MIN(d) AS d0 FROM daily),
+pts AS (
+  SELECT CAST(datediff('day', m.d0, daily.d) AS BIGINT) AS i, x
+  FROM daily CROSS JOIN m),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM pts a JOIN pts b ON a.i < b.i),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pts GROUP BY x)
+  WHERE t > 1),
+v AS (
+  SELECT n.n, s.s_stat, ties.tt,
+         (CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5) - ties.tt) / 18.0
+           AS var_s
+  FROM n CROSS JOIN s CROSS JOIN ties)
+SELECT n AS n_days, s_stat, ROUND(var_s, 9) AS var_s,
+       ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 9) AS z_stat,
+       CASE WHEN s_stat > 0 AND (s_stat - 1) / sqrt(var_s) > 1.96
+              THEN 'increasing'
+            WHEN s_stat < 0 AND (s_stat + 1) / sqrt(var_s) < -1.96
+              THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM v
+"""
+
+
+@register("stats_mann_kendall", oracle=_MK_SQL)
+def q_stats_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test on the daily event volume — the
+    nonparametric hypothesis-test companion to `trend_theilsen_daily`
+    (which estimates the slope; MK decides whether a trend EXISTS):
+    S = sum over day pairs i < j of sgn(x_j - x_i), with the standard
+    tie-corrected variance and continuity-corrected z.
+
+    Exactness: S and the tie term are exact BIGINTs; var_s is one
+    division of an exact integer by 18; z is one fixed IEEE chain. The
+    pair space is the DAY SPINE squared — bounded by the calendar
+    (730 days = 266k pairs at any corpus size), so the broadcast
+    inequality self-join is a deliberate bounded-quadratic, the same
+    contract as `ranked`'s triangle join; the corpus itself is touched
+    exactly once by the daily rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    m = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(m)).select(
+        F.datediff("d", "d0").cast("long").alias("i"), "x"
+    )
+    b = pts.select(F.col("i").alias("j"), F.col("x").alias("y"))
+    s = pts.join(F.broadcast(b), F.col("i") < F.col("j")).agg(
+        F.sum(
+            F.when(F.col("y") > F.col("x"), 1)
+            .when(F.col("y") < F.col("x"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    n = pts.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        pts.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    v = (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "s_stat",
+            (
+                (
+                    F.col("n").cast("double")
+                    * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                    - F.col("tt")
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    sq = F.sqrt("var_s")
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sq)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sq)
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round("var_s", 9).alias("var_s"),
+        F.round(z, 9).alias("z_stat"),
+        F.when(
+            (F.col("s_stat") > 0) & ((F.col("s_stat") - 1) / sq > 1.96),
+            F.lit("increasing"),
+        )
+        .when(
+            (F.col("s_stat") < 0) & ((F.col("s_stat") + 1) / sq < -1.96),
+            F.lit("decreasing"),
+        )
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )

@@ -1811,3 +1811,69 @@ def q_text_heaps_law(spark, sf_dir):
         F.round(slope, 6).alias("heaps_beta"),
         F.round((F.col("sy") - slope * F.col("sx")) / k, 6).alias("heaps_logk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson lexical concentration per document (round 7)
+# ---------------------------------------------------------------------------
+
+_SIMPSON_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents),
+cnt AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, token),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2
+  FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_types,
+       ROUND(CAST(rep2 AS DOUBLE) / (n_tokens * (n_tokens - 1)), 9)
+         AS simpson_index,
+       ROUND(1.0 - CAST(rep2 AS DOUBLE) / (n_tokens * (n_tokens - 1)), 9)
+         AS simpson_diversity
+FROM per WHERE n_tokens > 1
+"""
+
+
+@register("text_simpson_diversity", oracle=_SIMPSON_SQL)
+def q_text_simpson_diversity(spark, sf_dir):
+    """Simpson lexical concentration per document: the probability two
+    randomly drawn tokens are the SAME type, D = sum c_i(c_i - 1) /
+    (n(n - 1)) — the repetition screen that complements `text_repetition`
+    (verbatim n-gram loops) and `text_char_entropy` (character level):
+    high D = boilerplate/spam vocabulary, 1 - D is the diversity a
+    quality gate thresholds on.
+
+    All integer exact until one final division of BIGINTs (both engines
+    divide the identical pair, then round 9) — no logs, no per-row
+    floats. Plan: one (doc, token) rollup with map-side combine + one
+    doc rollup — scan-bound at 100 TB, no window, no join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> x != '')")
+        ).alias("token"),
+    )
+    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("rep2"),
+    )
+    d = F.col("rep2").cast("double") / (
+        F.col("n_tokens") * (F.col("n_tokens") - 1)
+    )
+    return per.filter(F.col("n_tokens") > 1).select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(d, 9).alias("simpson_index"),
+        F.round(F.lit(1.0) - d, 9).alias("simpson_diversity"),
+    )

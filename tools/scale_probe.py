@@ -188,6 +188,9 @@ HEADLINE = [
     "stats_jarque_bera",
     "graph_assortativity",
     "events_holt_winters",
+    "text_simpson_diversity",
+    "stats_mann_kendall",
+    "join_asof_nearest",
 ]
 
 
