@@ -3635,3 +3635,125 @@ def q_stats_mann_kendall(spark, sf_dir):
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman rank test across event types, blocked by day (round 7)
+# ---------------------------------------------------------------------------
+
+_FRIEDMAN_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE), event_type),
+spine AS (
+  SELECT days.d, types.event_type
+  FROM (SELECT DISTINCT d FROM daily) days
+  CROSS JOIN (SELECT DISTINCT event_type FROM daily) types),
+dense AS (
+  SELECT spine.d, spine.event_type, COALESCE(daily.c, 0) AS c
+  FROM spine LEFT JOIN daily
+    ON daily.d = spine.d AND daily.event_type = spine.event_type),
+dr AS (
+  SELECT a.d, a.event_type,
+         CAST(SUM(CASE WHEN b.c < a.c THEN 2
+                       WHEN b.c = a.c THEN 1 ELSE 0 END) AS BIGINT)
+           AS drank
+  FROM dense a JOIN dense b ON a.d = b.d
+  GROUP BY a.d, a.event_type),
+sums AS (
+  SELECT event_type, CAST(SUM(drank) AS BIGINT) AS r2
+  FROM dr GROUP BY event_type),
+consts AS (
+  SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+  FROM dense),
+a2 AS (SELECT CAST(SUM(drank * drank) AS BIGINT) AS sdr2 FROM dr),
+stat AS (
+  SELECT consts.n, consts.k,
+         CAST((consts.k - 1) AS DOUBLE)
+           * (SELECT SUM((r2 - consts.n * (consts.k + 1))
+                         * (r2 - consts.n * (consts.k + 1))) FROM sums)
+           / (a2.sdr2 - consts.n * consts.k
+                        * (consts.k + 1) * (consts.k + 1))
+           AS chi2
+  FROM consts CROSS JOIN a2)
+SELECT n AS n_blocks, k AS k_treatments,
+       ROUND(chi2, 9) AS chi2_friedman,
+       chi2 > 9.487729037 AS reject_95
+FROM stat
+"""
+
+
+@register("stats_friedman", oracle=_FRIEDMAN_SQL)
+def q_stats_friedman(spark, sf_dir):
+    """Friedman rank test: do the event types differ in daily volume,
+    blocking by day? The k-related-samples companion to
+    `stats_mann_whitney` (2 independent) and `stats_anova_f`
+    (parametric): within each day the k types are midranked, and the
+    tie-corrected statistic compares per-type rank sums against the
+    all-equal expectation (chi^2 with k-1 df; 9.488 = the 0.95 quantile
+    at df=4, a fixed literal).
+
+    Exactness: the DOUBLED-midrank device (2r is an integer even at tie
+    midpoints) keeps every quantity BIGINT — with doubled ranks the
+    tie-corrected Conover form reduces to (k-1)*sum (R2_j - n(k+1))^2 /
+    (sum dr^2 - n*k*(k+1)^2), one final division. Midranks come from
+    the bounded within-day k x k self-join (25 pairs/day), never a
+    window. Plan: one daily rollup touches the corpus; everything after
+    is day-spine-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    days = daily.select("d").distinct()
+    types = daily.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    b = dense.select(
+        F.col("d").alias("d2"), F.col("c").alias("c2")
+    )
+    dr = (
+        dense.join(b, F.col("d2") == F.col("d"))
+        .groupBy("d", "event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("c2") < F.col("c"), 2)
+                .when(F.col("c2") == F.col("c"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("drank")
+        )
+    )
+    sums = dr.groupBy("event_type").agg(F.sum("drank").alias("r2"))
+    consts = dense.agg(
+        F.countDistinct("d").alias("n"),
+        F.countDistinct("event_type").alias("k"),
+    )
+    a2 = dr.agg(F.sum(F.col("drank") * F.col("drank")).alias("sdr2"))
+    dev = sums.crossJoin(F.broadcast(consts)).agg(
+        F.sum(
+            (F.col("r2") - F.col("n") * (F.col("k") + 1))
+            * (F.col("r2") - F.col("n") * (F.col("k") + 1))
+        ).alias("ssq"),
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+    )
+    chi2 = (
+        (F.col("k") - 1).cast("double")
+        * F.col("ssq")
+        / (
+            F.col("sdr2")
+            - F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+        )
+    )
+    return dev.crossJoin(F.broadcast(a2)).select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.round(chi2, 9).alias("chi2_friedman"),
+        (chi2 > 9.487729037).alias("reject_95"),
+    )

@@ -1877,3 +1877,152 @@ def q_text_simpson_diversity(spark, sf_dir):
         F.round(d, 9).alias("simpson_index"),
         F.round(F.lit(1.0) - d, 9).alias("simpson_diversity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword phrases (round 7)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = "('the','a','of','and','to','in','is','it')"
+
+_RAKE_SQL = f"""
+WITH arrs AS (
+  -- both engines cap at 200 words so the index-join bound is symmetric
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '')[1:200] AS arr
+  FROM documents),
+tok AS (
+  SELECT doc_id, arr[i] AS word, i AS pos,
+         CASE WHEN arr[i] IN {_RAKE_STOP} THEN 1 ELSE 0 END AS is_stop
+  FROM arrs CROSS JOIN (SELECT unnest(range(1, 201)) AS i)
+  WHERE i <= len(arr)),
+marked AS (
+  -- phrase_id BEFORE dropping stopword rows (SQL WHERE runs before
+  -- windows; filtering first collapses every doc to one phrase)
+  SELECT doc_id, word, pos, is_stop,
+         CAST(SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phrase_id
+  FROM tok),
+ph AS (
+  SELECT doc_id, word, pos, phrase_id FROM marked WHERE is_stop = 0),
+phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         list(word ORDER BY pos) AS words,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM ph GROUP BY doc_id, phrase_id),
+wstats AS (
+  SELECT word,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg,
+         CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS ratio
+  FROM (SELECT unnest(words) AS word, plen FROM phrases)
+  GROUP BY word),
+pw AS (
+  SELECT ph.doc_id, ph.phrase_id, ph.pos, wstats.ratio
+  FROM ph JOIN wstats ON wstats.word = ph.word),
+pscore AS (
+  SELECT doc_id, phrase_id,
+         list_reduce(list_prepend(0.0, list(ratio ORDER BY pos)),
+                     (a, x) -> a + x) AS score
+  FROM pw GROUP BY doc_id, phrase_id),
+scored AS (
+  SELECT p.phrase, p.plen, pscore.score
+  FROM phrases p JOIN pscore
+    ON pscore.doc_id = p.doc_id AND pscore.phrase_id = p.phrase_id),
+agg AS (
+  SELECT phrase, ANY_VALUE(plen) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         ROUND(ANY_VALUE(score), 9) AS rake_score
+  FROM scored GROUP BY phrase)
+SELECT phrase, n_words, n_occurrences, rake_score
+FROM agg
+ORDER BY rake_score DESC, phrase LIMIT 15
+"""
+
+
+@register("text_rake_keywords", oracle=_RAKE_SQL)
+def q_text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010) — corpus top-15
+    keyphrases: candidate phrases are maximal stopword-free runs, each
+    word scores deg/freq (deg = total length of phrases it appears in,
+    freq = its occurrence count), and a phrase scores the sum of its
+    words' ratios. The phrase-level complement to `text_keywords`
+    (single-token TF-IDF): RAKE surfaces multi-word terms without any
+    corpus-frequency table.
+
+    Exactness: deg/freq are exact BIGINTs; each word ratio is a
+    division of identical integers; the per-phrase sum folds over the
+    phrase's words IN POSITION ORDER on both engines (bounded by phrase
+    length); ranking uses the ROUNDED score with the phrase string as
+    total tie-break. Plan: phrase assembly is one per-doc bounded
+    window (phrase_id = running stopword count) + a (doc, phrase)
+    rollup; word stats are one vocabulary-sized rollup joined back by a
+    shuffle on the word key — scan-bound at 100 TB, TakeOrdered top-15.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "slice(filter(split(text, ' '), x -> x != ''), 1, 200)"
+                )
+            ).alias("pos", "word"),
+        )
+        .withColumn(
+            "is_stop",
+            F.expr(f"CASE WHEN word IN {_RAKE_STOP} THEN 1 ELSE 0 END"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ph = tok.withColumn("phrase_id", F.sum("is_stop").over(w)).filter(
+        F.col("is_stop") == 0
+    )
+    phrases = ph.groupBy("doc_id", "phrase_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, word))),"
+            " x -> x.word), ' ')"
+        ).alias("phrase"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, word))),"
+            " x -> x.word)"
+        ).alias("words"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstats = (
+        phrases.select(F.explode("words").alias("word"), "plen")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .withColumn("ratio", F.col("deg").cast("double") / F.col("freq"))
+    )
+    # per-phrase score: join each (phrase occurrence, word position) to
+    # the ratio, then fold in position order (identical order both
+    # engines; the word-keyed join is the only corpus-scale shuffle)
+    exploded = phrases.select(
+        "doc_id", "phrase_id", "phrase", "plen",
+        F.posexplode("words").alias("wpos", "word"),
+    )
+    scored = (
+        exploded.join(wstats.select("word", "ratio"), "word")
+        .groupBy("doc_id", "phrase_id", "phrase", "plen")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(wpos, ratio))),"
+                " CAST(0.0 AS DOUBLE), (a, x) -> a + x.ratio)"
+            ).alias("score")
+        )
+    )
+    agg = scored.groupBy("phrase").agg(
+        F.any_value("plen").alias("n_words"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.round(F.any_value("score"), 9).alias("rake_score"),
+    )
+    return agg.orderBy(F.col("rake_score").desc(), "phrase").limit(15)

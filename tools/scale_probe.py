@@ -191,6 +191,8 @@ HEADLINE = [
     "text_simpson_diversity",
     "stats_mann_kendall",
     "join_asof_nearest",
+    "stats_friedman",
+    "text_rake_keywords",
 ]
 
 
