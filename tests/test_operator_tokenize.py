@@ -156,3 +156,12 @@ def test_chunk_docs_counts_and_overlap(spark):
     assert c[1].chunk_text.startswith("t30 ")  # stride-30 overlap
     assert c[2].n_chunk_tokens == 40 and c[2].chunk_text.endswith("t99")
     assert by_doc[8][0].chunk_text == "a b"
+
+
+def test_wordpiece_oov_chars_fall_back_to_singletons(spark):
+    # characters absent from the vocab still segment (each its own token)
+    df = spark.createDataFrame([Row(token="go99")])
+    vocab = ["g", "go"]
+    got = wordpiece_apply(df, "token", vocab).collect()[0]
+    assert list(got.subwords) == ["go", "9", "9"]
+    assert got.n_sub == 3

@@ -204,3 +204,59 @@ def test_surrogate_keys_numeric_leading_col(spark):
     df = spark.createDataFrame([Row(bucket=b) for b in (30, 10, 20, 10)])
     out = sorted((r.dim_sk, r.bucket) for r in surrogate_keys(df, ["bucket"]).collect())
     assert out == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_pit_join_multiple_state_cols(spark):
+    dim = spark.createDataFrame(
+        [
+            Row(k="x", at=1, plan="free", tier=0),
+            Row(k="x", at=5, plan="pro", tier=2),
+        ]
+    )
+    probe = spark.createDataFrame(
+        [Row(k="x", at=0, q="a"), Row(k="x", at=3, q="b"), Row(k="x", at=9, q="c")]
+    )
+    out = {
+        r.q: (r.plan, r.tier)
+        for r in pit_join(probe, dim, ["k"], "at", ["plan", "tier"]).collect()
+    }
+    assert out == {"a": (None, None), "b": ("free", 0), "c": ("pro", 2)}
+
+
+def test_gapfill_timestamp_step(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        Row(m="cpu", at=datetime(2024, 1, 1, 0), v=1.0),
+        Row(m="cpu", at=datetime(2024, 1, 1, 12), v=3.0),
+        Row(m="cpu", at=datetime(2024, 1, 2, 0), v=5.0),
+    ]
+    out = gapfill(
+        spark.createDataFrame(rows), ["m"], "at", {"v": "ffill"},
+        step="6 hours",
+    ).collect()
+    got = {r.at.hour + 24 * (r.at.day - 1): r.v for r in out}
+    # 5 ticks at 6h cadence; gaps carry the last value forward
+    assert got == {0: 1.0, 6: 1.0, 12: 3.0, 18: 3.0, 24: 5.0}
+
+
+def test_surrogate_keys_date_leading_col(spark):
+    from datetime import date
+
+    rows = [Row(d=date(2024, 1, x)) for x in (5, 2, 9, 2)]
+    out = sorted(
+        (r.dim_sk, str(r.d))
+        for r in surrogate_keys(spark.createDataFrame(rows), ["d"]).collect()
+    )
+    assert out == [(1, "2024-01-02"), (2, "2024-01-05"), (3, "2024-01-09")]
+
+
+def test_interval_merge_touching_intervals_merge(spark):
+    # start == running max end: NOT greater, so touching intervals merge
+    rows = [Row(g=1, s=0, e=10, i=1), Row(g=1, s=10, e=20, i=2)]
+    out = interval_merge(
+        spark.createDataFrame(rows), ["g"], "s", "e", tiebreak_cols=["i"]
+    ).collect()
+    assert len(out) == 1 and out[0].span_start == 0 and out[0].span_end == 20
