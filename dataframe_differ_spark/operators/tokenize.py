@@ -22,8 +22,13 @@ Shared design (the warehouse/graph/stats extraction pattern):
   ``zip_with``) and string ops, JVM-side end to end.
 - **Engine-portable**: character access is explicit ``substring``
   (empty-separator splits differ across engines); the BPE merge apply
-  is ``replace('a|b' → 'ab')`` on the joined symbol string — leftmost
-  non-overlapping in every engine, which IS BPE's greedy apply rule.
+  is a TOKEN-WISE left fold with a sentinel-delimited string
+  accumulator (round-8 fix — a raw ``replace('a|b' → 'ab')`` on the
+  joined symbol string matches ACROSS multi-char symbol boundaries,
+  e.g. merge ``(l,o)`` corrupting ``s|l|ob`` into ``s|lob``). The fold
+  merges exactly the symbol-level ``(a, b)`` adjacencies, repeatedly —
+  BPE's apply-until-no-pair-remains rule — and compiles to the same
+  expression in Spark ``aggregate`` and DuckDB ``list_reduce``.
 
 The registered queries (``bpe_pair_counts``, ``bpe_train_merges``,
 ``text_tokenize_greedy``, ``doc_chunking``) are thin fixture bindings
@@ -42,6 +47,7 @@ __all__ = [
     "bpe_pair_stats",
     "train_bpe",
     "bpe_segment",
+    "bpe_segment_with_merges",
     "wordpiece_apply",
     "chunk_docs",
 ]
@@ -134,9 +140,10 @@ def train_bpe(
     '|'-joined on the DISTINCT-word histogram, so a round costs
     vocabulary work only — at 100 TB the corpus is scanned once for the
     histogram and each of a real trainer's ~50k rounds stays
-    vocabulary-sized. The merge apply is ``replace('a|b' → 'ab')`` —
-    leftmost non-overlapping, BPE's greedy rule (after a merge the new
-    symbol cannot re-match its own left half).
+    vocabulary-sized. The merge apply is the boundary-safe token fold
+    (see :func:`_bpe_apply`) — it merges every symbol-level ``(a, b)``
+    adjacency and nothing else, matching the classic
+    apply-until-no-pair-remains rule.
 
     ``checkpoint_every`` cuts lineage with a lazy ``localCheckpoint``
     every that-many rounds so the plan never deepens past a few rounds'
@@ -201,11 +208,34 @@ def _bpe_pair_top(sdf: DataFrame) -> DataFrame:
 
 
 def _bpe_apply(sdf: DataFrame, m: DataFrame) -> DataFrame:
-    """Apply one merge corpus-wide (leftmost non-overlapping replace)."""
+    """Apply one merge ``(a, b) → ab`` corpus-wide.
+
+    Token-wise left fold over the '|'-split symbols with a
+    leading-sentinel string accumulator (``'|t1|t2|…'``): a symbol
+    ``x = b`` merges iff the accumulator ends with ``'|' + a`` — i.e.
+    the PREVIOUS SYMBOL is exactly ``a`` — so a merge can never match
+    across multi-char symbol boundaries (round-8 ADVICE fix: the old
+    ``replace(s, 'a|b', 'ab')`` turned ``s|l|ob`` into ``s|lob`` for
+    merge ``(l, o)`` because the pattern matched inside ``l|ob``).
+    The fold merges left-to-right non-overlapping (a freshly merged
+    ``ab`` tail never re-matches as ``a`` since ``b`` is non-empty),
+    after which no symbol-level ``(a, b)`` adjacency can remain — so
+    one pass equals the apply-until-no-pair-remains semantics of the
+    reference trainers (and the tests' ``_py_bpe``). One pass per
+    word, vocabulary-sized work; the same fold runs verbatim in the
+    DuckDB oracles via ``list_reduce``.
+    """
+    fold = (
+        "aggregate(split(s, '[|]'), '', (acc, x) -> CASE "
+        "WHEN x = b AND right(acc, length(a) + 1) = concat('|', a) "
+        "THEN concat(substring(acc, 1, length(acc) - length(a) - 1), "
+        "'|', a, b) "
+        "ELSE concat(acc, '|', x) END, acc -> substring(acc, 2))"
+    )
     return sdf.crossJoin(F.broadcast(m)).select(
         "w",
         "freq",
-        F.expr("replace(s, concat(a, '|', b), concat(a, b))").alias("s"),
+        F.expr(fold).alias("s"),
     )
 
 
@@ -240,6 +270,59 @@ def bpe_segment(
     cur = _bpe_symbolized(df, text_col)
     for rank in range(1, n_merges + 1):
         cur = _bpe_apply(cur, _bpe_pair_top(cur))
+        if rank % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+    sub = F.expr("split(s, '[|]')")
+    return cur.select(
+        F.col("w").alias("word"),
+        "freq",
+        sub.alias("subwords"),
+        F.size(sub).alias("n_sub"),
+    )
+
+
+def bpe_segment_with_merges(
+    df: DataFrame,
+    text_col: str,
+    merges: DataFrame | Sequence[tuple[str, str]],
+    *,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """BPE tokenizer APPLY from a TRAINED merge table → the segmented
+    word histogram ``(word, freq, subwords, n_sub)``, the same shape as
+    :func:`bpe_segment`.
+
+    ``merges`` is either a :func:`train_bpe` output frame (possibly
+    reloaded via ``operators.persistence.load_artifact`` — kind
+    ``bpe_merges``; the rank-0 baseline row is ignored) or an ordered
+    sequence of ``(left_sym, right_sym)`` pairs. This is the
+    train-once-reuse-everywhere half of the tokenizer story: at 100 TB
+    one job trains the rules, every ingest job replays them — which is
+    also why the merge LIST lives on the driver (it is n_merges rows
+    by construction, the same place every production tokenizer keeps
+    it), while the corpus-side apply stays fully distributed:
+    vocabulary-sized fold work per rule (the boundary-safe
+    :func:`_bpe_apply` fold), lineage checkpointed every
+    ``checkpoint_every`` rules.
+    """
+    _check_reserved(df)
+    if isinstance(merges, DataFrame):
+        rules = [
+            (r.left_sym, r.right_sym)
+            for r in merges.filter(F.col("merge_rank") >= 1)
+            .orderBy("merge_rank")
+            .select("merge_rank", "left_sym", "right_sym")
+            .collect()
+        ]
+    else:
+        rules = [(a, b) for a, b in merges]
+    if not rules:
+        raise ValueError("merges is empty — train_bpe output has ranks >= 1")
+    spark = df.sparkSession
+    cur = _bpe_symbolized(df, text_col)
+    for rank, (a, b) in enumerate(rules, start=1):
+        m = spark.range(1).select(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        cur = _bpe_apply(cur, m)
         if rank % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=False)
     sub = F.expr("split(s, '[|]')")

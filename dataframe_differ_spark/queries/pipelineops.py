@@ -755,7 +755,8 @@ WITH scored AS (
                                 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
                    / 1152921504606846976.0)
                / o_totalprice, 12) AS score
-  FROM orders)
+  FROM orders
+  WHERE o_totalprice > 0)
 SELECT o_orderkey, o_totalprice, score
 FROM scored
 ORDER BY score, o_orderkey
@@ -781,6 +782,8 @@ def q_sample_weighted(spark, sf_dir):
     Parity: both the output score and the selection cut use the 12-dp
     ROUNDED key (the rounded-ln device), so a last-ulp libm difference
     cannot reorder the boundary; o_orderkey breaks ties totally.
+    Non-positive weights are excluded before scoring in BOTH engines
+    (round-8 ADVICE guard — a no-op on TPC-H prices, which are > 0).
     """
     from dataframe_differ_spark.operators.sampling import weighted_sample
 
@@ -1307,11 +1310,28 @@ def q_sample_dsir_importance(spark, sf_dir):
     return w.orderBy(F.col("log_importance").desc(), "doc_id").limit(100)
 
 
-# BPE training, two unrolled merge rounds. The merge APPLY is a string
-# replace on the '|'-joined symbol string: replace('a|b' -> 'ab') is
-# leftmost non-overlapping in both engines — exactly BPE's greedy apply
-# (after a merge the new symbol can't re-match its own left half).
-_BPE_TRAIN_SQL = """
+# BPE training, two unrolled merge rounds. The merge APPLY is the
+# boundary-safe token fold (round 8): list_reduce over the '|'-split
+# symbols with a leading-sentinel string accumulator — a symbol x = b
+# merges iff the accumulator ends with '|'+a, i.e. the previous SYMBOL
+# is exactly a, so merges can't match across multi-char symbol
+# boundaries (the old replace('a|b' -> 'ab') corrupted s|l|ob into
+# s|lob for merge (l,o)). Same fold as operators/tokenize._bpe_apply.
+
+
+def _bpe_apply_sql(s: str, a: str, b: str) -> str:
+    """DuckDB twin of operators/tokenize._bpe_apply's token fold."""
+    return (
+        f"substr(list_reduce(list_prepend('', string_split({s}, '|')), "
+        f"(acc, x) -> CASE WHEN x = {b} AND "
+        f"right(acc, length({a}) + 1) = '|' || {a} "
+        f"THEN substr(acc, 1, length(acc) - length({a}) - 1) "
+        f"|| '|' || {a} || {b} "
+        f"ELSE acc || '|' || x END), 2)"
+    )
+
+
+_BPE_TRAIN_SQL = f"""
 WITH words AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -1331,7 +1351,7 @@ p0 AS (
 m1 AS (SELECT a, b, cnt FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
 s1 AS (
   SELECT s0.w, s0.freq,
-         replace(s0.s, m1.a || '|' || m1.b, m1.a || m1.b) AS s
+         {_bpe_apply_sql('s0.s', 'm1.a', 'm1.b')} AS s
   FROM s0 CROSS JOIN m1),
 p1 AS (
   SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -1342,7 +1362,7 @@ p1 AS (
 m2 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
 s2 AS (
   SELECT s1.w, s1.freq,
-         replace(s1.s, m2.a || '|' || m2.b, m2.a || m2.b) AS s
+         {_bpe_apply_sql('s1.s', 'm2.a', 'm2.b')} AS s
   FROM s1 CROSS JOIN m2),
 tok0 AS (SELECT CAST(SUM(freq * len(string_split(s, '|'))) AS BIGINT) AS n
          FROM s0),
@@ -1380,9 +1400,10 @@ def q_bpe_train_merges(spark, sf_dir):
     word histogram is built once (the shape of every real BPE trainer)
     and each of the ~50k merge rounds costs vocabulary work only.
 
-    The merge apply is replace('a|b' -> 'ab') on the joined symbol
-    string — leftmost non-overlapping in both engines, which IS the BPE
-    greedy apply rule. All counts exact integers.
+    The merge apply is the boundary-safe token fold (round-8 ADVICE
+    fix; see operators/tokenize._bpe_apply) — identical ``aggregate``/
+    ``list_reduce`` expression in both engines. All counts exact
+    integers.
 
     Thin binding over the parametric :func:`operators.tokenize.train_bpe`
     (round-7 extraction) — the n-round trainer with lineage
@@ -1536,7 +1557,7 @@ def q_eval_auc_score(spark, sf_dir):
 # BPE apply: corpus token distribution after the learned merges (round 7)
 # ---------------------------------------------------------------------------
 
-_BPE_APPLY_SQL = """
+_BPE_APPLY_SQL = f"""
 WITH words AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -1556,7 +1577,7 @@ p0 AS (
 m1 AS (SELECT a, b FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
 s1 AS (
   SELECT s0.w, s0.freq,
-         replace(s0.s, m1.a || '|' || m1.b, m1.a || m1.b) AS s
+         {_bpe_apply_sql('s0.s', 'm1.a', 'm1.b')} AS s
   FROM s0 CROSS JOIN m1),
 p1 AS (
   SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -1567,7 +1588,7 @@ p1 AS (
 m2 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
 s2 AS (
   SELECT s1.w, s1.freq,
-         replace(s1.s, m2.a || '|' || m2.b, m2.a || m2.b) AS s
+         {_bpe_apply_sql('s1.s', 'm2.a', 'm2.b')} AS s
   FROM s1 CROSS JOIN m2),
 tok AS (
   SELECT unnest(string_split(s, '|')) AS token, freq

@@ -15,6 +15,7 @@ from pyspark.sql import Row
 
 from dataframe_differ_spark.operators.tokenize import (
     bpe_pair_stats,
+    bpe_segment,
     chunk_docs,
     train_bpe,
     wordpiece_apply,
@@ -81,11 +82,11 @@ def _py_bpe(texts, n_merges):
         toks = sum(f * len(seqs[w]) for w, f in freq.items())
         merges.append((a, b, cnt, toks))
     base = sum(f * len(w) for w, f in freq.items())
-    return base, merges
+    return base, merges, seqs
 
 
 def test_train_bpe_matches_python_reference(spark, corpus_df):
-    base, ref = _py_bpe(CORPUS, 3)
+    base, ref, _ = _py_bpe(CORPUS, 3)
     rows = {r.merge_rank: r for r in train_bpe(corpus_df, "body", n_merges=3).collect()}
     assert rows[0].corpus_tokens_after == base
     for rank, (a, b, cnt, toks) in enumerate(ref, start=1):
@@ -96,6 +97,44 @@ def test_train_bpe_matches_python_reference(spark, corpus_df):
             cnt,
             toks,
         ), rank
+
+
+# Round-8 ADVICE regression corpus: merge round 1 learns (o, b) -> 'ob'
+# (so 'slob' symbolizes to s|l|ob), round 2 learns (l, o). A
+# boundary-blind replace('l|o' -> 'lo') matches INSIDE 'l|ob' and
+# corrupts 'slob' to [s, lob]; the token fold must leave [s, l, ob].
+BOUNDARY_CORPUS = [
+    "low low low low low",
+    "ob ob ob ob ob ob slob",
+]
+
+
+def test_bpe_apply_respects_symbol_boundaries(spark):
+    df = spark.createDataFrame([Row(body=t) for t in BOUNDARY_CORPUS])
+    base, ref, seqs = _py_bpe(BOUNDARY_CORPUS, 2)
+    # precondition: the corpus really exercises the suffix/prefix case
+    assert [(m[0], m[1]) for m in ref] == [("o", "b"), ("l", "o")]
+    assert seqs["slob"] == ["s", "l", "ob"]
+
+    rows = {
+        r.merge_rank: r
+        for r in train_bpe(df, "body", n_merges=2).collect()
+    }
+    assert rows[0].corpus_tokens_after == base
+    for rank, (a, b, cnt, toks) in enumerate(ref, start=1):
+        r = rows[rank]
+        assert (
+            r.left_sym,
+            r.right_sym,
+            r.pair_count,
+            r.corpus_tokens_after,
+        ) == (a, b, cnt, toks), rank
+
+    seg = {
+        r.word: list(r.subwords)
+        for r in bpe_segment(df, "body", n_merges=2).collect()
+    }
+    assert seg == seqs
 
 
 def test_train_bpe_checkpointing_changes_nothing(spark, corpus_df):
