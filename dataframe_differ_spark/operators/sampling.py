@@ -115,6 +115,13 @@ def weighted_sample(
     replaying engine, with ``key_col`` as the total-order tiebreak. One
     scan + TakeOrderedAndProject — no global sort; k·partitions rows at
     the merge, the shape that samples 100 TB.
+
+    Weights must be POSITIVE: E–S assigns weight-0 rows zero inclusion
+    probability and negative weights are undefined, but numerically
+    ``-ln(u)/w`` makes them ±inf / negative keys that would SORT FIRST
+    and dominate the selection (round-8 ADVICE). Rows with
+    ``weight <= 0`` (or NULL) are therefore excluded before scoring —
+    the mathematically consistent reading of "zero probability".
     """
     _check_reserved(df)
     u = F.conv(
@@ -122,7 +129,7 @@ def weighted_sample(
     ).cast("bigint")
     # (u + 1) / 2^60 ∈ (0, 1]: never 0 (ln(0) = -inf) and reaches 1.
     u_norm = (u.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
-    scored = df.withColumn(
+    scored = df.filter(F.col(weight_col) > 0).withColumn(
         "score", F.round(-F.log(u_norm) / F.col(weight_col), 12)
     )
     return scored.orderBy("score", key_col).limit(k)

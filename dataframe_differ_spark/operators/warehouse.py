@@ -183,6 +183,7 @@ def merge_upsert(
     *,
     op_col: str = "op",
     update_map: Mapping[str, str] | None = None,
+    validate_unique_keys: bool = False,
 ) -> DataFrame:
     """Batch MERGE INTO semantics: apply a CDC changeset to a snapshot →
     the merged table, with the target's columns.
@@ -195,6 +196,19 @@ def merge_upsert(
     column's name), ``'I'`` INSERT (those rows must carry every target
     column). Target rows with no change pass through.
 
+    Contract guards (round-8 ADVICE — both MERGE divergences now fail
+    LOUDLY instead of silently): a changeset that lacks some target
+    column may only carry 'U'/'D' rows — if it contains any 'I' row a
+    ``ValueError`` is raised (previously those inserts were silently
+    dropped); the probe is a short-circuiting ``filter(...).limit(1)``
+    on the changeset, bounded work even on a huge CDC batch. And the
+    U/D changeset must be key-unique (Delta/Iceberg MERGE raises on
+    multiple matches; here a duplicate would fan out matched target
+    rows through the left join) — pass ``validate_unique_keys=True``
+    to assert that eagerly (one aggregate over the changeset), or
+    guarantee it upstream, e.g. by compacting the CDC batch to its
+    latest op per key first.
+
     Plan: ONE left join on the target's natural key (AQE broadcasts a
     small changeset and skew-splits hot keys on its own) + a union of
     the inserts — the same plan Delta/Iceberg MERGE lowers to; no
@@ -203,6 +217,22 @@ def merge_upsert(
     """
     _check_reserved(target)
     _check_reserved(changes)
+    if validate_unique_keys:
+        dup = (
+            changes.filter(F.col(op_col).isin("U", "D"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_wh_n"))
+            .filter(F.col("_wh_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "merge_upsert: changeset has multiple U/D rows for key "
+                f"{tuple(dup[0][k] for k in keys)!r} — MERGE requires at "
+                "most one match per target row (compact the CDC batch to "
+                "its latest op per key first)"
+            )
     if update_map is None:
         update_map = {
             c: c
@@ -238,7 +268,15 @@ def merge_upsert(
     if set(target.columns) <= set(changes.columns):
         inserts = changes.filter(F.col(op_col) == "I").select(*target.columns)
         return merged.unionByName(inserts)
-    # update/delete-only changesets need not carry the full target schema
+    # Update/delete-only changesets need not carry the full target
+    # schema — but then they must actually be update/delete-only:
+    # dropping 'I' rows silently would lose data (round-8 ADVICE).
+    if changes.filter(F.col(op_col) == "I").limit(1).count() > 0:
+        missing = sorted(set(target.columns) - set(changes.columns))
+        raise ValueError(
+            "merge_upsert: changeset contains 'I' rows but lacks target "
+            f"columns {missing} — inserts must carry every target column"
+        )
     return merged
 
 
@@ -371,6 +409,7 @@ def gapfill(
     value_cols: Mapping[str, str],
     *,
     step: str = "1 day",
+    validate: bool = False,
 ) -> DataFrame:
     """Dense time spine + fill: every (key, tick) in the data's own
     [min, max] range gets a row → keys + ``ts_col`` + filled
@@ -381,6 +420,15 @@ def gapfill(
     last observed value forward — levels/sums; leading gaps stay NULL).
     ``step`` is a SQL interval body (``'1 day'``, ``'15 minutes'``).
     Input is one row per (keys, ts) — aggregate first.
+
+    PRECONDITION (round-8 ADVICE): input timestamps must lie ON the
+    grid ``min(ts) + k*step`` — the spine is the anchor for a LEFT
+    join, so a row off the grid matches no tick and silently vanishes
+    (it is neither emitted nor visible to ffill). Truncate/bucket
+    timestamps to the step first (``date_trunc``/``window``). Pass
+    ``validate=True`` to assert alignment eagerly: one anti-join probe
+    (short-circuiting ``limit(1)``) raises ``ValueError`` naming an
+    offending timestamp instead of dropping it.
 
     Plan: the spine is generated relationally from the data's own
     min/max (``sequence`` + ``explode`` — no driver collect), sized
@@ -399,6 +447,19 @@ def gapfill(
         ).alias(ts_col)
     )
     spine = ticks.crossJoin(df.select(*keys).distinct()) if keys else ticks
+    if validate:
+        off_grid = (
+            df.select(ts_col)
+            .join(ticks, [ts_col], "left_anti")
+            .limit(1)
+            .collect()
+        )
+        if off_grid:
+            raise ValueError(
+                f"gapfill: input timestamp {off_grid[0][0]!r} is not on "
+                f"the min(ts) + k*({step}) grid — truncate/bucket "
+                "timestamps to the step first, or those rows are lost"
+            )
     joined = spine.join(df, [ts_col, *keys], "left")
     w = (
         Window.partitionBy(*keys)
@@ -438,7 +499,10 @@ def surrogate_keys(
     (``operators.ranks.ranked``) — never a single-partition window — so
     a billion-row dimension ranks at ~n/B rows per task. The bucket
     proxy derives from the leading column's type (string → big-endian
-    8-byte prefix, numeric/date/timestamp → double). For a dimension so
+    8-byte prefix, numeric/date/timestamp → double); NULL natural-key
+    columns are legal — they proxy to the bottom of the order (''/−inf,
+    round-8 ADVICE fix), matching the in-bucket window's nulls-first
+    sort, so NULL keys get the smallest surrogate ids. For a dimension so
     large even dense ids are pointless, prefer ``xxhash64`` of the
     natural key instead (sparse but join-stable). Extracted from the
     ``dim_surrogate_keys_sketch`` binding (queries/warehouse.py).
@@ -455,17 +519,43 @@ def surrogate_keys(
     dims = df.select(*cols).distinct()
     lead_t = dims.schema[cols[0]].dataType
     if isinstance(lead_t, T.StringType):
-        # NUL separator keeps concatenation order == tuple order for the
-        # string prefix proxy (proper prefixes sort below extensions).
+        # Order-preserving tuple encoding (round-8 ADVICE fix): each
+        # column encodes as '' when NULL else '\x01' + value, joined by
+        # '\x00'. NULL ('') sorts strictly below every value ('\x01'…) —
+        # matching the in-bucket window's nulls-first order — and the
+        # separator sorts below every encoding's first byte, so the
+        # concatenation is monotone in the (cols…) tuple order. (The
+        # previous concat_ws SKIPPED nulls, collapsing the separator;
+        # and a naive NULL→'' coalesce ties NULL with '' so later
+        # columns invert the order across bucket boundaries.)
+        # PRECONDITION: values must not contain the NUL byte — a NUL
+        # inside a value can re-order against the separator. Natural
+        # keys never do; collisions elsewhere are harmless (same
+        # bucket, window resolves) but NUL can genuinely invert.
+        pieces: list[Column] = []
+        for i, c in enumerate(cols):
+            if i:
+                pieces.append(F.lit("\x00"))
+            pieces.append(
+                F.coalesce(
+                    F.concat(F.lit("\x01"), F.col(c).cast("string")),
+                    F.lit(""),
+                )
+            )
         proxy = string_bucket_key(
-            F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols])
-            if len(cols) > 1
-            else F.col(cols[0])
+            F.concat(*pieces) if len(pieces) > 1 else pieces[0]
         )
     elif isinstance(lead_t, (T.DateType, T.TimestampType, T.TimestampNTZType)):
-        proxy = F.col(cols[0]).cast("timestamp").cast("double")
+        # NULL leading keys proxy to -inf: below every real value, so
+        # the bucket order agrees with the window's nulls-first sort.
+        proxy = F.coalesce(
+            F.col(cols[0]).cast("timestamp").cast("double"),
+            F.lit(float("-inf")),
+        )
     else:
-        proxy = F.col(cols[0]).cast("double")
+        proxy = F.coalesce(
+            F.col(cols[0]).cast("double"), F.lit(float("-inf"))
+        )
     r = ranked(
         dims,
         proxy,

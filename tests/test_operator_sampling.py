@@ -66,6 +66,21 @@ def test_weighted_sample_prefers_heavy(spark):
     assert sorted(r.k for r in picks) == sorted(r.k for r in again)
 
 
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    # round-8 ADVICE guard: weight 0 -> -ln(u)/0 = +/-inf and negative
+    # weights give negative keys that would SORT FIRST and dominate the
+    # k-smallest selection; both are excluded before scoring instead.
+    rows = (
+        [Row(k=i, w=1.0) for i in range(10)]
+        + [Row(k=100 + i, w=0.0) for i in range(5)]
+        + [Row(k=200 + i, w=-3.0) for i in range(5)]
+        + [Row(k=300, w=None)]
+    )
+    picks = weighted_sample(spark.createDataFrame(rows), "k", "w", 50).collect()
+    assert sorted(r.k for r in picks) == list(range(10))
+    assert all(r.score >= 0 for r in picks)
+
+
 def test_balanced_sample_equalizes(spark):
     rows = [Row(pk=i, lbl="maj") for i in range(900)]
     rows += [Row(pk=1000 + i, lbl="min") for i in range(70)]

@@ -260,3 +260,86 @@ def test_interval_merge_touching_intervals_merge(spark):
         spark.createDataFrame(rows), ["g"], "s", "e", tiebreak_cols=["i"]
     ).collect()
     assert len(out) == 1 and out[0].span_start == 0 and out[0].span_end == 20
+
+
+# ---------------------------------------------------------------------------
+# Round-8 ADVICE guards: loud failures instead of silent divergence
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_raises_on_dropped_inserts(spark):
+    # changeset lacks target column 'site' but carries an 'I' row: the
+    # old code silently skipped the insert branch (data loss)
+    target = spark.createDataFrame([Row(sku=1, qty=10, site="w1")])
+    changes = spark.createDataFrame(
+        [Row(sku=9, op="I", qty=70), Row(sku=1, op="U", qty=11)]
+    )
+    with pytest.raises(ValueError, match="'I' rows but lacks target"):
+        merge_upsert(target, changes, ["sku"])
+    # the same partial changeset WITHOUT inserts is fine
+    ud_only = changes.filter("op <> 'I'")
+    got = {r.sku: r.qty for r in merge_upsert(target, ud_only, ["sku"]).collect()}
+    assert got == {1: 11}
+
+
+def test_merge_upsert_validate_unique_keys(spark):
+    target = spark.createDataFrame([Row(k=1, v=5), Row(k=2, v=6)])
+    dup = spark.createDataFrame(
+        [Row(k=2, op="U", v=60), Row(k=2, op="U", v=61)]
+    )
+    with pytest.raises(ValueError, match="multiple U/D rows"):
+        merge_upsert(target, dup, ["k"], validate_unique_keys=True)
+    ok = spark.createDataFrame([Row(k=2, op="U", v=60), Row(k=1, op="D", v=None)])
+    got = {
+        r.k: r.v
+        for r in merge_upsert(
+            target, ok, ["k"], validate_unique_keys=True
+        ).collect()
+    }
+    assert got == {2: 60}
+
+
+def test_gapfill_validate_rejects_off_grid_rows(spark):
+    from datetime import datetime
+
+    aligned = [
+        Row(m="cpu", at=datetime(2024, 1, 1, 0), v=1.0),
+        Row(m="cpu", at=datetime(2024, 1, 1, 12), v=3.0),
+    ]
+    out = gapfill(
+        spark.createDataFrame(aligned), ["m"], "at", {"v": "ffill"},
+        step="6 hours", validate=True,
+    ).collect()
+    assert len(out) == 3  # 0h, 6h, 12h
+    off = aligned + [Row(m="cpu", at=datetime(2024, 1, 1, 7), v=9.0)]
+    with pytest.raises(ValueError, match="not on\nthe min|not on the min"):
+        gapfill(
+            spark.createDataFrame(off), ["m"], "at", {"v": "ffill"},
+            step="6 hours", validate=True,
+        ).collect()
+
+
+def test_surrogate_keys_null_key_columns(spark):
+    # concat_ws SKIPS nulls: pre-fix, the ('a', NULL, ci) cluster's
+    # bucket proxy 'a\x00ci' sorted ABOVE the ('a', '', ci) cluster's
+    # 'a\x00\x00ci' while tuple order (nulls first) puts it BELOW —
+    # crossing a bucket boundary, that inverted whole rank blocks.
+    rows = (
+        [Row(c1="a", c2=None, c3=f"c{i}") for i in range(10)]
+        + [Row(c1="a", c2="", c3=f"c{i}") for i in range(10)]
+        + [Row(c1=None, c2="x", c3="y"), Row(c1="b", c2="z", c3=None)]
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.c1, r.c2, r.c3): r.dim_sk
+        for r in surrogate_keys(df, ["c1", "c2", "c3"], n_buckets=4).collect()
+    }
+
+    def key(t):
+        return tuple((0, "") if v is None else (1, v) for v in t)
+
+    expected = {
+        t: i + 1
+        for i, t in enumerate(sorted({(r.c1, r.c2, r.c3) for r in rows}, key=key))
+    }
+    assert out == expected
