@@ -35,6 +35,8 @@ from dataframe_differ_spark.operators.diff_core import (
 from dataframe_differ_spark.operators.dedup import (
     connected_components,
     exact_dedup,
+    fastss_pairs,
+    fastss_signatures,
     minhash_dedup,
     semantic_dedup,
     simhash_dedup,
@@ -123,9 +125,15 @@ from dataframe_differ_spark.operators.timeseries import (
     seasonality,
     theil_sen,
 )
+from dataframe_differ_spark.operators.persistence import (
+    Artifact,
+    load_artifact,
+    save_artifact,
+)
 from dataframe_differ_spark.operators.tokenize import (
     bpe_pair_stats,
     bpe_segment,
+    bpe_segment_with_merges,
     chunk_docs,
     train_bpe,
     wordpiece_apply,
@@ -219,6 +227,8 @@ __all__ = [
     # LLM-pipeline operator library (round-5 extraction; SURVEY.md §12)
     "connected_components",
     "exact_dedup",
+    "fastss_pairs",
+    "fastss_signatures",
     "minhash_dedup",
     "semantic_dedup",
     "simhash_dedup",
@@ -243,9 +253,14 @@ __all__ = [
     # tokenizer operator library (round-7 extraction; SURVEY.md §14)
     "bpe_pair_stats",
     "bpe_segment",
+    "bpe_segment_with_merges",
     "train_bpe",
     "wordpiece_apply",
     "chunk_docs",
+    # artifact persistence (round 8; SURVEY.md §15)
+    "Artifact",
+    "save_artifact",
+    "load_artifact",
     # warehouse / CDC operator library (round-7 extraction; SURVEY.md §14)
     "scd2_build",
     "scd2_apply",

@@ -44,6 +44,8 @@ __all__ = [
     "simhash_dedup",
     "semantic_dedup",
     "connected_components",
+    "fastss_signatures",
+    "fastss_pairs",
 ]
 
 
@@ -492,3 +494,123 @@ def connected_components(
     if changed != 0:
         raise RuntimeError(f"CC did not converge within bound ({changed} moving)")
     return labels.withColumnRenamed("label", "component_id")
+
+
+def fastss_signatures(
+    df: DataFrame,
+    text_col: str,
+    *,
+    max_deletes: int = 2,
+    sig_col: str = "sig",
+    repartition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """FastSS deletion-neighborhood signatures (Bocek et al. 2007) →
+    the input columns + one ``sig_col`` BIGINT row per neighborhood
+    variant: every string obtained by deleting at most ``max_deletes``
+    characters from ``text_col`` (~1 + L + L²/2 variants at the default
+    2), hashed with ``xxhash64``.
+
+    Two rows at edit distance ≤ ``max_deletes`` are GUARANTEED to share
+    a signature (each edit op deletes at most one aligned char from
+    each side), so an equi-join on ``sig_col`` is a provable candidate
+    superset for fuzzy matching — O(n·L²) signature rows instead of
+    O(n²) pairs. This frame is the reusable blocking artifact: persist
+    it via ``operators.persistence.save_artifact`` (kind
+    ``fastss_signatures``) and probe new batches against it without
+    re-expanding the corpus.
+
+    ``max_deletes`` ∈ {1, 2} (the neighborhood grows O(L^d) — beyond 2
+    the scheme stops paying). ``repartition_by`` spreads the input
+    BEFORE the ~100× variant explode — pass the entity key when the
+    input arrives in few splits (a row-amplifying operator must
+    rebalance before amplification; AQE's next-shuffle rebalance is
+    too late for the explode's own task).
+
+    Round-8 extraction of the ``dedup_fuzzy_names`` binding's blocking
+    stage (queries/warehouse.py), column-name-agnostic.
+    """
+    _check_reserved(df)
+    if max_deletes not in (1, 2):
+        raise ValueError("max_deletes must be 1 or 2")
+    t = text_col
+    L = F.length(t)
+    del1 = F.expr(
+        f"transform(sequence(1, length({t})), d -> "
+        f"concat(substring({t}, 1, d - 1), substring({t}, d + 1, length({t}))))"
+    )
+    parts = [F.array(F.col(t)), F.when(L >= 1, del1).otherwise(F.array())]
+    if max_deletes >= 2:
+        del2 = F.expr(
+            f"flatten(transform(sequence(1, length({t}) - 1), d1 -> "
+            f"transform(sequence(d1 + 1, length({t})), d2 -> "
+            f"concat(substring({t}, 1, d1 - 1), "
+            f"substring({t}, d1 + 1, d2 - d1 - 1), "
+            f"substring({t}, d2 + 1, length({t}))))))"
+        )
+        parts.append(F.when(L >= 2, del2).otherwise(F.array()))
+    variants = F.array_distinct(F.concat(*parts))
+    base = df.repartition(*repartition_by) if repartition_by else df
+    return base.select(
+        *df.columns, F.explode(variants).alias("_dd_v")
+    ).select(*df.columns, F.xxhash64("_dd_v").alias(sig_col))
+
+
+def fastss_pairs(
+    sigs: DataFrame,
+    key_col: str,
+    text_col: str,
+    *,
+    block_cols: Sequence[str] = (),
+    sig_col: str = "sig",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Verified fuzzy-duplicate pairs from a :func:`fastss_signatures`
+    frame → ``(<key>_a, <key>_b, *block_cols, dist)`` for every pair
+    within Levenshtein distance ``max_dist`` sharing a signature (and
+    every ``block_cols`` value).
+
+    Plan (the ``dedup_fuzzy_names`` plan, parametric): bucket members
+    per (block, signature) via ``collect_list`` — a self-join would
+    recompute the variant explode on both sides — generate canonical
+    in-bucket pairs with array HOFs (``sort_array`` orders members by
+    key, so ``a < b`` by construction), ``distinct`` the candidate
+    superset, then verify with the BANDED ``levenshtein(·,·,max_dist)``
+    (O(k·n) with early exit, returns −1 above the bound). The shuffle
+    key is (block, signature); buckets stay small because a shared
+    variant pins the entire remaining string. For hot-bucket defense at
+    extreme scale, cap buckets first (see the ``_capped`` registry
+    binding's top-64 election).
+    """
+    _check_reserved(sigs.drop(sig_col))
+    blocks = list(block_cols)
+    buckets = (
+        sigs.groupBy(*blocks, sig_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(key_col), F.col(text_col)))
+            ).alias("_dd_m")
+        )
+        .filter(F.size("_dd_m") >= 2)
+    )
+    pairs = buckets.select(
+        *blocks,
+        F.explode(
+            F.expr(
+                "flatten(transform(_dd_m, (x, i) -> "
+                "transform(slice(_dd_m, i + 2, size(_dd_m) - i - 1), "
+                "y -> struct(x, y))))"
+            )
+        ).alias("_dd_p"),
+    )
+    cand = pairs.select(
+        F.col(f"_dd_p.x.{key_col}").alias(f"{key_col}_a"),
+        F.col(f"_dd_p.y.{key_col}").alias(f"{key_col}_b"),
+        *blocks,
+        F.col(f"_dd_p.x.{text_col}").alias("_dd_ta"),
+        F.col(f"_dd_p.y.{text_col}").alias("_dd_tb"),
+    ).distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("_dd_ta", "_dd_tb", max_dist))
+        .filter(F.col("dist") >= 0)
+        .select(f"{key_col}_a", f"{key_col}_b", *blocks, "dist")
+    )

@@ -1,0 +1,202 @@
+"""Save/load for trained derived artifacts (round-8, VERDICT r7 item #1).
+
+At 100 TB the expensive derived artifacts — a BPE merge table, IVF
+centroids, a Bloom filter's bit table, a FastSS signature table — are
+TRAIN-ONCE-REUSE-EVERYWHERE objects: one job builds them, every
+downstream job loads them. Before this module each session rebuilt them
+(the per-(session, sf_dir) ``localCheckpoint`` caches die with the
+session), and a user wiring the README quickstart into a real pipeline
+had to hand-roll ``df.write.parquet`` round-trips and hope the schema
+survived.
+
+The convention is deliberately boring — **plain parquet, documented
+schema, no custom format**:
+
+    <path>/data/   the artifact table itself (plain parquet)
+    <path>/meta/   ONE row: (kind, format_version, params) where
+                   ``params`` is a JSON object string holding the
+                   build parameters the consumer must repeat
+                   (e.g. a Bloom filter's n_bits/n_hashes)
+
+so any engine — Spark on a cluster, DuckDB on a laptop, a plain
+parquet reader — can consume an artifact without this library.
+``save_artifact`` validates the frame against the kind's schema
+contract before writing; ``load_artifact`` re-validates after reading
+and returns the frame plus the stored params, so a pipeline fails at
+load time with a named error instead of mid-job with a type mismatch.
+
+Registered kinds and their schema contracts (extra columns are allowed
+everywhere — contracts pin the columns consumers rely on):
+
+- ``bpe_merges`` — :func:`operators.tokenize.train_bpe` output:
+  ``merge_rank int``, ``left_sym string``, ``right_sym string``
+  (ranks ≥ 1 are the ordered merge rules; the rank-0 baseline row is
+  kept for provenance and ignored by apply). Consumer:
+  :func:`operators.tokenize.bpe_segment_with_merges`.
+- ``ivf_centroids`` — :func:`operators.similarity.ivf_index`
+  centroids: ``cluster_id int``, ``ce array<double>`` (unit-norm).
+  Consumers: :func:`operators.similarity.assign_clusters` (rebuild the
+  index on new data) and :func:`operators.similarity.topk_cosine_ivf`.
+- ``bloom_bits`` — :func:`operators.sketches.bloom_build` output:
+  ``bit bigint``; params MUST carry ``n_bits`` and ``n_hashes`` (the
+  probe re-derives hash positions, so mismatched params would silently
+  probe garbage — load refuses to hand you the frame without them).
+  Consumer: :func:`operators.sketches.bloom_probe`.
+- ``fastss_signatures`` — :func:`operators.dedup.fastss_signatures`
+  output: ``sig bigint`` plus the carried entity columns. Consumer:
+  :func:`operators.dedup.fastss_pairs`.
+
+Scale note: ``save`` is one parquet write of an already-small frame
+(merge tables are n_merges rows, centroid tables K ≈ √N rows, bit
+tables ≤ n_bits rows; FastSS signatures are the one corpus-scale
+artifact and parquet-partition like any fact table). ``load`` is a
+plain parquet scan — column-pruned and predicate-pushed like every
+other source in the engine.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Mapping
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ARTIFACT_KINDS",
+    "Artifact",
+    "save_artifact",
+    "load_artifact",
+]
+
+FORMAT_VERSION = 1
+
+# kind -> {column: type-prefix the column's simpleString must start
+# with}. Prefix matching keeps int/bigint and array<double>/
+# array<float> promotions explicit per kind.
+ARTIFACT_KINDS: dict[str, dict[str, tuple[str, ...]]] = {
+    "bpe_merges": {
+        "merge_rank": ("int", "bigint", "smallint"),
+        "left_sym": ("string",),
+        "right_sym": ("string",),
+    },
+    "ivf_centroids": {
+        "cluster_id": ("int", "bigint"),
+        "ce": ("array<double>", "array<float>"),
+    },
+    "bloom_bits": {
+        "bit": ("bigint", "int"),
+    },
+    "fastss_signatures": {
+        "sig": ("bigint",),
+    },
+}
+
+# Params a kind's consumer cannot run without.
+_REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
+    "bloom_bits": ("n_bits", "n_hashes"),
+}
+
+
+@dataclass(frozen=True)
+class Artifact:
+    """A loaded artifact: the data frame + its stored build params."""
+
+    kind: str
+    df: DataFrame
+    params: dict
+
+
+def _validate(df: DataFrame, kind: str) -> None:
+    if kind not in ARTIFACT_KINDS:
+        raise ValueError(
+            f"unknown artifact kind {kind!r}; known: {sorted(ARTIFACT_KINDS)}"
+        )
+    contract = ARTIFACT_KINDS[kind]
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for col, prefixes in contract.items():
+        if col not in fields:
+            raise ValueError(
+                f"artifact kind {kind!r} requires column {col!r}; frame has "
+                f"{sorted(fields)}"
+            )
+        if not fields[col].startswith(prefixes):
+            raise ValueError(
+                f"artifact kind {kind!r} column {col!r} must be one of "
+                f"{prefixes}, got {fields[col]!r}"
+            )
+
+
+def _check_params(kind: str, params: Mapping) -> None:
+    missing = [p for p in _REQUIRED_PARAMS.get(kind, ()) if p not in params]
+    if missing:
+        raise ValueError(
+            f"artifact kind {kind!r} requires params {missing} "
+            "(the consumer must repeat them to re-derive hashes/shapes)"
+        )
+
+
+def save_artifact(
+    df: DataFrame,
+    path: str,
+    kind: str,
+    *,
+    params: Mapping | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as artifact ``kind`` under ``path`` (plain parquet).
+
+    Validates the frame against the kind's schema contract and the
+    kind's required ``params`` BEFORE writing, so a bad artifact never
+    reaches disk. ``params`` must be JSON-serializable; they are stored
+    in the one-row ``meta`` table and handed back by
+    :func:`load_artifact`.
+    """
+    params = dict(params or {})
+    _validate(df, kind)
+    _check_params(kind, params)
+    spark = df.sparkSession
+    meta = spark.range(1).select(
+        F.lit(kind).alias("kind"),
+        F.lit(FORMAT_VERSION).alias("format_version"),
+        F.lit(json.dumps(params, sort_keys=True)).alias("params"),
+    )
+    # meta first: a data dir without meta reads as corrupt, never as a
+    # silently param-less artifact.
+    meta.coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+    df.write.mode(mode).parquet(f"{path}/data")
+
+
+def load_artifact(
+    spark: SparkSession, path: str, kind: str | None = None
+) -> Artifact:
+    """Load an artifact saved by :func:`save_artifact`.
+
+    Re-validates the stored kind (against ``kind`` if given), the
+    format version, the data schema, and the kind's required params —
+    a mismatch raises a named ``ValueError`` at load time instead of a
+    type error mid-pipeline. Returns :class:`Artifact`; the frame is
+    lazy (nothing is scanned until the consumer acts).
+    """
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"artifact at {path!r}: meta must be exactly one row, got "
+            f"{len(meta_rows)}"
+        )
+    meta = meta_rows[0]
+    if meta.format_version > FORMAT_VERSION:
+        raise ValueError(
+            f"artifact at {path!r} has format_version "
+            f"{meta.format_version} > supported {FORMAT_VERSION}"
+        )
+    if kind is not None and meta.kind != kind:
+        raise ValueError(
+            f"artifact at {path!r} is kind {meta.kind!r}, expected {kind!r}"
+        )
+    params = json.loads(meta.params)
+    df = spark.read.parquet(f"{path}/data")
+    _validate(df, meta.kind)
+    _check_params(meta.kind, params)
+    return Artifact(kind=meta.kind, df=df, params=params)

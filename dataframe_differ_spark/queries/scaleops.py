@@ -2220,6 +2220,78 @@ FROM flag
 """
 
 
+@register("sketch_bloom_persisted", oracle=_BLOOM_SQL)
+def q_sketch_bloom_persisted(spark, sf_dir):
+    """`sketch_bloom_membership` through the round-8 persistence layer:
+    the bit table is built, SAVED with ``save_artifact`` (plain-parquet
+    ``data``/``meta`` dirs, kind ``bloom_bits``, params carrying
+    n_bits/n_hashes), RELOADED with ``load_artifact``, and the probe
+    runs against the loaded frame using the STORED params — proving
+    save → load is identity on the filter (the same DuckDB oracle must
+    hash-match, false positives included).
+
+    This is the train-once-reuse-everywhere shape at 100 TB: the build
+    scan runs in the producing job only; every consumer loads a ≤m-row
+    broadcastable parquet. The artifact path is keyed by the sf dir so
+    concurrent scales don't collide; overwrite mode makes reruns
+    idempotent.
+    """
+    import os
+
+    from dataframe_differ_spark.operators.persistence import (
+        load_artifact,
+        save_artifact,
+    )
+    from dataframe_differ_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") < 0).select("c_custkey").distinct()
+    bits = bloom_build(a, "c_custkey", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K)
+    path = os.path.join(
+        "/tmp", "dds_artifacts", f"bloom_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    save_artifact(
+        bits, path, "bloom_bits",
+        params={"n_bits": _BLOOM_BITS, "n_hashes": _BLOOM_K},
+    )
+    art = load_artifact(spark, path, "bloom_bits")
+    probe = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    )
+    probed = bloom_probe(
+        art.df, probe, "o_custkey",
+        n_bits=art.params["n_bits"], n_hashes=art.params["n_hashes"],
+    )
+    flag = probed.join(
+        a.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+            "_m", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
+    ).select(
+        "bloom_positive", F.col("_m").isNotNull().alias("is_member")
+    )
+    n_set = a.agg(F.count(F.lit(1)).alias("n_set"))
+    n_bits_set = art.df.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    pos = F.col("bloom_positive")
+    mem = F.col("is_member")
+    return flag.crossJoin(F.broadcast(n_set)).crossJoin(
+        F.broadcast(n_bits_set)
+    ).groupBy("n_set", "n_bits_set").agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(pos.cast("long")).alias("n_positive"),
+        F.sum((pos & ~mem).cast("long")).alias("n_false_positive"),
+        F.sum((~pos & mem).cast("long")).alias("n_false_negative"),
+        F.round(
+            F.sum((pos & ~mem).cast("double")) / F.sum((~mem).cast("long")),
+            9,
+        ).alias("fpr"),
+    )
+
+
 @register("sketch_bloom_membership", oracle=_BLOOM_SQL)
 def q_sketch_bloom_membership(spark, sf_dir):
     """Bloom-filter membership screen with its false-positive rate

@@ -447,10 +447,13 @@ def q_agg_incremental_maintain(spark, sf_dir):
 def _fastss_variants():
     """FastSS ≤2-deletion neighborhood of ``c_name`` as an array Column.
 
-    Shared by the exact (`dedup_fuzzy_names`) and capped
-    (`dedup_fuzzy_names_capped`) forms so the blocking scheme cannot
-    drift between them. Built entirely with JVM-side HOFs
-    (transform/flatten over index sequences) — no Python per row.
+    Used by the capped form (`dedup_fuzzy_names_capped`, md5-portable
+    sigs); the exact form rebound to the round-8 parametric
+    :func:`operators.dedup.fastss_signatures`, whose variant expression
+    is this one with the column name parameterized — the pytest
+    agreement test between capped and exact keeps the two from
+    drifting. Built entirely with JVM-side HOFs (transform/flatten over
+    index sequences) — no Python per row.
     """
     L = F.length("c_name")
     del1 = F.expr(
@@ -503,63 +506,35 @@ def q_dedup_fuzzy_names(spark, sf_dir):
     pairs; the shuffle key is (nation, signature) whose buckets stay
     small because a shared variant pins the entire remaining string.
     Pure relational plan — survives 100 TB where the all-pairs form dies.
+
+    Round 8: thin binding over the parametric
+    :func:`operators.dedup.fastss_signatures` /
+    :func:`operators.dedup.fastss_pairs` (bit-identical plan — the
+    extraction moved the code, not the shape). ``repartition_by``
+    rebalances BEFORE the ~100× variant explode (AQE only rebalances at
+    the next shuffle — too late for the explode's own task), and names
+    travel INSIDE the signature rows (the narrow re-join alternative
+    measured 1.6× slower at 10× data — see fastss_pairs's docstring).
+    The signature frame is also the persistable blocking artifact
+    (operators/persistence.py kind ``fastss_signatures``).
     """
-    c = load_table(spark, sf_dir, "customer")
-    variants = _fastss_variants()
-    # Rebalance BEFORE the ~100× variant explode: the parquet scan of a
-    # small dim arrives as one split, and a row-amplifying operator must
-    # spread before amplification, not after (AQE only rebalances at the
-    # next shuffle — too late for the explode's own task).
-    #
-    # Names travel INSIDE the signature shuffle and buckets. The narrow
-    # alternative (bare custkeys + re-joining names onto the candidate
-    # set) was measured 1.6× SLOWER at 10× data: on dup-dense corpora the
-    # candidate stream is far larger than the signature stream, and the
-    # two name re-joins each reshuffle it. Carrying the name once in the
-    # signature row costs width where volume is small and saves shuffles
-    # where volume is large.
-    sigs = (
-        c.repartition("c_custkey")
-        .select(
-            "c_custkey",
-            "c_name",
-            "c_nationkey",
-            F.explode(variants).alias("v"),
-        )
-        .select("c_custkey", "c_name", "c_nationkey", F.xxhash64("v").alias("sig"))
+    from dataframe_differ_spark.operators.dedup import (
+        fastss_pairs,
+        fastss_signatures,
     )
-    # Bucket members per signature instead of a self-join: the explode +
-    # variant construction runs ONCE (a self-join would recompute it on
-    # both sides), and pair generation happens in-bucket with array HOFs.
-    # sort_array orders members by custkey, so pairs come out canonical.
-    buckets = (
-        sigs.groupBy("c_nationkey", "sig")
-        .agg(F.sort_array(F.collect_list(F.struct("c_custkey", "c_name"))).alias("m"))
-        .filter(F.size("m") >= 2)
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
     )
-    pairs = buckets.select(
+    sigs = fastss_signatures(c, "c_name", repartition_by=["c_custkey"])
+    pairs = fastss_pairs(
+        sigs, "c_custkey", "c_name", block_cols=["c_nationkey"], max_dist=2
+    )
+    return pairs.select(
+        F.col("c_custkey_a").alias("custkey_a"),
+        F.col("c_custkey_b").alias("custkey_b"),
         F.col("c_nationkey").alias("nationkey"),
-        F.explode(
-            F.expr(
-                "flatten(transform(m, (x, i) -> "
-                "transform(slice(m, i + 2, size(m) - i - 1), y -> struct(x, y))))"
-            )
-        ).alias("p"),
-    )
-    cand = pairs.select(
-        F.col("p.x.c_custkey").alias("custkey_a"),
-        F.col("p.y.c_custkey").alias("custkey_b"),
-        "nationkey",
-        F.col("p.x.c_name").alias("name_a"),
-        F.col("p.y.c_name").alias("name_b"),
-    ).distinct()
-    return (
-        cand
-        # Threshold form runs the banded O(k·n) DP with early exit (returns
-        # -1 above the bound) instead of the full O(n²) table.
-        .withColumn("dist", F.levenshtein("name_a", "name_b", 2))
-        .filter(F.col("dist") >= 0)
-        .select("custkey_a", "custkey_b", "nationkey", "dist")
+        "dist",
     )
 
 

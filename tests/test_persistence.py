@@ -1,0 +1,233 @@
+"""Round-trip tests for artifact persistence (round 8, VERDICT r7 #1).
+
+Each trained artifact — BPE merges, IVF centroids, Bloom bit table,
+FastSS signatures — is saved with ``save_artifact``, loaded through a
+FRESH session (``spark.newSession()`` — separate session state, so the
+original session's caches/temp state cannot leak into the load path),
+and its downstream operator output is asserted identical to the
+unpersisted path and pinned against hand-computed expectations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from dataframe_differ_spark.operators.persistence import (
+    load_artifact,
+    save_artifact,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge table
+# ---------------------------------------------------------------------------
+
+BPE_CORPUS = ["low low low low low", "ob ob ob ob ob ob slob"]
+
+
+def test_bpe_merges_roundtrip(spark, tmp_path):
+    from dataframe_differ_spark.operators.tokenize import (
+        bpe_segment,
+        bpe_segment_with_merges,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame([Row(body=t) for t in BPE_CORPUS])
+    merges = train_bpe(docs, "body", n_merges=2)
+    path = str(tmp_path / "bpe")
+    save_artifact(merges, path, "bpe_merges")
+
+    fresh = spark.newSession()
+    art = load_artifact(fresh, path, "bpe_merges")
+    assert art.kind == "bpe_merges"
+    # rules survive in rank order
+    rules = [
+        (r.left_sym, r.right_sym)
+        for r in art.df.filter("merge_rank >= 1").orderBy("merge_rank").collect()
+    ]
+    assert rules == [("o", "b"), ("l", "o")]
+
+    docs2 = fresh.createDataFrame([Row(body=t) for t in BPE_CORPUS])
+    seg_loaded = {
+        r.word: list(r.subwords)
+        for r in bpe_segment_with_merges(docs2, "body", art.df).collect()
+    }
+    # golden-pinned (the boundary corpus): slob must stay [s, l, ob]
+    assert seg_loaded == {
+        "low": ["lo", "w"],
+        "ob": ["ob"],
+        "slob": ["s", "l", "ob"],
+    }
+    # identical to the retrain-inline path
+    seg_inline = {
+        r.word: list(r.subwords)
+        for r in bpe_segment(docs, "body", n_merges=2).collect()
+    }
+    assert seg_loaded == seg_inline
+
+
+def test_bpe_segment_with_merges_accepts_pairs(spark):
+    from dataframe_differ_spark.operators.tokenize import (
+        bpe_segment_with_merges,
+    )
+
+    docs = spark.createDataFrame([Row(body=t) for t in BPE_CORPUS])
+    seg = {
+        r.word: list(r.subwords)
+        for r in bpe_segment_with_merges(
+            docs, "body", [("o", "b"), ("l", "o")]
+        ).collect()
+    }
+    assert seg["slob"] == ["s", "l", "ob"]
+    with pytest.raises(ValueError, match="empty"):
+        bpe_segment_with_merges(docs, "body", [])
+
+
+# ---------------------------------------------------------------------------
+# IVF centroids
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_centroids_roundtrip(spark, tmp_path):
+    from dataframe_differ_spark.operators.similarity import (
+        assign_clusters,
+        ivf_index,
+    )
+
+    vecs = [
+        Row(vec_id=i, e=[float(i % 4 == j) + 0.01 * i for j in range(4)])
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(vecs)
+    index, centroids = ivf_index(df, "vec_id", "e", n_clusters=4)
+    path = str(tmp_path / "ivf")
+    save_artifact(centroids, path, "ivf_centroids", params={"dim": 4})
+
+    fresh = spark.newSession()
+    art = load_artifact(fresh, path, "ivf_centroids")
+    assert art.params == {"dim": 4}
+    df2 = fresh.createDataFrame(vecs)
+    got = _rows(assign_clusters(df2, art.df, "vec_id", "e").select("vec_id", "cluster_id"))
+    want = _rows(assign_clusters(df, centroids, "vec_id", "e").select("vec_id", "cluster_id"))
+    assert got == want and len(got) == 32
+
+
+# ---------------------------------------------------------------------------
+# Bloom bit table
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_bits_roundtrip(spark, tmp_path):
+    from dataframe_differ_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame([Row(k=f"key{i}") for i in range(50)])
+    bits = bloom_build(keys, "k", n_bits=4096, n_hashes=3)
+    path = str(tmp_path / "bloom")
+    # params are REQUIRED for bloom — the probe must repeat them
+    with pytest.raises(ValueError, match="requires params"):
+        save_artifact(bits, path, "bloom_bits")
+    save_artifact(bits, path, "bloom_bits", params={"n_bits": 4096, "n_hashes": 3})
+
+    fresh = spark.newSession()
+    art = load_artifact(fresh, path, "bloom_bits")
+    probe_df = fresh.createDataFrame(
+        [Row(k=f"key{i}") for i in range(45, 55)]  # 5 present, 5 absent
+    )
+    got = {
+        r.k: r.bloom_positive
+        for r in bloom_probe(
+            art.df,
+            probe_df,
+            "k",
+            n_bits=art.params["n_bits"],
+            n_hashes=art.params["n_hashes"],
+        ).collect()
+    }
+    # no false negatives, ever
+    assert all(got[f"key{i}"] for i in range(45, 50))
+    # identical to the unpersisted probe (including any false positives)
+    want = {
+        r.k: r.bloom_positive
+        for r in bloom_probe(
+            bits,
+            spark.createDataFrame([Row(k=f"key{i}") for i in range(45, 55)]),
+            "k",
+            n_bits=4096,
+            n_hashes=3,
+        ).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# FastSS signature table
+# ---------------------------------------------------------------------------
+
+
+def test_fastss_signatures_roundtrip(spark, tmp_path):
+    from dataframe_differ_spark.operators.dedup import (
+        fastss_pairs,
+        fastss_signatures,
+    )
+
+    names = [
+        Row(pk=1, nm="abc", grp=0),
+        Row(pk=2, nm="abd", grp=0),
+        Row(pk=3, nm="xyz", grp=0),
+        Row(pk=4, nm="abc", grp=1),  # same name, other block: no pair
+    ]
+    df = spark.createDataFrame(names)
+    sigs = fastss_signatures(df, "nm")
+    path = str(tmp_path / "fastss")
+    save_artifact(sigs, path, "fastss_signatures", params={"max_deletes": 2})
+
+    fresh = spark.newSession()
+    art = load_artifact(fresh, path, "fastss_signatures")
+    got = _rows(
+        fastss_pairs(art.df, "pk", "nm", block_cols=["grp"], max_dist=2)
+    )
+    # golden-pinned: only (1, 2) within block 0 at distance 1
+    assert got == [(1, 2, 0, 1)]
+    want = _rows(fastss_pairs(sigs, "pk", "nm", block_cols=["grp"], max_dist=2))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Contract validation
+# ---------------------------------------------------------------------------
+
+
+def test_artifact_validation(spark, tmp_path):
+    df = spark.createDataFrame([Row(bit=1)])
+    with pytest.raises(ValueError, match="unknown artifact kind"):
+        save_artifact(df, str(tmp_path / "x"), "nope")
+    with pytest.raises(ValueError, match="requires column"):
+        save_artifact(
+            spark.createDataFrame([Row(wrong=1)]),
+            str(tmp_path / "x"),
+            "bloom_bits",
+            params={"n_bits": 8, "n_hashes": 1},
+        )
+    # wrong column type
+    with pytest.raises(ValueError, match="must be one of"):
+        save_artifact(
+            spark.createDataFrame([Row(bit="a")]),
+            str(tmp_path / "x"),
+            "bloom_bits",
+            params={"n_bits": 8, "n_hashes": 1},
+        )
+    # kind mismatch at load
+    p = str(tmp_path / "ok")
+    save_artifact(df, p, "bloom_bits", params={"n_bits": 8, "n_hashes": 1})
+    with pytest.raises(ValueError, match="is kind 'bloom_bits'"):
+        load_artifact(spark, p, "bpe_merges")
+    art = load_artifact(spark, p)  # kind=None: accept what's stored
+    assert art.kind == "bloom_bits" and art.params["n_bits"] == 8
