@@ -216,7 +216,11 @@ def bfs_hops(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    cap: int | None = None,
 ) -> DataFrame:
     """Per-node triangle participation → ``(node, n_triangles, degree)``.
 
@@ -228,6 +232,21 @@ def triangle_count(
     distributed triangle recipe (three self-equi-joins, all
     shuffle-partitioned on uniform vertex keys). Nodes in no triangle
     are absent from the output. All-integer math.
+
+    ``cap=None`` is the EXACT form: orientation bounds wedge work by
+    degree, but a 100 TB hot vertex still pays C(out-deg, 2) on the
+    highest-degree wedge center. ``cap=k`` is the declared 100 TB form
+    (round 8 — the ``link_prediction(cap=)`` contract): each vertex's
+    ORIENTED out-neighborhood is first sampled down to its top-``k``
+    out-neighbors by md5(a:b) (deterministic, engine-portable hash
+    order → an unbiased fixed-size sample), so wedge cost drops to
+    O(V·k²). A triangle is counted iff all three of its oriented edges
+    survive the cap; counts are exact wherever every participating
+    vertex's oriented out-degree ≤ cap (orientation already keeps
+    out-degrees ≤ ~√|E|, so the cap binds only on the hot tail it
+    exists to protect). The reported ``degree`` stays the TRUE degree.
+    The cap is the two-phase ``partitioned_topk`` (operators/ranks) —
+    no per-vertex window ever sees more than ~k·partitions rows.
     """
     e = _norm(edges, src, dst)
     deg = (
@@ -249,6 +268,15 @@ def triangle_count(
             F.when(lower, F.col("_g_v")).otherwise(F.col("_g_u")).alias("_g_b"),
         )
     )
+    if cap is not None:
+        from dataframe_differ_spark.operators.ranks import partitioned_topk
+
+        hkey = F.md5(
+            F.concat_ws(
+                ":", F.col("_g_a").cast("string"), F.col("_g_b").cast("string")
+            )
+        )
+        ori = partitioned_topk(ori, ["_g_a"], [hkey, "_g_b"], cap)
     w1 = ori.select(F.col("_g_a").alias("_g_x"), F.col("_g_b").alias("_g_y"))
     w2 = ori.select(F.col("_g_a").alias("_g_y"), F.col("_g_b").alias("_g_z"))
     w3 = ori.select(F.col("_g_a").alias("_g_x"), F.col("_g_b").alias("_g_z"))

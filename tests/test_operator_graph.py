@@ -149,3 +149,36 @@ def test_reserved_prefix_rejected(spark):
     df = spark.createDataFrame([Row(_g_u=1, b=2)])
     with pytest.raises(ValueError, match="_g_"):
         degrees(df, "_g_u", "b")
+
+
+def test_triangle_count_cap_equals_exact_when_unbinding(spark, edges_df):
+    # round 8: max oriented out-degree here is tiny, so cap=10 must be
+    # a no-op — the capped-sibling agreement contract
+    exact = sorted(map(tuple, triangle_count(edges_df, "frm", "tto").collect()))
+    capped = sorted(
+        map(tuple, triangle_count(edges_df, "frm", "tto", cap=10).collect())
+    )
+    assert exact == capped and exact  # K4 guarantees triangles exist
+
+
+def test_triangle_count_cap_bounds_hot_vertex(spark):
+    # a star/fan never makes a hot ORIENTED out-degree (compact-forward
+    # pushes hub edges onto the leaves) — the genuine hot case is a
+    # CLIQUE, where all degrees tie and orientation falls back to the
+    # vertex id: vertex i keeps out-edges to every j > i, so vertex 0's
+    # oriented out-degree is n-1. K12: exact triangles = C(12,3) = 220.
+    n = 12
+    rows = [Row(a=i, b=j) for i in range(n) for j in range(i + 1, n)]
+    df = spark.createDataFrame(rows)
+    exact = triangle_count(df, "a", "b")
+    total_exact = exact.agg(F.sum("n_triangles")).collect()[0][0]
+    assert total_exact == 3 * 220  # 220 triangles, 3 corners each
+    capped = triangle_count(df, "a", "b", cap=4)
+    rows_c = {r.node: r for r in capped.collect()}
+    total_capped = sum(r.n_triangles for r in rows_c.values())
+    # every vertex keeps <= 4 oriented out-neighbors, so triangles
+    # through each wedge center are <= C(4,2) = 6: total <= 3*12*6
+    assert 0 < total_capped < total_exact
+    assert total_capped <= 3 * n * 6
+    # true degrees are reported regardless of the cap
+    assert all(r.degree == n - 1 for r in rows_c.values())

@@ -193,6 +193,9 @@ HEADLINE = [
     "join_asof_nearest",
     "stats_friedman",
     "text_rake_keywords",
+    # round-8 additions
+    "sketch_bloom_persisted",
+    "graph_triangle_count_capped",
 ]
 
 
