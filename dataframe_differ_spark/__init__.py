@@ -45,6 +45,8 @@ from dataframe_differ_spark.operators.graph import (
     bfs_hops,
     degree_assortativity,
     degrees,
+    kcore,
+    label_propagation,
     link_prediction,
     pagerank,
     symmetrize,
@@ -220,6 +222,8 @@ __all__ = [
     "bfs_hops",
     "degree_assortativity",
     "degrees",
+    "kcore",
+    "label_propagation",
     "link_prediction",
     "pagerank",
     "symmetrize",

@@ -51,6 +51,8 @@ __all__ = [
     "pagerank",
     "bfs_hops",
     "triangle_count",
+    "kcore",
+    "label_propagation",
     "link_prediction",
 ]
 
@@ -289,6 +291,122 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return pernode.join(deg, "node").select("node", "n_triangles", "degree")
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    k: int = 3,
+    rounds: int = 8,
+) -> DataFrame:
+    """Bounded-round k-core peeling → the surviving subgraph's
+    ``(node, core_degree)`` (the node's degree WITHIN the k-core).
+
+    The k-core is the maximal subgraph where every vertex has degree
+    ≥ k — the standard densest-region extractor (community seeds, spam
+    rings, the "real" graph after pruning its tendrils). Classic peel:
+    each round drops vertices whose CURRENT degree < k and the edges
+    touching them; the fixpoint is the k-core. ``rounds`` applies
+    exactly that many peels unconditionally — deterministic and
+    replayable by an unrolled SQL oracle; on real graphs peeling
+    converges in a few rounds (pytest asserts rounds=8 == rounds=10 on
+    the test corpus), and a production caller can loop with a
+    per-round emptiness check exactly like :func:`connected_components`.
+
+    Input must be canonical undirected edges (``src < dst``, distinct).
+    Plan: each round is one map-side-combinable degree aggregate + two
+    semi joins on the vertex key — O(rounds) hash shuffles on uniform
+    keys, lineage cut every round (the Pregel shape; no collect, no
+    window). At 100 TB each round strictly shrinks the edge set, so
+    later rounds get cheaper.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    cur = _norm(edges, src, dst)
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("_g_u").alias("node"))
+            .unionAll(cur.select(F.col("_g_v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_g_d"))
+        )
+        keep = deg.filter(F.col("_g_d") >= k).select("node")
+        cur = (
+            cur.join(
+                keep.select(F.col("node").alias("_g_u")), "_g_u", "semi"
+            )
+            .join(keep.select(F.col("node").alias("_g_v")), "_g_v", "semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.select(F.col("_g_u").alias("node"))
+        .unionAll(cur.select(F.col("_g_v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007),
+    deterministic variant → ``(node, label)`` community assignments.
+
+    Each node starts labeled with its own id; every round, each node
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label — fully deterministic, so a SQL oracle replays
+    it exactly (classic LPA breaks ties randomly; the min-label rule is
+    the standard derandomization). ``rounds`` synchronous rounds are
+    applied unconditionally (sync LPA can oscillate on bipartite
+    structures, so a fixpoint loop may never terminate — fixed rounds
+    is the honest distributed contract; Raghavan's async variant
+    avoids oscillation but is order-dependent and unreproducible).
+
+    Input must be canonical undirected edges (``src < dst``, distinct).
+    Plan: one round = one edge-keyed join + one (node, label) count
+    aggregate + one per-node argmax (min over a (−count, label) struct
+    — no window), lineage cut per round: O(rounds) uniform-key
+    shuffles, the Pregel shape.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = _norm(edges, src, dst)
+    sym = e.unionAll(
+        e.select(F.col("_g_v").alias("_g_u"), F.col("_g_u").alias("_g_v"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("_g_u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("_g_v"), "label"), "_g_v"
+        ).select(F.col("_g_u").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_g_c")
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_g_c")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("_g_best")
+            )
+            .select("node", F.col("_g_best.l").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
 
 
 def link_prediction(

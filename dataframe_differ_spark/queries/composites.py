@@ -2004,6 +2004,148 @@ ORDER BY n_triangles DESC, part LIMIT 50
 """
 
 
+# k-core peeling, unrolled to a fixed round count so the DuckDB oracle
+# replays it exactly (round 8). Peeling converges on this corpus well
+# inside 8 rounds — pytest asserts rounds=8 == rounds=10.
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    # every e{r} is referenced 3x by round r+1 (the join + the degree
+    # CTE) — without MATERIALIZED, DuckDB inlines the chain into 3^rounds
+    # scans of lineitem ("Too many open files" long before any answer)
+    ctes = [
+        copurchase_edges_ctes(mat="MATERIALIZED"),
+        "e0 AS MATERIALIZED (SELECT u, v FROM edges)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS n FROM e{r} UNION ALL SELECT v AS n FROM e{r})
+  GROUP BY n)"""
+        )
+        ctes.append(f"k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {k})")
+        ctes.append(
+            f"""e{r + 1} AS MATERIALIZED (
+  SELECT e{r}.u, e{r}.v FROM e{r}
+  JOIN k{r} a ON a.n = e{r}.u JOIN k{r} b ON b.n = e{r}.v)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS n FROM e{rounds} UNION ALL SELECT v AS n FROM e{rounds})
+GROUP BY n
+ORDER BY core_degree DESC, part LIMIT 50"""
+    )
+
+
+@register("graph_kcore", oracle=_kcore_sql(_KCORE_K, _KCORE_ROUNDS))
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition (k=3) of the co-purchase graph — the
+    densest-region extractor: peel vertices of degree < 3 (and their
+    edges) round after round; what survives is the maximal subgraph
+    where every part co-purchases with ≥ 3 core parts. Output: top-50
+    surviving parts by in-core degree — the seed set a recommender or
+    fraud pipeline starts from after pruning the graph's tendrils.
+
+    8 unconditional peel rounds, replayed EXACTLY by the unrolled
+    DuckDB oracle (peeling converges here well inside 8 — asserted
+    rounds=8 == rounds=10 in pytest; production loops with an
+    emptiness check like `connected_components`). Plan: each round is
+    one map-side-combinable degree aggregate + two vertex-keyed semi
+    joins, lineage cut per round — O(rounds) uniform-key shuffles on a
+    strictly shrinking edge set; no window, no collect. All-integer.
+
+    Thin binding over the round-8 parametric :func:`operators.graph.kcore`.
+    """
+    from dataframe_differ_spark.operators.graph import kcore
+
+    edges = copurchase_edges(spark, sf_dir)
+    kc = kcore(edges, src="u", dst="v", k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return (
+        kc.select(F.col("node").alias("part"), "core_degree")
+        .orderBy(F.col("core_degree").desc(), "part")
+        .limit(50)
+    )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_sql(rounds: int) -> str:
+    # MATERIALIZED throughout: lab{r} is referenced by the next round's
+    # count CTE and the chain would otherwise inline exponentially
+    ctes = [
+        copurchase_edges_ctes(mat="MATERIALIZED"),
+        """sym AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM edges
+  UNION ALL SELECT v AS a, u AS b FROM edges)""",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT s.a AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sym s JOIN lab{r} l ON l.node = s.b
+  GROUP BY s.a, l.label)"""
+        )
+        ctes.append(
+            f"""lab{r + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM c{r}) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM lab{rounds}
+GROUP BY label
+ORDER BY n_members DESC, community LIMIT 20"""
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_sql(_LPA_ROUNDS))
+def q_graph_label_propagation(spark, sf_dir):
+    """Community detection by deterministic label propagation (Raghavan
+    et al. 2007) on the co-purchase graph: every part starts as its own
+    community; each of 4 synchronous rounds, a part adopts the most
+    frequent label among its co-purchase neighbors (ties → smallest
+    label — the standard derandomization that makes LPA replayable).
+    Output: the 20 largest communities with their sizes — the
+    near-linear-time community pass a recommender runs before anything
+    expensive (Louvain, embeddings) to block the graph.
+
+    The DuckDB oracle unrolls the same 4 rounds with the identical
+    min-label tiebreak, so community assignments are hash-exact.
+    Plan: each round = one edge-keyed join + one (node, label) count +
+    one per-node argmax via min over a (−count, label) struct — NO
+    window on the Spark side; O(rounds) uniform-key shuffles with
+    lineage cut per round (the Pregel shape; fixed rounds because sync
+    LPA may oscillate, so a fixpoint loop is not a contract).
+
+    Thin binding over the round-8 parametric
+    :func:`operators.graph.label_propagation`.
+    """
+    from dataframe_differ_spark.operators.graph import label_propagation
+
+    edges = copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges, src="u", dst="v", rounds=_LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )
+
+
 # Cap for the scale form of the triangle count: compact-forward
 # orientation bounds out-degree by ~sqrt(|E|), but a 100 TB hot vertex
 # still pays C(out-deg, 2) as a wedge center — so the capped sibling

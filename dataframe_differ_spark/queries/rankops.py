@@ -341,3 +341,169 @@ def q_batch_curriculum(spark, sf_dir):
         ntile_from_rank(F.col("global_rank"), F.col("n"), 4).alias("phase"),
         F.col("global_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering (round 8) — the locality upgrade over z-order
+# ---------------------------------------------------------------------------
+
+_H_ORDER = 8  # 8 bits per dimension -> 16-bit Hilbert index
+
+
+def _hilbert_level_sql(keys: str, s: int, nm1: int, src: str, tag: str) -> str:
+    """One unrolled level of the Wikipedia xy2d fold: consume bit ``s``
+    of (hx, hy) into hd, then rotate/reflect the frame. Pure integer
+    CASE arithmetic — the same text runs in Spark SQL and DuckDB, so
+    parity is structural. (3*rx) XOR ry is enumerated as a CASE to stay
+    dialect-free."""
+    ss = s * s
+    return f"""
+SELECT {keys},
+       hd + {ss} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+                         WHEN rx = 0 THEN 1
+                         WHEN ry = 0 THEN 3 ELSE 2 END) AS hd,
+       CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {nm1} - hy ELSE hy END)
+            ELSE hx END AS hx,
+       CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {nm1} - hx ELSE hx END)
+            ELSE hy END AS hy
+FROM (SELECT {keys}, hd, hx, hy,
+             CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+             CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+      FROM {src}) _h{tag}"""
+
+
+def _hilbert_oracle(order: int = _H_ORDER) -> str:
+    n = 1 << order
+    src = (
+        "(SELECT o_orderkey, bx, by, bx AS hx, by AS hy, 0 AS hd "
+        "FROM bucketed) _h0"
+    )
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        src = (
+            "("
+            + _hilbert_level_sql("o_orderkey, bx, by", s, n - 1, src, f"l{i}")
+            + f") _hl{i}"
+        )
+    return f"""
+WITH bucketed AS (
+  SELECT CAST(ntile({n}) OVER (ORDER BY o_custkey, o_orderkey) AS INTEGER) - 1
+           AS bx,
+         CAST(ntile({n}) OVER (ORDER BY o_orderdate, o_orderkey) AS INTEGER) - 1
+           AS by,
+         o_orderkey
+  FROM orders
+),
+coded AS (SELECT bx, by, hd, o_orderkey FROM {src}),
+filed AS (
+  SELECT bx, by,
+         CAST(ntile(16) OVER (ORDER BY hd, o_orderkey) AS INTEGER) AS file_id
+  FROM coded
+)
+SELECT file_id, COUNT(*) AS n_rows,
+       MIN(bx) AS min_cust_bucket, MAX(bx) AS max_cust_bucket,
+       MIN(by) AS min_date_bucket, MAX(by) AS max_date_bucket
+FROM filed GROUP BY file_id
+"""
+
+
+def hilbert_index(df, x_col: str, y_col: str, *, order: int = _H_ORDER):
+    """Append ``hd`` = the Hilbert-curve index of (x_col, y_col), both
+    in [0, 2^order): the Wikipedia xy2d bit fold unrolled into
+    ``order`` pure-integer selectExpr levels (identical text to the
+    oracle's CTE chain; pinned to a pure-Python reference in pytest).
+    Carries every input column through."""
+    n = 1 << order
+    keep = list(df.columns)
+    cur = df.selectExpr(
+        *keep, f"{x_col} AS hx", f"{y_col} AS hy", "0 AS hd"
+    )
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        cur = cur.selectExpr(
+            *keep,
+            "hd",
+            "hx",
+            "hy",
+            f"CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx",
+            f"CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry",
+        ).selectExpr(
+            *keep,
+            f"hd + {s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0 "
+            "WHEN rx = 0 THEN 1 WHEN ry = 0 THEN 3 ELSE 2 END) AS hd",
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hy "
+            "ELSE hy END) ELSE hx END AS hx",
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hx "
+            "ELSE hx END) ELSE hy END AS hy",
+        )
+    return cur.select(*keep, "hd")
+
+
+HILBERT_SQL = _hilbert_oracle()
+
+
+@register("layout_hilbert_sketch", oracle=HILBERT_SQL)
+def q_layout_hilbert_sketch(spark, sf_dir):
+    """Hilbert-curve clustering of orders on (custkey, orderdate) — the
+    locality upgrade over `layout_zorder[_sketch]`: the Hilbert curve
+    never makes the long diagonal jumps Morton interleaving does, so
+    per-file min/max boxes come out tighter and a scan planner prunes
+    more files for the same 16-file budget (what Delta's OPTIMIZE and
+    Iceberg's sort orders use it for). Same contract as the z-order
+    twin: 8-bit rank buckets per dimension, 16-bit curve index, 16
+    files, per-file min/max of both dimensions.
+
+    The xy2d conversion is the 8-level bit fold UNROLLED into pure
+    integer CASE arithmetic — the identical generated text runs in
+    Spark SQL and in the DuckDB oracle (and is pinned to the classic
+    algorithm by a pytest against a pure-Python reference), so parity
+    is structural, not numeric. Ranks are the two-phase bucketed form
+    (`operators.ranks.ranked` + exact-NTILE formula) — no
+    single-partition window anywhere on the Spark side; at 100 TB the
+    file assignment feeds repartitionByRange(hd) on write.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    n = 1 << _H_ORDER
+    s1 = ranked(
+        o,
+        F.col("o_custkey"),
+        ["o_custkey", "o_orderkey"],
+        rank_col="rk",
+        n_col="n",
+    ).select(
+        "o_orderdate",
+        "o_orderkey",
+        (ntile_from_rank(F.col("rk"), F.col("n"), n) - 1).alias("bx"),
+    ).localCheckpoint(eager=False)
+    s2 = ranked(
+        s1,
+        F.unix_date(F.col("o_orderdate").cast("date")),
+        ["o_orderdate", "o_orderkey"],
+        rank_col="rk",
+        n_col="n",
+    ).select(
+        "o_orderkey",
+        "bx",
+        (ntile_from_rank(F.col("rk"), F.col("n"), n) - 1).alias("by"),
+    )
+    coded = hilbert_index(s2, "bx", "by", order=_H_ORDER).select(
+        "bx", "by", "hd", "o_orderkey"
+    ).localCheckpoint(eager=False)
+    s3 = ranked(
+        coded,
+        F.col("hd"),
+        ["hd", "o_orderkey"],
+        rank_col="rk",
+        n_col="n",
+    ).select(
+        "bx", "by", ntile_from_rank(F.col("rk"), F.col("n"), 16).alias("file_id")
+    )
+    return s3.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("bx").alias("min_cust_bucket"),
+        F.max("bx").alias("max_cust_bucket"),
+        F.min("by").alias("min_date_bucket"),
+        F.max("by").alias("max_date_bucket"),
+    )

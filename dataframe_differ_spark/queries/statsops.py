@@ -3757,3 +3757,126 @@ def q_stats_friedman(spark, sf_dir):
         F.round(chi2, 9).alias("chi2_friedman"),
         (chi2 > 9.487729037).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test (round 8)
+# ---------------------------------------------------------------------------
+
+_WILCOXON_SQL = """
+WITH day_rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS pri,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY CAST(o_orderdate AS DATE), o_orderpriority),
+paired AS (
+  SELECT a.cents - b.cents AS diff
+  FROM day_rev a JOIN day_rev b ON a.d = b.d
+  WHERE a.pri = '1-URGENT' AND b.pri = '5-LOW' AND a.cents <> b.cents),
+hist AS (
+  SELECT ABS(diff) AS adiff, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+  FROM paired GROUP BY ABS(diff)),
+ranked AS (
+  SELECT h.adiff, h.cnt, h.npos,
+         CAST(COALESCE(SUM(l.cnt), 0) AS BIGINT) AS cumb
+  FROM hist h LEFT JOIN hist l ON l.adiff < h.adiff
+  GROUP BY h.adiff, h.cnt, h.npos),
+agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(npos * (2 * cumb + cnt + 1)) AS BIGINT) AS w2,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+  FROM ranked)
+SELECT n AS n_pairs, w2 AS w2_plus,
+       ROUND((CAST(w2 AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) / 2.0)
+             / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - ties AS DOUBLE)
+                    / 12.0), 9) AS z
+FROM agg
+"""
+
+
+@register("stats_wilcoxon_signed_rank", oracle=_WILCOXON_SQL)
+def q_stats_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test (tie-corrected normal approximation):
+    do URGENT and LOW orders move DIFFERENT daily revenue, pairing the
+    two cohorts BY DAY? The paired nonparametric companion to
+    `stats_mann_whitney` (independent cohorts) — pairing removes the
+    shared day-level variance a two-sample test wastes power on. Zero
+    differences drop (the classic treatment); |d| gets midranks; the
+    statistic is the doubled positive-rank sum 2·W⁺ (the doubled-
+    midrank device keeps every rank integer), and z uses the exact
+    tie-corrected variance Var(2W⁺) = (2n(n+1)(2n+1) − Σ(t³−t))/12.
+
+    Plan: one orders scan → per-(day, priority) exact-cents rollup
+    (map-side combinable) → a day-keyed self-join (the pairing) → a
+    histogram on |d| → the broadcast triangle join over the DISTINCT
+    |d| spine for cumulative counts — never a global rank window; the
+    spine is bounded by the calendar (~2,400 days at ANY sf), which is
+    what makes this the 100 TB shape. Everything is BIGINT until the
+    final z division (n is calendar-bounded, so 2n(n+1)(2n+1) ≈ 5.5e10
+    ≪ 2^63 — the cast-audit safe class; int64→double correctly rounded
+    on both engines).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    day_rev = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = day_rev.filter(F.col("pri") == "1-URGENT").select(
+        "d", F.col("cents").alias("ca")
+    )
+    b = day_rev.filter(F.col("pri") == "5-LOW").select(
+        "d", F.col("cents").alias("cb")
+    )
+    paired = (
+        a.join(b, "d")
+        .select((F.col("ca") - F.col("cb")).alias("diff"))
+        .filter(F.col("diff") != 0)
+    )
+    hist = paired.groupBy(F.abs("diff").alias("adiff")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("npos"),
+    )
+    lower = hist.select(
+        F.col("adiff").alias("l_adiff"), F.col("cnt").alias("l_cnt")
+    )
+    ranked_h = (
+        hist.join(
+            F.broadcast(lower), F.col("l_adiff") < F.col("adiff"), "left"
+        )
+        .groupBy("adiff", "cnt", "npos")
+        .agg(F.coalesce(F.sum("l_cnt"), F.lit(0)).cast("bigint").alias("cumb"))
+    )
+    agg = ranked_h.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.col("npos") * (2 * F.col("cumb") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("w2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    n = F.col("n")
+    z = (
+        F.col("w2").cast("double") - (n * (n + 1)).cast("double") / F.lit(2.0)
+    ) / F.sqrt(
+        (2 * n * (n + 1) * (2 * n + 1) - F.col("ties")).cast("double")
+        / F.lit(12.0)
+    )
+    return agg.select(
+        n.alias("n_pairs"),
+        F.col("w2").alias("w2_plus"),
+        F.round(z, 9).alias("z"),
+    )

@@ -2026,3 +2026,239 @@ def q_text_rake_keywords(spark, sf_dir):
         F.round(F.any_value("score"), 9).alias("rake_score"),
     )
     return agg.orderBy(F.col("rake_score").desc(), "phrase").limit(15)
+
+
+# ---------------------------------------------------------------------------
+# MATTR lexical diversity (round 8)
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 25
+
+_MATTR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         LEAST(len(t), {_MATTR_W}) AS we,
+         len(t) - LEAST(len(t), {_MATTR_W}) + 1 AS nwin,
+         CAST(list_sum([len(list_distinct(
+                t[i:i + LEAST(len(t), {_MATTR_W}) - 1]))
+              for i in range(1, len(t) - LEAST(len(t), {_MATTR_W}) + 2)])
+           AS BIGINT) AS sumd
+  FROM toks
+  WHERE len(t) >= 1)
+SELECT doc_id, lang, n_tokens,
+       ROUND(CAST(sumd AS DOUBLE) / (nwin * we), 9) AS mattr
+FROM m
+ORDER BY ROUND(CAST(sumd AS DOUBLE) / (nwin * we), 9) DESC, doc_id
+LIMIT 100
+"""
+
+
+@register("text_mattr", oracle=_MATTR_SQL)
+def q_text_mattr(spark, sf_dir):
+    """MATTR lexical diversity (Covington & McFall 2010): the moving-
+    average type-token ratio over sliding 25-token windows — the
+    length-robust replacement for raw TTR (which collapses as documents
+    grow, making cross-length quality comparisons meaningless). The
+    standard lexical-richness gate in LLM data curation next to
+    `text_simpson_diversity` (which weighs token CONCENTRATION, not
+    window-local variety). Documents shorter than the window fall back
+    to a single full-length window (= their exact TTR).
+
+    Plan: everything is ONE per-row HOF expression over the tokenized
+    column — window distinct-counts are exact integers summed inside
+    the row (no float accumulation), so the only float op is the single
+    final division; no shuffle except the top-100 TakeOrdered. At
+    100 TB this runs at parquet-scan speed, embarrassingly parallel.
+    Parity: both the output value and the top-100 cut use the 9-dp
+    ROUNDED ratio with doc_id tiebreak (the sample_dsir device).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = _MATTR_W
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("t"),
+    ).filter(F.expr("size(t) >= 1"))
+    m = toks.select(
+        "doc_id",
+        "lang",
+        F.expr("cast(size(t) as bigint)").alias("n_tokens"),
+        F.expr(f"least(size(t), {w})").alias("we"),
+        F.expr(f"size(t) - least(size(t), {w}) + 1").alias("nwin"),
+        F.expr(
+            f"aggregate(sequence(1, size(t) - least(size(t), {w}) + 1), "
+            f"CAST(0 AS BIGINT), (acc, i) -> acc + "
+            f"size(array_distinct(slice(t, i, least(size(t), {w})))))"
+        ).alias("sumd"),
+    )
+    mattr = F.round(
+        F.col("sumd").cast("double") / (F.col("nwin") * F.col("we")), 9
+    )
+    return (
+        m.select("doc_id", "lang", "n_tokens", mattr.alias("mattr"))
+        .orderBy(F.col("mattr").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MTLD lexical diversity (round 8) — the sequential-factor companion to MATTR
+# ---------------------------------------------------------------------------
+
+# The fold state is a space-joined string "<factors> <factor_tokens>
+# <type1> <type2> ...": whitespace tokenization guarantees tokens can't
+# contain the separator. The TTR < 0.72 test runs as the INTEGER
+# comparison 25*types < 18*tokens, so the fold itself is float-free and
+# the only float math is the final partial-factor formula — identical
+# single-expression order in both engines.
+
+_MTLD_DUCK_FOLD = """
+list_reduce(list_prepend('0 0', {t}), (acc, x) -> CASE
+  WHEN 25 * (len(string_split(acc, ' ')) - 2
+       + CASE WHEN list_contains(string_split(acc, ' ')[3:], x)
+              THEN 0 ELSE 1 END)
+       < 18 * (CAST(string_split(acc, ' ')[2] AS BIGINT) + 1)
+  THEN CAST(CAST(string_split(acc, ' ')[1] AS BIGINT) + 1 AS VARCHAR) || ' 0'
+  ELSE CAST(string_split(acc, ' ')[1] AS VARCHAR) || ' '
+       || CAST(CAST(string_split(acc, ' ')[2] AS BIGINT) + 1 AS VARCHAR)
+       || CASE WHEN len(string_split(acc, ' ')) > 2
+               OR NOT list_contains(string_split(acc, ' ')[3:], x)
+               THEN ' ' || array_to_string(
+                 CASE WHEN list_contains(string_split(acc, ' ')[3:], x)
+                      THEN string_split(acc, ' ')[3:]
+                      ELSE list_append(string_split(acc, ' ')[3:], x) END, ' ')
+               ELSE '' END
+  END)
+"""
+
+_MTLD_DUCK_VAL = """
+CASE WHEN (CAST(string_split({st}, ' ')[1] AS BIGINT)
+           + CASE WHEN CAST(string_split({st}, ' ')[2] AS BIGINT) > 0
+                  THEN (1.0 - CAST(len(string_split({st}, ' ')) - 2 AS DOUBLE)
+                        / CAST(string_split({st}, ' ')[2] AS BIGINT)) / 0.28
+                  ELSE 0.0 END) > 0
+     THEN CAST(n AS DOUBLE)
+          / (CAST(string_split({st}, ' ')[1] AS BIGINT)
+             + CASE WHEN CAST(string_split({st}, ' ')[2] AS BIGINT) > 0
+                    THEN (1.0 - CAST(len(string_split({st}, ' ')) - 2 AS DOUBLE)
+                          / CAST(string_split({st}, ' ')[2] AS BIGINT)) / 0.28
+                    ELSE 0.0 END)
+     ELSE CAST(n AS DOUBLE) END
+"""
+
+_MTLD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+folded AS (
+  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n,
+         {_MTLD_DUCK_FOLD.format(t='t')} AS stf,
+         {_MTLD_DUCK_FOLD.format(t='list_reverse(t)')} AS stb
+  FROM toks WHERE len(t) >= 1),
+vals AS (
+  SELECT doc_id, lang, n,
+         {_MTLD_DUCK_VAL.format(st='stf')} AS mf,
+         {_MTLD_DUCK_VAL.format(st='stb')} AS mb
+  FROM folded)
+SELECT doc_id, lang, n AS n_tokens,
+       ROUND((mf + mb) / 2.0, 9) AS mtld
+FROM vals
+ORDER BY ROUND((mf + mb) / 2.0, 9) DESC, doc_id
+LIMIT 100
+"""
+
+_MTLD_SPARK_FOLD = """
+aggregate({t}, '0 0', (acc, x) -> CASE
+  WHEN 25 * (size(split(acc, ' ')) - 2
+       + IF(array_contains(slice(split(acc, ' '), 3,
+            size(split(acc, ' ')) - 2), x), 0, 1))
+       < 18 * (CAST(element_at(split(acc, ' '), 2) AS BIGINT) + 1)
+  THEN concat(CAST(CAST(element_at(split(acc, ' '), 1) AS BIGINT) + 1
+              AS STRING), ' 0')
+  ELSE concat(element_at(split(acc, ' '), 1), ' ',
+       CAST(CAST(element_at(split(acc, ' '), 2) AS BIGINT) + 1 AS STRING),
+       CASE WHEN size(split(acc, ' ')) > 2
+            OR NOT array_contains(slice(split(acc, ' '), 3,
+                 size(split(acc, ' ')) - 2), x)
+            THEN concat(' ', array_join(
+              CASE WHEN array_contains(slice(split(acc, ' '), 3,
+                        size(split(acc, ' ')) - 2), x)
+                   THEN slice(split(acc, ' '), 3, size(split(acc, ' ')) - 2)
+                   ELSE concat(slice(split(acc, ' '), 3,
+                        size(split(acc, ' ')) - 2), array(x)) END, ' '))
+            ELSE '' END)
+  END)
+"""
+
+_MTLD_SPARK_VAL = """
+CASE WHEN (CAST(element_at(split({st}, ' '), 1) AS BIGINT)
+           + CASE WHEN CAST(element_at(split({st}, ' '), 2) AS BIGINT) > 0
+                  THEN (1.0D - CAST(size(split({st}, ' ')) - 2 AS DOUBLE)
+                        / CAST(element_at(split({st}, ' '), 2) AS BIGINT))
+                       / 0.28D
+                  ELSE 0.0D END) > 0
+     THEN CAST(n AS DOUBLE)
+          / (CAST(element_at(split({st}, ' '), 1) AS BIGINT)
+             + CASE WHEN CAST(element_at(split({st}, ' '), 2) AS BIGINT) > 0
+                    THEN (1.0D - CAST(size(split({st}, ' ')) - 2 AS DOUBLE)
+                          / CAST(element_at(split({st}, ' '), 2) AS BIGINT))
+                         / 0.28D
+                    ELSE 0.0D END)
+     ELSE CAST(n AS DOUBLE) END
+"""
+
+
+@register("text_mtld", oracle=_MTLD_SQL)
+def q_text_mtld(spark, sf_dir):
+    """MTLD lexical diversity (McCarthy & Jarvis 2010): the mean length
+    of sequential text FACTORS — runs whose type-token ratio stays
+    ≥ 0.72 — averaged over a forward and a backward pass, with the
+    standard partial-factor remainder (1 − TTR)/0.28. THE reference
+    lexical-richness metric in corpus curation: unlike raw TTR it is
+    provably length-invariant, and unlike `text_mattr` (fixed windows)
+    it adapts factor boundaries to the text itself. A wholly-repetitive
+    document scores ~2, diverse prose scores ~its factor length.
+
+    Plan: each pass is ONE per-row sequential fold over the token
+    array (`aggregate` here, `list_reduce` in the oracle — the
+    holt_winters list-carrying-fold device with a string-encoded
+    (factors, tokens, types…) state). The TTR threshold runs as the
+    INTEGER test 25·types < 18·tokens, so the fold is float-free; the
+    only float math is the final partial-factor expression, one fixed
+    op order in both engines. No shuffle except the top-100
+    TakeOrdered — parquet-scan-speed, embarrassingly parallel, the
+    100 TB shape. Degenerate all-unique texts (factor count 0) return
+    n_tokens by convention (documented; both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("t"),
+    ).filter(F.expr("size(t) >= 1"))
+    folded = toks.select(
+        "doc_id",
+        "lang",
+        F.expr("cast(size(t) as bigint)").alias("n"),
+        F.expr(_MTLD_SPARK_FOLD.format(t="t")).alias("stf"),
+        F.expr(_MTLD_SPARK_FOLD.format(t="reverse(t)")).alias("stb"),
+    )
+    vals = folded.select(
+        "doc_id",
+        "lang",
+        "n",
+        F.expr(_MTLD_SPARK_VAL.format(st="stf")).alias("mf"),
+        F.expr(_MTLD_SPARK_VAL.format(st="stb")).alias("mb"),
+    )
+    mtld = F.round((F.col("mf") + F.col("mb")) / 2.0, 9)
+    return (
+        vals.select("doc_id", "lang", F.col("n").alias("n_tokens"), mtld.alias("mtld"))
+        .orderBy(F.col("mtld").desc(), "doc_id")
+        .limit(100)
+    )

@@ -182,3 +182,52 @@ def test_triangle_count_cap_bounds_hot_vertex(spark):
     assert total_capped <= 3 * n * 6
     # true degrees are reported regardless of the cap
     assert all(r.degree == n - 1 for r in rows_c.values())
+
+
+def test_kcore_peels_tendrils_keeps_clique(spark, edges_df):
+    from dataframe_differ_spark.operators.graph import kcore
+
+    # 2-core of path(1-2-3-4) + K4 + isolated edge: the path unravels
+    # from its endpoints, the isolated edge peels immediately, K4 stays
+    got = {
+        r.node: r.core_degree
+        for r in kcore(edges_df, "frm", "tto", k=2, rounds=6).collect()
+    }
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3}
+
+
+def test_kcore_fixed_rounds_converge_on_corpus(spark):
+    from dataframe_differ_spark.operators.graph import kcore
+    from dataframe_differ_spark.queries.composites import copurchase_edges
+
+    edges = copurchase_edges(spark, "/root/testdata/sf0.001")
+    a = sorted(map(tuple, kcore(edges, "u", "v", k=3, rounds=8).collect()))
+    b = sorted(map(tuple, kcore(edges, "u", "v", k=3, rounds=10).collect()))
+    assert a == b and a  # converged within 8 rounds, core non-empty
+
+
+def test_label_propagation_matches_python_reference(spark, edges_df):
+    from dataframe_differ_spark.operators.graph import label_propagation
+
+    # pure-python synchronous LPA with the same min-label tiebreak
+    edges = _PATH + _K4 + _EXTRA
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(4):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt: dict = {}
+            for m in ns:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = min(cnt, key=lambda v: (-cnt[v], v))
+        lab = new
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges_df, "frm", "tto", rounds=4).collect()
+    }
+    assert got == lab
+    # K4 collapses into one community
+    assert len({got[n] for n in (10, 11, 12, 13)}) == 1

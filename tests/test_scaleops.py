@@ -445,3 +445,47 @@ def test_update_mode_emits_per_batch_deltas(spark, sf_small):
     assert total_emissions < len(rows) * n_batches, (
         "every group re-emitted every batch — complete, not update, semantics"
     )
+
+
+def test_hilbert_index_matches_python_reference(spark):
+    """Round 8: the unrolled xy2d fold (layout_hilbert_sketch) equals
+    the classic Wikipedia algorithm on random points + the corners,
+    and is a bijection on the order-3 grid."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dataframe_differ_spark.queries.rankops import hilbert_index
+
+    def rot(n, x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(order, x, y):
+        n = 1 << order
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(n, x, y, rx, ry)
+            s //= 2
+        return d
+
+    rng = random.Random(61)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(200)]
+    pts += [(0, 0), (0, 255), (255, 0), (255, 255), (1, 0), (0, 1)]
+    df = spark.createDataFrame([Row(x=x, y=y, i=i) for i, (x, y) in enumerate(pts)])
+    got = {(r.x, r.y): r.hd for r in hilbert_index(df, "x", "y", order=8).collect()}
+    for x, y in pts:
+        assert got[(x, y)] == xy2d(8, x, y), (x, y)
+
+    # order-3 grid: hd is a bijection onto [0, 64)
+    grid = spark.createDataFrame(
+        [Row(x=x, y=y) for x in range(8) for y in range(8)]
+    )
+    ds = sorted(r.hd for r in hilbert_index(grid, "x", "y", order=3).collect())
+    assert ds == list(range(64))

@@ -196,6 +196,12 @@ HEADLINE = [
     # round-8 additions
     "sketch_bloom_persisted",
     "graph_triangle_count_capped",
+    "graph_kcore",
+    "text_mattr",
+    "layout_hilbert_sketch",
+    "stats_wilcoxon_signed_rank",
+    "text_mtld",
+    "graph_label_propagation",
 ]
 
 
