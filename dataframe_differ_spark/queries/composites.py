@@ -3441,3 +3441,128 @@ def q_events_holt_winters(spark, sf_dir):
         "seasonal",
         "fitted",
     )
+
+
+# ---------------------------------------------------------------------------
+# LZ78 sequence complexity (round 8)
+# ---------------------------------------------------------------------------
+
+# The fold state is '<phrases>,<current>,<dict1>,<dict2>,…' — single-char
+# event symbols guarantee the ',' separator never appears in a phrase.
+_LZ78_DUCK_FOLD = """
+list_reduce(list_prepend('0,', list_transform(range(1, length(s) + 1),
+                         i -> substr(s, CAST(i AS BIGINT), 1))),
+  (acc, x) -> CASE
+    WHEN list_contains(string_split(acc, ',')[3:],
+                       string_split(acc, ',')[2] || x)
+    THEN string_split(acc, ',')[1] || ',' || string_split(acc, ',')[2] || x
+         || CASE WHEN len(string_split(acc, ',')) > 2
+                 THEN ',' || array_to_string(string_split(acc, ',')[3:], ',')
+                 ELSE '' END
+    ELSE CAST(CAST(string_split(acc, ',')[1] AS BIGINT) + 1 AS VARCHAR)
+         || ',,'
+         || CASE WHEN len(string_split(acc, ',')) > 2
+                 THEN array_to_string(string_split(acc, ',')[3:], ',') || ','
+                 ELSE '' END
+         || string_split(acc, ',')[2] || x
+    END)
+"""
+
+_LZ78_SPARK_FOLD = """
+aggregate(transform(sequence(1, length(s)), i -> substring(s, i, 1)), '0,',
+  (acc, x) -> CASE
+    WHEN array_contains(slice(split(acc, ','), 3, size(split(acc, ',')) - 2),
+                        concat(element_at(split(acc, ','), 2), x))
+    THEN concat(element_at(split(acc, ','), 1), ',',
+                element_at(split(acc, ','), 2), x,
+         CASE WHEN size(split(acc, ',')) > 2
+              THEN concat(',', array_join(slice(split(acc, ','), 3,
+                   size(split(acc, ',')) - 2), ','))
+              ELSE '' END)
+    ELSE concat(CAST(CAST(element_at(split(acc, ','), 1) AS BIGINT) + 1
+                AS STRING), ',,',
+         CASE WHEN size(split(acc, ',')) > 2
+              THEN concat(array_join(slice(split(acc, ','), 3,
+                   size(split(acc, ',')) - 2), ','), ',')
+              ELSE '' END,
+         element_at(split(acc, ','), 2), x)
+    END)
+"""
+
+_LZ78_SQL = f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id),
+folded AS (
+  SELECT user_id, n_events,
+         {_LZ78_DUCK_FOLD} AS st
+  FROM seq),
+c AS (
+  SELECT user_id, n_events,
+         CAST(string_split(st, ',')[1] AS BIGINT)
+         + CASE WHEN string_split(st, ',')[2] <> '' THEN 1 ELSE 0 END
+           AS lz78_phrases
+  FROM folded)
+SELECT user_id, n_events, lz78_phrases,
+       ROUND(CAST(lz78_phrases AS DOUBLE) / n_events, 9) AS complexity
+FROM c
+ORDER BY lz78_phrases DESC, user_id
+LIMIT 100
+"""
+
+
+@register("events_lz78_complexity", oracle=_LZ78_SQL)
+def q_events_lz78_complexity(spark, sf_dir):
+    """LZ78 sequence complexity of per-user event streams: parse each
+    user's chronological symbol string (first letter per event type —
+    the `events_pattern_sequence` encoding) with the LZ78 incremental
+    dictionary and report the phrase count — THE classic
+    compressibility measure for behavioral sequences (Ziv & Lempel
+    1978; bot/replay traffic parses into few long phrases, organic
+    behavior into many short ones). ``complexity`` = phrases/events ∈
+    (0, 1]: near the top sits noise, near the bottom sits scripted
+    repetition — both tails are what a data-curation pass inspects.
+
+    Plan: one user-keyed shuffle builds the bounded per-user string;
+    the parse is a per-row sequential fold (`aggregate` here,
+    `list_reduce` in the oracle — the MTLD string-state device) with a
+    ',' separator the single-char alphabet can never collide with. The
+    fold is string/integer-only; the single float division happens
+    once per user, and both the output and top-100 cut use the 9-dp
+    rounded ratio. At 100 TB the fold is partition-local post-shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct("
+            "ts, event_id, substring(event_type, 1, 1) AS c))), x -> x.c))"
+        ).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    folded = seq.select(
+        "user_id",
+        "n_events",
+        F.expr(_LZ78_SPARK_FOLD).alias("st"),
+    )
+    phrases = (
+        F.expr("CAST(element_at(split(st, ','), 1) AS BIGINT)")
+        + F.expr(
+            "CASE WHEN element_at(split(st, ','), 2) != '' THEN 1 ELSE 0 END"
+        )
+    ).cast("bigint")
+    c = folded.select("user_id", "n_events", phrases.alias("lz78_phrases"))
+    return (
+        c.select(
+            "user_id",
+            "n_events",
+            "lz78_phrases",
+            F.round(
+                F.col("lz78_phrases").cast("double") / F.col("n_events"), 9
+            ).alias("complexity"),
+        )
+        .orderBy(F.col("lz78_phrases").desc(), "user_id")
+        .limit(100)
+    )

@@ -3880,3 +3880,98 @@ def q_stats_wilcoxon_signed_rank(spark, sf_dir):
         F.col("w2").alias("w2_plus"),
         F.round(z, 9).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q test (round 8) — binary repeated-measures companion to Friedman
+# ---------------------------------------------------------------------------
+
+_COCHRAN_SQL = """
+WITH grid AS (
+  SELECT d.d, p.pri,
+         CASE WHEN COALESCE(c.n, 0) >= 2 THEN 1 ELSE 0 END AS x
+  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders) d
+  CROSS JOIN (SELECT DISTINCT o_orderpriority AS pri FROM orders) p
+  LEFT JOIN (
+    SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS pri,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2) c
+  ON c.d = d.d AND c.pri = p.pri),
+rows_t AS (
+  SELECT d, CAST(SUM(x) AS BIGINT) AS ri FROM grid GROUP BY d),
+cols_t AS (
+  SELECT pri, CAST(SUM(x) AS BIGINT) AS cj FROM grid GROUP BY pri),
+agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_t) AS b,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cols_t) AS k,
+         (SELECT CAST(SUM(cj) AS BIGINT) FROM cols_t) AS n,
+         (SELECT CAST(SUM(cj * cj) AS BIGINT) FROM cols_t) AS c2,
+         (SELECT CAST(SUM(ri) AS BIGINT) FROM rows_t) AS rs,
+         (SELECT CAST(SUM(ri * ri) AS BIGINT) FROM rows_t) AS r2)
+SELECT b AS n_blocks, k AS k_treatments,
+       ROUND(CAST((k - 1) * (k * c2 - n * n) AS DOUBLE)
+             / CAST(k * n - r2 AS DOUBLE), 9) AS q_cochran,
+       (CAST((k - 1) * (k * c2 - n * n) AS DOUBLE)
+        / CAST(k * n - r2 AS DOUBLE)) > 9.487729037 AS reject_95
+FROM agg
+"""
+
+
+@register("stats_cochran_q", oracle=_COCHRAN_SQL)
+def q_stats_cochran_q(spark, sf_dir):
+    """Cochran's Q test: do the five order priorities differ in their
+    probability of a "busy day" (≥ 2 orders), treating each calendar
+    day as a matched block? The BINARY repeated-measures companion to
+    `stats_friedman` (which ranks continuous outcomes): Q =
+    (k−1)[k·ΣCⱼ² − N²] / [k·N − ΣRᵢ²] is asymptotically χ²(k−1) under
+    exchangeability; with k = 5, reject at 95% above 9.4877 (the same
+    critical value as Friedman's — both are 4-df chi-squares).
+
+    Plan: one orders scan → (day, priority) counts (map-side
+    combinable); the complete block grid materializes as day-spine ×
+    5-row priority dim (a broadcast cross join, calendar-bounded rows);
+    row/column totals are two tiny rollups. EVERYTHING is BIGINT
+    arithmetic — ΣCⱼ², N², ΣRᵢ² over calendar-bounded counts ≪ 2^63 —
+    until the single final division, so the oracle hash-matches
+    exactly. At any sf the statistic's input is ~2,400 × 5 cells.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    days = o.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
+    pris = o.select(F.col("o_orderpriority").alias("pri")).distinct()
+    grid = (
+        days.crossJoin(F.broadcast(pris))
+        .join(counts, ["d", "pri"], "left")
+        .select(
+            "d",
+            "pri",
+            F.when(F.coalesce(F.col("n"), F.lit(0)) >= 2, 1)
+            .otherwise(0)
+            .alias("x"),
+        )
+    )
+    rows_t = grid.groupBy("d").agg(F.sum("x").cast("bigint").alias("ri"))
+    cols_t = grid.groupBy("pri").agg(F.sum("x").cast("bigint").alias("cj"))
+    b = rows_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+        F.sum("ri").cast("bigint").alias("rs"),
+        F.sum(F.col("ri") * F.col("ri")).cast("bigint").alias("r2"),
+    )
+    c = cols_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("cj").cast("bigint").alias("n"),
+        F.sum(F.col("cj") * F.col("cj")).cast("bigint").alias("c2"),
+    )
+    agg = b.crossJoin(F.broadcast(c))
+    qnum = (F.col("k") - 1) * (F.col("k") * F.col("c2") - F.col("n") * F.col("n"))
+    qden = F.col("k") * F.col("n") - F.col("r2")
+    qv = qnum.cast("double") / qden.cast("double")
+    return agg.select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.round(qv, 9).alias("q_cochran"),
+        (qv > 9.487729037).alias("reject_95"),
+    )

@@ -2262,3 +2262,86 @@ def q_text_mtld(spark, sf_dir):
         .orderBy(F.col("mtld").desc(), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease readability gate (round 8)
+# ---------------------------------------------------------------------------
+
+_FLESCH_SQL = r"""
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS w,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                  1) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS syl
+  FROM documents),
+f AS (
+  SELECT doc_id, lang, w, s, syl,
+         206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                 - 84.6 * (CAST(syl AS DOUBLE) / w) AS fre
+  FROM m WHERE w >= 1)
+SELECT doc_id, lang, w AS n_words, s AS n_sentences,
+       syl AS n_syllable_groups, ROUND(fre, 9) AS flesch_score
+FROM f
+ORDER BY ROUND(fre, 9), doc_id
+LIMIT 100
+"""
+
+
+@register("text_readability_flesch", oracle=_FLESCH_SQL)
+def q_text_readability_flesch(spark, sf_dir):
+    """Flesch reading-ease readability gate: FRE = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/word), with the standard
+    cheap proxies — sentences = runs of [.!?] (min 1), syllables =
+    vowel-letter groups [aeiouy]+ (the classic heuristic that tracks
+    dictionary syllable counts within a few percent on English prose).
+    The curation use is the LOW tail this query surfaces (100 hardest
+    documents): legalese, OCR junk, and run-on machine text all crater
+    FRE, and a readability floor is a standard pretraining quality
+    gate next to `quality_features`' length/stopword heuristics.
+
+    Plan: all three counts are per-row regex/HOF expressions at
+    parquet-scan speed (no shuffle, no UDF); the counts are exact
+    integers, FRE is one fixed-order float chain, and BOTH the output
+    value and the top-100 cut use the 9-dp ROUNDED score with doc_id
+    tiebreak. Regex class repertoire is deliberately minimal (char
+    classes + '+') so both engines' regex dialects agree exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"
+        ).alias("w"),
+        F.greatest(
+            F.expr(
+                "cast(size(regexp_extract_all(text, '[.!?]+', 0)) as bigint)"
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("s"),
+        F.expr(
+            "cast(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) "
+            "as bigint)"
+        ).alias("syl"),
+    ).filter(F.col("w") >= 1)
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w").cast("double") / F.col("s"))
+        - F.lit(84.6) * (F.col("syl").cast("double") / F.col("w"))
+    )
+    return (
+        m.select(
+            "doc_id",
+            "lang",
+            F.col("w").alias("n_words"),
+            F.col("s").alias("n_sentences"),
+            F.col("syl").alias("n_syllable_groups"),
+            F.round(fre, 9).alias("flesch_score"),
+        )
+        .orderBy("flesch_score", "doc_id")
+        .limit(100)
+    )

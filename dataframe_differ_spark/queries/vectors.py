@@ -1242,3 +1242,109 @@ def q_sim_range_search(spark, sf_dir):
     return range_search(e, q, 0.3).withColumn(
         "cos_sim", F.round("cos_sim", 9)
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (round 8)
+# ---------------------------------------------------------------------------
+
+_JL_K = 4  # projected dimensions materialized (enough to measure distortion)
+_JL_D = 64  # embedding dimensionality of the fixture table
+
+
+def _jl_sign_sql(i: str, j: int) -> str:
+    """±1 Rademacher sign from md5(i:j) — first hex digit < '8' → +1.
+    Engine-portable: both engines hash the identical string."""
+    return (
+        f"(CASE WHEN substring(md5(concat(CAST({i} AS STRING), ':', '{j}')), "
+        f"1, 1) IN ('0','1','2','3','4','5','6','7') THEN 1.0D ELSE -1.0D END)"
+    )
+
+
+def _jl_proj_spark(j: int) -> str:
+    return (
+        f"aggregate(sequence(1, {_JL_D}), CAST(0.0 AS DOUBLE), (acc, i) -> "
+        f"acc + CAST(element_at(embedding, i) AS DOUBLE) * {_jl_sign_sql('i', j)})"
+    )
+
+
+def _jl_sign_duck(i: str, j: int) -> str:
+    return (
+        f"(CASE WHEN substring(md5(CAST({i} AS VARCHAR) || ':' || '{j}'), "
+        f"1, 1) IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def _jl_proj_duck(j: int) -> str:
+    # list_prepend(0.0, range(...)) coerces the indices to DOUBLE, so
+    # re-CAST to BIGINT before both the array index and the md5 string
+    # ('1', not '1.0')
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"range(1, {_JL_D + 1})), (acc, i) -> "
+        f"acc + CAST(embedding[CAST(i AS BIGINT)] AS DOUBLE) "
+        f"* {_jl_sign_duck('CAST(i AS BIGINT)', j)})"
+    )
+
+
+_JL_SQL = f"""
+WITH p AS (
+  SELECT vec_id,
+         {', '.join(f'{_jl_proj_duck(j)} AS p{j}' for j in range(1, _JL_K + 1))},
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  range(1, {_JL_D + 1})), (acc, i) ->
+           acc + CAST(embedding[CAST(i AS BIGINT)] AS DOUBLE)
+               * CAST(embedding[CAST(i AS BIGINT)] AS DOUBLE)) AS nsq
+  FROM embeddings)
+SELECT vec_id,
+       {', '.join(f'ROUND(p{j}, 6) AS proj_{j}' for j in range(1, _JL_K + 1))},
+       ROUND(({' + '.join(f'p{j} * p{j}' for j in range(1, _JL_K + 1))})
+             / ({_JL_K}.0 / {_JL_D}.0) / nsq, 6) AS norm_ratio
+FROM p
+ORDER BY vec_id
+LIMIT 200
+"""
+
+
+@register("vec_random_projection", oracle=_JL_SQL)
+def q_vec_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection: 64-dim embeddings down
+    to 4 Rademacher-sign dimensions, plus the per-vector norm-
+    preservation ratio ‖P·e‖²/(k/d)/‖e‖² (JL says it concentrates
+    around 1 — the quality check a pipeline runs before trusting a
+    cheap projected index). The signs are md5-derived ±1 per (input
+    dim, output dim) — deterministic, engine-portable, and exactly the
+    "database-friendly" projection of Achlioptas 2003 (no Gaussian
+    sampling needed).
+
+    Plan: the projection is a per-row sequential fold per output dim —
+    JVM-side HOFs at parquet-scan speed, no shuffle, no UDF, no
+    materialized projection matrix (the sign is recomputed from the
+    hash, which is how a 100 TB scan avoids broadcasting a d×k matrix
+    and, more importantly, avoids any driver-side randomness). Floats:
+    each fold runs in the SAME left-to-right order in both engines
+    (Spark `aggregate`, DuckDB `list_reduce`), so the doubles agree
+    bit-exactly and the 6-dp rounded outputs hash-match.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    projs = [
+        F.expr(_jl_proj_spark(j)).alias(f"p{j}") for j in range(1, _JL_K + 1)
+    ]
+    nsq = F.expr(
+        f"aggregate(sequence(1, {_JL_D}), CAST(0.0 AS DOUBLE), (acc, i) -> "
+        "acc + CAST(element_at(embedding, i) AS DOUBLE) "
+        "* CAST(element_at(embedding, i) AS DOUBLE))"
+    ).alias("nsq")
+    p = emb.select("vec_id", *projs, nsq)
+    sum_sq = None
+    for j in range(1, _JL_K + 1):
+        t = F.col(f"p{j}") * F.col(f"p{j}")
+        sum_sq = t if sum_sq is None else sum_sq + t
+    out = p.select(
+        "vec_id",
+        *[F.round(F.col(f"p{j}"), 6).alias(f"proj_{j}") for j in range(1, _JL_K + 1)],
+        F.round(
+            sum_sq / F.lit(float(_JL_K) / float(_JL_D)) / F.col("nsq"), 6
+        ).alias("norm_ratio"),
+    )
+    return out.orderBy("vec_id").limit(200)

@@ -202,6 +202,10 @@ HEADLINE = [
     "stats_wilcoxon_signed_rank",
     "text_mtld",
     "graph_label_propagation",
+    "stats_cochran_q",
+    "text_readability_flesch",
+    "vec_random_projection",
+    "events_lz78_complexity",
 ]
 
 
