@@ -494,6 +494,50 @@ def q_sim_topk_ivf(spark, sf_dir):
     ).withColumn("cos_sim", F.round("cos_sim", 9))
 
 
+@register("sim_topk_ivf_persisted", oracle=_SIM_TOPK_IVF_SQL)
+def q_sim_topk_ivf_persisted(spark, sf_dir):
+    """`sim_topk_ivf` through the round-8 persistence layer: the trained
+    coarse quantizer's CENTROIDS are saved with ``save_artifact`` (kind
+    ``ivf_centroids``, plain parquet), reloaded with ``load_artifact``,
+    the corpus index is REBUILT from the loaded centroids with
+    ``assign_clusters``, and the probe runs against that — proving
+    save → load → reassign is identity on the ANN answer (same DuckDB
+    oracle, hash-exact including the cosine scores).
+
+    This is the ANN production shape at 100 TB: train the quantizer
+    once, persist the K ≈ √N centroid rows, and let every ingest job
+    load them to assign new vectors (the assignment is a broadcast
+    crossJoin + max_by — no retraining, no shuffle of the corpus); the
+    cluster_id becomes the on-disk partition key.
+    """
+    import os
+
+    from dataframe_differ_spark.operators.persistence import (
+        load_artifact,
+        save_artifact,
+    )
+    from dataframe_differ_spark.operators.similarity import assign_clusters
+
+    n_clusters, n_probe, k = 16, 6, 10
+    e = _emb_double(spark, sf_dir)
+    _, centroids = _ivf_index_cached(spark, sf_dir, e, n_clusters)
+    path = os.path.join(
+        "/tmp", "dds_artifacts", f"ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    save_artifact(
+        centroids, path, "ivf_centroids",
+        params={"n_clusters": n_clusters, "dim": 64},
+    )
+    art = load_artifact(spark, path, "ivf_centroids")
+    index = assign_clusters(e, art.df, "vec_id", "e")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return topk_cosine_ivf(
+        index, art.df, queries, k, n_probe=n_probe
+    ).withColumn("cos_sim", F.round("cos_sim", 9))
+
+
 @register(
     "vec_centroid_outliers",
     oracle="""

@@ -206,6 +206,7 @@ HEADLINE = [
     "text_readability_flesch",
     "vec_random_projection",
     "events_lz78_complexity",
+    "sim_topk_ivf_persisted",
 ]
 
 
