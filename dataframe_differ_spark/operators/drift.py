@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "ks_test",
     "js_divergence",
+    "hellinger",
 ]
 
 def _check_reserved(df: DataFrame, prefix: str = "_dr_") -> None:
@@ -180,6 +181,68 @@ def js_divergence(
         "contrib",
         "jsd",
         "vocab_size",
+        "n_base",
+        "n_cur",
+    )
+
+
+def hellinger(
+    df: DataFrame,
+    item_col: str,
+    is_base_col: str,
+    *,
+    contrib_dp: int = 12,
+) -> DataFrame:
+    """Hellinger distance between two cohorts' item distributions → one
+    row per item: ``(item, cnt_base, cnt_cur, bc_contrib, bc_total,
+    hellinger, n_items, n_base, n_cur)``.
+
+    The bounded [0, 1] companion to :func:`js_divergence` (round 8):
+    H = sqrt(1 − BC) with the Bhattacharyya coefficient
+    BC = Σ_i sqrt(p_i · q_i). Same input contract (one row per item
+    occurrence + a boolean cohort flag) and the same parity device —
+    ``sqrt`` is IEEE-correctly-rounded in both engines, but the SUM
+    order is not deterministic on Spark, so each per-item sqrt(p·q)
+    term is rounded to ``contrib_dp`` and accumulated as
+    DECIMAL(38,contrib_dp), an order-free sum a SQL oracle replays
+    bit-exactly. BC's rounding bias can nudge 1 − BC a hair negative
+    when P = Q, so the final sqrt clamps at 0 (``greatest``).
+
+    Scale shape: ONE groupBy(item) shuffle with map-side combine builds
+    both counts in a single pass; totals and BC are 1-row broadcasts.
+    """
+    _check_reserved(df)
+    per = df.groupBy(F.col(item_col)).agg(
+        F.sum(F.when(F.col(is_base_col), 1).otherwise(0)).alias("cnt_base"),
+        F.sum(F.when(F.col(is_base_col), 0).otherwise(1)).alias("cnt_cur"),
+    )
+    tot = per.agg(
+        F.sum("cnt_base").alias("n_base"), F.sum("cnt_cur").alias("n_cur")
+    )
+    p = F.col("cnt_base").cast("double") / F.col("n_base")
+    q = F.col("cnt_cur").cast("double") / F.col("n_cur")
+    contrib = F.round(F.sqrt(p * q), contrib_dp)
+    c = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("bc_contrib", contrib)
+        .localCheckpoint(eager=False)
+    )
+    j = c.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("bc_contrib").cast(f"decimal(38,{contrib_dp})"))
+        .cast("double")
+        .alias("bc_total"),
+    )
+    return c.crossJoin(F.broadcast(j)).select(
+        item_col,
+        "cnt_base",
+        "cnt_cur",
+        "bc_contrib",
+        "bc_total",
+        F.sqrt(F.greatest(F.lit(1.0) - F.col("bc_total"), F.lit(0.0))).alias(
+            "hellinger"
+        ),
+        "n_items",
         "n_base",
         "n_cur",
     )

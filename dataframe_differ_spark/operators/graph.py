@@ -54,6 +54,7 @@ __all__ = [
     "kcore",
     "label_propagation",
     "link_prediction",
+    "hits",
 ]
 
 
@@ -547,4 +548,91 @@ def degree_assortativity(
         F.col("_g_nn").alias("n_nodes"),
         (F.col("_g_m2") / 2).cast("long").alias("n_edges"),
         F.round(num / den, round_dp).alias("assortativity"),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iters: int = 3,
+    checkpoint_every: int = 2,
+    contrib_dp: int = 12,
+) -> DataFrame:
+    """HITS hubs-and-authorities on the DIRECTED edge list → ``(node,
+    hub, authority)``, L1-normalized doubles (round 8).
+
+    Kleinberg's mutual-reinforcement pair on whatever orientation the
+    caller supplies (for a canonical undirected list, u→v is a
+    deterministic orientation): per iteration the authority pull
+    a(v) = Σ_{u→v} h(u) then the hub pull h(u) = Σ_{u→v} a(v), each
+    L1-normalized so scores stay on the simplex (the power iteration on
+    AᵀA / AAᵀ). Nodes never appearing as a destination have authority
+    0 and are absent from the output's a-side (and symmetrically for
+    hubs) — callers wanting dense output coalesce after a join.
+
+    Cross-engine determinism (the pagerank device): every edge
+    contribution is rounded to ``contrib_dp`` dp and summed as
+    DECIMAL(38,contrib_dp) — order-free — and each normalization total
+    is the exact DECIMAL sum of those sums, so Spark's reduce order and
+    a replaying SQL oracle agree bit-exactly at every iteration. The
+    only doubles are the two casts feeding one division per score.
+
+    Scale shape: two key-grouped shuffles per iteration (Pregel-style,
+    map-side combinable), ``localCheckpoint`` every ``checkpoint_every``
+    iterations to keep lineage flat; no global window, no collect.
+    """
+    e = _norm(edges, src, dst).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("_g_u").alias("node"))
+        .unionAll(e.select(F.col("_g_v").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("_g_nn"))
+    h = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("_g_nn")).alias("hub")
+    )
+    a = None
+    dec = f"decimal(38,{contrib_dp})"
+    for it in range(iters):
+        araw = (
+            e.join(h.withColumnRenamed("node", "_g_u"), "_g_u")
+            .select(
+                F.col("_g_v").alias("node"),
+                F.round(F.col("hub"), contrib_dp).cast(dec).alias("_g_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_g_c").alias("_g_s"))
+        )
+        atot = araw.agg(F.sum("_g_s").alias("_g_t"))
+        a = araw.crossJoin(F.broadcast(atot)).select(
+            "node",
+            (
+                F.col("_g_s").cast("double") / F.col("_g_t").cast("double")
+            ).alias("authority"),
+        )
+        hraw = (
+            e.join(a.withColumnRenamed("node", "_g_v"), "_g_v")
+            .select(
+                F.col("_g_u").alias("node"),
+                F.round(F.col("authority"), contrib_dp).cast(dec).alias("_g_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_g_c").alias("_g_s"))
+        )
+        htot = hraw.agg(F.sum("_g_s").alias("_g_t"))
+        h = hraw.crossJoin(F.broadcast(htot)).select(
+            "node",
+            (
+                F.col("_g_s").cast("double") / F.col("_g_t").cast("double")
+            ).alias("hub"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            a = a.localCheckpoint(eager=False)
+            h = h.localCheckpoint(eager=False)
+    return a.join(h, "node", "full").select(
+        "node",
+        F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        F.coalesce("authority", F.lit(0.0)).alias("authority"),
     )

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_sample",
+    "systematic_sample",
     "stratified_sample",
     "weighted_sample",
     "balanced_sample",
@@ -249,3 +250,44 @@ def neyman_sample(
             "n_alloc",
         )
     )
+
+
+def systematic_sample(
+    df: DataFrame,
+    order_cols,
+    *,
+    stride: int,
+    offset: int = 0,
+    bucket_key: Column | None = None,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Every ``stride``-th row by EXACT global rank over ``order_cols`` →
+    the input columns + ``rank_col`` (1-based position in the full sort
+    order); keeps rows with ``rank % stride == offset`` (round 8).
+
+    The fixed-interval companion to :func:`hash_sample` (Bernoulli) and
+    :func:`weighted_sample` (importance): systematic sampling guarantees
+    even coverage along the sort dimension (e.g. time), which matters
+    when the metric drifts — a hash sample can cluster by chance, a
+    stride cannot. Deterministic: same data + same ordering = same rows,
+    on any engine.
+
+    ``order_cols`` must be a unique total order (include a tiebreaker
+    id); ``bucket_key`` (default: the first order column) must be a
+    numeric/castable leading sort key for the two-phase rank's range
+    bucketing. Plan: the exact rank comes from ``operators.ranks.ranked``
+    — one percentile-sketch pass + per-bucket windows, never a global
+    single-partition window — then the stride filter pipelines.
+    """
+    _check_reserved(df)
+    if stride < 2:
+        raise ValueError("stride must be >= 2")
+    if not 0 <= offset < stride:
+        raise ValueError("offset must be in [0, stride)")
+    from dataframe_differ_spark.operators.ranks import ranked
+
+    if rank_col in df.columns:
+        raise ValueError(f"input column {rank_col!r} collides with rank_col")
+    key = bucket_key if bucket_key is not None else F.col(str(order_cols[0]))
+    rk = ranked(df, key, list(order_cols), rank_col=rank_col)
+    return rk.filter(F.pmod(F.col(rank_col), F.lit(stride)) == F.lit(offset))

@@ -58,6 +58,7 @@ __all__ = [
     "seasonality",
     "theil_sen",
     "mad_outliers",
+    "kalman_level",
 ]
 
 
@@ -606,6 +607,84 @@ def holt_winters(
         F.col("_ts_e._ts_xt").alias(value_col),
     ]
     for fname in out_fields:
+        c = F.col("_ts_e._ts_rows")[fname]
+        cols.append(
+            (F.round(c, round_dp) if round_dp is not None else c).alias(fname)
+        )
+    return zipped.select(*group_cols, *cols)
+
+
+def kalman_level(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    *,
+    q_var: float = 0.25,
+    r_var: float = 4.0,
+    p0: float = 16.0,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Local-level (random-walk + noise) Kalman filter per group → one
+    row per observation AFTER the first: group cols + ``order_col`` +
+    ``value_col`` + ``level``, ``gain``, ``variance`` (round 8).
+
+    The adaptive-gain upgrade of :func:`ewma`: where EWMA's smoothing
+    weight is fixed, the Kalman gain K_t = P⁻_t / (P⁻_t + R) starts
+    high (trust the data while the state is uncertain, P_1 = ``p0``)
+    and settles to the steady-state value determined by the
+    process/observation noise ratio ``q_var``/``r_var``. Recurrences:
+    P⁻ = P + Q;  K = P⁻/(P⁻ + R);  l ← l + K·(y − l);  P ← (1−K)·P⁻,
+    initialized l_1 = y_1. Defaults are exact binary fractions so the
+    fold is the identical IEEE chain on any engine; ``round_dp``
+    optionally rounds the three outputs for hash-compared replays.
+
+    Plan: ONE shuffle (the groupBy); the per-group fold is O(len) via
+    the ``aggregate`` HOF over the collected, sorted observation array —
+    the ``ewma``/``holt_*`` rollup-then-recurse shape, meant for bounded
+    spines (daily/hourly rollups), which is where filtering runs at
+    100 TB anyway. Groups with a single observation emit nothing.
+    """
+    _check_reserved(df)
+    q, r, p_init = _lit(q_var), _lit(r_var), _lit(p0)
+    pp = f"(acc.p + {q})"
+    kk = f"({pp} / ({pp} + {r}))"
+    lp = f"(acc.l + {kk} * (v - acc.l))"
+    ppost = f"(({_lit(1.0)} - {kk}) * {pp})"
+    traj = (
+        "aggregate(slice(xv, 2, greatest(size(xv) - 1, 0)),"
+        f" named_struct('l', element_at(xv, 1), 'p', {p_init},"
+        "               'rows', CAST(array() AS array<struct<"
+        "                 level: double, gain: double, variance: double>>)),"
+        f" (acc, v) -> named_struct('l', {lp}, 'p', {ppost},"
+        f"   'rows', concat(acc.rows, array(named_struct("
+        f"     'level', {lp}, 'gain', {kk}, 'variance', {ppost})))),"
+        "  acc -> acc.rows)"
+    )
+    folded = df.groupBy(*group_cols).agg(
+        F.expr(
+            f"array_sort(collect_list(struct({order_col} AS o, {value_col} AS x)))"
+        ).alias("_ts_p")
+    ).select(
+        *group_cols,
+        F.expr("transform(_ts_p, e -> e.o)").alias("ov"),
+        F.expr("transform(_ts_p, e -> CAST(e.x AS DOUBLE))").alias("xv"),
+    )
+    tails = folded.select(
+        *group_cols,
+        F.expr("slice(ov, 2, greatest(size(ov) - 1, 0))").alias("_ts_ot"),
+        F.expr("slice(xv, 2, greatest(size(xv) - 1, 0))").alias("_ts_xt"),
+        F.expr(traj).alias("_ts_rows"),
+    )
+    zipped = tails.select(
+        *group_cols,
+        F.explode(F.arrays_zip("_ts_ot", "_ts_xt", "_ts_rows")).alias("_ts_e"),
+    )
+    cols = [
+        F.col("_ts_e._ts_ot").alias(order_col),
+        F.col("_ts_e._ts_xt").alias(value_col),
+    ]
+    for fname in ["level", "gain", "variance"]:
         c = F.col("_ts_e._ts_rows")[fname]
         cols.append(
             (F.round(c, round_dp) if round_dp is not None else c).alias(fname)

@@ -3566,3 +3566,250 @@ def q_events_lz78_complexity(spark, sf_dir):
         .orderBy(F.col("lz78_phrases").desc(), "user_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (round 8)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+
+
+def _hits_sql(iters: int) -> str:
+    ctes = [
+        copurchase_edges_ctes(mat="MATERIALIZED"),
+        """nodes AS MATERIALIZED (
+  SELECT u AS n FROM edges UNION SELECT v FROM edges)""",
+        """nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)""",
+        """h0 AS MATERIALIZED (
+  SELECT n, CAST(1.0 AS DOUBLE) / n_nodes AS hub FROM nodes CROSS JOIN nn)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""ar{t} AS MATERIALIZED (
+  SELECT e.v AS n, SUM(CAST(ROUND(h.hub, 12) AS DECIMAL(38,12))) AS s
+  FROM edges e JOIN h{t - 1} h ON h.n = e.u GROUP BY e.v)""")
+        ctes.append(f"""a{t} AS MATERIALIZED (
+  SELECT n, CAST(s AS DOUBLE)
+              / CAST((SELECT SUM(s) FROM ar{t}) AS DOUBLE) AS authority
+  FROM ar{t})""")
+        ctes.append(f"""hr{t} AS MATERIALIZED (
+  SELECT e.u AS n, SUM(CAST(ROUND(a.authority, 12) AS DECIMAL(38,12))) AS s
+  FROM edges e JOIN a{t} a ON a.n = e.v GROUP BY e.u)""")
+        ctes.append(f"""h{t} AS MATERIALIZED (
+  SELECT n, CAST(s AS DOUBLE)
+              / CAST((SELECT SUM(s) FROM hr{t}) AS DOUBLE) AS hub
+  FROM hr{t})""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT a.n AS part,
+       ROUND(COALESCE(h.hub, 0.0), 9) AS hub,
+       ROUND(a.authority, 9) AS authority
+FROM a{iters} a LEFT JOIN h{iters} h ON h.n = a.n
+ORDER BY ROUND(a.authority, 9) DESC, a.n LIMIT 20
+"""
+
+
+@register("graph_hits", oracle=_hits_sql(_HITS_ITERS))
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs and authorities (3 iterations) on the shared
+    co-purchase graph, using the canonical u < v edge orientation as
+    the direction — the mutual-reinforcement companion to
+    `graph_pagerank_parts` (authority = endorsed by good hubs, hub =
+    endorses good authorities; the power iteration on AᵀA / AAᵀ).
+    Top-20 authorities with their hub scores.
+
+    Thin binding over :func:`operators.graph.hits`. Full oracle on an
+    iterative float algorithm via the pagerank device: every edge
+    contribution rounds to 12 dp and sums DECIMAL(38,12) (order-free);
+    each L1 normalization divides by the EXACT decimal total, so both
+    engines replay bit-identically per iteration; the oracle unrolls
+    the 3 iterations as MATERIALIZED CTEs. Plan: two key-grouped
+    shuffles per iteration, lineage checkpointed — Pregel shape,
+    scan-bound at 100 TB.
+    """
+    from dataframe_differ_spark.operators.graph import hits
+
+    edges = copurchase_edges(spark, sf_dir)
+    h = hits(edges, src="u", dst="v", iters=_HITS_ITERS)
+    return (
+        h.filter(F.col("authority") > 0.0)
+        .select(
+            F.col("node").alias("part"),
+            F.round("hub", 9).alias("hub"),
+            F.round("authority", 9).alias("authority"),
+        )
+        .orderBy(F.round(F.col("authority"), 9).desc(), "part")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient + global transitivity (round 8)
+# ---------------------------------------------------------------------------
+
+_CLUSTERING_SQL = f"""
+WITH {copurchase_edges_ctes()},
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+  GROUP BY n),
+ori AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+  FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+tri AS (
+  SELECT w1.a AS x, w1.b AS y, w2.b AS z
+  FROM ori w1 JOIN ori w2 ON w1.b = w2.a
+  JOIN ori w3 ON w3.a = w1.a AND w3.b = w2.b),
+pernode AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT x AS n FROM tri UNION ALL SELECT y AS n FROM tri
+        UNION ALL SELECT z AS n FROM tri)
+  GROUP BY n),
+gstats AS (
+  SELECT (SELECT CAST(SUM(n_triangles) AS BIGINT) FROM pernode) AS t3,
+         (SELECT CAST(SUM(d * (d - 1)) AS BIGINT) FROM deg) AS wedges2)
+SELECT pernode.n AS part, pernode.n_triangles, deg.d AS degree,
+       ROUND(CAST(2 * pernode.n_triangles AS DOUBLE)
+             / CAST(deg.d * (deg.d - 1) AS DOUBLE), 9) AS lcc,
+       ROUND(CAST(2 * gstats.t3 AS DOUBLE) / CAST(gstats.wedges2 AS DOUBLE), 9)
+         AS global_transitivity
+FROM pernode JOIN deg ON deg.n = pernode.n CROSS JOIN gstats
+ORDER BY ROUND(CAST(2 * pernode.n_triangles AS DOUBLE)
+               / CAST(deg.d * (deg.d - 1) AS DOUBLE), 9) DESC,
+         pernode.n
+LIMIT 20
+"""
+
+
+@register("graph_clustering_coeff", oracle=_CLUSTERING_SQL)
+def q_graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per vertex + the graph's global
+    transitivity on the shared co-purchase graph: lcc(v) =
+    2·T(v) / (d(v)·(d(v)−1)) — how clique-like each part's co-purchase
+    neighborhood is — and transitivity = 3·triangles / wedges =
+    2·ΣT(v) / Σd(d−1), the one-number community-structure summary.
+    Composes :func:`operators.graph.triangle_count` (compact-forward
+    oriented wedge join — the same plan `graph_triangle_count` binds)
+    with :func:`operators.graph.degrees` for the all-vertex wedge
+    denominator (triangle-free vertices contribute wedges but no
+    triangles). Top-20 most clustered vertices.
+
+    Exactness: every quantity is BIGINT (triangle counts, degree
+    products) until the two final divisions; ordering ties break on the
+    ROUNDED lcc then vertex id in both engines. Plan: the oriented
+    wedge join bounds per-vertex work by √|E| (see triangle_count);
+    the global sums are two map-side-combinable rollups.
+    """
+    from dataframe_differ_spark.operators.graph import degrees, triangle_count
+
+    edges = copurchase_edges(spark, sf_dir)
+    tc = triangle_count(edges, src="u", dst="v")
+    deg_all = degrees(edges, src="u", dst="v")
+    glob = tc.agg(F.sum("n_triangles").cast("long").alias("t3")).crossJoin(
+        F.broadcast(
+            deg_all.agg(
+                F.sum(F.col("degree") * (F.col("degree") - 1))
+                .cast("long")
+                .alias("wedges2")
+            )
+        )
+    )
+    lcc = F.round(
+        (2 * F.col("n_triangles")).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        9,
+    )
+    return (
+        tc.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("node").alias("part"),
+            "n_triangles",
+            "degree",
+            lcc.alias("lcc"),
+            F.round(
+                (2 * F.col("t3")).cast("double")
+                / F.col("wedges2").cast("double"),
+                9,
+            ).alias("global_transitivity"),
+        )
+        .orderBy(F.col("lcc").desc(), "part")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local-level Kalman filter on daily volumes (round 8)
+# ---------------------------------------------------------------------------
+
+def _kalman_sql() -> str:
+    pp = "(cu.p + 0.25)"
+    kk = f"({pp} / ({pp} + 4.0))"
+    lp = f"(cu.l + {kk} * (idx.x - cu.l))"
+    ppost = f"((1.0 - {kk}) * {pp})"
+    return f"""
+WITH RECURSIVE
+daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+idx AS MATERIALIZED (
+  SELECT event_type, d, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS i
+  FROM daily),
+cu(event_type, t, l, p, d, y, level, gain, variance) AS (
+  SELECT event_type, CAST(1 AS BIGINT), x, CAST(16.0 AS DOUBLE),
+         CAST(NULL AS DATE), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT cu.event_type, cu.t + 1, {lp}, {ppost},
+         idx.d, CAST(idx.x AS BIGINT), {lp}, {kk}, {ppost}
+  FROM cu JOIN idx ON idx.event_type = cu.event_type AND idx.i = cu.t + 1)
+SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day, y AS n_events,
+       ROUND(level, 9) AS level, ROUND(gain, 9) AS gain,
+       ROUND(variance, 9) AS variance
+FROM cu WHERE t > 1
+"""
+
+
+@register("events_kalman_level", oracle=_kalman_sql())
+def q_events_kalman_level(spark, sf_dir):
+    """Local-level Kalman filter of the daily event volume per type —
+    the adaptive-gain upgrade of `timeseries_ewma`: the gain
+    K = P⁻/(P⁻+R) starts high while the state is uncertain (P₁ = 16)
+    and settles toward the steady state set by the Q=¼ / R=4 noise
+    ratio, so early observations move the level fast and later ones
+    are smoothed — with the filter's own variance published per day
+    (the quantity an anomaly alert thresholds against).
+
+    Parity: Q, R, P₀ are exact binary fractions; the predict/update
+    recurrence is one left-associated IEEE chain both engines replay
+    identically (the `events_holt_winters` contract — the engine side
+    is ONE O(len) fold per type over the collected daily spine, the
+    oracle a recursive CTE). Plan: one scan -> daily rollup shuffle;
+    the fold touches only each type's ~30-row spine at ANY sf.
+
+    Thin binding over :func:`operators.timeseries.kalman_level`
+    (round-8 addition).
+    """
+    from dataframe_differ_spark.operators.timeseries import kalman_level
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    k = kalman_level(
+        daily, ["event_type"], "d", "x", q_var=0.25, r_var=4.0, p0=16.0,
+        round_dp=9,
+    )
+    return k.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("n_events"),
+        "level",
+        "gain",
+        "variance",
+    )

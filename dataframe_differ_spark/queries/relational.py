@@ -2130,3 +2130,45 @@ def q_join_asof_nearest(spark, sf_dir):
         nearest.alias("nearest_click_ts"),
         direction.alias("direction"),
     )
+
+
+@register(
+    "sample_systematic",
+    oracle="""
+WITH r AS (
+  SELECT event_id, event_type,
+         CAST(ROW_NUMBER() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)
+              AS BIGINT) AS sample_rank
+  FROM events)
+SELECT sample_rank, event_id, event_type
+FROM r WHERE sample_rank % 200 = 7
+""",
+)
+def q_sample_systematic(spark, sf_dir):
+    """Systematic (fixed-interval) sampling: every 200th event in exact
+    time order — the even-coverage companion to `sample_hash`
+    (Bernoulli): a hash sample can cluster by chance along the time
+    axis; a stride cannot, which is what a drift monitor wants.
+    Deterministic at any scale: same data + same total order = same
+    rows on every engine.
+
+    Thin binding over :func:`operators.sampling.systematic_sample`:
+    the exact global rank comes from the two-phase bucketed rank
+    (`operators.ranks.ranked` — percentile-sketch range buckets +
+    per-bucket windows, NEVER a single-partition global window), and
+    the stride filter pipelines behind it. The (ts, event_id) order is
+    a unique total order, so ranks are reproducible.
+    """
+    from dataframe_differ_spark.operators.sampling import systematic_sample
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    s = systematic_sample(
+        e,
+        ["ts", "event_id"],
+        stride=200,
+        offset=7,
+        bucket_key=F.unix_micros(F.col("ts").cast("timestamp")),
+    )
+    return s.select("sample_rank", "event_id", "event_type")

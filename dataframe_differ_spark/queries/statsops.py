@@ -3975,3 +3975,790 @@ def q_stats_cochran_q(spark, sf_dir):
         F.round(qv, 9).alias("q_cochran"),
         (qv > 9.487729037).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired-binary test (round 8) — the 2x2 companion to Cochran's Q
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_SQL = """
+WITH day_flags AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) >= 2 AS a,
+         CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+              AS BIGINT) >= 2 AS b
+  FROM orders GROUP BY 1),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN b AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n01
+  FROM day_flags)
+SELECT n_days, n10, n01,
+       ROUND(CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) AS DOUBLE)
+             / CAST(n10 + n01 AS DOUBLE), 9) AS chi2_mcnemar,
+       (CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) AS DOUBLE)
+        / CAST(n10 + n01 AS DOUBLE)) > 3.841458821 AS reject_95
+FROM agg
+"""
+
+
+@register("stats_mcnemar", oracle=_MCNEMAR_SQL)
+def q_stats_mcnemar(spark, sf_dir):
+    """McNemar test on paired day-level binaries: is a calendar day more
+    often "urgent-busy" (>= 2 1-URGENT orders) than "low-busy" (>= 2
+    5-LOW orders)? Each day is its own matched pair, so only the
+    DISCORDANT days carry information: chi2 = (|n10 - n01| - 1)^2 /
+    (n10 + n01) (Edwards continuity correction), df = 1, reject at 95%
+    above 3.8415. The 2x2 special case of `stats_cochran_q` (k = 2
+    treatments) in its classical continuity-corrected form.
+
+    Plan: ONE orders scan -> per-day conditional counts (map-side
+    combinable, calendar-bounded output ~2,400 rows) -> one 1-row
+    aggregate. Every quantity is BIGINT until the single final division
+    (numerator <= n_days^2 << 2^63 at any sf), so the oracle
+    hash-matches exactly.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day_flags = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        (
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+            .cast("bigint")
+            >= 2
+        ).alias("a"),
+        (
+            F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0))
+            .cast("bigint")
+            >= 2
+        ).alias("b"),
+    )
+    agg = day_flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(F.col("b") & ~F.col("a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+    )
+    d = F.abs(F.col("n10") - F.col("n01")) - 1
+    chi2 = (d * d).cast("double") / (F.col("n10") + F.col("n01")).cast("double")
+    return agg.select(
+        "n_days",
+        "n10",
+        "n01",
+        F.round(chi2, 9).alias("chi2_mcnemar"),
+        (chi2 > 3.841458821).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa inter-rater agreement (round 8)
+# ---------------------------------------------------------------------------
+
+_KAPPA_SQL = """
+WITH flags AS (
+  SELECT o_totalprice > 150000 AS ra,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS rb
+  FROM orders),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         CAST(SUM(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n00
+  FROM flags),
+calc AS (
+  SELECT n, a1, b1, n11, n00,
+         CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         (CAST(a1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(b1 AS DOUBLE) / CAST(n AS DOUBLE))
+         + (CAST(n - a1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(n - b1 AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+  FROM agg)
+SELECT n AS n_orders, n11, n00,
+       ROUND(po, 9) AS p_observed,
+       ROUND(pe, 9) AS p_expected,
+       ROUND((po - pe) / (1.0 - pe), 9) AS kappa
+FROM calc
+"""
+
+
+@register("stats_cohens_kappa", oracle=_KAPPA_SQL)
+def q_stats_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between two binary "raters" labelling every order:
+    rater A says high-value (o_totalprice > 150000), rater B says
+    expedited (priority URGENT/HIGH). kappa = (po - pe) / (1 - pe)
+    corrects raw agreement po for the agreement pe expected from the
+    raters' marginal rates alone — the standard chance-corrected
+    agreement metric for LLM label-quality audits (model-vs-heuristic
+    or annotator-vs-annotator).
+
+    Plan: ONE scan, one 1-row conditional aggregate, no shuffle beyond
+    the partial-agg combine. Counts stay BIGINT; po/pe are built from
+    per-count double divisions (each count is int64->double, a single
+    correctly-rounded conversion both engines share, and the op chain
+    is written identically in both) so the final kappa hash-matches.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    flags = o.select(
+        (F.col("o_totalprice") > 150000).alias("ra"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("rb"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ra"), 1).otherwise(0)).cast("bigint").alias("a1"),
+        F.sum(F.when(F.col("rb"), 1).otherwise(0)).cast("bigint").alias("b1"),
+        F.sum(F.when(F.col("ra") & F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(~F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (F.col("a1").cast("double") / nd) * (
+        F.col("b1").cast("double") / nd
+    ) + ((F.col("n") - F.col("a1")).cast("double") / nd) * (
+        (F.col("n") - F.col("b1")).cast("double") / nd
+    )
+    return agg.select(
+        F.col("n").alias("n_orders"),
+        "n11",
+        "n00",
+        F.round(po, 9).alias("p_observed"),
+        F.round(pe, 9).alias("p_expected"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 9).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W coefficient of concordance (round 8)
+# ---------------------------------------------------------------------------
+
+_KENDALL_W_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS pri,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2),
+dense AS (
+  SELECT days.d, pris.pri, COALESCE(daily.cents, 0) AS cents
+  FROM (SELECT DISTINCT d FROM daily) days
+  CROSS JOIN (SELECT DISTINCT pri FROM daily) pris
+  LEFT JOIN daily ON daily.d = days.d AND daily.pri = pris.pri),
+dr AS (
+  SELECT a.d, a.pri,
+         CAST(SUM(CASE WHEN b.cents < a.cents THEN 2
+                       WHEN b.cents = a.cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS drank
+  FROM dense a JOIN dense b ON a.pri = b.pri
+  GROUP BY a.d, a.pri),
+rsum AS (
+  SELECT d, CAST(SUM(drank) AS BIGINT) AS dr_i FROM dr GROUP BY d),
+ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tt
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM dense GROUP BY pri, cents)),
+consts AS (
+  SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT pri) AS BIGINT) AS m
+  FROM dense),
+s2 AS (
+  SELECT CAST(SUM((dr_i - consts.m * (consts.n + 1))
+                  * (dr_i - consts.m * (consts.n + 1))) AS BIGINT) AS sprime
+  FROM rsum, consts),
+stat AS (
+  SELECT consts.n, consts.m,
+         CAST(3 * s2.sprime AS DOUBLE)
+           / CAST(consts.m * consts.m * (consts.n * consts.n * consts.n
+                                         - consts.n)
+                  - consts.m * ties.tt AS DOUBLE) AS w
+  FROM consts, s2, ties)
+SELECT n AS n_days, m AS k_judges,
+       ROUND(w, 9) AS w_kendall,
+       ROUND(CAST(m * (n - 1) AS DOUBLE) * w, 9) AS chi2_w
+FROM stat
+"""
+
+
+@register("stats_kendall_w", oracle=_KENDALL_W_SQL)
+def q_stats_kendall_w(spark, sf_dir):
+    """Kendall's W (coefficient of concordance): do the five order
+    priorities AGREE on which calendar days are big-revenue days? Each
+    priority is a judge ranking all n days by its own daily revenue;
+    W = 12S / [m^2(n^3 - n) - m*SUM(t^3 - t)] in [0, 1] measures
+    inter-judge agreement with the standard tie correction, and
+    m(n-1)W is asymptotically chi^2(n-1). The transposed complement of
+    `stats_friedman`: Friedman ranks treatments within blocks, W ranks
+    blocks within judges.
+
+    Exactness: the DOUBLED-midrank device keeps every moment BIGINT
+    (with doubled ranks, W = 3S' / [m^2(n^3-n) - m*T]); one final
+    double division. Plan: one orders scan -> (day, priority) rollup;
+    the within-judge midranks come from a CALENDAR-BOUNDED n x n
+    self-join per judge (~2,400^2 x 5 ~ 29M transient rows at ANY sf —
+    constant, not data-scaled), then two tiny rollups.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    days = daily.select("d").distinct()
+    pris = daily.select("pri").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(pris))
+        .join(daily, ["d", "pri"], "left")
+        .select("d", "pri", F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+    b = dense.select(F.col("pri").alias("pri2"), F.col("cents").alias("c2"))
+    dr = (
+        dense.join(b, F.col("pri2") == F.col("pri"))
+        .groupBy("d", "pri")
+        .agg(
+            F.sum(
+                F.when(F.col("c2") < F.col("cents"), 2)
+                .when(F.col("c2") == F.col("cents"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("drank")
+        )
+    )
+    rsum = dr.groupBy("d").agg(F.sum("drank").cast("long").alias("dr_i"))
+    ties = (
+        dense.groupBy("pri", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    consts = dense.agg(
+        F.countDistinct("d").alias("n"), F.countDistinct("pri").alias("m")
+    )
+    s2 = rsum.crossJoin(F.broadcast(consts)).agg(
+        F.sum(
+            (F.col("dr_i") - F.col("m") * (F.col("n") + 1))
+            * (F.col("dr_i") - F.col("m") * (F.col("n") + 1))
+        )
+        .cast("long")
+        .alias("sprime"),
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+    )
+    w = (3 * F.col("sprime")).cast("double") / (
+        F.col("m")
+        * F.col("m")
+        * (F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+        - F.col("m") * F.col("tt")
+    ).cast("double")
+    return s2.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_days"),
+        F.col("m").alias("k_judges"),
+        F.round(w, 9).alias("w_kendall"),
+        F.round((F.col("m") * (F.col("n") - 1)).cast("double") * w, 9).alias(
+            "chi2_w"
+        ),
+    )
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson autocorrelation of OLS residuals (round 8)
+# ---------------------------------------------------------------------------
+
+_DW_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+idxd AS (
+  SELECT d, y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS idx
+  FROM daily),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(idx) AS BIGINT) AS st,
+         CAST(SUM(idx * idx) AS BIGINT) AS stt,
+         {_split_sql('SUM(CAST(y AS HUGEINT))')} AS syd,
+         {_split_sql('SUM(CAST(idx AS HUGEINT) * y)')} AS styd
+  FROM idxd),
+fit AS (
+  SELECT n, st, stt, syd, styd,
+         (CAST(n AS DOUBLE) * styd - CAST(st AS DOUBLE) * syd)
+           / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope
+  FROM sums),
+resid AS (
+  SELECT idxd.idx,
+         (CAST(idxd.y AS DOUBLE)
+          - (fit.syd - fit.slope * CAST(fit.st AS DOUBLE))
+            / CAST(fit.n AS DOUBLE)
+          - fit.slope * CAST(idxd.idx AS DOUBLE)) / 100.0 AS e
+  FROM idxd, fit),
+num AS (
+  SELECT CAST(SUM(CAST(ROUND((a.e - b.e) * (a.e - b.e), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS dw_num
+  FROM resid a JOIN resid b ON b.idx = a.idx - 1),
+den AS (
+  SELECT CAST(SUM(CAST(ROUND(e * e, 12) AS DECIMAL(38,12))) AS DOUBLE)
+    AS dw_den
+  FROM resid)
+SELECT fit.n AS n_days,
+       ROUND(fit.slope, 9) AS slope_cents_per_day,
+       ROUND(num.dw_num / den.dw_den, 9) AS dw_stat
+FROM fit, num, den
+"""
+
+
+@register("stats_durbin_watson", oracle=_DW_SQL)
+def q_stats_durbin_watson(spark, sf_dir):
+    """Durbin-Watson test for lag-1 autocorrelation in the residuals of
+    an OLS trend fit to daily revenue: DW = SUM((e_t - e_{t-1})^2) /
+    SUM(e_t^2), ~2 under independence, <2 positive autocorrelation.
+    The residual-diagnostic companion to `stats_ols_multi` (which fits)
+    and `events_autocorr` (which correlates the raw series).
+
+    Exactness: regression moments (n, St, Stt, Sy, Sty) are exact
+    integers over cents; the two 2^64-exposed moments go through the
+    shared split-cast device; slope/intercept are one identically-
+    written double op chain. Residuals are rescaled to dollars (DW is
+    scale-invariant; keeps e^2 within DECIMAL(38,12) headroom at any
+    sf), each squared term rounded to 12 dp and summed as
+    DECIMAL(38,12) — order-free, so Spark's arbitrary partition-sum
+    order cannot surface. Plan: one orders scan -> calendar-bounded
+    daily rollup (~2,400 rows at ANY sf); the day index, the lag-1
+    pairing, and both quadratic sums live on that bounded spine
+    (self-joins on idx, never a global window over data-scaled rows).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    spine = daily.select(F.col("d").alias("d2"))
+    idxd = (
+        daily.join(spine, F.col("d2") <= F.col("d"))
+        .groupBy("d", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("idx"))
+    )
+    sums = idxd.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("idx").cast("long").alias("st"),
+        F.sum(F.col("idx") * F.col("idx")).cast("long").alias("stt"),
+        _split_dbl(F.sum(F.col("y").cast("decimal(38,0)"))).alias("syd"),
+        _split_dbl(
+            F.sum(F.col("idx").cast("decimal(38,0)") * F.col("y"))
+        ).alias("styd"),
+    )
+    nd = F.col("n").cast("double")
+    std = F.col("st").cast("double")
+    slope = (nd * F.col("styd") - std * F.col("syd")) / (
+        nd * F.col("stt").cast("double") - std * std
+    )
+    fit = sums.select("n", "st", F.col("syd"), slope.alias("slope"))
+    resid = idxd.crossJoin(F.broadcast(fit)).select(
+        "idx",
+        "n",
+        "slope",
+        (
+            (
+                F.col("y").cast("double")
+                - (
+                    F.col("syd")
+                    - F.col("slope") * F.col("st").cast("double")
+                )
+                / F.col("n").cast("double")
+                - F.col("slope") * F.col("idx").cast("double")
+            )
+            / 100.0
+        ).alias("e"),
+    )
+    rb = resid.select(F.col("idx").alias("idx2"), F.col("e").alias("ep"))
+    num = (
+        resid.join(rb, F.col("idx2") == F.col("idx") - 1)
+        .agg(
+            F.sum(
+                F.round((F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")), 12)
+                .cast("decimal(38,12)")
+            ).alias("dw_num")
+        )
+    )
+    den = resid.agg(
+        F.sum(F.round(F.col("e") * F.col("e"), 12).cast("decimal(38,12)")).alias(
+            "dw_den"
+        ),
+        F.max("n").alias("n"),
+        F.max("slope").alias("slope"),
+    )
+    return den.crossJoin(F.broadcast(num)).select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("slope"), 9).alias("slope_cents_per_day"),
+        F.round(
+            F.col("dw_num").cast("double") / F.col("dw_den").cast("double"), 9
+        ).alias("dw_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grubbs extreme-outlier test (round 8)
+# ---------------------------------------------------------------------------
+
+_GRUBBS_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM daily),
+sd AS (
+  SELECT n, sy,
+         SQRT({_split_sql('n * syy - CAST(sy AS HUGEINT) * sy')}
+              / CAST(n * (n - 1) AS DOUBLE)) AS s
+  FROM mom),
+dev AS (
+  SELECT daily.d, daily.y,
+         ABS(sd.n * daily.y - sd.sy) AS ndev, sd.n, sd.s
+  FROM daily, sd)
+SELECT n AS n_days, strftime(d, '%Y-%m-%d') AS outlier_day, y AS y_cents,
+       ROUND(s, 9) AS sd_cents,
+       ROUND(CAST(ndev AS DOUBLE) / (CAST(n AS DOUBLE) * s), 9) AS g_stat
+FROM dev
+ORDER BY ndev DESC, d LIMIT 1
+"""
+
+
+@register("stats_grubbs", oracle=_GRUBBS_SQL)
+def q_stats_grubbs(spark, sf_dir):
+    """Grubbs test statistic for the single most extreme daily-revenue
+    outlier: G = max|y - mean| / s over the daily series, reported with
+    the arg-max day. The one-point outlier screen that complements
+    `events_anomaly_mad` (robust, per-point) — G against the t-based
+    critical value is the classical lab-data rejection rule; we report
+    the statistic and the day (the critical value needs a t-quantile,
+    deliberately out of scope for a deterministic cross-engine oracle).
+
+    Exactness: moments are exact integers (Sy BIGINT, Sy^2 and n*Syy
+    through DECIMAL(38,0)/HUGEINT with the shared split-cast device);
+    the deviation is kept as the INTEGER |n*y - Sy| (scaling by n
+    avoids a float mean), so the arg-max is an exact BIGINT compare and
+    the only doubles are one sqrt and one final division. Plan: one
+    scan -> calendar-bounded daily rollup -> 1-row moments broadcast
+    back -> TakeOrdered(1).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    s = F.sqrt(
+        _split_dbl(
+            F.col("n").cast("decimal(38,0)") * F.col("syy")
+            - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+        )
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    sd = mom.select("n", "sy", s.alias("s"))
+    dev = daily.crossJoin(F.broadcast(sd)).select(
+        "d",
+        "y",
+        F.abs(F.col("n") * F.col("y") - F.col("sy")).alias("ndev"),
+        "n",
+        "s",
+    )
+    return dev.orderBy(F.col("ndev").desc(), "d").limit(1).select(
+        F.col("n").alias("n_days"),
+        F.date_format("d", "yyyy-MM-dd").alias("outlier_day"),
+        F.col("y").alias("y_cents"),
+        F.round(F.col("s"), 9).alias("sd_cents"),
+        F.round(
+            F.col("ndev").cast("double")
+            / (F.col("n").cast("double") * F.col("s")),
+            9,
+        ).alias("g_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hellinger / Bhattacharyya drift distance (round 8)
+# ---------------------------------------------------------------------------
+
+_HELLINGER_SQL = """
+WITH occ AS (
+  SELECT event_type,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' AS is_base
+  FROM events),
+per AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS cnt_base,
+         CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS cnt_cur
+  FROM occ GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(cnt_base) AS BIGINT) AS n_base,
+         CAST(SUM(cnt_cur) AS BIGINT) AS n_cur
+  FROM per),
+c AS (
+  SELECT per.event_type, per.cnt_base, per.cnt_cur, tot.n_base, tot.n_cur,
+         ROUND(SQRT((CAST(cnt_base AS DOUBLE) / n_base)
+                    * (CAST(cnt_cur AS DOUBLE) / n_cur)), 12) AS bc_contrib
+  FROM per, tot),
+j AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(bc_contrib AS DECIMAL(38,12))) AS DOUBLE) AS bc
+  FROM c)
+SELECT c.event_type, c.cnt_base, c.cnt_cur, c.bc_contrib,
+       ROUND(j.bc, 9) AS bc_total,
+       ROUND(SQRT(GREATEST(1.0 - j.bc, 0.0)), 9) AS hellinger,
+       j.n_items, c.n_base, c.n_cur
+FROM c, j
+"""
+
+
+@register("drift_hellinger", oracle=_HELLINGER_SQL)
+def q_drift_hellinger(spark, sf_dir):
+    """Hellinger distance between the event-type mixes of two md5-split
+    cohorts — the bounded [0,1] drift metric that complements
+    `drift_js_divergence` (unbounded nats) and `drift_psi` (binned):
+    H = sqrt(1 - BC), BC = SUM sqrt(p_i * q_i). Thin binding over
+    `operators.drift.hellinger`; the per-category sqrt(p*q) terms are
+    rounded to 12 dp and summed DECIMAL(38,12) (order-free), so the
+    oracle replays the sum bit-exactly. Plan: one scan, one
+    groupBy(event_type) with map-side combine, two 1-row broadcasts.
+    """
+    from dataframe_differ_spark.operators.drift import hellinger
+
+    e = load_table(spark, sf_dir, "events")
+    occ = e.select(
+        "event_type",
+        (
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8"
+        ).alias("is_base"),
+    )
+    h = hellinger(occ, "event_type", "is_base", contrib_dp=12)
+    return h.select(
+        "event_type",
+        "cnt_base",
+        "cnt_cur",
+        "bc_contrib",
+        F.round("bc_total", 9).alias("bc_total"),
+        F.round("hellinger", 9).alias("hellinger"),
+        "n_items",
+        "n_base",
+        "n_cur",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-log price elasticity of demand (round 8)
+# ---------------------------------------------------------------------------
+
+_ELASTICITY_SQL = f"""
+WITH pts AS (
+  SELECT CAST(ROUND(LN(CAST(l_extendedprice AS DOUBLE)
+                       / CAST(l_quantity AS DOUBLE)) * 1000000.0, 0)
+              AS BIGINT) AS x,
+         CAST(ROUND(LN(CAST(l_quantity AS DOUBLE)) * 1000000.0, 0)
+              AS BIGINT) AS y
+  FROM lineitem),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {_split_sql('SUM(CAST(x AS HUGEINT))')} AS sx,
+         {_split_sql('SUM(CAST(y AS HUGEINT))')} AS sy,
+         {_split_sql('SUM(CAST(x AS HUGEINT) * x)')} AS sxx,
+         {_split_sql('SUM(CAST(y AS HUGEINT) * y)')} AS syy,
+         {_split_sql('SUM(CAST(x AS HUGEINT) * y)')} AS sxy
+  FROM pts),
+fit AS (
+  SELECT n,
+         (sxy - sx * sy / CAST(n AS DOUBLE))
+           / (sxx - sx * sx / CAST(n AS DOUBLE)) AS slope,
+         ((sxy - sx * sy / CAST(n AS DOUBLE))
+          * (sxy - sx * sy / CAST(n AS DOUBLE)))
+           / ((sxx - sx * sx / CAST(n AS DOUBLE))
+              * (syy - sy * sy / CAST(n AS DOUBLE))) AS r2
+  FROM mom)
+SELECT n AS n_lines, ROUND(slope, 9) AS elasticity, ROUND(r2, 9) AS r2
+FROM fit
+"""
+
+
+@register("orders_price_elasticity", oracle=_ELASTICITY_SQL)
+def q_orders_price_elasticity(spark, sf_dir):
+    """Log-log price elasticity of demand across line items: the OLS
+    slope of ln(quantity) on ln(unit price) — the constant-elasticity
+    model's one-number answer to "do expensive parts sell in smaller
+    quantities?", with R² alongside. The econometric companion to
+    `stats_ols_multi` (levels) on the classic multiplicative form.
+
+    Parity: ln is libm-tainted, so each log is snapped to an exact
+    INTEGER micro-log unit (round(ln·1e6)) at the row level — from
+    there every moment (Σx, Σx², Σxy, Σy²) is an exact DECIMAL/HUGEINT
+    integer through the shared split-cast device, and the slope/R² are
+    one identically-written centered-moment double chain (elasticity is
+    scale-free, so the 1e6 unit cancels). Quantization bias ≤ 1e-6
+    per log — far below the statistic's own noise. Plan: one scan, one
+    1-row aggregate with map-side combine; nothing else.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round(
+            F.log(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("l_quantity").cast("double")) * 1000000.0, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _split_dbl(F.sum(F.col("x").cast(dec))).alias("sx"),
+        _split_dbl(F.sum(F.col("y").cast(dec))).alias("sy"),
+        _split_dbl(F.sum(F.col("x").cast(dec) * F.col("x"))).alias("sxx"),
+        _split_dbl(F.sum(F.col("y").cast(dec) * F.col("y"))).alias("syy"),
+        _split_dbl(F.sum(F.col("x").cast(dec) * F.col("y"))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / nd
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / nd
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / nd
+    return mom.select(
+        F.col("n").alias("n_lines"),
+        F.round(cov / varx, 9).alias("elasticity"),
+        F.round((cov * cov) / (varx * vary), 9).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page trend test for ordered alternatives (round 8)
+# ---------------------------------------------------------------------------
+
+_PAGE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS pri,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+spine AS (
+  SELECT days.d, pris.pri
+  FROM (SELECT DISTINCT d FROM daily) days
+  CROSS JOIN (SELECT DISTINCT pri FROM daily) pris),
+dense AS (
+  SELECT spine.d, spine.pri, COALESCE(daily.c, 0) AS c
+  FROM spine LEFT JOIN daily
+    ON daily.d = spine.d AND daily.pri = spine.pri),
+dr AS (
+  SELECT a.d, CAST(substr(a.pri, 1, 1) AS BIGINT) AS j,
+         CAST(SUM(CASE WHEN b.c < a.c THEN 2
+                       WHEN b.c = a.c THEN 1 ELSE 0 END) AS BIGINT)
+           AS drank
+  FROM dense a JOIN dense b ON a.d = b.d
+  GROUP BY a.d, a.pri),
+consts AS (
+  SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS b,
+         CAST(COUNT(DISTINCT pri) AS BIGINT) AS k
+  FROM dense),
+lsum AS (
+  SELECT CAST(SUM(j * drank) AS BIGINT) AS l2 FROM dr),
+stat AS (
+  SELECT consts.b, consts.k, lsum.l2,
+         (CAST(lsum.l2 AS DOUBLE)
+          - CAST(consts.b * consts.k * (consts.k + 1) * (consts.k + 1)
+                 AS DOUBLE) / 2.0)
+           / SQRT(CAST(consts.b * consts.k * consts.k * (consts.k + 1)
+                       * (consts.k * consts.k - 1) AS DOUBLE) / 36.0) AS z
+  FROM consts, lsum)
+SELECT b AS n_blocks, k AS k_treatments, l2 AS l_doubled,
+       ROUND(z, 9) AS z_page,
+       ABS(z) > 1.959963985 AS reject_95
+FROM stat
+"""
+
+
+@register("stats_page_trend", oracle=_PAGE_SQL)
+def q_stats_page_trend(spark, sf_dir):
+    """Page's L trend test for ORDERED alternatives: does daily order
+    volume increase monotonically along the priority scale 1-URGENT →
+    5-LOW? Where `stats_friedman` asks "do the k treatments differ at
+    all?", Page's test spends its power on the one-sided ordered
+    hypothesis: L = Σ_j j·R_j over within-day ranks, standardized by
+    E[L] = bk(k+1)²/4 and Var[L] = bk²(k+1)(k²−1)/144 (ranks here are
+    midranks; the classical no-tie variance is an approximation under
+    heavy ties — stated, since both engines replay the SAME formula).
+    The treatment order j is the priority's own leading digit.
+
+    Exactness: the DOUBLED-midrank device keeps L and every moment
+    BIGINT (doubling L doubles E and quadruples Var — the z chain below
+    is written for doubled quantities on both engines); one final
+    division + sqrt. Plan: identical to `stats_friedman` — one orders
+    scan, a calendar-bounded day×5 grid, a 25-pair/day midrank join,
+    two tiny rollups.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    days = daily.select("d").distinct()
+    pris = daily.select("pri").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(pris))
+        .join(daily, ["d", "pri"], "left")
+        .select("d", "pri", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    b2 = dense.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    dr = (
+        dense.join(b2, F.col("d2") == F.col("d"))
+        .groupBy("d", "pri")
+        .agg(
+            F.sum(
+                F.when(F.col("c2") < F.col("c"), 2)
+                .when(F.col("c2") == F.col("c"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("drank")
+        )
+        .select(
+            F.substring("pri", 1, 1).cast("long").alias("j"), "drank"
+        )
+    )
+    consts = dense.agg(
+        F.countDistinct("d").alias("b"), F.countDistinct("pri").alias("k")
+    )
+    lsum = dr.agg(F.sum(F.col("j") * F.col("drank")).cast("long").alias("l2"))
+    bb, kk = F.col("b"), F.col("k")
+    z = (
+        F.col("l2").cast("double")
+        - (bb * kk * (kk + 1) * (kk + 1)).cast("double") / 2.0
+    ) / F.sqrt(
+        (bb * kk * kk * (kk + 1) * (kk * kk - 1)).cast("double") / 36.0
+    )
+    return lsum.crossJoin(F.broadcast(consts)).select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.col("l2").alias("l_doubled"),
+        F.round(z, 9).alias("z_page"),
+        (F.abs(z) > 1.959963985).alias("reject_95"),
+    )

@@ -2345,3 +2345,80 @@ def q_text_readability_flesch(spark, sf_dir):
         .orderBy("flesch_score", "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (round 8): variance-to-mean of per-doc term counts
+# ---------------------------------------------------------------------------
+
+_BURSTINESS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+per AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY token, doc_id),
+mom AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM per GROUP BY token)
+SELECT token, df, sc AS total_count,
+       ROUND(CAST(df * scc - sc * sc AS DOUBLE) / CAST(df * sc AS DOUBLE), 9)
+         AS burstiness
+FROM mom
+WHERE df >= 50
+ORDER BY ROUND(CAST(df * scc - sc * sc AS DOUBLE)
+               / CAST(df * sc AS DOUBLE), 9) DESC, token
+LIMIT 20
+"""
+
+
+@register("text_burstiness", oracle=_BURSTINESS_SQL)
+def q_text_burstiness(spark, sf_dir):
+    """Term burstiness (Church & Gale): variance-to-mean ratio of a
+    token's per-document counts, over the documents that contain it —
+    VMR = 1 under Poisson scatter; topical/bursty terms score higher
+    because they repeat heavily where they appear at all. The
+    corpus-statistics companion to `text_tfidf` (which weights by df
+    alone): burstiness separates "common everywhere" from "common in
+    bursts", the signal LLM-corpus topic filters key on. Top-20
+    burstiest among tokens appearing in >= 50 documents.
+
+    Exactness: population VMR over occupied docs reduces to
+    (df*SUMc^2 - (SUMc)^2) / (df*SUMc) — every moment is an exact
+    BIGINT (per-doc counts are small; SUMc^2 stays far inside 2^63 at
+    any sf), one final division; ties break on the ROUNDED score then
+    token. Plan: one explode -> one (token, doc) rollup with map-side
+    combine -> one token rollup -> TakeOrdered(20). Scan-bound; the
+    token key space is vocabulary-sized, not corpus-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    mom = per.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    vmr = F.round(
+        (F.col("df") * F.col("scc") - F.col("sc") * F.col("sc")).cast("double")
+        / (F.col("df") * F.col("sc")).cast("double"),
+        9,
+    )
+    return (
+        mom.filter(F.col("df") >= 50)
+        .select(
+            "token",
+            "df",
+            F.col("sc").alias("total_count"),
+            vmr.alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "token")
+        .limit(20)
+    )

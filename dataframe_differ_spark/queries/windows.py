@@ -559,3 +559,230 @@ def q_win_percent_rank_cume(spark, sf_dir):
         F.round(F.cume_dist().over(w), 9).alias("cume"),
         (F.col("c_acctbal") >= med).cast("int").alias("above_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate (round 8) — how predictable is the next event?
+# ---------------------------------------------------------------------------
+
+_ENTROPY_RATE_SQL = """
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS dst
+  FROM events),
+pairs AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM seq
+  WHERE dst IS NOT NULL GROUP BY src, dst),
+tot AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM pairs GROUP BY src),
+gt AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM pairs),
+terms AS (
+  SELECT p.src, t.n_src, gt.big_n,
+         ROUND(-(CAST(p.n AS DOUBLE) / t.n_src)
+               * log2(CAST(p.n AS DOUBLE) / t.n_src), 12) AS hterm,
+         ROUND(-(CAST(p.n AS DOUBLE) / gt.big_n)
+               * log2(CAST(p.n AS DOUBLE) / t.n_src), 12) AS cterm
+  FROM pairs p JOIN tot t ON p.src = t.src CROSS JOIN gt),
+per_src AS (
+  SELECT src, n_src,
+         CAST(SUM(CAST(hterm AS DECIMAL(38,12))) AS DOUBLE) AS h_src,
+         CAST(SUM(CAST(cterm AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS csum
+  FROM terms GROUP BY src, n_src),
+total AS (
+  SELECT CAST(SUM(csum) AS DOUBLE) AS h_rate FROM per_src)
+SELECT s.src, s.n_src,
+       ROUND(s.h_src, 9) AS h_conditional_bits,
+       ROUND(t.h_rate, 9) AS entropy_rate_bits
+FROM per_src s CROSS JOIN total t
+"""
+
+
+@register("events_entropy_rate", oracle=_ENTROPY_RATE_SQL)
+def q_events_entropy_rate(spark, sf_dir):
+    """First-order Markov entropy rate of the per-user event streams:
+    H = SUM_src pi(src) * H(next | src) in bits, with pi the empirical
+    source frequency — the sequence-predictability scalar built on the
+    same transition counts as `events_markov_transitions` (a per-edge
+    view; this is its information-theoretic rollup). Low H = rigid
+    funnels, high H = exploratory behavior; the sequence analogue of
+    `text_char_entropy`.
+
+    Parity: log2 is libm-tainted, so each transition's conditional-
+    entropy term AND its pi-weighted contribution are rounded to 12 dp
+    and summed as DECIMAL(38,12) — order-free, replayed bit-exactly by
+    the oracle (same device as drift_js_divergence). Counts stay
+    BIGINT. Plan: one LEAD window (single shuffle on user_id), a
+    |types|^2-key transition rollup, broadcast totals, and a
+    |types|-row output — scan-bound at 100 TB.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    pairs = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    gt = pairs.agg(F.sum("n").cast("long").alias("big_n"))
+    p_cond = F.col("n").cast("double") / F.col("n_src")
+    terms = (
+        pairs.join(F.broadcast(tot), "src")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "src",
+            "n_src",
+            F.round(-p_cond * F.log2(p_cond), 12).alias("hterm"),
+            F.round(
+                -(F.col("n").cast("double") / F.col("big_n"))
+                * F.log2(p_cond),
+                12,
+            ).alias("cterm"),
+        )
+    )
+    per_src = terms.groupBy("src", "n_src").agg(
+        F.sum(F.col("hterm").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("h_src"),
+        F.sum(F.col("cterm").cast("decimal(38,12)")).alias("csum"),
+    )
+    total = per_src.agg(F.sum("csum").cast("double").alias("h_rate"))
+    return per_src.crossJoin(F.broadcast(total)).select(
+        "src",
+        "n_src",
+        F.round("h_src", 9).alias("h_conditional_bits"),
+        F.round("h_rate", 9).alias("entropy_rate_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite additive decomposition (round 8): trend + day-of-week seasonality
+# ---------------------------------------------------------------------------
+
+_STL_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+idxd AS (
+  SELECT d, c, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS idx
+  FROM daily),
+ma AS (
+  SELECT a.d, a.c,
+         CAST(COUNT(*) AS BIGINT) AS w,
+         CAST(SUM(b.c) AS BIGINT) AS sum7
+  FROM idxd a JOIN idxd b ON b.idx BETWEEN a.idx - 3 AND a.idx + 3
+  GROUP BY a.d, a.c),
+det AS (
+  SELECT d, c, CAST(c AS DOUBLE) - CAST(sum7 AS DOUBLE) / 7.0 AS detr
+  FROM ma WHERE w = 7),
+seas AS (
+  SELECT dayofweek(d) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS sum_c,
+         CAST(SUM(CAST(ROUND(detr, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS seasonal
+  FROM det GROUP BY 1),
+resid AS (
+  SELECT seas.dow, seas.n_days, seas.sum_c, seas.seasonal,
+         CAST(SUM(CAST(ROUND((det.detr - seas.seasonal)
+                             * (det.detr - seas.seasonal), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sse
+  FROM det JOIN seas ON dayofweek(det.d) = seas.dow
+  GROUP BY 1, 2, 3, 4)
+SELECT dow, n_days,
+       ROUND(CAST(sum_c AS DOUBLE) / n_days, 9) AS avg_count,
+       ROUND(seasonal, 9) AS seasonal_idx,
+       ROUND(sse / n_days, 9) AS resid_var
+FROM resid
+"""
+
+
+@register("events_stl_decompose", oracle=_STL_SQL)
+def q_events_stl_decompose(spark, sf_dir):
+    """STL-lite additive decomposition of the daily event count:
+    trend = centered 7-day moving average, seasonal = mean detrended
+    value per day-of-week, residual variance per weekday — the
+    classical decomposition sanity check behind `events_seasonality_dow`
+    (raw DOW means) and `events_holt_winters` (recursive smoothing):
+    here seasonality is measured AFTER removing trend, so a ramp-up
+    cannot masquerade as a weekday effect.
+
+    Plan: one scan -> calendar-bounded daily rollup; the day index, the
+    +-3-day moving-average band join, and the DOW rollups all live on
+    that bounded spine (~30 rows per sf-INDEPENDENT calendar day at any
+    scale) — no global window on the engine side. Edge days without a
+    full 7-day window are dropped by both engines (w = 7). Parity: the
+    trend is an exact-integer sum over 7 BIGINTs divided once; each
+    detrended / squared-residual term is rounded to 12 dp and summed
+    DECIMAL(38,12) (order-free); DOW uses DuckDB's Sunday=0 convention
+    (Spark dayofweek - 1).
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spine = daily.select(F.col("d").alias("d2"))
+    idxd = (
+        daily.join(spine, F.col("d2") <= F.col("d"))
+        .groupBy("d", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("idx"))
+    )
+    b = idxd.select(F.col("idx").alias("j"), F.col("c").alias("cb"))
+    ma = (
+        idxd.join(
+            b,
+            (F.col("j") >= F.col("idx") - 3) & (F.col("j") <= F.col("idx") + 3),
+        )
+        .groupBy("d", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum("cb").cast("long").alias("sum7"),
+        )
+    )
+    det = ma.filter(F.col("w") == 7).select(
+        "d",
+        "c",
+        (F.col("c").cast("double") - F.col("sum7").cast("double") / 7.0).alias(
+            "detr"
+        ),
+    )
+    seas = det.groupBy((F.dayofweek("d") - 1).cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("sum_c"),
+        (
+            F.sum(F.round(F.col("detr"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("seasonal"),
+    )
+    resid = (
+        det.select((F.dayofweek("d") - 1).cast("long").alias("dow"), "detr")
+        .join(F.broadcast(seas), "dow")
+        .groupBy("dow", "n_days", "sum_c", "seasonal")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("detr") - F.col("seasonal"))
+                    * (F.col("detr") - F.col("seasonal")),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("sse")
+        )
+    )
+    return resid.select(
+        "dow",
+        "n_days",
+        F.round(F.col("sum_c").cast("double") / F.col("n_days"), 9).alias(
+            "avg_count"
+        ),
+        F.round("seasonal", 9).alias("seasonal_idx"),
+        F.round(F.col("sse") / F.col("n_days"), 9).alias("resid_var"),
+    )
