@@ -54,6 +54,7 @@ __all__ = [
     "kendall_tau",
     "levene_bf",
     "gini",
+    "kruskal_wallis",
 ]
 
 _DEC = "decimal(38,0)"
@@ -739,4 +740,125 @@ def gini(
             / split_cast_double(F.col("n").cast(_DEC) * F.col("total")),
             round_dp,
         ).alias("gini"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Kruskal-Wallis H test (k independent samples) → one row per group
+    ``(group col, n_g, mean_rank, h, h_corrected, k_groups, n_total)``
+    with the tie-corrected statistic repeated on every row (round 8).
+
+    The k-sample generalization of :func:`mann_whitney` (and the
+    nonparametric sibling of the ANOVA F): pooled midranks over ALL
+    values, H = 12/(N(N+1)) Σ R_g²/n_g − 3(N+1), divided by the tie
+    correction C = 1 − Σ(t³−t)/(N³−N); H_c ~ χ²(k−1) under exchange-
+    ability.
+
+    Exactness: the doubled-midrank device — midranks come from the
+    DISTINCT-VALUE frame (2·mr_v = 2·C_prev + c_v + 1), per-group rank
+    sums stay exact integers R'_g = Σ c_gv·dmr_v accumulated as
+    DECIMAL(38,0), and with doubled ranks H = 3·Σ(R'_g²/n_g)/(N(N+1))
+    − 3(N+1). The 2^64-exposed quantities (R'², N³−N) convert through
+    the shared split-cast device; the k per-group R'²/n_g doubles are
+    rounded to 12 dp and summed DECIMAL(38,12) (order-free). Scale
+    shape: one value-keyed groupBy + one (value, group) groupBy (both
+    uniform keys, map-side combinable), the ordered prefix sum through
+    ``operators.ranks.ranked`` on the distinct-value frame, then
+    k-row rollups — scan-bound at 100 TB.
+    """
+    from dataframe_differ_spark.operators.numeric import split_cast_double
+    from dataframe_differ_spark.operators.ranks import ranked
+
+    _check_reserved(df)
+    src = df.select(
+        F.col(value_col).alias("_st_v"), F.col(group_col).alias("_st_g")
+    )
+    vals = src.groupBy("_st_v").agg(F.count(F.lit(1)).alias("_st_c"))
+    gv = src.groupBy("_st_v", "_st_g").agg(
+        F.count(F.lit(1)).alias("_st_cg")
+    )
+    r = ranked(
+        vals,
+        F.col("_st_v"),
+        ["_st_v"],
+        running_sum=F.col("_st_c"),
+        running_col="_st_cum",
+    ).select(
+        "_st_v",
+        "_st_c",
+        (2 * (F.col("_st_cum") - F.col("_st_c")) + F.col("_st_c") + 1).alias(
+            "_st_dmr"
+        ),
+    )
+    rg = (
+        gv.join(r, "_st_v")
+        .groupBy("_st_g")
+        .agg(
+            F.sum("_st_cg").cast("long").alias("_st_ng"),
+            F.sum(F.col("_st_cg").cast(_DEC) * F.col("_st_dmr")).alias(
+                "_st_r2"
+            ),
+        )
+    )
+    ties = vals.agg(
+        F.sum(
+            F.col("_st_c").cast(_DEC) * F.col("_st_c") * F.col("_st_c")
+            - F.col("_st_c")
+        ).alias("_st_t")
+    )
+    consts = rg.agg(
+        F.count(F.lit(1)).cast("long").alias("_st_k"),
+        F.sum("_st_ng").cast("long").alias("_st_n"),
+    )
+    terms = rg.select(
+        "_st_g",
+        "_st_ng",
+        "_st_r2",
+        F.round(
+            split_cast_double(F.col("_st_r2") * F.col("_st_r2"))
+            / F.col("_st_ng").cast("double"),
+            12,
+        ).alias("_st_q"),
+    )
+    s4 = terms.agg(
+        F.sum(F.col("_st_q").cast("decimal(38,12)")).cast("double").alias("_st_s4")
+    )
+    nn = F.col("_st_n").cast("double")
+    h = (
+        3.0 * F.col("_st_s4") / (nn * (nn + 1.0))
+        - 3.0 * (nn + 1.0)
+    )
+    cden = split_cast_double(
+        F.col("_st_n").cast(_DEC) * F.col("_st_n") * F.col("_st_n")
+        - F.col("_st_n")
+    )
+    corr = F.lit(1.0) - split_cast_double(F.col("_st_t")) / cden
+    stat = (
+        consts.crossJoin(F.broadcast(s4))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("_st_k").alias("k_groups"),
+            F.col("_st_n").alias("n_total"),
+            h.alias("_st_h"),
+            (h / corr).alias("_st_hc"),
+        )
+    )
+    return terms.crossJoin(F.broadcast(stat)).select(
+        F.col("_st_g").alias(group_col),
+        F.col("_st_ng").alias("n_g"),
+        F.round(
+            split_cast_double(F.col("_st_r2"))
+            / (2.0 * F.col("_st_ng").cast("double")),
+            round_dp,
+        ).alias("mean_rank"),
+        F.round("_st_h", round_dp).alias("h"),
+        F.round("_st_hc", round_dp).alias("h_corrected"),
+        "k_groups",
+        "n_total",
     )

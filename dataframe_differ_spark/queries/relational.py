@@ -2172,3 +2172,46 @@ def q_sample_systematic(spark, sf_dir):
         bucket_key=F.unix_micros(F.col("ts").cast("timestamp")),
     )
     return s.select("sample_rank", "event_id", "event_type")
+
+
+@register(
+    "agg_grouping_id",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, '-') AS l_returnflag,
+       COALESCE(l_linestatus, '-') AS l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       COUNT(*) AS cnt,
+       {SQL_DSUM('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_grouping_id(spark, sf_dir):
+    """ROLLUP with explicit GROUPING() markers — the disambiguation
+    device `agg_rollup` sidesteps with COALESCE labels: when a grouping
+    column can itself be NULL (or hold the sentinel string), only the
+    GROUPING() bit says whether a row is a subtotal or a data value.
+    Emits the per-column bits (portable; Spark's composite
+    grouping_id() bit-packs the same flags). Same plan as any rollup:
+    one partial-aggregated shuffle expanding each row into its 3
+    grouping sets — no extra pass per level.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("-")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("-")).alias("l_linestatus"),
+            "g_flag",
+            "g_status",
+            "cnt",
+            "sum_price",
+        )
+    )

@@ -4762,3 +4762,202 @@ def q_stats_page_trend(spark, sf_dir):
         F.round(z, 9).alias("z_page"),
         (F.abs(z) > 1.959963985).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H test (round 8)
+# ---------------------------------------------------------------------------
+
+_KW_SQL = f"""
+WITH src AS (
+  SELECT o_totalprice AS v, o_orderpriority AS g FROM orders),
+vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY v),
+r AS (
+  SELECT v, c,
+         2 * (CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) - c) + c + 1 AS dmr
+  FROM vals),
+gv AS (
+  SELECT v, g, CAST(COUNT(*) AS BIGINT) AS cg FROM src GROUP BY v, g),
+rg AS (
+  SELECT gv.g, CAST(SUM(gv.cg) AS BIGINT) AS ng,
+         CAST(SUM(CAST(gv.cg AS HUGEINT) * r.dmr) AS HUGEINT) AS r2
+  FROM gv JOIN r ON r.v = gv.v GROUP BY gv.g),
+ties AS (
+  SELECT CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS t
+  FROM vals),
+consts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n
+  FROM rg),
+terms AS (
+  SELECT g, ng, r2,
+         ROUND({_split_sql('r2 * r2')} / CAST(ng AS DOUBLE), 12) AS q
+  FROM rg),
+s4 AS (
+  SELECT CAST(SUM(CAST(q AS DECIMAL(38,12))) AS DOUBLE) AS s4 FROM terms),
+stat AS (
+  SELECT consts.k, consts.n,
+         3.0 * s4.s4 / (CAST(consts.n AS DOUBLE)
+                        * (CAST(consts.n AS DOUBLE) + 1.0))
+           - 3.0 * (CAST(consts.n AS DOUBLE) + 1.0) AS h,
+         1.0 - {_split_sql('ties.t')}
+                 / {_split_sql('CAST(consts.n AS HUGEINT) * consts.n * consts.n - consts.n')}
+           AS corr
+  FROM consts, s4, ties)
+SELECT terms.g AS o_orderpriority, terms.ng AS n_g,
+       ROUND({_split_sql('terms.r2')} / (2.0 * CAST(terms.ng AS DOUBLE)), 9)
+         AS mean_rank,
+       ROUND(stat.h, 9) AS h,
+       ROUND(stat.h / stat.corr, 9) AS h_corrected,
+       stat.k AS k_groups, stat.n AS n_total
+FROM terms, stat
+"""
+
+
+@register("stats_kruskal_wallis", oracle=_KW_SQL)
+def q_stats_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H: do the five order priorities differ in order
+    VALUE distribution? The k-sample generalization of
+    `stats_mann_whitney` (k = 2) and the nonparametric sibling of
+    `stats_anova_f` — pooled midranks across all ~N orders, per-group
+    rank sums, tie-corrected H ~ chi^2(4). Completes the rank-test
+    family: Friedman/Page (related samples), MWU (2 independent), KW
+    (k independent).
+
+    Thin binding over :func:`operators.stats.kruskal_wallis` (round-8
+    addition) — the doubled-midrank DISTINCT-VALUE device, DECIMAL
+    rank-sum accumulation, split-cast conversions of the 2^64-exposed
+    R'^2 and N^3 terms, and 12-dp DECIMAL summation of the k per-group
+    R'^2/n_g doubles all live there. Plan: two uniform-key rollups +
+    the two-phase bucketed prefix sum + k-row rollups.
+    """
+    from dataframe_differ_spark.operators.stats import kruskal_wallis
+
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    kw = kruskal_wallis(src, "v", "g")
+    return kw.select(
+        F.col("g").alias("o_orderpriority"),
+        "n_g",
+        "mean_rank",
+        "h",
+        "h_corrected",
+        "k_groups",
+        "n_total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test for equal variances (round 8)
+# ---------------------------------------------------------------------------
+
+_BARTLETT_SQL = f"""
+WITH src AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem),
+mom AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+  FROM src GROUP BY g),
+varg AS (
+  SELECT g, ng,
+         (CAST(ng AS DOUBLE) * {_split_sql('s2')}
+          - {_split_sql('s1')} * {_split_sql('s1')})
+           / (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0)) AS s2g
+  FROM mom),
+consts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND((ng - 1) * LN(s2g), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sum_nl,
+         CAST(SUM(CAST(ROUND((ng - 1) * s2g, 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS pool_num,
+         CAST(SUM(CAST(ROUND(1.0 / (ng - 1), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sum_inv
+  FROM varg),
+stat AS (
+  SELECT k, n,
+         ((CAST(n AS DOUBLE) - k)
+            * LN(pool_num / (CAST(n AS DOUBLE) - k)) - sum_nl)
+           / (1.0 + (sum_inv - 1.0 / (CAST(n AS DOUBLE) - k))
+                      / (3.0 * (k - 1.0))) AS chi2
+  FROM consts)
+SELECT k AS k_groups, n AS n_total,
+       ROUND(chi2, 9) AS bartlett_chi2,
+       chi2 > 5.991464547 AS reject_95
+FROM stat
+"""
+
+
+@register("stats_bartlett", oracle=_BARTLETT_SQL)
+def q_stats_bartlett(spark, sf_dir):
+    """Bartlett's test: do the three return-flag cohorts have equal
+    price variance? The PARAMETRIC (normal-theory, variance-ratio)
+    counterpart of `stats_levene_bf` — more powerful under normality,
+    famously fragile otherwise, which is exactly why a pipeline runs
+    both. chi^2 = [(N−k)ln(s_p^2) − Σ(n_g−1)ln(s_g^2)] / C with the
+    standard correction C; df = k−1 = 2 (5.9915 at 95%).
+
+    Parity: per-group moments are exact integers over cents (Σv BIGINT,
+    Σv² DECIMAL/HUGEINT via split-cast); s_g² is one identical double
+    chain; ln is libm-tainted so each group's (n_g−1)ln(s_g²) term —
+    and the pooled numerator and 1/(n_g−1) terms — are rounded and
+    summed as DECIMALs (order-free, k = 3 terms). The pooled variance
+    numerator rounds at 6 dp (cents² scale — values ~1e11, far above
+    rounding noise). Plan: ONE scan, one 3-row rollup, two 1-row
+    aggregates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    mom = src.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
+    )
+    ngd = F.col("ng").cast("double")
+    s2g = (ngd * _split_dbl(F.col("s2")) - _split_dbl(F.col("s1")) * _split_dbl(F.col("s1"))) / (
+        ngd * (ngd - 1.0)
+    )
+    varg = mom.select("g", "ng", s2g.alias("s2g"))
+    consts = varg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(
+            F.round((F.col("ng") - 1) * F.log(F.col("s2g")), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("sum_nl"),
+        F.sum(
+            F.round((F.col("ng") - 1) * F.col("s2g"), 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("pool_num"),
+        F.sum(
+            F.round(F.lit(1.0) / (F.col("ng") - 1), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sum_inv"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    chi2 = (
+        (nd - kd) * F.log(F.col("pool_num") / (nd - kd)) - F.col("sum_nl")
+    ) / (
+        F.lit(1.0)
+        + (F.col("sum_inv") - F.lit(1.0) / (nd - kd)) / (3.0 * (kd - 1.0))
+    )
+    return consts.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        F.round(chi2, 9).alias("bartlett_chi2"),
+        (chi2 > 5.991464547).alias("reject_95"),
+    )

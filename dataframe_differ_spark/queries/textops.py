@@ -2422,3 +2422,247 @@ def q_text_burstiness(spark, sf_dir):
         .orderBy(F.col("burstiness").desc(), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition (round 8)
+# ---------------------------------------------------------------------------
+
+_BRIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS f_div,
+         CAST(n_chars AS DOUBLE) / len(t) AS f_len,
+         CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+           / len(t) AS f_stop,
+         CAST(n_chars AS DOUBLE) / 600.0 AS f_size
+  FROM toks),
+binned AS (
+  SELECT CAST(LEAST(FLOOR(q_score * 10), 9) AS INTEGER) AS bin,
+         CAST(q_score AS DECIMAL(12,6)) AS qd,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM (SELECT lang, ROUND(1.0 / (1.0 + exp(-({_LRQ_Z}))), 6) AS q_score
+        FROM feats)),
+grp AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p,
+         SUM(qd) AS sp,
+         SUM(qd * qd) AS sqq,
+         SUM(qd * y) AS spy
+  FROM binned GROUP BY bin),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(p) AS BIGINT) AS pt,
+         CAST(SUM(sqq) AS DOUBLE) - 2 * CAST(SUM(spy) AS DOUBLE)
+           + CAST(SUM(p) AS DOUBLE) AS brier_num
+  FROM grp),
+parts AS (
+  SELECT tot.nt, tot.pt, tot.brier_num,
+         SUM(CAST(ROUND(n * (CAST(sp AS DOUBLE) / n - CAST(p AS DOUBLE) / n)
+                          * (CAST(sp AS DOUBLE) / n - CAST(p AS DOUBLE) / n),
+                        12) AS DECIMAL(38,12))) AS rel_num,
+         SUM(CAST(ROUND(n * (CAST(p AS DOUBLE) / n
+                             - CAST(tot.pt AS DOUBLE) / tot.nt)
+                          * (CAST(p AS DOUBLE) / n
+                             - CAST(tot.pt AS DOUBLE) / tot.nt),
+                        12) AS DECIMAL(38,12))) AS res_num
+  FROM grp CROSS JOIN tot
+  GROUP BY tot.nt, tot.pt, tot.brier_num)
+SELECT nt AS n_docs,
+       brier_num / CAST(nt AS DOUBLE) AS brier,
+       CAST(rel_num AS DOUBLE) / CAST(nt AS DOUBLE) AS reliability,
+       CAST(res_num AS DOUBLE) / CAST(nt AS DOUBLE) AS resolution,
+       (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+         * (1.0 - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)) AS uncertainty,
+       brier_num / CAST(nt AS DOUBLE)
+         - (CAST(rel_num AS DOUBLE) / CAST(nt AS DOUBLE)
+            - CAST(res_num AS DOUBLE) / CAST(nt AS DOUBLE)
+            + (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+              * (1.0 - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)))
+         AS within_bin_var
+FROM parts
+"""
+
+
+@register("eval_brier_decomposition", oracle=_BRIER_SQL)
+def q_eval_brier_decomposition(spark, sf_dir):
+    """Brier score of the LR quality classifier against the English
+    label, with the Murphy decomposition over the same 10 probability
+    bins as `eval_calibration_bins`: BS = REL − RES + UNC (+ the
+    within-bin variance left over because forecasts are continuous,
+    reported explicitly so the identity is checkable). REL says how far
+    bin forecasts sit from bin outcomes (lower = calibrated), RES how
+    much the bins separate outcomes (higher = discriminative), UNC the
+    label's own variance — the standard diagnosis of WHY a Brier score
+    is what it is.
+
+    Exactness: the 6-dp q_score is an exact DECIMAL(12,6), so the RAW
+    Brier Σ(q−y)² = Σq² − 2Σqy + Σy is EXACT decimal arithmetic
+    per sum — the three sums convert to double INDIVIDUALLY before
+    combining (combining them in DECIMAL overflows Spark's precision-38
+    cap, which silently reduces the scale to 6 dp); the ten per-bin REL/RES
+    terms are doubles rounded to 12 dp and summed DECIMAL(38,12). Every
+    output is a DETERMINISTIC double chain on those exact decimals, so
+    results ship UNROUNDED (a 9-dp ROUND here once straddled the two
+    engines' half-case conventions — the one thing left to disagree).
+    One corpus scan, one 10-row shuffle, a 1-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr("filter(split(text, ' '), x -> x != '')")
+    feats = docs.select(
+        "lang",
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("f_div"),
+        (F.col("n_chars").cast("double") / F.size(t)).alias("f_len"),
+        (
+            F.expr("size(filter(filter(split(text, ' '), x -> x != ''), "
+                   "x -> x = 'the' OR x = 'a'))").cast("double")
+            / F.size(t)
+        ).alias("f_stop"),
+        (F.col("n_chars").cast("double") / 600.0).alias("f_size"),
+    )
+    binned = feats.select(
+        F.round(F.expr(f"1.0 / (1.0 + exp(-({_LRQ_Z})))"), 6).alias("q"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).select(
+        F.least(F.floor(F.col("q") * 10), F.lit(9)).cast("int").alias("bin"),
+        F.col("q").cast("decimal(12,6)").alias("qd"),
+        "y",
+    )
+    grp = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+        F.sum("qd").alias("sp"),
+        F.sum(F.col("qd") * F.col("qd")).alias("sqq"),
+        F.sum(F.col("qd") * F.col("y")).alias("spy"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("p").cast("long").alias("pt"),
+        (
+            F.sum("sqq").cast("double")
+            - 2 * F.sum("spy").cast("double")
+            + F.sum("p").cast("double")
+        ).alias("brier_num"),
+    )
+    qbar = F.col("sp").cast("double") / F.col("n").cast("double")
+    obar_b = F.col("p").cast("double") / F.col("n").cast("double")
+    obar = F.col("pt").cast("double") / F.col("nt").cast("double")
+    parts = (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("nt", "pt", "brier_num")
+        .agg(
+            F.sum(
+                F.round(F.col("n") * (qbar - obar_b) * (qbar - obar_b), 12)
+                .cast("decimal(38,12)")
+            ).alias("rel_num"),
+            F.sum(
+                F.round(F.col("n") * (obar_b - obar) * (obar_b - obar), 12)
+                .cast("decimal(38,12)")
+            ).alias("res_num"),
+        )
+    )
+    ntd = F.col("nt").cast("double")
+    ob = F.col("pt").cast("double") / ntd
+    rel = F.col("rel_num").cast("double") / ntd
+    res = F.col("res_num").cast("double") / ntd
+    unc = ob * (F.lit(1.0) - ob)
+    brier = F.col("brier_num") / ntd
+    return parts.select(
+        F.col("nt").alias("n_docs"),
+        brier.alias("brier"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+        (brier - (rel - res + unc)).alias("within_bin_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI token co-occurrence (round 8)
+# ---------------------------------------------------------------------------
+
+_PMI_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token
+  HAVING COUNT(*) >= 50),
+ft AS (
+  SELECT tok.doc_id, tok.token, freq.df
+  FROM tok JOIN freq ON freq.token = tok.token),
+pairs AS (
+  SELECT a.token AS t1, b.token AS t2,
+         MAX(a.df) AS df1, MAX(b.df) AS df2,
+         CAST(COUNT(*) AS BIGINT) AS c12
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING COUNT(*) >= 25),
+d AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM tok)
+SELECT t1, t2, df1, df2, c12,
+       ROUND(LN((CAST(c12 AS DOUBLE) * nd)
+                / (CAST(df1 AS DOUBLE) * CAST(df2 AS DOUBLE))), 9) AS pmi
+FROM pairs, d
+ORDER BY ROUND(LN((CAST(c12 AS DOUBLE) * nd)
+               / (CAST(df1 AS DOUBLE) * CAST(df2 AS DOUBLE))), 9) DESC, t1, t2
+LIMIT 20
+"""
+
+
+@register("text_pmi_cooccurrence", oracle=_PMI_SQL)
+def q_text_pmi_cooccurrence(spark, sf_dir):
+    """Pointwise mutual information of token pairs at the document
+    level: PMI(x,y) = ln(P(x,y)/(P(x)P(y))) over document presence —
+    the collocation/topic-coherence statistic (NPMI's unnormalized
+    core) that ranks WHICH frequent terms travel together, where
+    `text_burstiness` ranks which terms clump within documents. Top-20
+    pairs among tokens in >= 50 docs with joint support >= 25 docs.
+
+    Plan: presence set = DISTINCT (doc, token) — one explode + distinct;
+    the vocabulary is prefiltered to frequent tokens BEFORE the
+    in-document pair self-join, so pair volume is bounded by
+    (filtered tokens per doc)² per document, not vocabulary² — the
+    same prefilter-then-pair shape as the dedup candidate generators.
+    Counts stay BIGINT; PMI is one double ratio + ln, rounded to 9 dp
+    (both engines evaluate the identical chain; ordering uses the
+    ROUNDED score + lexicographic tiebreak).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    freq = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= 50)
+    )
+    ft = tok.join(F.broadcast(freq), "token")
+    a = ft.select("doc_id", F.col("token").alias("t1"), F.col("df").alias("dfa"))
+    b = ft.select("doc_id", F.col("token").alias("t2"), F.col("df").alias("dfb"))
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.max("dfa").alias("df1"),
+            F.max("dfb").alias("df2"),
+            F.count(F.lit(1)).cast("long").alias("c12"),
+        )
+        .filter(F.col("c12") >= 25)
+    )
+    d = tok.agg(F.countDistinct("doc_id").alias("nd"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("nd"))
+            / (F.col("df1").cast("double") * F.col("df2").cast("double"))
+        ),
+        9,
+    )
+    return (
+        pairs.crossJoin(F.broadcast(d))
+        .select("t1", "t2", "df1", "df2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(20)
+    )

@@ -207,6 +207,27 @@ HEADLINE = [
     "vec_random_projection",
     "events_lz78_complexity",
     "sim_topk_ivf_persisted",
+    # round-8 wave-2 additions
+    "stats_mcnemar",
+    "stats_cohens_kappa",
+    "stats_kendall_w",
+    "stats_durbin_watson",
+    "stats_grubbs",
+    "drift_hellinger",
+    "events_entropy_rate",
+    "events_stl_decompose",
+    "graph_hits",
+    "graph_clustering_coeff",
+    "events_kalman_level",
+    "sample_systematic",
+    "orders_price_elasticity",
+    "stats_page_trend",
+    "text_burstiness",
+    "eval_brier_decomposition",
+    "agg_grouping_id",
+    "stats_kruskal_wallis",
+    "stats_bartlett",
+    "text_pmi_cooccurrence",
 ]
 
 
