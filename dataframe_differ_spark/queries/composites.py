@@ -3813,3 +3813,103 @@ def q_events_kalman_level(spark, sf_dir):
         "gain",
         "variance",
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson, order 3) — round 8
+# ---------------------------------------------------------------------------
+
+_PACF_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)),
+lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 4)),
+pairs AS (
+  SELECT l.lag, a.x AS x0, b.x AS x1
+  FROM daily a JOIN lags l ON TRUE
+  JOIN daily b ON b.d = a.d + l.lag),
+mom AS (
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x0 AS HUGEINT)) AS sx, SUM(CAST(x1 AS HUGEINT)) AS sy,
+         SUM(CAST(x0 AS HUGEINT) * x1) AS sxy,
+         SUM(CAST(x0 AS HUGEINT) * x0) AS sxx,
+         SUM(CAST(x1 AS HUGEINT) * x1) AS syy
+  FROM pairs GROUP BY lag),
+acf AS (
+  SELECT lag,
+         ROUND({_split_sql('n * sxy - sx * sy')}
+               / (sqrt({_split_sql('n * sxx - sx * sx')})
+                  * sqrt({_split_sql('n * syy - sy * sy')})), 12) AS r
+  FROM mom),
+wide AS (
+  SELECT MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+         MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+         MAX(CASE WHEN lag = 3 THEN r END) AS r3
+  FROM acf),
+lev AS (
+  SELECT r1, r2, r3,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+  FROM wide),
+lev2 AS (
+  SELECT r1, r2, r3, phi22,
+         r1 - phi22 * r1 AS phi21
+  FROM lev)
+SELECT ROUND(r1, 9) AS pacf_1,
+       ROUND(phi22, 9) AS pacf_2,
+       ROUND((r3 - phi21 * r2 - phi22 * r1)
+             / (1.0 - phi21 * r1 - phi22 * r2), 9) AS pacf_3
+FROM lev2
+"""
+
+
+@register("events_pacf", oracle=_PACF_SQL)
+def q_events_pacf(spark, sf_dir):
+    """Partial autocorrelation of the daily event volume at lags 1-3 via
+    the Durbin-Levinson recursion — the AR-order diagnostic that
+    complements `events_autocorr` (raw ACF): PACF(k) is the lag-k
+    correlation AFTER regressing out lags 1..k-1, so an AR(p) series
+    shows PACF cutting off at p where the ACF merely decays. Built from
+    the same exact-integer-moment lag correlations (the autocorr
+    operator, lags 1-3 on the day spine), each rounded to 12 dp so both
+    engines seed the unrolled recursion with identical doubles; the
+    order-2/3 Levinson steps are one fixed IEEE chain.
+
+    Plan: one daily rollup touches the corpus; the 3-lag pairing is a
+    broadcast equi-join on the KB-sized spine and the recursion is a
+    1-row select.
+    """
+    from dataframe_differ_spark.operators.timeseries import autocorr
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    m = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(m)).select(
+        F.datediff("d", "d0").cast("long").alias("i"), "x"
+    )
+    ac = autocorr(pts, "i", "x", max_lag=3).select(
+        "lag", F.round("autocorr", 12).alias("r")
+    )
+    wide = ac.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    lev = wide.select("r1", "r2", "r3", phi22.alias("phi22"))
+    phi21 = F.col("r1") - F.col("phi22") * F.col("r1")
+    lev2 = lev.select("r1", "r2", "r3", "phi22", phi21.alias("phi21"))
+    pacf3 = (
+        F.col("r3") - F.col("phi21") * F.col("r2") - F.col("phi22") * F.col("r1")
+    ) / (
+        F.lit(1.0)
+        - F.col("phi21") * F.col("r1")
+        - F.col("phi22") * F.col("r2")
+    )
+    return lev2.select(
+        F.round("r1", 9).alias("pacf_1"),
+        F.round("phi22", 9).alias("pacf_2"),
+        F.round(pacf3, 9).alias("pacf_3"),
+    )

@@ -4961,3 +4961,200 @@ def q_stats_bartlett(spark, sf_dir):
         F.round(chi2, 9).alias("bartlett_chi2"),
         (chi2 > 5.991464547).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V effect size (round 8)
+# ---------------------------------------------------------------------------
+
+_CRAMERS_V_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, dayofweek(CAST(o_orderdate AS DATE)) AS b,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2),
+rows_t AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+cols_t AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+chi AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (CAST(cells.o AS DOUBLE)
+            - CAST(rows_t.ra AS DOUBLE) * cols_t.cb / tot.n)
+           * (CAST(cells.o AS DOUBLE)
+              - CAST(rows_t.ra AS DOUBLE) * cols_t.cb / tot.n)
+           / (CAST(rows_t.ra AS DOUBLE) * cols_t.cb / tot.n), 12)
+           AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_t) AS r,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cols_t) AS c,
+         MAX(tot.n) AS n
+  FROM cells JOIN rows_t ON rows_t.a = cells.a
+  JOIN cols_t ON cols_t.b = cells.b CROSS JOIN tot)
+SELECT n AS n_orders, r AS n_rows, c AS n_cols,
+       ROUND(chi2, 9) AS chi2,
+       ROUND(SQRT(chi2 / (CAST(n AS DOUBLE)
+                          * LEAST(r - 1, c - 1))), 9) AS cramers_v
+FROM chi
+"""
+
+
+@register("stats_cramers_v", oracle=_CRAMERS_V_SQL)
+def q_stats_cramers_v(spark, sf_dir):
+    """Cramér's V effect size for the priority × day-of-week contingency:
+    the [0, 1]-normalized companion to `stats_chi2_independence`, which
+    reports raw chi² (scale-dependent — any association looks "huge" at
+    100 TB). V = sqrt(chi² / (N·min(r−1, c−1))) answers the question a
+    pipeline actually asks: is the association STRONG, not merely
+    significant at this row count.
+
+    Exactness: cell/margin counts stay BIGINT; each cell's (O−E)²/E is
+    one identically-written double chain rounded to 12 dp and summed
+    DECIMAL(38,12) (order-free over the 35 cells); V is one sqrt.
+    Plan: one scan -> 35-cell rollup with map-side combine -> broadcast
+    margins -> 1-row aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("a"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1)
+        .cast("long")
+        .alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows_t = cells.groupBy("a").agg(F.sum("o").cast("long").alias("ra"))
+    cols_t = cells.groupBy("b").agg(F.sum("o").cast("long").alias("cb"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+        12,
+    )
+    rc = rows_t.agg(F.count(F.lit(1)).cast("long").alias("r")).crossJoin(
+        F.broadcast(cols_t.agg(F.count(F.lit(1)).cast("long").alias("c")))
+    )
+    chi = (
+        cells.join(F.broadcast(rows_t), "a")
+        .join(F.broadcast(cols_t), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(term.cast("decimal(38,12)")).cast("double").alias("chi2"),
+            F.max("n").alias("n"),
+        )
+        .crossJoin(F.broadcast(rc))
+    )
+    return chi.select(
+        F.col("n").alias("n_orders"),
+        F.col("r").alias("n_rows"),
+        F.col("c").alias("n_cols"),
+        F.round("chi2", 9).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1)
+                )
+            ),
+            9,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Anderson-Darling test (round 8)
+# ---------------------------------------------------------------------------
+
+_AD_SQL = """
+WITH base AS (
+  SELECT o_totalprice AS v,
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8' AS grp
+  FROM orders),
+vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM base GROUP BY v),
+r AS (
+  SELECT v, c, c1,
+         CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS bj,
+         CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS mj,
+         CAST((SELECT SUM(c1) FROM vals) AS BIGINT) AS n1,
+         CAST((SELECT SUM(c) FROM vals) AS BIGINT) AS nt
+  FROM vals),
+terms AS (
+  SELECT n1, nt,
+         CAST(SUM(CAST(ROUND(
+           CAST(c AS DOUBLE)
+             * (CAST(nt * mj - n1 * bj AS DOUBLE)
+                * CAST(nt * mj - n1 * bj AS DOUBLE))
+             / (CAST(bj AS DOUBLE) * CAST(nt - bj AS DOUBLE)), 12)
+           AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM r WHERE bj < nt GROUP BY n1, nt)
+SELECT n1, nt - n1 AS n2,
+       ROUND(s / (CAST(n1 AS DOUBLE) * CAST(nt - n1 AS DOUBLE)), 9) AS a2
+FROM terms
+"""
+
+
+@register("stats_anderson_darling", oracle=_AD_SQL)
+def q_stats_anderson_darling(spark, sf_dir):
+    """Two-sample Anderson-Darling statistic between the md5 cohorts'
+    order-value distributions — the tail-sensitive companion to
+    `drift_ks_test`: KS sees only the single largest ECDF gap (middle-
+    weighted), AD integrates the squared gap with 1/(F(1−F)) weighting,
+    so tail divergence (exactly where pricing distributions drift
+    first) is amplified. Discrete/tied form (Pettitt 1976; Scholz-
+    Stephens weights): A² = (1/(n·m)) Σ_j t_j (N·M_j − n·B_j)² /
+    (B_j(N−B_j)) over distinct pooled values below the maximum.
+
+    Exactness: the ECDF machinery is the `drift_ks_test` device —
+    per-distinct-value cohort counts with TWO exact BIGINT running sums
+    through the two-phase bucketed rank (no single-partition window);
+    the per-value numerator N·M − n·B stays an exact BIGINT, each
+    term's double chain is written identically and rounded to 12 dp
+    into a DECIMAL(38,12) sum (order-free). One value shuffle + one
+    bucketed rank pass — scan-bound at 100 TB.
+    """
+    from dataframe_differ_spark.operators.ranks import ranked
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        (
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "8"
+        ).alias("grp"),
+    )
+    vals = base.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("grp"), 1).otherwise(0)).alias("c1"),
+    )
+    r = ranked(
+        vals,
+        F.col("v"),
+        ["v"],
+        running_sums=[
+            (F.col("c"), "bj", "nt"),
+            (F.col("c1"), "mj", "n1"),
+        ],
+    )
+    d = F.col("nt") * F.col("mj") - F.col("n1") * F.col("bj")
+    term = F.round(
+        F.col("c").cast("double")
+        * (d.cast("double") * d.cast("double"))
+        / (F.col("bj").cast("double") * (F.col("nt") - F.col("bj")).cast("double")),
+        12,
+    )
+    terms = (
+        r.filter(F.col("bj") < F.col("nt"))
+        .groupBy("n1", "nt")
+        .agg(F.sum(term.cast("decimal(38,12)")).cast("double").alias("s"))
+    )
+    return terms.select(
+        "n1",
+        (F.col("nt") - F.col("n1")).alias("n2"),
+        F.round(
+            F.col("s")
+            / (
+                F.col("n1").cast("double")
+                * (F.col("nt") - F.col("n1")).cast("double")
+            ),
+            9,
+        ).alias("a2"),
+    )

@@ -228,6 +228,9 @@ HEADLINE = [
     "stats_kruskal_wallis",
     "stats_bartlett",
     "text_pmi_cooccurrence",
+    "stats_cramers_v",
+    "stats_anderson_darling",
+    "events_pacf",
 ]
 
 
