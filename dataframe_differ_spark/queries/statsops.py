@@ -3995,10 +3995,14 @@ agg AS (
          CAST(SUM(CASE WHEN b AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n01
   FROM day_flags)
 SELECT n_days, n10, n01,
-       ROUND(CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) AS DOUBLE)
-             / CAST(n10 + n01 AS DOUBLE), 9) AS chi2_mcnemar,
-       (CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) AS DOUBLE)
-        / CAST(n10 + n01 AS DOUBLE)) > 3.841458821 AS reject_95
+       CASE WHEN n10 + n01 = 0 THEN 0.0
+            ELSE ROUND(CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1)
+                            AS DOUBLE)
+                       / CAST(n10 + n01 AS DOUBLE), 9) END AS chi2_mcnemar,
+       CASE WHEN n10 + n01 = 0 THEN FALSE
+            ELSE (CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) AS DOUBLE)
+                  / CAST(n10 + n01 AS DOUBLE)) > 3.841458821
+       END AS reject_95
 FROM agg
 """
 
@@ -4017,7 +4021,10 @@ def q_stats_mcnemar(spark, sf_dir):
     combinable, calendar-bounded output ~2,400 rows) -> one 1-row
     aggregate. Every quantity is BIGINT until the single final division
     (numerator <= n_days^2 << 2^63 at any sf), so the oracle
-    hash-matches exactly.
+    hash-matches exactly. Zero discordant days (at large sf EVERY day
+    is busy for both priorities) is the test's degenerate no-evidence
+    case: both engines pin chi2 = 0 / no-reject rather than diverging
+    on 1/0 (Spark NULL vs DuckDB inf — caught by the sf0.1 sweep).
     """
     o = load_table(spark, sf_dir, "orders")
     day_flags = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
@@ -4042,13 +4049,18 @@ def q_stats_mcnemar(spark, sf_dir):
         .alias("n01"),
     )
     d = F.abs(F.col("n10") - F.col("n01")) - 1
-    chi2 = (d * d).cast("double") / (F.col("n10") + F.col("n01")).cast("double")
+    disc = F.col("n10") + F.col("n01")
+    chi2 = (d * d).cast("double") / disc.cast("double")
     return agg.select(
         "n_days",
         "n10",
         "n01",
-        F.round(chi2, 9).alias("chi2_mcnemar"),
-        (chi2 > 3.841458821).alias("reject_95"),
+        F.when(disc == 0, F.lit(0.0))
+        .otherwise(F.round(chi2, 9))
+        .alias("chi2_mcnemar"),
+        F.when(disc == 0, F.lit(False))
+        .otherwise(chi2 > 3.841458821)
+        .alias("reject_95"),
     )
 
 

@@ -69,6 +69,20 @@ def split_events_files(spark: SparkSession, sf_dir: str, n_files: int = 8) -> st
                 "ts", F.col("ts").cast("timestamp")
             )
             e.repartition(n_files, "event_id").write.mode("overwrite").parquet(tmp)
+            # Pin DETERMINISTIC ascending mtimes in part-file path order:
+            # FileStreamSource packs micro-batches by modification time,
+            # and parallel writers finish in nondeterministic thread
+            # order — without this, regenerating the split (fresh /tmp
+            # between rounds) silently re-deals which rows land in which
+            # micro-batch, flapping every batch-attribution output
+            # (observed: the stream_update_deltas golden). Path order is
+            # content-stable because repartition(n, key) assigns rows by
+            # hash to fixed partition ids.
+            base = 1_600_000_000
+            for i, fname in enumerate(
+                sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            ):
+                os.utime(os.path.join(tmp, fname), (base + i, base + i))
             try:
                 os.rename(tmp, out)  # atomic publish
             except OSError:
