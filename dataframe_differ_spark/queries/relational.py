@@ -2215,3 +2215,80 @@ def q_agg_grouping_id(spark, sf_dir):
             "sum_price",
         )
     )
+
+
+@register(
+    "orders_skyline",
+    oracle="""
+WITH dmax AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, MAX(o_totalprice) AS mx
+  FROM orders GROUP BY 1),
+suf AS (
+  SELECT a.d, MAX(b.mx) AS later_max
+  FROM dmax a LEFT JOIN dmax b ON b.d > a.d
+  GROUP BY a.d),
+sky AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d, o.o_totalprice
+  FROM orders o JOIN suf ON suf.d = CAST(o.o_orderdate AS DATE)
+  WHERE suf.later_max IS NULL OR o.o_totalprice > suf.later_max),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_skyline FROM sky)
+SELECT sky.o_orderkey, strftime(sky.d, '%Y-%m-%d') AS order_day,
+       sky.o_totalprice, n.n_skyline
+FROM sky, n
+ORDER BY sky.d DESC, sky.o_totalprice DESC, sky.o_orderkey
+LIMIT 100
+""",
+)
+def q_orders_skyline(spark, sf_dir):
+    """Skyline (Pareto-front) query: orders not DOMINATED on
+    (recency, value) — no other order is both strictly later and
+    strictly higher-priced. The classic multi-criteria operator the
+    TPC-H shapes don't cover: 'show me the frontier', not a top-k on
+    one weighted score. Ties on date don't dominate (strict in both
+    dimensions).
+
+    Scale shape: the naive skyline is an O(n²) self-join; this plan
+    reduces it with a CALENDAR-BOUNDED date rollup — per-date max
+    price (~2,400 rows at any sf), a strictly-later suffix max on that
+    spine (bounded triangle join, never a global window), then ONE
+    broadcast join back: an order is on the skyline iff its price
+    exceeds the later-dates suffix max. Corpus-sized work is one scan +
+    one map-side-combinable rollup + one broadcast probe — the same
+    device at 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dmax = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.max("o_totalprice").alias("mx")
+    )
+    b = dmax.select(F.col("d").alias("d2"), F.col("mx").alias("mx2"))
+    suf = (
+        dmax.join(b, F.col("d2") > F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.max("mx2").alias("later_max"))
+    )
+    sky = (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_totalprice",
+        )
+        .join(F.broadcast(suf), "d")
+        .filter(
+            F.col("later_max").isNull()
+            | (F.col("o_totalprice") > F.col("later_max"))
+        )
+    )
+    n = sky.agg(F.count(F.lit(1)).cast("long").alias("n_skyline"))
+    return (
+        sky.crossJoin(F.broadcast(n))
+        .select(
+            "o_orderkey",
+            F.date_format("d", "yyyy-MM-dd").alias("order_day"),
+            "o_totalprice",
+            "n_skyline",
+        )
+        .orderBy(
+            F.col("order_day").desc(), F.col("o_totalprice").desc(), "o_orderkey"
+        )
+        .limit(100)
+    )

@@ -2351,3 +2351,68 @@ def q_sketch_bloom_membership(spark, sf_dir):
             9,
         ).alias("fpr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear counting distinct estimator (round 8)
+# ---------------------------------------------------------------------------
+
+_LINEAR_COUNT_SQL = """
+WITH bits AS (
+  SELECT DISTINCT CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 4096
+                       AS BIGINT) AS bit
+  FROM orders),
+occ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_set FROM bits),
+ex AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact FROM orders)
+SELECT CAST(4096 AS BIGINT) AS m_bits, occ.n_set, 4096 - occ.n_set AS n_empty,
+       ROUND(4096.0 * LN(4096.0 / (4096 - occ.n_set)), 9) AS lc_estimate,
+       ex.exact,
+       ROUND(ABS(4096.0 * LN(4096.0 / (4096 - occ.n_set)) - ex.exact)
+             / ex.exact, 9) AS rel_err,
+       (ABS(4096.0 * LN(4096.0 / (4096 - occ.n_set)) - ex.exact)
+        / ex.exact) < 0.05 AS within_5pct
+FROM occ, ex
+"""
+
+
+@register("sketch_linear_counting", oracle=_LINEAR_COUNT_SQL)
+def q_sketch_linear_counting(spark, sf_dir):
+    """Linear counting (Whang et al. 1990) distinct-customer estimate:
+    hash every key into an m = 4096-bit table and estimate n ≈
+    m·ln(m/empty) from the empty-bit count — the LOW-cardinality
+    precision regime that completes the sketch shelf (HLL for high
+    cardinality, KMV for set algebra, Bloom for membership, CMS for
+    frequency). Verified against the exact distinct in the same query;
+    the estimator itself is DETERMINISTIC (md5 bit assignment), so the
+    oracle is hash-exact, not bound-only.
+
+    Plan: one scan -> DISTINCT over at most m = 4096 bit ids (map-side
+    combinable to ≤ m rows per partition — the whole "sketch" is
+    KB-sized however large the input); the exact count funds the
+    verification. At 100 TB the bit table is still 4096 rows; a real
+    deployment merges per-partition bitmaps, which this groupBy shape
+    already is. conv(hex,16,10) / DuckDB '0x'||hex cast on the first 8
+    md5 chars is the repo's engine-portable 32-bit hash device.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bits = o.select(
+        (
+            F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+                   16, 10).cast("long")
+            % 4096
+        ).alias("bit")
+    ).distinct()
+    occ = bits.agg(F.count(F.lit(1)).cast("long").alias("n_set"))
+    ex = o.agg(F.countDistinct("o_custkey").cast("long").alias("exact"))
+    est = 4096.0 * F.log(4096.0 / (4096 - F.col("n_set")))
+    rel = F.abs(est - F.col("exact")) / F.col("exact")
+    return occ.crossJoin(F.broadcast(ex)).select(
+        F.lit(4096).cast("long").alias("m_bits"),
+        "n_set",
+        (4096 - F.col("n_set")).cast("long").alias("n_empty"),
+        F.round(est, 9).alias("lc_estimate"),
+        "exact",
+        F.round(rel, 9).alias("rel_err"),
+        (rel < 0.05).alias("within_5pct"),
+    )

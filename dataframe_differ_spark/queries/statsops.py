@@ -5170,3 +5170,120 @@ def q_stats_anderson_darling(spark, sf_dir):
             9,
         ).alias("a2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test (round 8)
+# ---------------------------------------------------------------------------
+
+_PETTITT_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+v AS (
+  SELECT a.d,
+         CAST(SUM(CASE WHEN b.y < a.y THEN 1
+                       WHEN b.y > a.y THEN -1 ELSE 0 END) AS BIGINT) AS vi
+  FROM daily a CROSS JOIN daily b
+  GROUP BY a.d),
+u AS (
+  SELECT d,
+         CAST(SUM(vi) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS ut,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+         CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n
+  FROM v),
+k AS (
+  SELECT CAST(MAX(ABS(ut)) AS BIGINT) AS kstat, MAX(n) AS n
+  FROM u WHERE t < n),
+arg AS (
+  SELECT u.d, u.ut, k.kstat, k.n
+  FROM u JOIN k ON ABS(u.ut) = k.kstat AND u.t < k.n
+  ORDER BY u.d LIMIT 1)
+SELECT n AS n_days, strftime(d, '%Y-%m-%d') AS change_day,
+       kstat AS k_stat, ut AS u_at_k,
+       ROUND(2.0 * EXP(-6.0 * CAST(kstat * kstat AS DOUBLE)
+                       / CAST(n * n * n + n * n AS DOUBLE)), 9) AS p_value,
+       (2.0 * EXP(-6.0 * CAST(kstat * kstat AS DOUBLE)
+                  / CAST(n * n * n + n * n AS DOUBLE))) < 0.05 AS reject_95
+FROM arg
+"""
+
+
+@register("stats_pettitt", oracle=_PETTITT_SQL)
+def q_stats_pettitt(spark, sf_dir):
+    """Pettitt changepoint test on daily revenue: the rank-based
+    (distribution-free) single-changepoint locator that complements
+    `events_changepoint_cusum` (parametric, mean/sigma-driven):
+    U_t = Σ_{i≤t} Σ_{j>t} sgn(y_i − y_j) peaks where the series splits
+    into two shifted regimes, K = max|U_t|, and p ≈ 2·exp(−6K²/(n³+n²)).
+    Computed through the identity U_t = Σ_{i≤t} V_i with
+    V_i = Σ_j sgn(y_i − y_j) (cross terms cancel), so one pass of
+    whole-series sign counts + one running sum replaces the O(n²·n)
+    triple loop.
+
+    Exactness: everything is BIGINT (sign counts, U, K, n³) until the
+    single exp; the arg-max day ties break on the earliest day in both
+    engines. Plan: one orders scan -> CALENDAR-BOUNDED daily rollup;
+    the n×n sign join and the prefix sum live on the ~2,400-row spine
+    (~5.8M transient pairs at ANY sf — constant, not data-scaled).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    v = (
+        daily.crossJoin(b)
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("y2") < F.col("y"), 1)
+                .when(F.col("y2") > F.col("y"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("vi")
+        )
+    )
+    vb = v.select(F.col("d").alias("d2"), F.col("vi").alias("vi2"))
+    u = (
+        v.join(vb, F.col("d2") <= F.col("d"))
+        .groupBy("d")
+        .agg(
+            F.sum("vi2").cast("long").alias("ut"),
+            F.count(F.lit(1)).cast("long").alias("t"),
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    uu = u.crossJoin(F.broadcast(n))
+    k = uu.filter(F.col("t") < F.col("n")).agg(
+        F.max(F.abs(F.col("ut"))).cast("long").alias("kstat"),
+        F.max("n").alias("n"),
+    )
+    arg = (
+        uu.join(
+            F.broadcast(k.select("kstat")),
+            F.abs(F.col("ut")) == F.col("kstat"),
+        )
+        .filter(F.col("t") < F.col("n"))
+        .orderBy("d")
+        .limit(1)
+    )
+    nn = F.col("n")
+    p = 2.0 * F.exp(
+        -6.0
+        * (F.col("kstat") * F.col("kstat")).cast("double")
+        / (nn * nn * nn + nn * nn).cast("double")
+    )
+    return arg.select(
+        F.col("n").alias("n_days"),
+        F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+        F.col("kstat").alias("k_stat"),
+        F.col("ut").alias("u_at_k"),
+        F.round(p, 9).alias("p_value"),
+        (p < 0.05).alias("reject_95"),
+    )

@@ -231,6 +231,9 @@ HEADLINE = [
     "stats_cramers_v",
     "stats_anderson_darling",
     "events_pacf",
+    "sketch_linear_counting",
+    "stats_pettitt",
+    "orders_skyline",
 ]
 
 
