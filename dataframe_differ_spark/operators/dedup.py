@@ -46,6 +46,8 @@ __all__ = [
     "connected_components",
     "fastss_signatures",
     "fastss_pairs",
+    "duplicated_spans",
+    "excise_spans",
 ]
 
 
@@ -613,4 +615,145 @@ def fastss_pairs(
         cand.withColumn("dist", F.levenshtein("_dd_ta", "_dd_tb", max_dist))
         .filter(F.col("dist") >= 0)
         .select(f"{key_col}_a", f"{key_col}_b", *blocks, "dist")
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated-substring spans per document → ``(<id>,
+    span_start, span_end, span_tokens, n_windows)``, token positions
+    1-based inclusive (round 9).
+
+    The localization/excision half of exact-substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    their suffix-array pass, re-expressed as a window-hash inverted
+    index): every k-token window (stride 1) is hashed; windows whose hash
+    occurs ``min_occurrences``+ times ANYWHERE in the corpus (cross-doc
+    or within-doc) are duplicated; per doc, overlapping-or-adjacent
+    duplicated windows merge into maximal spans via gaps-and-islands
+    (island break when the next hit starts past ``prev_pos + k``, i.e.
+    its coverage no longer touches the running span).
+
+    Plan: tokenize → ``posexplode`` k-gram hashes (linear: one row per
+    token, never pairwise) → ``groupBy(span_key)`` occurrence count
+    (uniform shuffle key by construction) → equi-join hits back →
+    per-doc window (PARTITIONED by ``id_col``, never global) for the
+    island sum. At 100 TB every stage is a hash shuffle on a uniform
+    key; the span table is tiny relative to the corpus (duplicated
+    regions only). A suffix array would find spans shorter than k too;
+    the window index trades that (k is the sensitivity floor, the
+    standard production setting) for pure shuffle-join mechanics.
+    """
+    _check_reserved(docs)
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if min_occurrences < 2:
+        raise ValueError("min_occurrences must be >= 2")
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_dd_t")
+    )
+    win = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"IF(size(_dd_t) < {k}, CAST(array() AS array<string>),"
+                f" transform(sequence(1, size(_dd_t) - {k - 1}),"
+                f" i -> md5(concat_ws(' ', slice(_dd_t, i, {k})))))"
+            )
+        ).alias("_dd_pos0", "_dd_key"),
+    ).select(
+        # long positions: the DuckDB oracle's range() yields BIGINT
+        id_col, (F.col("_dd_pos0") + 1).cast("long").alias("_dd_pos"), "_dd_key"
+    )
+    rep = (
+        win.groupBy("_dd_key")
+        .agg(F.count(F.lit(1)).alias("_dd_n"))
+        .filter(F.col("_dd_n") >= min_occurrences)
+        .select("_dd_key")
+    )
+    hits = win.join(rep, "_dd_key").select(id_col, "_dd_pos")
+    w = Window.partitionBy(id_col).orderBy("_dd_pos")
+    islands = hits.withColumn(
+        "_dd_brk",
+        F.when(
+            F.col("_dd_pos") - F.lag("_dd_pos").over(w) > k, 1
+        ).otherwise(0),
+    ).withColumn(
+        "_dd_isl",
+        F.sum("_dd_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy(id_col, "_dd_isl").agg(
+        F.min("_dd_pos").alias("span_start"),
+        (F.max("_dd_pos") + (k - 1)).alias("span_end"),
+        (F.max("_dd_pos") - F.min("_dd_pos") + k).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("_dd_isl")
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    clean_col: str = "clean_text",
+) -> DataFrame:
+    """Remove every ``(span_start, span_end)`` token range of ``spans``
+    from each matching document of ``docs`` → the ``docs`` ids with
+    ``n_tokens, dup_tokens, kept_tokens, <clean_col>`` (round 9).
+
+    Token positions are 1-based inclusive (the :func:`duplicated_spans`
+    contract); docs without a span row are passed through with
+    ``dup_tokens = 0``. Plan: posexplode tokens, LEFT range-join against
+    the span table on ``id_col`` (equi) + BETWEEN (non-equi residual —
+    Spark executes the equi part as the shuffle key, the BETWEEN as a
+    post-join filter, so this is a hash join, not a cartesian), keep
+    unmatched tokens, reassemble order-exactly with
+    ``array_sort(collect_list(struct(pos, tok)))``. The span table is
+    the small side — duplicated regions only — and broadcasts at scale.
+    """
+    _check_reserved(docs)
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_dd_t")
+    ).select(
+        id_col,
+        F.posexplode("_dd_t").alias("_dd_pos0", "_dd_tok"),
+    ).select(
+        id_col, (F.col("_dd_pos0") + 1).cast("long").alias("_dd_pos"), "_dd_tok"
+    )
+    sp = spans.select(
+        F.col(id_col).alias("_dd_sid"),
+        F.col("span_start").alias("_dd_s"),
+        F.col("span_end").alias("_dd_e"),
+    )
+    marked = toks.join(
+        F.broadcast(sp),
+        (toks[id_col] == sp["_dd_sid"])
+        & F.col("_dd_pos").between(F.col("_dd_s"), F.col("_dd_e")),
+        "left",
+    ).select(
+        id_col,
+        "_dd_pos",
+        "_dd_tok",
+        F.col("_dd_sid").isNotNull().alias("_dd_dup"),
+    ).distinct()  # a token inside two (non-merged) spans must count once
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("_dd_dup").cast("long")).alias("dup_tokens"),
+        F.sum((~F.col("_dd_dup")).cast("long")).alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(IF(_dd_dup, NULL, "
+                "struct(_dd_pos, _dd_tok)))), x -> x._dd_tok)"
+            ),
+        ).alias(clean_col),
     )

@@ -583,6 +583,8 @@ def hits(
     map-side combinable), ``localCheckpoint`` every ``checkpoint_every``
     iterations to keep lineage flat; no global window, no collect.
     """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     e = _norm(edges, src, dst).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_g_u").alias("node"))

@@ -288,6 +288,16 @@ def systematic_sample(
 
     if rank_col in df.columns:
         raise ValueError(f"input column {rank_col!r} collides with rank_col")
-    key = bucket_key if bucket_key is not None else F.col(str(order_cols[0]))
+    if bucket_key is not None:
+        key = bucket_key
+    elif isinstance(order_cols[0], Column):
+        key = order_cols[0]
+    elif isinstance(order_cols[0], str):
+        key = F.col(order_cols[0])
+    else:
+        raise TypeError(
+            "order_cols[0] must be a column name or Column when bucket_key "
+            f"is None, got {type(order_cols[0]).__name__}"
+        )
     rk = ranked(df, key, list(order_cols), rank_col=rank_col)
     return rk.filter(F.pmod(F.col(rank_col), F.lit(stride)) == F.lit(offset))

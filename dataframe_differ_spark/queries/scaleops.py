@@ -733,6 +733,148 @@ def q_dedup_substring_spans(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring dedup: span localization + excision (round 9, VERDICT r8
+# item #1 — completes the Lee-et-al family that `dedup_substring_spans`
+# only inventories)
+# ---------------------------------------------------------------------------
+
+_SPANLOC_CORPUS = f"""
+corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || ' ' || '{_BOILER}'
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+win AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i + {_SPAN_W - 1}], ' ')) AS span_key
+  FROM toks, unnest(range(1, greatest(len(t) - {_SPAN_W - 1}, 0) + 1)) AS u(i)),
+rep AS (
+  SELECT span_key FROM win GROUP BY span_key HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT w.doc_id, w.pos FROM win w JOIN rep r USING (span_key)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                > {_SPAN_W} THEN 1 ELSE 0 END AS brk
+  FROM hits),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start,
+         MAX(pos) + {_SPAN_W - 1} AS span_end,
+         MAX(pos) - MIN(pos) + {_SPAN_W} AS span_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_windows
+  FROM isl2 GROUP BY doc_id, island)
+"""
+
+_SUBSTR_LOCALIZE_SQL = f"""
+WITH {_SPANLOC_CORPUS}
+SELECT doc_id, span_start, span_end, span_tokens, n_windows FROM spans
+"""
+
+
+@register("dedup_substring", oracle=_SUBSTR_LOCALIZE_SQL)
+def q_dedup_substring(spark, sf_dir):
+    """MAXIMAL duplicated-substring spans per document — the
+    localization half of Lee et al. 2022 exact-substring dedup that
+    `dedup_substring_spans` (the hash inventory) stops short of: which
+    token ranges of WHICH docs are corpus-duplicated, with overlapping
+    20-token duplicate windows merged into one maximal span by
+    gaps-and-islands.
+
+    Boilerplate (22 tokens) is planted on every 9th doc in-query,
+    identically in both engines, so a provable span exists per planted
+    doc: exactly the 22 trailing positions (windows straddling doc tail
+    + boiler start are unique per doc, never duplicated). The natural
+    corpus contributes more — the testdata's built-in near-duplicate
+    docs share verbatim runs ≥ 20 tokens, which is precisely what this
+    operator exists to find. Plan shape per the operator
+    docstring (operators/dedup.py:duplicated_spans): linear window
+    explode, uniform hash-key shuffle, doc-partitioned island window —
+    no global window, no pairwise join. At 100 TB the output is the
+    excision work-list fed to `dedup_substring_excise`.
+    """
+    from dataframe_differ_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" " + _BOILER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return duplicated_spans(corpus, k=_SPAN_W, min_occurrences=2)
+
+
+_SUBSTR_EXCISE_SQL = f"""
+WITH {_SPANLOC_CORPUS},
+tokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+marked AS (
+  SELECT DISTINCT p.doc_id, p.pos, p.tok, s.doc_id IS NOT NULL AS dup
+  FROM tokpos p LEFT JOIN spans s
+    ON s.doc_id = p.doc_id AND p.pos BETWEEN s.span_start AND s.span_end)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_tokens,
+       CAST(SUM(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) AS kept_tokens,
+       md5(COALESCE(
+         array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT dup), ' '),
+         '')) AS clean_md5
+FROM marked GROUP BY doc_id
+"""
+
+
+@register("dedup_substring_excise", oracle=_SUBSTR_EXCISE_SQL)
+def q_dedup_substring_excise(spark, sf_dir):
+    """Excision half of exact-substring dedup: strip every maximal
+    duplicated span found by `dedup_substring` out of its document and
+    re-emit the cleaned corpus — per doc, token counts before/after and
+    the md5 of the order-exact reassembled clean text (hash, not the
+    text, so the result row stays narrow at any scale).
+
+    The planted-boilerplate construction yields a provable floor: every
+    9th doc excises AT LEAST its 22 appended footer tokens, ending at
+    its last token position (asserted by a pytest); docs sharing
+    natural ≥ 20-token runs (the testdata's built-in near-duplicates)
+    lose those spans too, and untouched docs pass through with
+    dup_tokens = 0. Plan per
+    operators/dedup.py:excise_spans — the span table (duplicated
+    regions only, tiny vs the corpus) broadcasts into a LEFT range-join
+    whose equi key is doc_id; reassembly is one doc-keyed groupBy with
+    `array_sort(collect_list(struct(pos, tok)))`, order-exact on both
+    engines.
+    """
+    from dataframe_differ_spark.operators.dedup import duplicated_spans, excise_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" " + _BOILER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = duplicated_spans(corpus, k=_SPAN_W, min_occurrences=2)
+    out = excise_spans(corpus, spans, clean_col="clean_text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        "kept_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Shuffle-partition skew diagnosis
 # ---------------------------------------------------------------------------
 
@@ -2366,12 +2508,18 @@ WITH bits AS (
 occ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_set FROM bits),
 ex AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact FROM orders)
 SELECT CAST(4096 AS BIGINT) AS m_bits, occ.n_set, 4096 - occ.n_set AS n_empty,
-       ROUND(4096.0 * LN(4096.0 / (4096 - occ.n_set)), 9) AS lc_estimate,
+       CASE WHEN occ.n_set >= 4096 THEN NULL
+            ELSE ROUND(4096.0 * LN(4096.0 / (4096 - occ.n_set)), 9)
+       END AS lc_estimate,
        ex.exact,
-       ROUND(ABS(4096.0 * LN(4096.0 / (4096 - occ.n_set)) - ex.exact)
-             / ex.exact, 9) AS rel_err,
-       (ABS(4096.0 * LN(4096.0 / (4096 - occ.n_set)) - ex.exact)
-        / ex.exact) < 0.05 AS within_5pct
+       CASE WHEN occ.n_set >= 4096 THEN NULL
+            ELSE ROUND(ABS(4096.0 * LN(4096.0 / (4096 - occ.n_set)) - ex.exact)
+                       / ex.exact, 9)
+       END AS rel_err,
+       CASE WHEN occ.n_set >= 4096 THEN NULL
+            ELSE (ABS(4096.0 * LN(4096.0 / (4096 - occ.n_set)) - ex.exact)
+                  / ex.exact) < 0.05
+       END AS within_5pct
 FROM occ, ex
 """
 
@@ -2405,8 +2553,13 @@ def q_sketch_linear_counting(spark, sf_dir):
     ).distinct()
     occ = bits.agg(F.count(F.lit(1)).cast("long").alias("n_set"))
     ex = o.agg(F.countDistinct("o_custkey").cast("long").alias("exact"))
-    est = 4096.0 * F.log(4096.0 / (4096 - F.col("n_set")))
-    rel = F.abs(est - F.col("exact")) / F.col("exact")
+    # Saturated bit table (every bit set, possible at sf >= 1 where
+    # distinct customers >> m): ln(m/0) diverges and Spark's Divide
+    # NULLs while DuckDB infs — pin the degenerate case to NULL in BOTH
+    # engines (the stats_mcnemar zero-discordant device, c2878a9).
+    unsat = F.col("n_set") < 4096
+    est = F.when(unsat, 4096.0 * F.log(4096.0 / (4096 - F.col("n_set"))))
+    rel = F.when(unsat, F.abs(est - F.col("exact")) / F.col("exact"))
     return occ.crossJoin(F.broadcast(ex)).select(
         F.lit(4096).cast("long").alias("m_bits"),
         "n_set",

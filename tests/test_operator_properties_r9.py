@@ -1,0 +1,161 @@
+"""Property-based invariants for the round-9 operator additions.
+
+- duplicated_spans: on random small-alphabet corpora, the Spark span
+  table equals a pure-Python reference (window hashing → global
+  occurrence counting → per-doc gaps-and-islands merge), exactly.
+- excise_spans: the reassembled clean text equals the Python reference's
+  excision, and kept + dup token counts partition each doc.
+- planted-boiler floor (example-based, sf0.001 fixtures): every 9th doc
+  excises at least its 22 appended footer tokens and its final span ends
+  at its last token position.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dataframe_differ_spark.operators.dedup import duplicated_spans, excise_spans
+
+hyp = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+# Tiny alphabet + short k so corpus-wide duplicated windows actually occur.
+K = 3
+corpora = st.lists(
+    st.lists(st.sampled_from("ab"), min_size=1, max_size=12).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _ref_spans(texts: list[str], k: int) -> dict[int, list[tuple[int, int]]]:
+    """Pure-Python reference: maximal duplicated spans per doc (1-based)."""
+    from collections import Counter
+
+    wins: list[tuple[int, int, str]] = []  # (doc, pos, key)
+    for d, text in enumerate(texts):
+        toks = text.split(" ")
+        for i in range(len(toks) - k + 1):
+            wins.append((d, i + 1, " ".join(toks[i : i + k])))
+    counts = Counter(key for _, _, key in wins)
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for d in range(len(texts)):
+        hits = sorted(p for dd, p, key in wins if dd == d and counts[key] >= 2)
+        cur: tuple[int, int] | None = None
+        for p in hits:
+            if cur is not None and p <= cur[1] + k:  # overlap/adjacent coverage
+                cur = (cur[0], p)
+            else:
+                if cur is not None:
+                    spans.setdefault(d, []).append((cur[0], cur[1] + k - 1))
+                cur = (p, p)
+        if cur is not None:
+            spans.setdefault(d, []).append((cur[0], cur[1] + k - 1))
+    return spans
+
+
+def _ref_excise(text: str, spans: list[tuple[int, int]]) -> str:
+    toks = text.split(" ")
+    dup = set()
+    for s, e in spans:
+        dup.update(range(s, e + 1))
+    return " ".join(t for i, t in enumerate(toks, start=1) if i not in dup)
+
+
+@given(texts=corpora)
+@hyp
+def test_duplicated_spans_matches_python_reference(spark, texts):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(df, k=K).collect()
+    }
+    ref = _ref_spans(texts, K)
+    want = {(d, s, e) for d, sp in ref.items() for s, e in sp}
+    assert got == want
+
+
+@given(texts=corpora)
+@hyp
+def test_excise_spans_matches_python_reference(spark, texts):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    spans = duplicated_spans(df, k=K)
+    out = {r.doc_id: r for r in excise_spans(df, spans).collect()}
+    ref = _ref_spans(texts, K)
+    for i, t in enumerate(texts):
+        r = out[i]
+        assert r.n_tokens == len(t.split(" "))
+        assert r.dup_tokens + r.kept_tokens == r.n_tokens
+        assert r.clean_text == _ref_excise(t, ref.get(i, []))
+
+
+def test_duplicated_spans_validates_params(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+    import pytest
+
+    with pytest.raises(ValueError):
+        duplicated_spans(df, k=1)
+    with pytest.raises(ValueError):
+        duplicated_spans(df, min_occurrences=1)
+
+
+def test_substring_excise_planted_boiler_floor(spark, sf_small):
+    """Every 9th doc must excise >= its 22 planted footer tokens, with a
+    span ending exactly at its (augmented) last token position."""
+    from dataframe_differ_spark.queries import load_all
+
+    reg = load_all()
+    exc = {r.doc_id: r for r in reg["dedup_substring_excise"].fn(spark, sf_small).collect()}
+    spans = {}
+    for r in reg["dedup_substring"].fn(spark, sf_small).collect():
+        spans.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    planted = [d for d in docs if d % 9 == 0]
+    assert planted
+    for d in planted:
+        n_aug = len(docs[d].split(" ")) + 22
+        assert exc[d].n_tokens == n_aug
+        assert exc[d].dup_tokens >= 22
+        assert any(s.span_end == n_aug for s in spans[d])
+    # the clean_md5 emitted by the query is md5 of the reassembled text
+    clean = (
+        reg["dedup_substring_excise"].fn(spark, sf_small)
+        .filter(F.col("doc_id") == planted[0])
+        .collect()[0]
+    )
+    assert len(clean.clean_md5) == 32
+
+
+def test_excise_full_doc_duplicate_yields_empty_clean(spark):
+    """Two identical docs >= k tokens: everything excises, clean = ''. """
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=text), Row(doc_id=1, text=text)]
+    )
+    spans = duplicated_spans(df, k=20)
+    out = {r.doc_id: r for r in excise_spans(df, spans).collect()}
+    for d in (0, 1):
+        assert out[d].dup_tokens == 25
+        assert out[d].kept_tokens == 0
+        assert out[d].clean_text == ""
+        assert hashlib.md5(b"").hexdigest() == hashlib.md5(
+            out[d].clean_text.encode()
+        ).hexdigest()

@@ -91,9 +91,14 @@ def main() -> int:
         with open(GOLDEN, "w") as f:
             json.dump(golden, f, indent=1, sort_keys=True)
         return 0
+    only = set(sys.argv[2:])
+    unknown = sorted(only - set(registry))
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 1
     current = {}
     for name, q in registry.items():
-        if name in SKIP:
+        if name in SKIP or (only and name not in only):
             continue
         pdf = q.fn(spark, SF_DIR).toPandas()
         driver_canon_check(name, pdf)
@@ -106,7 +111,7 @@ def main() -> int:
     with open(GOLDEN) as f:
         golden = json.load(f)
     bad = {k: (golden.get(k), v) for k, v in current.items() if golden.get(k) != v}
-    missing = set(golden) - set(current)
+    missing = set() if only else set(golden) - set(current)
     for k, (g, c) in bad.items():
         print(f"REGRESSION {k}: golden={g} current={c}")
     if missing:

@@ -234,6 +234,9 @@ HEADLINE = [
     "sketch_linear_counting",
     "stats_pettitt",
     "orders_skyline",
+    # round-9 additions
+    "dedup_substring",
+    "dedup_substring_excise",
 ]
 
 
