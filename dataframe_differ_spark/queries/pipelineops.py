@@ -1415,6 +1415,252 @@ def q_bpe_train_merges(spark, sf_dir):
     return train_bpe(docs, "text", n_merges=2)
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training + apply (round 9, VERDICT r8 item #2 —
+# completes the BPE / WordPiece / Unigram trainer triad). The oracle
+# replays the deterministic Viterbi-EM exactly: the DP is a recursive CTE
+# over character positions carrying the best-score/backpointer list (the
+# kalman/CUSUM recursion device), candidate pieces iterate j-ascending
+# with strict improvement so score ties break toward the longest last
+# piece in BOTH engines, and every log-prob is round(ln(cnt/total), 12)
+# (the libm-taint device) so path scores are bit-identical sums.
+# ---------------------------------------------------------------------------
+
+_UG_L = 4          # max piece length (chars)
+_UG_SEED = 64      # seed multi-char pieces
+_UG_VOCAB = 32     # final multi-char pieces
+_UG_ITERS = 2      # EM iterations
+_UG_MAXW = 16      # training word-length cap
+
+
+def _ug_best_sql() -> str:
+    """Best candidate struct at position ``v.i + 1``: piece lengths
+    k = L..1, i.e. start j ascending, strict improvement → score ties
+    break toward the SMALLEST j (longest last piece), same as the Spark
+    fold and the Python reference.
+
+    Candidate scores are PLAIN projections over ``v.dp`` — deliberately
+    NO lambda indexes the outer list column: DuckDB 1.0 misbinds
+    ``list_transform(e.cs, c -> v.dp[c.j + 1] ...)`` under vectorized
+    recursive-CTE evaluation (many rows per step silently read another
+    row's dp; reproduced at sf0.01, invisible in single-word repros).
+    The ``j >= 0`` guard must precede the dp index: DuckDB's negative
+    list indexes wrap from the END."""
+    ents = []
+    for k in range(_UG_L, 0, -1):
+        ck = (
+            f"CASE WHEN e.lp{k} IS NOT NULL AND v.i + 1 - {k} >= 0 "
+            f"AND v.dp[v.i + 2 - {k}].s > CAST(-1e17 AS DOUBLE) "
+            f"THEN v.dp[v.i + 2 - {k}].s + e.lp{k} END"
+        )
+        ents.append(
+            f"struct_pack(s := {ck}, bp := CAST(v.i + 1 - {k} AS BIGINT))"
+        )
+    cand = "[" + ", ".join(ents) + "]"
+    return (
+        "list_reduce(list_prepend("
+        "struct_pack(s := CAST(-1e18 AS DOUBLE), bp := CAST(-1 AS BIGINT)), "
+        f"{cand}), "
+        "(a, x) -> CASE WHEN x.s IS NOT NULL AND x.s > a.s THEN x ELSE a END)"
+    )
+
+
+def _ug_vit_sql(tag: str, vocab: str) -> str:
+    """CTE block: Viterbi DP + backtrack of every word under ``vocab``
+    (piece, lp) → ``bt{tag}(w, pos, piece)`` rows, one piece per row,
+    ``pos`` = the piece's 0-based start (so ORDER BY pos reassembles).
+    Candidate log-probs pivot to one column per piece length
+    (``lp1..lpL``) so the recursion's best-candidate expression needs no
+    list-of-candidates lambda (see :func:`_ug_best_sql`)."""
+    slots = ",\n         ".join(
+        f"MAX(CASE WHEN c.i - c.j = {k} THEN v.lp END) AS lp{k}"
+        for k in range(1, _UG_L + 1)
+    )
+    return f"""
+ed{tag} AS MATERIALIZED (
+  SELECT c.w, c.i,
+         {slots}
+  FROM cands c JOIN {vocab} v USING (piece)
+  GROUP BY c.w, c.i),
+vit{tag}(w, i, dp) AS (
+  SELECT w, CAST(0 AS BIGINT),
+         [struct_pack(s := CAST(0.0 AS DOUBLE), bp := CAST(0 AS BIGINT))]
+  FROM words2
+  UNION ALL
+  SELECT v.w, v.i + 1, list_append(v.dp, {_ug_best_sql()})
+  FROM vit{tag} v
+  JOIN words2 ww ON ww.w = v.w
+  JOIN ed{tag} e ON e.w = v.w AND e.i = v.i + 1
+  WHERE v.i < length(ww.w)),
+dpw{tag} AS MATERIALIZED (
+  SELECT v.w, v.dp FROM vit{tag} v JOIN words2 ww ON ww.w = v.w
+  WHERE v.i = length(ww.w)),
+bt{tag}(w, pos, piece) AS (
+  SELECT w, CAST(length(w) AS BIGINT), CAST(NULL AS VARCHAR) FROM dpw{tag}
+  UNION ALL
+  SELECT b.w, d.dp[b.pos + 1].bp,
+         substr(b.w, CAST(d.dp[b.pos + 1].bp + 1 AS INTEGER),
+                CAST(b.pos - d.dp[b.pos + 1].bp AS INTEGER))
+  FROM bt{tag} b JOIN dpw{tag} d ON d.w = b.w
+  WHERE b.pos > 0)"""
+
+
+def _ug_mstep_sql(t: int) -> str:
+    """CTE block: M-step t — piece counts from ``bt{t}`` (+1 Laplace on
+    single chars), zero-count multis pruned, relogged → ``v{t}``."""
+    return f"""
+cnt{t} AS (
+  SELECT b.piece, CAST(SUM(ww.freq) AS BIGINT) AS raw
+  FROM bt{t} b JOIN words2 ww ON ww.w = b.w
+  WHERE b.piece IS NOT NULL
+  GROUP BY b.piece),
+v{t}c AS MATERIALIZED (
+  SELECT p.piece,
+         CAST(COALESCE(c.raw, 0) +
+              CASE WHEN length(p.piece) = 1 THEN 1 ELSE 0 END AS BIGINT) AS cnt
+  FROM v{t - 1} p LEFT JOIN cnt{t} c USING (piece)
+  WHERE COALESCE(c.raw, 0) +
+        CASE WHEN length(p.piece) = 1 THEN 1 ELSE 0 END > 0),
+tt{t} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v{t}c),
+v{t} AS MATERIALIZED (
+  SELECT piece, ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 12) AS lp
+  FROM v{t}c CROSS JOIN tt{t})"""
+
+
+_UG_PRELUDE = f"""
+words2 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents)
+  WHERE length(w) <= {_UG_MAXW}
+  GROUP BY w),
+cands AS MATERIALIZED (
+  SELECT w, freq, a - 1 AS j, b AS i,
+         substr(w, CAST(a AS INTEGER), CAST(b - a + 1 AS INTEGER)) AS piece
+  FROM words2,
+       unnest(range(1, length(w) + 1)) AS ua(a),
+       unnest(range(1, {_UG_MAXW} + 1)) AS ub(b)
+  WHERE b >= a AND b - a + 1 <= {_UG_L} AND b <= length(w)),
+pf AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS pfreq FROM cands GROUP BY piece),
+seed AS (
+  SELECT piece, pfreq FROM pf WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, pfreq FROM (
+    SELECT piece, pfreq FROM pf WHERE length(piece) >= 2
+    ORDER BY pfreq DESC, piece LIMIT {_UG_SEED})),
+t0 AS (SELECT CAST(SUM(pfreq) AS BIGINT) AS total FROM seed),
+v0 AS MATERIALIZED (
+  SELECT piece,
+         ROUND(LN(CAST(pfreq AS DOUBLE) / CAST(total AS DOUBLE)), 12) AS lp
+  FROM seed CROSS JOIN t0),
+{",".join(_ug_vit_sql(str(t), f"v{t - 1}") + "," + _ug_mstep_sql(t)
+          for t in range(1, _UG_ITERS + 1))},
+fs AS (SELECT piece, cnt FROM v{_UG_ITERS}c WHERE length(piece) = 1),
+fm AS (SELECT piece, cnt FROM (
+  SELECT piece, cnt FROM v{_UG_ITERS}c WHERE length(piece) >= 2
+  ORDER BY cnt DESC, piece LIMIT {_UG_VOCAB})),
+fin AS (SELECT * FROM fs UNION ALL SELECT * FROM fm),
+ftt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM fin)"""
+
+_UG_TRAIN_SQL = f"""
+WITH RECURSIVE
+{_UG_PRELUDE}
+SELECT piece, cnt AS expected_count,
+       ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 12) AS logp,
+       length(piece) = 1 AS is_single
+FROM fin CROSS JOIN ftt
+"""
+
+
+@register("unigram_train_vocab", oracle=_UG_TRAIN_SQL)
+def q_unigram_train_vocab(spark, sf_dir):
+    """Unigram-LM tokenizer TRAINING (Kudo 2018 — the SentencePiece
+    algorithm), deterministic Viterbi-EM over the corpus word histogram:
+    seed vocabulary of all ≤4-char substrings (all singles + top-64
+    multis), 2 EM iterations (E: Viterbi-best segmentation per distinct
+    word; M: expected counts, +1 Laplace on singles, zero-count multis
+    pruned), final prune to all singles + top-32 multis, renormalized
+    log-probs.
+
+    Completes the trainer triad (`bpe_train_merges`, WordPiece via
+    `text_tokenize_greedy`): these are the three canonical subword
+    algorithms a Llama/T5-style pipeline reproduces on-cluster. Scale
+    shape per operators/tokenize.train_unigram: ONE corpus shuffle for
+    the histogram, then vocabulary-sized EM (broadcast vocab joins,
+    nested `aggregate` HOF Viterbi DP — no UDFs, no collect). Oracle:
+    full recursive-CTE replay of the DP + backtrack, hash-exact
+    including 12-dp log-probs; pure-Python EM reference in
+    tests/test_operator_properties_r9.py triangulates all three.
+    """
+    from dataframe_differ_spark.operators.tokenize import train_unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_unigram(
+        docs,
+        "text",
+        max_piece_len=_UG_L,
+        seed_multi=_UG_SEED,
+        vocab_multi=_UG_VOCAB,
+        n_iters=_UG_ITERS,
+        max_word_len=_UG_MAXW,
+    )
+
+
+_UG_APPLY_SQL = f"""
+WITH RECURSIVE
+{_UG_PRELUDE},
+vfinal AS MATERIALIZED (
+  SELECT piece, ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 12) AS lp
+  FROM fin CROSS JOIN ftt),
+{_ug_vit_sql("f", "vfinal")}
+SELECT b.w AS word, ww.freq,
+       COALESCE(array_to_string(list(b.piece ORDER BY b.pos)
+                                FILTER (WHERE b.piece IS NOT NULL), '|'),
+                '') AS seg,
+       CAST(COUNT(b.piece) AS BIGINT) AS n_pieces
+FROM btf b JOIN words2 ww USING (w)
+GROUP BY b.w, ww.freq
+"""
+
+
+@register("unigram_apply_segment", oracle=_UG_APPLY_SQL)
+def q_unigram_apply_segment(spark, sf_dir):
+    """Unigram tokenizer APPLY: Viterbi-segment the corpus word
+    histogram under the `unigram_train_vocab` vocabulary → per distinct
+    word its frequency, '|'-joined forward segmentation, and piece
+    count — the inference half (what `bpe_apply_merges` is to
+    `bpe_train_merges`).
+
+    Train and apply share one lazy plan (the trained vocab flows in as
+    a broadcast, never collected); at 100 TB the segmentation is a
+    dictionary-encoded map-side join — the corpus is only rescanned if
+    the caller re-expands words to documents. Oracle: the training
+    replay plus one more recursive-CTE Viterbi pass under the final
+    renormalized vocabulary.
+    """
+    from dataframe_differ_spark.operators.tokenize import (
+        train_unigram,
+        unigram_segment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = train_unigram(
+        docs,
+        "text",
+        max_piece_len=_UG_L,
+        seed_multi=_UG_SEED,
+        vocab_multi=_UG_VOCAB,
+        n_iters=_UG_ITERS,
+        max_word_len=_UG_MAXW,
+    )
+    seg = unigram_segment(
+        docs, "text", vocab, max_piece_len=_UG_L, max_word_len=_UG_MAXW
+    )
+    return seg.select(
+        "word", "freq", "seg", F.col("n_pieces").cast("long").alias("n_pieces")
+    )
+
+
 _NEYMAN_SQL = f"""
 WITH c AS (
   SELECT o_orderkey, o_orderpriority AS stratum,

@@ -159,3 +159,143 @@ def test_excise_full_doc_duplicate_yields_empty_clean(spark):
         assert hashlib.md5(b"").hexdigest() == hashlib.md5(
             out[d].clean_text.encode()
         ).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM trainer (round 9): pure-Python Viterbi-EM reference
+# ---------------------------------------------------------------------------
+
+import math
+
+
+def _r12(x: float) -> float:
+    """Engine-faithful 12-dp rounding: Spark's ROUND is HALF_UP on the
+    shortest decimal repr (BigDecimal.valueOf), NOT Python's half-even —
+    hypothesis found the boundary (round 9)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-12"),
+                                            rounding=ROUND_HALF_UP))
+
+
+def _py_ug_viterbi(w, logp, L):
+    n = len(w)
+    NEG = -1e18
+    best = [0.0] + [NEG] * n
+    bp = [0] * (n + 1)
+    for i in range(1, n + 1):
+        cs, cb = NEG, -1
+        for j in range(max(0, i - L), i):
+            p = w[j:i]
+            if p in logp and best[j] > -1e17:
+                s = best[j] + logp[p]
+                if s > cs:
+                    cs, cb = s, j
+        best[i], bp[i] = cs, cb
+    ps, pos = [], n
+    while pos > 0:
+        if bp[pos] < 0:
+            return []
+        ps.append(w[bp[pos]:pos])
+        pos = bp[pos]
+    return list(reversed(ps))
+
+
+def _py_unigram(word_freq, L=4, seed_multi=64, vocab_multi=32, n_iters=2,
+                max_word_len=16):
+    word_freq = {w: f for w, f in word_freq.items() if len(w) <= max_word_len}
+    pf = {}
+    for w, f in word_freq.items():
+        n = len(w)
+        for a in range(n):
+            for k in range(1, min(L, n - a) + 1):
+                p = w[a:a + k]
+                pf[p] = pf.get(p, 0) + f
+    singles = [p for p in pf if len(p) == 1]
+    multis = sorted((p for p in pf if len(p) >= 2),
+                    key=lambda p: (-pf[p], p))[:seed_multi]
+    vocab = {p: pf[p] for p in set(singles) | set(multis)}
+    total = sum(vocab.values())
+    logp = {p: _r12(math.log(c / total)) for p, c in vocab.items()}
+    counted = None
+    for _ in range(n_iters):
+        counts = {}
+        for w, f in word_freq.items():
+            for p in _py_ug_viterbi(w, logp, L):
+                counts[p] = counts.get(p, 0) + f
+        counted = {}
+        for p in logp:
+            c = counts.get(p, 0) + (1 if len(p) == 1 else 0)
+            if c > 0:
+                counted[p] = c
+        total = sum(counted.values())
+        logp = {p: _r12(math.log(c / total)) for p, c in counted.items()}
+    fs = {p: c for p, c in counted.items() if len(p) == 1}
+    fm = dict(sorted(((p, c) for p, c in counted.items() if len(p) >= 2),
+                     key=lambda pc: (-pc[1], pc[0]))[:vocab_multi])
+    final = {**fs, **fm}
+    ft = sum(final.values())
+    return {p: (c, _r12(math.log(c / ft))) for p, c in final.items()}
+
+
+ug_corpora = st.lists(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=7).map("".join),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=ug_corpora)
+@hyp
+def test_train_unigram_matches_python_em_reference(spark, texts):
+    from collections import Counter
+
+    from dataframe_differ_spark.operators.tokenize import train_unigram
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r.piece: (r.expected_count, r.logp)
+        for r in train_unigram(df, "text", seed_multi=8, vocab_multi=4).collect()
+    }
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    ref = _py_unigram(dict(wf), seed_multi=8, vocab_multi=4)
+    assert got == ref
+
+
+@given(texts=ug_corpora)
+@hyp
+def test_unigram_segment_covers_and_concatenates(spark, texts):
+    """Every word's segmentation concatenates back to the word, and
+    n_pieces matches; frequencies match the corpus histogram."""
+    from collections import Counter
+
+    from dataframe_differ_spark.operators.tokenize import (
+        train_unigram,
+        unigram_segment,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    vocab = train_unigram(df, "text", seed_multi=8, vocab_multi=4)
+    out = {r.word: r for r in unigram_segment(df, "text", vocab).collect()}
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    assert set(out) == set(wf)
+    for w, r in out.items():
+        assert r.freq == wf[w]
+        assert r.seg.replace("|", "") == w
+        assert r.n_pieces == len(r.seg.split("|"))
+
+
+def test_train_unigram_validates_params(spark):
+    import pytest
+
+    from dataframe_differ_spark.operators.tokenize import train_unigram
+
+    df = spark.createDataFrame([Row(doc_id=0, text="ab ab")])
+    with pytest.raises(ValueError):
+        train_unigram(df, "text", n_iters=0)
+    with pytest.raises(ValueError):
+        train_unigram(df, "text", max_piece_len=0)

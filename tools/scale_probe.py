@@ -237,6 +237,8 @@ HEADLINE = [
     # round-9 additions
     "dedup_substring",
     "dedup_substring_excise",
+    "unigram_train_vocab",
+    "unigram_apply_segment",
 ]
 
 
