@@ -91,11 +91,18 @@ ARTIFACT_KINDS: dict[str, dict[str, tuple[str, ...]]] = {
     "fastss_signatures": {
         "sig": ("bigint",),
     },
+    "logreg_weights": {
+        "coef": ("string",),
+        "weight": ("double",),
+    },
 }
 
 # Params a kind's consumer cannot run without.
 _REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
     "bloom_bits": ("n_bits", "n_hashes"),
+    # feature order IS the model: scoring with re-ordered features would
+    # silently apply the wrong coefficient to every column.
+    "logreg_weights": ("features",),
 }
 
 

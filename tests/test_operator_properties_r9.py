@@ -299,3 +299,98 @@ def test_train_unigram_validates_params(spark):
         train_unigram(df, "text", n_iters=0)
     with pytest.raises(ValueError):
         train_unigram(df, "text", max_piece_len=0)
+
+
+# ---------------------------------------------------------------------------
+# Trained quality filter (round 9): pure-Python GD reference
+# ---------------------------------------------------------------------------
+
+
+def _py_logreg(rows, k, iters=3, lr=1.0, dp=12):
+    """rows: list of (x_tuple, y). Returns weights [bias, w1..wk]."""
+    w = [0.0] * (k + 1)
+    n = len(rows)
+    for _ in range(iters):
+        sums = [0] * (k + 1)  # integer sums of contributions * 10^dp
+        for x, y in rows:
+            z = w[0]
+            for j in range(k):
+                z = z + w[j + 1] * x[j]
+            r = 1.0 / (1.0 + math.exp(-z)) - y
+            vals = [r] + [r * x[j] for j in range(k)]
+            for j, v in enumerate(vals):
+                sums[j] += int(
+                    __import__("decimal").Decimal(repr(v)).quantize(
+                        __import__("decimal").Decimal("1e-%d" % dp),
+                        rounding=__import__("decimal").ROUND_HALF_UP,
+                    ).scaleb(dp)
+                )
+        w = [
+            _r12(w[j] - lr * ((sums[j] / (10 ** dp)) / float(n)))
+            for j in range(k + 1)
+        ]
+    return w
+
+
+lr_rows = st.lists(
+    st.tuples(
+        st.tuples(
+            st.integers(-3, 3).map(float), st.integers(-3, 3).map(float)
+        ),
+        st.integers(0, 1).map(float),
+    ),
+    min_size=3,
+    max_size=25,
+)
+
+
+@given(rows=lr_rows)
+@hyp
+def test_train_logreg_matches_python_gd(spark, rows):
+    from dataframe_differ_spark.operators.stats import train_logreg
+
+    df = spark.createDataFrame(
+        [Row(a=x[0], b=x[1], y=y) for x, y in rows]
+    )
+    got = {r.coef: r.weight for r in train_logreg(df, ["a", "b"], "y").collect()}
+    ref = _py_logreg(rows, 2)
+    assert got == {"bias": ref[0], "a": ref[1], "b": ref[2]}
+
+
+def test_logreg_score_and_persistence_roundtrip(spark, tmp_path):
+    from dataframe_differ_spark.operators.persistence import (
+        load_artifact,
+        save_artifact,
+    )
+    from dataframe_differ_spark.operators.stats import logreg_score, train_logreg
+
+    df = spark.createDataFrame(
+        [Row(id=i, a=float(i % 5 - 2), b=float((i * 3) % 7 - 3),
+             y=1.0 if i % 5 >= 3 else 0.0) for i in range(40)]
+    )
+    w = train_logreg(df, ["a", "b"], "y", iters=4, lr=1.0)
+    path = str(tmp_path / "lrw")
+    save_artifact(w, path, "logreg_weights", params={"features": ["a", "b"]})
+    art = load_artifact(spark, path, "logreg_weights")
+    assert art.params["features"] == ["a", "b"]
+    direct = {
+        r.id: r.score for r in logreg_score(df, w, ["a", "b"]).collect()
+    }
+    loaded = {
+        r.id: r.score
+        for r in logreg_score(df, art.df, art.params["features"]).collect()
+    }
+    assert direct == loaded
+    assert all(0.0 <= s <= 1.0 for s in direct.values())
+
+
+def test_logreg_validates_params(spark):
+    import pytest
+
+    from dataframe_differ_spark.operators.stats import train_logreg
+
+    df = spark.createDataFrame([Row(a=1.0, y=0.0)])
+    with pytest.raises(ValueError):
+        train_logreg(df, ["a"], "y", iters=0)
+    with pytest.raises(ValueError):
+        train_logreg(df, [], "y")

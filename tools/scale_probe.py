@@ -239,6 +239,8 @@ HEADLINE = [
     "dedup_substring_excise",
     "unigram_train_vocab",
     "unigram_apply_segment",
+    "quality_lr_train",
+    "quality_lr_score",
 ]
 
 
