@@ -52,6 +52,7 @@ __all__ = [
     "chunk_docs",
     "train_unigram",
     "unigram_segment",
+    "train_wordpiece",
 ]
 
 
@@ -693,3 +694,104 @@ def unigram_segment(
         F.concat_ws("|", "pieces").alias("seg"),
         F.size("pieces").alias("n_pieces"),
     )
+
+
+def _wp_pair_top(sdf: DataFrame) -> DataFrame:
+    """1-row argmax WordPiece merge candidate: maximize the likelihood
+    score count(ab) / (count(a) * count(b)) (Schuster & Nakajima 2012),
+    ties (count desc is BPE's rule; here score) broken by pair asc.
+    Counts are exact BIGINTs; the score is ONE division of exactly
+    converted doubles — identical in any IEEE engine, no libm."""
+    toks = sdf.select("freq", F.expr("split(s, '[|]')").alias("t"))
+    syms = (
+        toks.select(F.explode("t").alias("sym"), "freq")
+        .groupBy("sym")
+        .agg(F.sum("freq").cast("long").alias("c1"))
+    )
+    pairs = toks.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), "
+                "slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))"
+            )
+        ).alias("p"),
+    )
+    pc = pairs.groupBy("p.a", "p.b").agg(
+        F.sum("freq").cast("long").alias("cnt")
+    )
+    ca = syms.select(F.col("sym").alias("a"), F.col("c1").alias("_tk_ca"))
+    cb = syms.select(F.col("sym").alias("b"), F.col("c1").alias("_tk_cb"))
+    scored = (
+        pc.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .select(
+            "a",
+            "b",
+            "cnt",
+            (
+                F.col("cnt").cast("double")
+                / (
+                    F.col("_tk_ca").cast("double")
+                    * F.col("_tk_cb").cast("double")
+                )
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "a", "b").limit(1)
+
+
+def train_wordpiece(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """WordPiece tokenizer TRAINING (Schuster & Nakajima 2012): like
+    :func:`train_bpe` but each round merges the pair maximizing the
+    LIKELIHOOD score count(ab) / (count(a)·count(b)) — the criterion
+    that prefers pairs that co-occur beyond what their unigram
+    frequencies predict — rather than raw count. One row per merge
+    ``(merge_rank, left_sym, right_sym, pair_count, score,
+    corpus_tokens_after)`` plus the rank-0 baseline.
+
+    Same dictionary-encoded plan as BPE (the corpus is scanned once for
+    the word histogram; every round is vocabulary-sized): pair counts
+    AND unigram symbol counts per round (two map-side-combinable
+    aggregates), the ≤vocab-sized symbol-count table broadcasts into the
+    score join, argmax is a 1-row TakeOrdered, and the merge apply is
+    the shared boundary-safe token fold (:func:`_bpe_apply`). The score
+    ships unrounded: exact-integer inputs, one IEEE division, no libm.
+    """
+    _check_reserved(df)
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    s = _bpe_symbolized(df, text_col)
+
+    def report(rank: int, m: DataFrame, t: DataFrame) -> DataFrame:
+        return m.crossJoin(F.broadcast(t)).select(
+            F.lit(rank).alias("merge_rank"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+            F.col("score"),
+            F.col("n").alias("corpus_tokens_after"),
+        )
+
+    out = _bpe_tokens(s).select(
+        F.lit(0).alias("merge_rank"),
+        F.lit("").alias("left_sym"),
+        F.lit("").alias("right_sym"),
+        F.lit(0).cast("long").alias("pair_count"),
+        F.lit(0.0).alias("score"),
+        F.col("n").alias("corpus_tokens_after"),
+    )
+    cur = s
+    for rank in range(1, n_merges + 1):
+        m = _wp_pair_top(cur)
+        cur = _bpe_apply(cur, m.select("a", "b", "cnt"))
+        if rank % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+        out = out.unionByName(report(rank, m, _bpe_tokens(cur)))
+    return out

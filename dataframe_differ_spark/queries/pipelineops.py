@@ -1415,6 +1415,97 @@ def q_bpe_train_merges(spark, sf_dir):
     return train_bpe(docs, "text", n_merges=2)
 
 
+# WordPiece training (round 9): the BPE chain with the LIKELIHOOD merge
+# criterion — per round, argmax of count(ab) / (count(a)·count(b))
+# (Schuster & Nakajima 2012) instead of raw count. Counts are exact
+# BIGINTs; the score is one division of exactly-converted doubles
+# (no libm), identical in both engines, ties broken (a, b) asc.
+
+
+def _wp_round_sql(t: int) -> str:
+    """CTE block: WordPiece round ``t`` — pair + unigram counts over
+    ``s{t - 1}``, likelihood argmax ``m{t}``, merge apply ``s{t}``."""
+    p = t - 1
+    return f"""
+p{t} AS (
+  SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(s, '|') AS t FROM s{p})
+  CROSS JOIN (SELECT unnest(range(1, 60)) AS i)
+  WHERE i < len(t)
+  GROUP BY t[i], t[i + 1]),
+u{t} AS (
+  SELECT sym, CAST(SUM(freq) AS BIGINT) AS c1
+  FROM (SELECT unnest(string_split(s, '|')) AS sym, freq FROM s{p})
+  GROUP BY sym),
+m{t} AS (
+  SELECT p.a, p.b, p.cnt,
+         CAST(p.cnt AS DOUBLE) /
+           (CAST(ua.c1 AS DOUBLE) * CAST(ub.c1 AS DOUBLE)) AS score
+  FROM p{t} p
+  JOIN u{t} ua ON ua.sym = p.a
+  JOIN u{t} ub ON ub.sym = p.b
+  ORDER BY score DESC, p.a, p.b LIMIT 1),
+s{t} AS (
+  SELECT s{p}.w, s{p}.freq,
+         {{apply}} AS s
+  FROM s{p} CROSS JOIN m{t}),
+tok{t} AS (SELECT CAST(SUM(freq * len(string_split(s, '|'))) AS BIGINT) AS n
+           FROM s{t})"""
+
+
+_WP_TRAIN_SQL = (
+    """
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS w FROM documents)
+  GROUP BY w),
+s0 AS (
+  SELECT w, freq,
+         array_to_string(list_transform(range(1, length(w) + 1),
+                                        i -> substr(w, i, 1)), '|') AS s
+  FROM words),
+tok0 AS (SELECT CAST(SUM(freq * len(string_split(s, '|'))) AS BIGINT) AS n
+         FROM s0),"""
+    + _wp_round_sql(1).format(apply=_bpe_apply_sql("s0.s", "m1.a", "m1.b"))
+    + ","
+    + _wp_round_sql(2).format(apply=_bpe_apply_sql("s1.s", "m2.a", "m2.b"))
+    + """
+SELECT 1 AS merge_rank, m1.a AS left_sym, m1.b AS right_sym,
+       m1.cnt AS pair_count, m1.score, tok1.n AS corpus_tokens_after
+FROM m1 CROSS JOIN tok1
+UNION ALL
+SELECT 2, m2.a, m2.b, m2.cnt, m2.score, tok2.n
+FROM m2 CROSS JOIN tok2
+UNION ALL
+SELECT 0, '', '', CAST(0 AS BIGINT), 0.0, tok0.n FROM tok0
+"""
+)
+
+
+@register("wordpiece_train_merges", oracle=_WP_TRAIN_SQL)
+def q_wordpiece_train_merges(spark, sf_dir):
+    """WordPiece tokenizer TRAINING: two merge rounds under the
+    LIKELIHOOD criterion — each round merges the pair maximizing
+    count(ab) / (count(a)·count(b)), preferring pairs that co-occur
+    beyond what their unigram frequencies predict (the criterion that
+    separates WordPiece from BPE's raw-count argmax).
+
+    Completes the trainer triad's training side: `bpe_train_merges`
+    (count argmax), this (likelihood argmax), `unigram_train_vocab`
+    (EM pruning) — with `text_tokenize_greedy` as the WordPiece apply.
+    Same dictionary-encoded plan as BPE plus one unigram-count
+    aggregate per round (vocab-sized, broadcast into the score join);
+    the merge apply is the shared boundary-safe token fold. The score
+    ships unrounded: exact-integer inputs, one IEEE division, no libm.
+    Thin binding over :func:`operators.tokenize.train_wordpiece`.
+    """
+    from dataframe_differ_spark.operators.tokenize import train_wordpiece
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_wordpiece(docs, "text", n_merges=2)
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM tokenizer training + apply (round 9, VERDICT r8 item #2 —
 # completes the BPE / WordPiece / Unigram trainer triad). The oracle

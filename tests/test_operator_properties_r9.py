@@ -394,3 +394,89 @@ def test_logreg_validates_params(spark):
         train_logreg(df, ["a"], "y", iters=0)
     with pytest.raises(ValueError):
         train_logreg(df, [], "y")
+
+
+# ---------------------------------------------------------------------------
+# WordPiece trainer (round 9): likelihood-criterion Python reference
+# ---------------------------------------------------------------------------
+
+
+def _py_wordpiece(texts, n_merges):
+    from collections import Counter
+
+    freq = Counter(w for t in texts for w in t.split(" ") if w)
+    seqs = {w: list(w) for w in freq}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        unis: Counter = Counter()
+        for w, f in freq.items():
+            s = seqs[w]
+            for sym in s:
+                unis[sym] += f
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        scored = {
+            (a, b): cnt / (float(unis[a]) * float(unis[b]))
+            for (a, b), cnt in pairs.items()
+        }
+        (a, b) = min(scored, key=lambda k: (-scored[k], k[0], k[1]))
+        cnt, score = pairs[(a, b)], scored[(a, b)]
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+        toks = sum(f * len(seqs[w]) for w, f in freq.items())
+        merges.append((a, b, cnt, score, toks))
+    return merges
+
+
+wp_corpora = st.lists(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=2, max_size=6).map("".join),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(texts=wp_corpora)
+@hyp
+def test_train_wordpiece_matches_python_reference(spark, texts):
+    from dataframe_differ_spark.operators.tokenize import train_wordpiece
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    rows = {
+        r.merge_rank: r
+        for r in train_wordpiece(df, "text", n_merges=2).collect()
+    }
+    ref = _py_wordpiece(texts, 2)
+    for rank, (a, b, cnt, score, toks) in enumerate(ref, start=1):
+        r = rows[rank]
+        assert (r.left_sym, r.right_sym, r.pair_count) == (a, b, cnt)
+        assert r.score == score
+        assert r.corpus_tokens_after == toks
+
+
+def test_wordpiece_prefers_likelihood_over_count(spark):
+    """A pair with lower raw count but higher likelihood must win: 'xy'
+    appears 3x but x,y appear ONLY together; 'ab' appears 4x amid many
+    stray a's and b's — BPE picks (a,b), WordPiece must pick (x,y)."""
+    from dataframe_differ_spark.operators.tokenize import train_bpe, train_wordpiece
+
+    text = " ".join(["ab"] * 4 + ["xy"] * 3 + ["aa"] * 6 + ["bb"] * 6)
+    df = spark.createDataFrame([Row(doc_id=0, text=text)])
+    wp = {r.merge_rank: r for r in train_wordpiece(df, "text", n_merges=1).collect()}
+    bp = {r.merge_rank: r for r in train_bpe(df, "text", n_merges=1).collect()}
+    assert (wp[1].left_sym, wp[1].right_sym) == ("x", "y")
+    assert (bp[1].left_sym, bp[1].right_sym) != ("x", "y")

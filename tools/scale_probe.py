@@ -241,6 +241,7 @@ HEADLINE = [
     "unigram_apply_segment",
     "quality_lr_train",
     "quality_lr_score",
+    "wordpiece_train_merges",
 ]
 
 
