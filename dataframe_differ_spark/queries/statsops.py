@@ -5287,3 +5287,258 @@ def q_stats_pettitt(spark, sf_dir):
         F.round(p, 9).alias("p_value"),
         (p < 0.05).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DFT periodicity scan over the daily event series (round 9)
+# ---------------------------------------------------------------------------
+
+_DFT_TWO_PI = "6.283185307179586"
+
+_DFT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)),
+st AS (
+  SELECT MIN(d) AS d0, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx
+  FROM daily),
+base AS (
+  SELECT CAST(daily.d - st.d0 AS BIGINT) AS t,
+         CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xc,
+         st.n
+  FROM daily CROSS JOIN st),
+terms AS (
+  SELECT p.period, base.n,
+         CAST(ROUND(xc * ROUND(cos({_DFT_TWO_PI} * (t % p.period)
+                                    / p.period), 12), 12)
+              AS DECIMAL(38,12)) AS tc,
+         CAST(ROUND(xc * ROUND(sin({_DFT_TWO_PI} * (t % p.period)
+                                    / p.period), 12), 12)
+              AS DECIMAL(38,12)) AS ts
+  FROM base CROSS JOIN
+       (SELECT CAST(range AS INTEGER) AS period FROM range(2, 15)) p),
+pw AS (
+  SELECT period, MAX(n) AS n_days,
+         CAST(SUM(tc) AS DOUBLE) * CAST(SUM(tc) AS DOUBLE)
+         + CAST(SUM(ts) AS DOUBLE) * CAST(SUM(ts) AS DOUBLE) AS power
+  FROM terms GROUP BY period),
+mx AS (SELECT MAX(power) AS maxp FROM pw)
+SELECT period AS period_days, n_days,
+       ROUND(power, 6) AS dft_power,
+       power = mx.maxp AS is_peak
+FROM pw CROSS JOIN mx
+"""
+
+
+@register("events_dft_power", oracle=_DFT_SQL)
+def q_events_dft_power(spark, sf_dir):
+    """Discrete-Fourier periodicity scan of the daily event-volume
+    series: spectral power at candidate periods 2..14 days over the
+    mean-centered counts, flagging the dominant cycle — the
+    frequency-domain companion to `events_autocorr` (lag domain) and
+    `events_seasonality_dow` (calendar domain); a weekly-driven series
+    peaks at period 7.
+
+    Determinism devices: angles reduce mod the period BEFORE the libm
+    call (small arguments, engine-stable); cos/sin round to 12 dp, the
+    centered-count product rounds to 12 dp and sums as DECIMAL(38,12)
+    (order-free), and the power is arithmetic on those exact sums —
+    identical doubles in both engines, so even the `is_peak` argmax
+    (a float equality) is safe. At 100 TB only the daily rollup touches
+    the corpus; the 13-period scan runs on a KB spine crossed with a
+    13-row broadcast.
+    """
+    import math
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    st = daily.agg(
+        F.min("d").alias("d0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    base = daily.crossJoin(F.broadcast(st)).select(
+        F.datediff("d", "d0").cast("long").alias("t"),
+        (
+            F.col("x").cast("double")
+            - F.col("sx").cast("double") / F.col("n").cast("double")
+        ).alias("xc"),
+        "n",
+    )
+    periods = spark.range(2, 15).select(F.col("id").cast("int").alias("period"))
+    two_pi = F.lit(2 * math.pi)
+    ang = two_pi * (F.col("t") % F.col("period")) / F.col("period")
+    dec = "decimal(38,12)"
+    terms = base.crossJoin(F.broadcast(periods)).select(
+        "period",
+        "n",
+        F.round(F.col("xc") * F.round(F.cos(ang), 12), 12).cast(dec).alias("tc"),
+        F.round(F.col("xc") * F.round(F.sin(ang), 12), 12).cast(dec).alias("ts"),
+    )
+    pw = terms.groupBy("period").agg(
+        F.max("n").alias("n_days"),
+        (
+            F.sum("tc").cast("double") * F.sum("tc").cast("double")
+            + F.sum("ts").cast("double") * F.sum("ts").cast("double")
+        ).alias("power"),
+    )
+    mx = pw.agg(F.max("power").alias("maxp"))
+    return pw.crossJoin(F.broadcast(mx)).select(
+        F.col("period").alias("period_days"),
+        "n_days",
+        F.round("power", 6).alias("dft_power"),
+        (F.col("power") == F.col("maxp")).alias("is_peak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Yule-Walker AR(2) one-step forecast of the daily event series (round 9)
+# ---------------------------------------------------------------------------
+
+_AR2_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)),
+gm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {_split_sql('SUM(CAST(x AS HUGEINT))')} AS s,
+         {_split_sql('SUM(CAST(x AS HUGEINT) * x)')} AS q,
+         MAX(d) AS dmax
+  FROM daily),
+lagm AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS nk,
+         {_split_sql('SUM(CAST(a.x AS HUGEINT) * b.x)')} AS pk,
+         {_split_sql('SUM(CAST(a.x AS HUGEINT))')} AS hk,
+         {_split_sql('SUM(CAST(b.x AS HUGEINT))')} AS tk
+  FROM daily a
+  JOIN (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 3)) l ON TRUE
+  JOIN daily b ON b.d = a.d + l.lag
+  GROUP BY l.lag),
+rho AS (
+  SELECT lag,
+         (pk - (gm.s / gm.n) * hk - (gm.s / gm.n) * tk
+          + nk * ((gm.s / gm.n) * (gm.s / gm.n)))
+         / (gm.q - gm.s * gm.s / gm.n) AS r
+  FROM lagm CROSS JOIN gm),
+phi AS (
+  SELECT r1.r AS r1, r2.r AS r2,
+         r1.r * (1.0 - r2.r) / (1.0 - r1.r * r1.r) AS phi1,
+         (r2.r - r1.r * r1.r) / (1.0 - r1.r * r1.r) AS phi2
+  FROM (SELECT r FROM rho WHERE lag = 1) r1
+  CROSS JOIN (SELECT r FROM rho WHERE lag = 2) r2),
+lastx AS (
+  SELECT gm.n, gm.dmax,
+         (SELECT x FROM daily WHERE d = gm.dmax) AS xn,
+         (SELECT x FROM daily WHERE d = gm.dmax - 1) AS xp,
+         gm.s / gm.n AS mu
+  FROM gm)
+SELECT l.n AS n_days,
+       CAST(l.dmax AS STRING) AS last_day,
+       ROUND(l.mu, 9) AS mu,
+       ROUND(p.r1, 9) AS r1, ROUND(p.r2, 9) AS r2,
+       ROUND(p.phi1, 9) AS phi1, ROUND(p.phi2, 9) AS phi2,
+       ROUND(l.mu + p.phi1 * (CAST(l.xn AS DOUBLE) - l.mu)
+                  + p.phi2 * (CAST(l.xp AS DOUBLE) - l.mu), 9)
+         AS forecast_next
+FROM lastx l CROSS JOIN phi p
+"""
+
+
+@register("events_ar2_forecast", oracle=_AR2_SQL)
+def q_events_ar2_forecast(spark, sf_dir):
+    """AR(2) one-step forecast of tomorrow's event volume via the
+    Yule-Walker equations: autocorrelations ρ1, ρ2 from exact integer
+    moment sums (the `events_autocorr` calendar-join device, common
+    mean), φ1 = ρ1(1−ρ2)/(1−ρ1²), φ2 = (ρ2−ρ1²)/(1−ρ1²), forecast
+    μ + φ1(x_n−μ) + φ2(x_{{n−1}}−μ) — the parametric companion to
+    `events_holt_linear` (exponential family) and `events_pacf` (whose
+    Durbin-Levinson recursion these φ's are the order-2 closed form of).
+
+    Every cross-engine hazard is pinned: moments are HUGEINT/DECIMAL
+    split-cast sums, μ and the ρ/φ chain are IDENTICAL double
+    expressions in both engines, and the last two observations come
+    from calendar-key lookups (no window, no ordering assumption). At
+    100 TB only the daily rollup scans the corpus; everything after
+    runs on a KB spine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    dec = "decimal(38,0)"
+    gm = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _split_dbl(F.sum(F.col("x").cast(dec))).alias("s"),
+        _split_dbl(F.sum(F.col("x").cast(dec) * F.col("x"))).alias("q"),
+        F.max("d").alias("dmax"),
+    )
+    lags = spark.range(1, 3).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.expr("date_add(da, lag)"))
+    )
+    lagm = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        _split_dbl(F.sum(F.col("xa").cast(dec) * F.col("xb"))).alias("pk"),
+        _split_dbl(F.sum(F.col("xa").cast(dec))).alias("hk"),
+        _split_dbl(F.sum(F.col("xb").cast(dec))).alias("tk"),
+    )
+    mu = F.col("s") / F.col("n")
+    rho = lagm.crossJoin(F.broadcast(gm)).select(
+        "lag",
+        (
+            (
+                F.col("pk")
+                - mu * F.col("hk")
+                - mu * F.col("tk")
+                + F.col("nk") * (mu * mu)
+            )
+            / (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+        ).alias("r"),
+    )
+    r1 = rho.filter(F.col("lag") == 1).select(F.col("r").alias("r1"))
+    r2 = rho.filter(F.col("lag") == 2).select(F.col("r").alias("r2"))
+    phi = r1.crossJoin(F.broadcast(r2)).select(
+        "r1",
+        "r2",
+        (
+            F.col("r1") * (F.lit(1.0) - F.col("r2"))
+            / (F.lit(1.0) - F.col("r1") * F.col("r1"))
+        ).alias("phi1"),
+        (
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (F.lit(1.0) - F.col("r1") * F.col("r1"))
+        ).alias("phi2"),
+    )
+    xn = daily.join(gm.select("dmax"), F.col("d") == F.col("dmax")).select(
+        F.col("x").alias("xn")
+    )
+    xp = daily.join(
+        gm.select("dmax"), F.col("d") == F.expr("date_add(dmax, -1)")
+    ).select(F.col("x").alias("xp"))
+    lastx = (
+        gm.select("n", "dmax", (F.col("s") / F.col("n")).alias("mu"))
+        .crossJoin(F.broadcast(xn))
+        .crossJoin(F.broadcast(xp))
+    )
+    return lastx.crossJoin(F.broadcast(phi)).select(
+        F.col("n").alias("n_days"),
+        F.date_format("dmax", "yyyy-MM-dd").alias("last_day"),
+        F.round("mu", 9).alias("mu"),
+        F.round("r1", 9).alias("r1"),
+        F.round("r2", 9).alias("r2"),
+        F.round("phi1", 9).alias("phi1"),
+        F.round("phi2", 9).alias("phi2"),
+        F.round(
+            F.col("mu")
+            + F.col("phi1") * (F.col("xn").cast("double") - F.col("mu"))
+            + F.col("phi2") * (F.col("xp").cast("double") - F.col("mu")),
+            9,
+        ).alias("forecast_next"),
+    )

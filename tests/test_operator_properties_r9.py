@@ -480,3 +480,33 @@ def test_wordpiece_prefers_likelihood_over_count(spark):
     bp = {r.merge_rank: r for r in train_bpe(df, "text", n_merges=1).collect()}
     assert (wp[1].left_sym, wp[1].right_sym) == ("x", "y")
     assert (bp[1].left_sym, bp[1].right_sym) != ("x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 timeseries additions: structural invariants on fixtures
+# ---------------------------------------------------------------------------
+
+
+def test_events_dft_power_invariants(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    rows = load_all()["events_dft_power"].fn(spark, sf_small).collect()
+    assert {r.period_days for r in rows} == set(range(2, 15))
+    assert all(r.dft_power >= 0.0 for r in rows)
+    peaks = [r for r in rows if r.is_peak]
+    assert len(peaks) == 1
+    assert peaks[0].dft_power == max(r.dft_power for r in rows)
+
+
+def test_events_ar2_forecast_yule_walker_identities(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    r = load_all()["events_ar2_forecast"].fn(spark, sf_small).collect()[0]
+    assert -1.0 <= r.r1 <= 1.0 and -1.0 <= r.r2 <= 1.0
+    # the YW closed form ties phi to rho (9-dp rounded outputs -> 1e-8 tol)
+    assert abs(r.phi1 - r.r1 * (1 - r.r2) / (1 - r.r1 ** 2)) < 1e-8
+    assert abs(r.phi2 - (r.r2 - r.r1 ** 2) / (1 - r.r1 ** 2)) < 1e-8
+    # stationarity triangle for AR(2)
+    assert abs(r.phi2) < 1.0
+    assert r.phi2 + r.phi1 < 1.0 and r.phi2 - r.phi1 < 1.0
+    assert r.forecast_next is not None

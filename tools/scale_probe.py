@@ -242,6 +242,8 @@ HEADLINE = [
     "quality_lr_train",
     "quality_lr_score",
     "wordpiece_train_merges",
+    "events_dft_power",
+    "events_ar2_forecast",
 ]
 
 
