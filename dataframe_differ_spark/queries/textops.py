@@ -2896,3 +2896,206 @@ def q_text_pmi_cooccurrence(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "t1", "t2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BLEU-2 over near-duplicate pairs (round 9): machine-translation-style
+# n-gram overlap scoring applied where a training-data pipeline actually
+# uses it — quantifying HOW similar the near-dup detector's pairs are.
+# ---------------------------------------------------------------------------
+
+_BLEU_SQL = f"""
+WITH np AS ({_NEAR_SQL}),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text, ' ')
+           [1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ') AS text
+  FROM documents WHERE doc_id % 13 = 0),
+used AS (SELECT DISTINCT doc_a AS id FROM np
+         UNION SELECT DISTINCT doc_b FROM np),
+toks AS (
+  SELECT c.doc_id, string_split(c.text, ' ') AS t
+  FROM corpus c JOIN used u ON u.id = c.doc_id),
+g AS (
+  SELECT doc_id, 1 AS n, t[i] AS gram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+  GROUP BY doc_id, t[i]
+  UNION ALL
+  SELECT doc_id, 2 AS n, t[i] || ' ' || t[i + 1] AS gram,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+  GROUP BY doc_id, t[i] || ' ' || t[i + 1]),
+tots AS (SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS tot
+         FROM g GROUP BY doc_id, n),
+clip AS (
+  SELECT p.doc_a, p.doc_b, gc.n,
+         CAST(SUM(LEAST(gc.c, gr.c)) AS BIGINT) AS m
+  FROM np p
+  JOIN g gc ON gc.doc_id = p.doc_b
+  JOIN g gr ON gr.doc_id = p.doc_a AND gr.n = gc.n AND gr.gram = gc.gram
+  GROUP BY p.doc_a, p.doc_b, gc.n),
+stats AS (
+  SELECT p.doc_a, p.doc_b,
+         COALESCE(c1.m, 0) AS m1, COALESCE(c2.m, 0) AS m2,
+         t1r.tot AS len_ref, t1c.tot AS len_cand, t2c.tot AS big_cand
+  FROM np p
+  LEFT JOIN clip c1 ON c1.doc_a = p.doc_a AND c1.doc_b = p.doc_b
+                    AND c1.n = 1
+  LEFT JOIN clip c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b
+                    AND c2.n = 2
+  JOIN tots t1r ON t1r.doc_id = p.doc_a AND t1r.n = 1
+  JOIN tots t1c ON t1c.doc_id = p.doc_b AND t1c.n = 1
+  JOIN tots t2c ON t2c.doc_id = p.doc_b AND t2c.n = 2)
+SELECT doc_a, doc_b, len_ref, len_cand,
+       ROUND(CAST(m1 AS DOUBLE) / len_cand, 9) AS p1,
+       ROUND(CAST(m2 AS DOUBLE) / big_cand, 9) AS p2,
+       CASE WHEN len_cand >= len_ref THEN 1.0
+            ELSE ROUND(exp(1.0 - CAST(len_ref AS DOUBLE)
+                                 / CAST(len_cand AS DOUBLE)), 12) END AS bp,
+       CASE WHEN m1 = 0 OR m2 = 0 THEN 0.0
+            ELSE ROUND(
+              (CASE WHEN len_cand >= len_ref THEN 1.0
+                    ELSE ROUND(exp(1.0 - CAST(len_ref AS DOUBLE)
+                                        / CAST(len_cand AS DOUBLE)), 12) END)
+              * exp(0.5 * ROUND(LN(CAST(m1 AS DOUBLE) / len_cand), 12)
+                    + 0.5 * ROUND(LN(CAST(m2 AS DOUBLE) / big_cand), 12)),
+              6) END AS bleu2
+FROM stats
+"""
+
+
+@register("eval_bleu_pairs", oracle=_BLEU_SQL)
+def q_eval_bleu_pairs(spark, sf_dir):
+    """BLEU-2 (Papineni et al. 2002) for every near-duplicate pair the
+    MinHash detector surfaces (`dedup_near`'s pairs: the lower doc_id is
+    the reference, the higher the candidate — planted truncated twins
+    AND the corpus's natural near-dups): clipped 1/2-gram precisions,
+    brevity penalty, geometric mean. The MT metric applied where a
+    training-data pipeline actually uses it — grading borderline dups
+    before deciding excision vs keep.
+
+    Determinism: precisions are exact-integer ratios (clipped counts /
+    candidate totals); the libm calls (two LNs, the BP exp) round at
+    12 dp and BLEU at 6 (the `quality_lr` device); the m=0 degenerate
+    pins BLEU = 0.0 identically in both engines. Plan: the pair table
+    is tiny (near-dups only) — gram tables semi-join down to used docs
+    first, then every join keys on (pair, gram); nothing quadratic,
+    nothing windowed.
+    """
+    from dataframe_differ_spark.operators.dedup import minhash_dedup
+
+    corpus = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    np_pairs = minhash_dedup(
+        corpus, "doc_id", "text",
+        num_perm=12, bands=6, est_threshold=0.35, threshold=0.5,
+        out_a="doc_a", out_b="doc_b",
+    ).select("doc_a", "doc_b")
+    used = (
+        np_pairs.select(F.col("doc_a").alias("id"))
+        .union(np_pairs.select("doc_b"))
+        .distinct()
+    )
+    toks = corpus.join(used, corpus["doc_id"] == used["id"]).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    uni = toks.select(
+        "doc_id", F.lit(1).alias("n"), F.explode("t").alias("gram")
+    )
+    big = toks.select(
+        "doc_id",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("gram"),
+    )
+    g = (
+        uni.unionByName(big)
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tots = g.groupBy("doc_id", "n").agg(F.sum("c").cast("long").alias("tot"))
+    gc = g.select(
+        F.col("doc_id").alias("_b"), "n", "gram", F.col("c").alias("cc")
+    )
+    gr = g.select(
+        F.col("doc_id").alias("_a"),
+        F.col("n").alias("_n"),
+        F.col("gram").alias("_g"),
+        F.col("c").alias("cr"),
+    )
+    clip = (
+        np_pairs.join(gc, F.col("_b") == F.col("doc_b"))
+        .join(
+            gr,
+            (F.col("_a") == F.col("doc_a"))
+            & (F.col("_n") == F.col("n"))
+            & (F.col("_g") == F.col("gram")),
+        )
+        .groupBy("doc_a", "doc_b", "n")
+        .agg(F.sum(F.least("cc", "cr")).cast("long").alias("m"))
+    )
+    c1 = clip.filter(F.col("n") == 1).select(
+        F.col("doc_a").alias("a1"), F.col("doc_b").alias("b1"),
+        F.col("m").alias("m1"),
+    )
+    c2 = clip.filter(F.col("n") == 2).select(
+        F.col("doc_a").alias("a2"), F.col("doc_b").alias("b2"),
+        F.col("m").alias("m2"),
+    )
+    t1r = tots.filter(F.col("n") == 1).select(
+        F.col("doc_id").alias("ra"), F.col("tot").alias("len_ref")
+    )
+    t1c = tots.filter(F.col("n") == 1).select(
+        F.col("doc_id").alias("ca"), F.col("tot").alias("len_cand")
+    )
+    t2c = tots.filter(F.col("n") == 2).select(
+        F.col("doc_id").alias("cb"), F.col("tot").alias("big_cand")
+    )
+    stats = (
+        np_pairs
+        .join(c1, (F.col("a1") == F.col("doc_a")) & (F.col("b1") == F.col("doc_b")), "left")
+        .join(c2, (F.col("a2") == F.col("doc_a")) & (F.col("b2") == F.col("doc_b")), "left")
+        .join(t1r, F.col("ra") == F.col("doc_a"))
+        .join(t1c, F.col("ca") == F.col("doc_b"))
+        .join(t2c, F.col("cb") == F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.coalesce("m1", F.lit(0)).alias("m1"),
+            F.coalesce("m2", F.lit(0)).alias("m2"),
+            "len_ref", "len_cand", "big_cand",
+        )
+    )
+    p1r = F.col("m1").cast("double") / F.col("len_cand")
+    p2r = F.col("m2").cast("double") / F.col("big_cand")
+    bp = F.when(F.col("len_cand") >= F.col("len_ref"), F.lit(1.0)).otherwise(
+        F.round(
+            F.exp(
+                F.lit(1.0)
+                - F.col("len_ref").cast("double")
+                / F.col("len_cand").cast("double")
+            ),
+            12,
+        )
+    )
+    bleu = F.when((F.col("m1") == 0) | (F.col("m2") == 0), F.lit(0.0)).otherwise(
+        F.round(
+            bp
+            * F.exp(
+                F.lit(0.5) * F.round(F.log(p1r), 12)
+                + F.lit(0.5) * F.round(F.log(p2r), 12)
+            ),
+            6,
+        )
+    )
+    return stats.select(
+        "doc_a", "doc_b", "len_ref", "len_cand",
+        F.round(p1r, 9).alias("p1"),
+        F.round(p2r, 9).alias("p2"),
+        bp.alias("bp"),
+        bleu.alias("bleu2"),
+    )

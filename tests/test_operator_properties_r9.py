@@ -510,3 +510,31 @@ def test_events_ar2_forecast_yule_walker_identities(spark, sf_small):
     assert abs(r.phi2) < 1.0
     assert r.phi2 + r.phi1 < 1.0 and r.phi2 - r.phi1 < 1.0
     assert r.forecast_next is not None
+
+
+def test_sketch_ddsketch_quantiles_bounds(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    rows = load_all()["sketch_ddsketch_quantiles"].fn(spark, sf_small).collect()
+    assert {float(r.q) for r in rows} == {0.5, 0.9, 0.99}
+    for r in rows:
+        # the sketch's design guarantee: 2% relative error
+        assert r.within_alpha, (r.q, r.rel_err)
+        assert r.dd_estimate > 0 and r.exact_value > 0
+
+
+def test_eval_bleu_pairs_invariants(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    rows = load_all()["eval_bleu_pairs"].fn(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.bleu2 <= 1.0
+        assert 0.0 <= r.p1 <= 1.0 and 0.0 <= r.p2 <= 1.0
+        if r.doc_b >= 100000 and r.doc_b - 100000 == r.doc_a:
+            # truncated twin of its own reference: every candidate gram
+            # exists in the reference -> precisions exactly 1, BLEU = BP < 1
+            assert r.p1 == 1.0 and r.p2 == 1.0
+            assert r.len_cand < r.len_ref
+            # bleu2 rounds to 6 dp, bp to 12
+            assert r.bleu2 == round(r.bp, 6) and r.bp < 1.0

@@ -244,6 +244,8 @@ HEADLINE = [
     "wordpiece_train_merges",
     "events_dft_power",
     "events_ar2_forecast",
+    "sketch_ddsketch_quantiles",
+    "eval_bleu_pairs",
 ]
 
 
