@@ -5542,3 +5542,113 @@ def q_events_ar2_forecast(spark, sf_dir):
             9,
         ).alias("forecast_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: naive vs seasonal-naive one-step-ahead (round 9)
+# ---------------------------------------------------------------------------
+
+_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)),
+preds AS (
+  SELECT 'naive_lag1' AS method, a.d, a.x AS actual, b.x AS forecast
+  FROM daily a JOIN daily b ON b.d = a.d - 1
+  UNION ALL
+  SELECT 'seasonal_naive_lag7', a.d, a.x, b.x
+  FROM daily a JOIN daily b ON b.d = a.d - 7),
+naive_mae AS (
+  SELECT CAST(SUM(ABS(a.x - b.x)) AS BIGINT) AS sae,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily a JOIN daily b ON b.d = a.d - 1),
+m AS (
+  SELECT method, CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS sae,
+         SUM(CAST(ROUND(2.0 * ABS(CAST(actual AS DOUBLE) - forecast)
+                        / (ABS(CAST(actual AS DOUBLE)) + ABS(CAST(forecast AS DOUBLE))),
+                        12) AS DECIMAL(38,12))) AS smape_sum
+  FROM preds GROUP BY method)
+SELECT m.method, m.n_points,
+       ROUND(CAST(m.sae AS DOUBLE) / m.n_points, 9) AS mae,
+       ROUND(CAST(m.smape_sum AS DOUBLE) / m.n_points, 9) AS smape,
+       ROUND((CAST(m.sae AS DOUBLE) / m.n_points)
+             / (CAST(nm.sae AS DOUBLE) / nm.n), 9) AS mase
+FROM m CROSS JOIN naive_mae nm
+"""
+
+
+@register("eval_forecast_backtest", oracle=_BACKTEST_SQL)
+def q_eval_forecast_backtest(spark, sf_dir):
+    """One-step-ahead forecast backtest of the two canonical baselines —
+    naive (x̂_t = x_{t−1}) and seasonal-naive (x̂_t = x_{t−7}) — over
+    the daily event series, scored with MAE, sMAPE, and MASE
+    (Hyndman-Koehler: MAE scaled by the naive baseline's, so MASE < 1
+    means "beats persistence"). The accuracy harness any forecaster in
+    the family (`events_holt_linear`, `events_kalman_level`,
+    `events_ar2_forecast`) is judged against.
+
+    All arithmetic exact-integer except sMAPE's per-point ratio
+    (rounded 12 dp, DECIMAL-summed — order-free) and the three output
+    divisions. Forecasts pair by CALENDAR join (d − 1 / d − 7), no
+    window, gap-safe. At 100 TB only the daily rollup scans the corpus.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("forecast"))
+
+    def lagged(days: int, name: str):
+        return (
+            daily.join(b, F.col("db") == F.expr(f"date_add(d, -{days})"))
+            .select(
+                F.lit(name).alias("method"),
+                F.col("x").alias("actual"),
+                "forecast",
+            )
+        )
+
+    preds = lagged(1, "naive_lag1").unionByName(
+        lagged(7, "seasonal_naive_lag7")
+    )
+    smape_term = F.round(
+        F.lit(2.0)
+        * F.abs(F.col("actual").cast("double") - F.col("forecast"))
+        / (
+            F.abs(F.col("actual").cast("double"))
+            + F.abs(F.col("forecast").cast("double"))
+        ),
+        12,
+    ).cast("decimal(38,12)")
+    m = preds.groupBy("method").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast")))
+        .cast("long")
+        .alias("sae"),
+        F.sum(smape_term).alias("smape_sum"),
+    )
+    nm = (
+        preds.filter(F.col("method") == "naive_lag1")
+        .agg(
+            F.sum(F.abs(F.col("actual") - F.col("forecast")))
+            .cast("long")
+            .alias("nm_sae"),
+            F.count(F.lit(1)).cast("long").alias("nm_n"),
+        )
+    )
+    return m.crossJoin(F.broadcast(nm)).select(
+        "method",
+        "n_points",
+        F.round(F.col("sae").cast("double") / F.col("n_points"), 9).alias(
+            "mae"
+        ),
+        F.round(
+            F.col("smape_sum").cast("double") / F.col("n_points"), 9
+        ).alias("smape"),
+        F.round(
+            (F.col("sae").cast("double") / F.col("n_points"))
+            / (F.col("nm_sae").cast("double") / F.col("nm_n")),
+            9,
+        ).alias("mase"),
+    )

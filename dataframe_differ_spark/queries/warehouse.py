@@ -1411,3 +1411,123 @@ def q_warehouse_scd2_apply(spark, sf_dir):
         "user_id", "event_type", "event_id",
         "valid_from", "valid_to", "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraint suite (round 9): the Deequ/dbt-test
+# shape — a contract of named checks evaluated in one pass, reporting
+# violation counts instead of failing row-by-row.
+# ---------------------------------------------------------------------------
+
+_DQ_SQL = """
+WITH fact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+           AS dup_keys,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS bad_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+         CAST(SUM(CASE WHEN o_orderdate < DATE '1995-01-01'
+                         OR o_orderdate > DATE '2001-12-31'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+  FROM orders),
+ri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphan_rows
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)),
+checks AS (
+  SELECT 'unique_o_orderkey' AS check_name, dup_keys AS n_violations,
+         n_rows FROM fact
+  UNION ALL
+  SELECT 'not_null_keys', null_keys, n_rows FROM fact
+  UNION ALL
+  SELECT 'positive_o_totalprice', bad_price, n_rows FROM fact
+  UNION ALL
+  SELECT 'accepted_o_orderstatus', bad_status, n_rows FROM fact
+  UNION ALL
+  SELECT 'o_orderdate_in_range', bad_date, n_rows FROM fact
+  UNION ALL
+  SELECT 'fk_o_custkey_in_customer', ri.orphan_rows, fact.n_rows
+  FROM ri CROSS JOIN fact)
+SELECT check_name, n_violations, n_rows,
+       n_violations = 0 AS passed,
+       ROUND(CAST(n_violations AS DOUBLE) / n_rows, 9) AS violation_rate
+FROM checks
+"""
+
+
+@register("dq_constraint_suite", oracle=_DQ_SQL)
+def q_dq_constraint_suite(spark, sf_dir):
+    """Declarative data-quality contract over `orders` — the Deequ /
+    dbt-test shape the engine needs to gate a 100 TB ingest before the
+    diff/dedup stages trust it: key uniqueness, key not-null, value
+    range (price > 0), accepted set (status), date bounds, and
+    referential integrity into `customer`, each reported as
+    (check_name, n_violations, passed, violation_rate).
+
+    One scan evaluates every per-row predicate as conditional aggregates
+    (map-side combinable, no shuffle beyond the 1-row rollup); the FK
+    check is ONE left-anti join with the dim side broadcast. At 100 TB
+    this replaces six separate validation jobs with one pass — the
+    constraint results pivot from a single aggregate row. Uniqueness
+    counts rows minus distinct keys (0 ⇔ unique) rather than
+    materializing duplicate groups.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    fact = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("dup_keys"),
+        F.sum(
+            (F.col("o_orderkey").isNull() | F.col("o_custkey").isNull())
+            .cast("long")
+        ).cast("long").alias("null_keys"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long"))
+        .cast("long")
+        .alias("bad_price"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long"))
+        .cast("long")
+        .alias("bad_status"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("2001-12-31").cast("date"))
+            ).cast("long")
+        ).cast("long").alias("bad_date"),
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_rows"))
+    )
+    rows = fact.crossJoin(F.broadcast(orphans))
+    checks = rows.select(
+        F.expr(
+            "stack(6, "
+            "'unique_o_orderkey', dup_keys, "
+            "'not_null_keys', null_keys, "
+            "'positive_o_totalprice', bad_price, "
+            "'accepted_o_orderstatus', bad_status, "
+            "'o_orderdate_in_range', bad_date, "
+            "'fk_o_custkey_in_customer', orphan_rows)"
+        ).alias("check_name", "n_violations"),
+        "n_rows",
+    )
+    return checks.select(
+        "check_name",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_rows"), 9
+        ).alias("violation_rate"),
+    )

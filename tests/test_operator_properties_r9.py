@@ -538,3 +538,30 @@ def test_eval_bleu_pairs_invariants(spark, sf_small):
             assert r.len_cand < r.len_ref
             # bleu2 rounds to 6 dp, bp to 12
             assert r.bleu2 == round(r.bp, 6) and r.bp < 1.0
+
+
+def test_dq_constraint_suite_fixture_contract(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    rows = {r.check_name: r for r in
+            load_all()["dq_constraint_suite"].fn(spark, sf_small).collect()}
+    assert len(rows) == 6
+    # the generated TPC-H-ish fixtures satisfy the whole contract
+    for name, r in rows.items():
+        assert r.n_violations == 0 and r.passed, name
+        assert r.violation_rate == 0.0
+    assert rows["unique_o_orderkey"].n_rows > 0
+
+
+def test_eval_forecast_backtest_invariants(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    rows = {r.method: r for r in
+            load_all()["eval_forecast_backtest"].fn(spark, sf_small).collect()}
+    assert set(rows) == {"naive_lag1", "seasonal_naive_lag7"}
+    nv = rows["naive_lag1"]
+    # MASE of the naive method against itself is exactly 1 by definition
+    assert nv.mase == 1.0
+    for r in rows.values():
+        assert r.mae >= 0.0 and 0.0 <= r.smape <= 2.0
+        assert r.n_points > 0

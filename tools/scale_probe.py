@@ -246,6 +246,8 @@ HEADLINE = [
     "events_ar2_forecast",
     "sketch_ddsketch_quantiles",
     "eval_bleu_pairs",
+    "dq_constraint_suite",
+    "eval_forecast_backtest",
 ]
 
 
