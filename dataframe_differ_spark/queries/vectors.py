@@ -1392,3 +1392,156 @@ def q_vec_random_projection(spark, sf_dir):
         ).alias("norm_ratio"),
     )
     return out.orderBy("vec_id").limit(200)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity reranking (round 9): the retrieval stage between top-k
+# and the consumer — trade relevance against redundancy.
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = "0.7"
+_MMR_ONE_MINUS = "0.3"
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def _mmr_step_sql(k: int) -> str:
+    """CTE block: MMR step ``k`` (k >= 2) — redundancy = max pairwise
+    cosine against everything selected so far, argmax of
+    λ·rel − (1−λ)·redundancy, doc_id tiebreak."""
+    prev = " UNION ALL ".join(f"SELECT doc_id FROM sel{i}" for i in range(1, k))
+    return f"""
+red{k} AS (
+  SELECT c.doc_id, c.rel, MAX(ps.sim) AS redundancy
+  FROM cand c
+  JOIN pairsim ps ON ps.a = c.doc_id
+  JOIN ({prev}) s ON ps.b = s.doc_id
+  WHERE c.doc_id NOT IN ({prev.replace('SELECT doc_id FROM', 'SELECT doc_id FROM')})
+  GROUP BY c.doc_id, c.rel),
+sel{k} AS (
+  SELECT doc_id, rel, redundancy,
+         ROUND({_MMR_LAMBDA} * rel - {_MMR_ONE_MINUS} * redundancy, 9)
+           AS mmr_score,
+         CAST({k} AS INTEGER) AS mmr_rank
+  FROM red{k}
+  ORDER BY {_MMR_LAMBDA} * rel - {_MMR_ONE_MINUS} * redundancy DESC, doc_id
+  LIMIT 1)"""
+
+
+_MMR_SQL = (
+    f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                    AS e
+           FROM embeddings),
+q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id AS doc_id, ROUND({SQL_COS("e.e", "qe")}, 9) AS rel, e.e
+  FROM e CROSS JOIN q WHERE vec_id <> 0),
+cand AS (
+  SELECT doc_id, rel, e FROM scored
+  ORDER BY rel DESC, doc_id LIMIT {_MMR_POOL}),
+pairsim AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         ROUND({SQL_COS("a.e", "b.e")}, 9) AS sim
+  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+sel1 AS (
+  SELECT doc_id, rel, 0.0 AS redundancy,
+         ROUND({_MMR_LAMBDA} * rel, 9) AS mmr_score,
+         CAST(1 AS INTEGER) AS mmr_rank
+  FROM cand ORDER BY rel DESC, doc_id LIMIT 1),"""
+    + ",".join(_mmr_step_sql(k) for k in range(2, _MMR_K + 1))
+    + f"""
+SELECT mmr_rank, doc_id, rel, ROUND(redundancy, 9) AS redundancy, mmr_score
+FROM ({" UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, _MMR_K + 1))})
+"""
+)
+
+
+@register("retrieval_mmr_rerank", oracle=_MMR_SQL)
+def q_retrieval_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998)
+    — the diversity stage a RAG retriever runs between top-k and the
+    context window: from the query's top-20 cosine pool, greedily pick 5
+    docs maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked
+    (λ = 0.7), so near-duplicate hits don't crowd out coverage.
+
+    The greedy argmax is SEQUENTIAL by nature: 5 unrolled steps, each a
+    1-row TakeOrdered over the remaining pool joined against the
+    selected set's pairwise-cosine slice. Pool-bounded: the 20×20
+    pairwise-similarity table is the only quadratic object (400 rows at
+    ANY corpus scale — the pool size, not the corpus, is the bound), and
+    every score is arithmetic on 9-dp-rounded cosines, so even the
+    argmax ties are engine-identical. At 100 TB the pool feed is
+    `sim_topk_ivf` and this stage's cost is unchanged.
+    """
+    lam, oml = float(_MMR_LAMBDA), float(_MMR_ONE_MINUS)
+    e = _emb_double(spark, sf_dir).select("vec_id", "e")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine("e", "qe"), 9).alias("rel"),
+            "e",
+        )
+    )
+    cand = scored.orderBy(F.col("rel").desc(), "doc_id").limit(_MMR_POOL)
+    cand = cand.localCheckpoint(eager=False)
+    a = cand.select(F.col("doc_id").alias("a"), F.col("e").alias("ea"))
+    b = cand.select(F.col("doc_id").alias("b"), F.col("e").alias("eb"))
+    pairsim = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select("a", "b", F.round(_cosine("ea", "eb"), 9).alias("sim"))
+        .localCheckpoint(eager=False)
+    )
+    sel = (
+        cand.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(1)
+        .select(
+            "doc_id",
+            "rel",
+            F.lit(0.0).alias("redundancy"),
+            F.round(F.lit(lam) * F.col("rel"), 9).alias("mmr_score"),
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    out = sel
+    for k in range(2, _MMR_K + 1):
+        sel_ids = out.select(F.col("doc_id").alias("sid"))
+        rem = cand.join(
+            sel_ids, cand["doc_id"] == F.col("sid"), "left_anti"
+        ).select("doc_id", "rel")
+        red = (
+            rem.join(pairsim, pairsim["a"] == rem["doc_id"])
+            .join(F.broadcast(sel_ids), pairsim["b"] == F.col("sid"))
+            .groupBy("doc_id", "rel")
+            .agg(F.max("sim").alias("redundancy"))
+        )
+        pick = (
+            red.withColumn(
+                "mmr_score",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(oml) * F.col("redundancy"),
+                    9,
+                ),
+            )
+            .orderBy(
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(oml) * F.col("redundancy")
+                ).desc(),
+                "doc_id",
+            )
+            .limit(1)
+            .withColumn("mmr_rank", F.lit(k))
+        )
+        out = out.unionByName(pick).localCheckpoint(eager=False)
+    return out.select(
+        "mmr_rank",
+        "doc_id",
+        "rel",
+        F.round("redundancy", 9).alias("redundancy"),
+        "mmr_score",
+    )

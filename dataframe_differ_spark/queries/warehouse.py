@@ -1531,3 +1531,166 @@ def q_dq_constraint_suite(spark, sf_dir):
             F.col("n_violations").cast("double") / F.col("n_rows"), 9
         ).alias("violation_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance under the diff fixture's mutation (round 9)
+# ---------------------------------------------------------------------------
+
+_IVM_SQL = f"""
+WITH base AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mth,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey,
+         o_totalprice
+  FROM orders),
+mv AS (
+  SELECT mth, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS c
+  FROM base GROUP BY mth),
+dminus AS (
+  SELECT mth, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS c
+  FROM base
+  WHERE o_orderkey % 97 = 0
+     OR (o_orderkey % 97 <> 0 AND o_orderkey % 53 = 0)
+  GROUP BY mth),
+dplus AS (
+  SELECT mth, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderkey % 101 = 0 AND tag = 'ins'
+                       THEN cents
+                       ELSE CAST(FLOOR((o_totalprice * 1.01) * 100)
+                                 AS BIGINT) END) AS BIGINT) AS c
+  FROM (
+    SELECT mth, cents, o_orderkey, o_totalprice, 'upd' AS tag FROM base
+    WHERE o_orderkey % 97 <> 0 AND o_orderkey % 53 = 0
+    UNION ALL
+    SELECT mth, cents, o_orderkey, o_totalprice, 'ins' AS tag FROM base
+    WHERE o_orderkey % 101 = 0)
+  GROUP BY mth),
+ivm AS (
+  SELECT mv.mth,
+         mv.n + COALESCE(dplus.n, 0) - COALESCE(dminus.n, 0) AS n_view,
+         mv.c + COALESCE(dplus.c, 0) - COALESCE(dminus.c, 0) AS cents_view
+  FROM mv
+  LEFT JOIN dplus ON dplus.mth = mv.mth
+  LEFT JOIN dminus ON dminus.mth = mv.mth),
+direct AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mth,
+         CAST(COUNT(*) AS BIGINT) AS n_direct,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents_direct
+  FROM ({MUTATED_ORDERS_SQL})
+  GROUP BY 1)
+SELECT i.mth AS month, i.n_view, i.cents_view, d.n_direct, d.cents_direct,
+       i.n_view = d.n_direct AND i.cents_view = d.cents_direct
+         AS ivm_matches
+FROM ivm i JOIN direct d ON d.mth = i.mth
+"""
+
+
+@register("warehouse_ivm_agg", oracle=_IVM_SQL)
+def q_warehouse_ivm_agg(spark, sf_dir):
+    """Incremental view maintenance in counting semantics: the monthly
+    (count, revenue-cents) rollup is maintained under the diff fixture's
+    mutation — deletes (key % 97), price updates (% 53: retract old row
+    ⊖, insert new ⊕), inserts (% 101 at key + 10M) — as
+    mv' = mv ⊕ Δ⁺ ⊖ Δ⁻, WITHOUT rescanning the base table, then
+    verified in-query against the direct rollup of the mutated table
+    (`ivm_matches` must be all-true; a pytest asserts it).
+
+    The 100 TB pattern this encodes: a petabyte-scale materialized
+    aggregate absorbs a day's CDC batch as two delta-sized aggregates +
+    a KB-sized merge join on the group key — the base table is never
+    read. Exactness: revenue flows as FLOOR(price·100) BIGINT cents
+    (updates recompute FLOOR((p·1.01)·100) with identical double
+    association in both engines), so ⊕/⊖ are exact integer algebra and
+    the verification is equality, not tolerance.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "mth"
+        ),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    mv = base.groupBy("mth").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    )
+    dminus = (
+        base.filter(
+            (F.col("o_orderkey") % 97 == 0)
+            | ((F.col("o_orderkey") % 97 != 0) & (F.col("o_orderkey") % 53 == 0))
+        )
+        .groupBy("mth")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        )
+    )
+    upd = base.filter(
+        (F.col("o_orderkey") % 97 != 0) & (F.col("o_orderkey") % 53 == 0)
+    ).select(
+        "mth",
+        F.floor((F.col("o_totalprice") * F.lit(1.01)) * 100)
+        .cast("long")
+        .alias("dc"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 101 == 0).select(
+        "mth", F.col("cents").alias("dc")
+    )
+    dplus = (
+        upd.unionByName(ins)
+        .groupBy("mth")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dc").cast("long").alias("c"),
+        )
+    )
+    dp = dplus.select(
+        F.col("mth").alias("mp"), F.col("n").alias("np"), F.col("c").alias("cp")
+    )
+    dm = dminus.select(
+        F.col("mth").alias("mm"), F.col("n").alias("nm"), F.col("c").alias("cm")
+    )
+    ivm = (
+        mv.join(dp, mv["mth"] == F.col("mp"), "left")
+        .join(dm, mv["mth"] == F.col("mm"), "left")
+        .select(
+            "mth",
+            (
+                F.col("n")
+                + F.coalesce("np", F.lit(0))
+                - F.coalesce("nm", F.lit(0))
+            ).alias("n_view"),
+            (
+                F.col("c")
+                + F.coalesce("cp", F.lit(0))
+                - F.coalesce("cm", F.lit(0))
+            ).alias("cents_view"),
+        )
+    )
+    direct = (
+        mutated_orders(o)
+        .select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("md"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("dcent"),
+        )
+        .groupBy("md")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_direct"),
+            F.sum("dcent").cast("long").alias("cents_direct"),
+        )
+    )
+    return ivm.join(direct, ivm["mth"] == direct["md"]).select(
+        F.col("mth").alias("month"),
+        "n_view",
+        "cents_view",
+        "n_direct",
+        "cents_direct",
+        (
+            (F.col("n_view") == F.col("n_direct"))
+            & (F.col("cents_view") == F.col("cents_direct"))
+        ).alias("ivm_matches"),
+    )

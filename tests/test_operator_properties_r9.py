@@ -565,3 +565,31 @@ def test_eval_forecast_backtest_invariants(spark, sf_small):
     for r in rows.values():
         assert r.mae >= 0.0 and 0.0 <= r.smape <= 2.0
         assert r.n_points > 0
+
+
+def test_warehouse_ivm_agg_all_months_match(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    rows = load_all()["warehouse_ivm_agg"].fn(spark, sf_small).collect()
+    assert rows
+    # the IVM algebra must reproduce the direct rollup EXACTLY
+    assert all(r.ivm_matches for r in rows)
+    assert all(r.n_view == r.n_direct for r in rows)
+    assert all(r.cents_view == r.cents_direct for r in rows)
+
+
+def test_retrieval_mmr_rerank_greedy_invariants(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    rows = sorted(
+        load_all()["retrieval_mmr_rerank"].fn(spark, sf_small).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.mmr_rank for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.doc_id for r in rows}) == 5  # no repeats
+    # rank 1 is the pure-relevance argmax; later picks trade relevance
+    assert rows[0].redundancy == 0.0
+    assert all(r.rel <= rows[0].rel for r in rows)
+    for r in rows[1:]:
+        assert -1.0 <= r.redundancy <= 1.0
+        assert abs(r.mmr_score - round(0.7 * r.rel - 0.3 * r.redundancy, 9)) < 1e-9

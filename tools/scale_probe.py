@@ -248,6 +248,8 @@ HEADLINE = [
     "eval_bleu_pairs",
     "dq_constraint_suite",
     "eval_forecast_backtest",
+    "warehouse_ivm_agg",
+    "retrieval_mmr_rerank",
 ]
 
 
