@@ -3099,3 +3099,119 @@ def q_eval_bleu_pairs(spark, sf_dir):
         bp.alias("bp"),
         bleu.alias("bleu2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-canonical selection (round 9): which copy survives dedup
+# ---------------------------------------------------------------------------
+
+_KEEPBEST_SQL = f"""
+WITH RECURSIVE np AS ({_NEAR_SQL}),
+und AS (SELECT doc_a AS src, doc_b AS dst FROM np
+        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM np),
+verts AS (SELECT DISTINCT src AS v FROM und),
+reach(v, label) AS (
+  SELECT v, v AS label FROM verts
+  UNION
+  SELECT und.dst AS v, reach.label
+  FROM reach JOIN und ON reach.v = und.src),
+comp AS (SELECT v, MIN(label) AS component_id FROM reach GROUP BY v),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text, ' ')
+           [1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ') AS text
+  FROM documents WHERE doc_id % 13 = 0),
+feats AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS f_div,
+         CAST(length(text) AS DOUBLE) / len(t) AS f_len,
+         CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+           / len(t) AS f_stop,
+         CAST(length(text) AS DOUBLE) / 600.0 AS f_size
+  FROM (SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM corpus)),
+scored AS (
+  SELECT doc_id, ROUND(1.0 / (1.0 + exp(-({_LRQ_Z}))), 6) AS q_score
+  FROM feats),
+j AS (
+  SELECT c.component_id, c.v AS doc_id, s.q_score
+  FROM comp c JOIN scored s ON s.doc_id = c.v),
+r AS (
+  SELECT component_id, doc_id, q_score,
+         ROW_NUMBER() OVER (PARTITION BY component_id
+                            ORDER BY q_score DESC, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+           AS n_members
+  FROM j)
+SELECT component_id, doc_id AS keep_doc, q_score AS keep_score,
+       n_members, n_members - 1 AS n_dropped
+FROM r WHERE rn = 1
+"""
+
+
+@register("dedup_cluster_keep_best", oracle=_KEEPBEST_SQL)
+def q_dedup_cluster_keep_best(spark, sf_dir):
+    """The dedup decision a production pipeline actually ships: pairwise
+    near-dup hits (`dedup_near`'s MinHash pairs) → connected components
+    (dedup groups) → per group keep the HIGHEST-QUALITY member (the LR
+    quality score, doc_id tiebreak), dropping the rest — "keep best of
+    cluster", not "keep lowest id". Quality features recompute char
+    length from the live text (the planted twins' stored n_chars is
+    stale by construction).
+
+    Composes three shipped operators end-to-end:
+    `operators.dedup.minhash_dedup` (bucketed candidates) →
+    `connected_components` (Pregel min-label, checkpointed) → the
+    `text_quality_classifier_lr` scorer (map-only). The winner argmax is
+    a component-PARTITIONED window on 6-dp-rounded scores — exact in
+    both engines. Oracle: recursive-CTE closure over the pair graph
+    (tiny bounded components) + the same score chain.
+    """
+    from dataframe_differ_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup,
+    )
+
+    corpus = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_dedup(
+        corpus, "doc_id", "text",
+        num_perm=12, bands=6, est_threshold=0.35, threshold=0.5,
+        out_a="doc_a", out_b="doc_b",
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    t = F.expr("filter(split(text, ' '), x -> x != '')")
+    feats = corpus.select(
+        "doc_id",
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("f_div"),
+        (F.length("text").cast("double") / F.size(t)).alias("f_len"),
+        (
+            F.expr("size(filter(filter(split(text, ' '), x -> x != ''), "
+                   "x -> x = 'the' OR x = 'a'))").cast("double")
+            / F.size(t)
+        ).alias("f_stop"),
+        (F.length("text").cast("double") / 600.0).alias("f_size"),
+    )
+    scored = feats.select(
+        "doc_id",
+        F.round(F.expr(f"1.0 / (1.0 + exp(-({_LRQ_Z})))"), 6).alias("q_score"),
+    )
+    j = comp.join(scored, comp["v"] == scored["doc_id"]).select(
+        "component_id", "doc_id", "q_score"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("q_score").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("component_id")
+    r = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(wc).cast("long")
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "component_id",
+        F.col("doc_id").alias("keep_doc"),
+        F.col("q_score").alias("keep_score"),
+        "n_members",
+        (F.col("n_members") - 1).alias("n_dropped"),
+    )

@@ -1545,3 +1545,113 @@ def q_retrieval_mmr_rerank(spark, sf_dir):
         F.round("redundancy", 9).alias("redundancy"),
         "mmr_score",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift between cohorts (round 9): the vector-space monitor
+# ---------------------------------------------------------------------------
+
+_EDRIFT_SQL = """
+WITH e AS (
+  SELECT vec_id, vec_id % 2 = 0 AS cohort_a,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+dims AS (
+  SELECT cohort_a, d.d AS dim,
+         CAST(SUM(CAST(ROUND(e[d.d + 1], 12) AS DECIMAL(38,12))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM e CROSS JOIN (SELECT unnest(range(64)) AS d) d
+  GROUP BY cohort_a, d.d),
+cent AS (
+  SELECT a.dim, a.m AS ma, b.m AS mb
+  FROM (SELECT dim, m FROM dims WHERE cohort_a) a
+  JOIN (SELECT dim, m FROM dims WHERE NOT cohort_a) b ON b.dim = a.dim),
+sums AS (
+  SELECT CAST(SUM(CAST(ROUND(ma * mb, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS dot,
+         CAST(SUM(CAST(ROUND(ma * ma, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS na,
+         CAST(SUM(CAST(ROUND(mb * mb, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS nb,
+         CAST(SUM(CAST(ROUND((ma - mb) * (ma - mb), 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS l2sq
+  FROM cent),
+top AS (
+  SELECT dim, ma, mb, ABS(ma - mb) AS shift
+  FROM cent ORDER BY ABS(ma - mb) DESC, dim LIMIT 5)
+SELECT t.dim, ROUND(t.ma, 9) AS mean_a, ROUND(t.mb, 9) AS mean_b,
+       ROUND(t.shift, 9) AS dim_shift,
+       ROUND(s.dot / (sqrt(s.na) * sqrt(s.nb)), 9) AS centroid_cosine,
+       ROUND(sqrt(s.l2sq), 9) AS centroid_l2
+FROM top t CROSS JOIN sums s
+"""
+
+
+@register("drift_embedding_mean", oracle=_EDRIFT_SQL)
+def q_drift_embedding_mean(spark, sf_dir):
+    """Embedding-space drift monitor: split the corpus into two cohorts
+    (vec_id parity standing in for before/after an encoder or corpus
+    change), compare the cohort CENTROIDS — cosine similarity, L2
+    distance, and the 5 dimensions that moved most — the standard check
+    before trusting an index built on yesterday's embeddings with
+    today's vectors.
+
+    Float-exactness devices: per-dimension means come from
+    12-dp-rounded DECIMAL(38,12) sums (order-free — naive double sums
+    differ by reduce order); the centroid dot/norm/L2 reductions over
+    64 dims use the same rounded-term DECIMAL fold, so cosine and L2
+    are single-expression doubles identical in both engines. Plan: one
+    posexplode + groupBy(cohort, dim) shuffle (128 groups at ANY corpus
+    size), then KB-spine arithmetic. At 100 TB this is a single
+    map-side-combinable pass over the vector column.
+    """
+    e = _emb_double(spark, sf_dir).select(
+        (F.col("vec_id") % 2 == 0).alias("cohort_a"), "e"
+    )
+    dec = "decimal(38,12)"
+    dims = (
+        e.select("cohort_a", F.posexplode("e").alias("dim", "v"))
+        .groupBy("cohort_a", "dim")
+        .agg(
+            (
+                F.sum(F.round(F.col("v"), 12).cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    a = dims.filter(F.col("cohort_a")).select("dim", F.col("m").alias("ma"))
+    b = dims.filter(~F.col("cohort_a")).select(
+        F.col("dim").alias("dimb"), F.col("m").alias("mb")
+    )
+    cent = a.join(b, F.col("dimb") == F.col("dim")).select("dim", "ma", "mb")
+    cent = cent.localCheckpoint(eager=False)
+    sums = cent.agg(
+        F.sum(F.round(F.col("ma") * F.col("mb"), 12).cast(dec))
+        .cast("double")
+        .alias("dot"),
+        F.sum(F.round(F.col("ma") * F.col("ma"), 12).cast(dec))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.round(F.col("mb") * F.col("mb"), 12).cast(dec))
+        .cast("double")
+        .alias("nb"),
+        F.sum(
+            F.round((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")), 12)
+            .cast(dec)
+        )
+        .cast("double")
+        .alias("l2sq"),
+    )
+    top = cent.withColumn("shift", F.abs(F.col("ma") - F.col("mb"))).orderBy(
+        F.col("shift").desc(), "dim"
+    ).limit(5)
+    return top.crossJoin(F.broadcast(sums)).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round("ma", 9).alias("mean_a"),
+        F.round("mb", 9).alias("mean_b"),
+        F.round("shift", 9).alias("dim_shift"),
+        F.round(
+            F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 9
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt("l2sq"), 9).alias("centroid_l2"),
+    )

@@ -593,3 +593,36 @@ def test_retrieval_mmr_rerank_greedy_invariants(spark, sf_small):
     for r in rows[1:]:
         assert -1.0 <= r.redundancy <= 1.0
         assert abs(r.mmr_score - round(0.7 * r.rel - 0.3 * r.redundancy, 9)) < 1e-9
+
+
+def test_dedup_cluster_keep_best_invariants(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    reg = load_all()
+    keep = reg["dedup_cluster_keep_best"].fn(spark, sf_small).collect()
+    assert keep
+    pair_rows = reg["dedup_near"].fn(spark, sf_small).collect()
+    in_pairs = {r.doc_a for r in pair_rows} | {r.doc_b for r in pair_rows}
+    for r in keep:
+        assert r.n_members >= 2
+        assert r.n_dropped == r.n_members - 1
+        assert r.keep_doc in in_pairs
+        assert r.component_id <= r.keep_doc or r.component_id in in_pairs
+    # every paired doc belongs to exactly one cluster
+    assert sum(r.n_members for r in keep) == len(in_pairs)
+
+
+def test_drift_embedding_mean_invariants(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    rows = load_all()["drift_embedding_mean"].fn(spark, sf_small).collect()
+    assert len(rows) == 5
+    cos = {r.centroid_cosine for r in rows}
+    l2 = {r.centroid_l2 for r in rows}
+    assert len(cos) == 1 and len(l2) == 1  # summary constant across rows
+    assert -1.0 <= cos.pop() <= 1.0
+    assert l2.pop() >= 0.0
+    shifts = [r.dim_shift for r in rows]
+    assert shifts == sorted(shifts, reverse=True)
+    for r in rows:
+        assert abs(abs(r.mean_a - r.mean_b) - r.dim_shift) < 2e-9

@@ -250,6 +250,8 @@ HEADLINE = [
     "eval_forecast_backtest",
     "warehouse_ivm_agg",
     "retrieval_mmr_rerank",
+    "dedup_cluster_keep_best",
+    "drift_embedding_mean",
 ]
 
 
