@@ -5652,3 +5652,108 @@ def q_eval_forecast_backtest(spark, sf_dir):
             9,
         ).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix over customer metrics (round 9)
+# ---------------------------------------------------------------------------
+
+_CORRM_METRICS = ("n_orders", "cents", "max_cents", "n_months")
+
+_CORRM_SQL = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS max_cents,
+         CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+           AS n_months
+  FROM orders GROUP BY o_custkey),
+m AS (
+  SELECT v.a, v.b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {_split_sql("SUM(CAST(CASE v.a WHEN 'n_orders' THEN n_orders WHEN 'cents' THEN cents WHEN 'max_cents' THEN max_cents ELSE n_months END AS HUGEINT))")} AS sx,
+         {_split_sql("SUM(CAST(CASE v.b WHEN 'n_orders' THEN n_orders WHEN 'cents' THEN cents WHEN 'max_cents' THEN max_cents ELSE n_months END AS HUGEINT))")} AS sy,
+         {_split_sql("SUM(CAST(CASE v.a WHEN 'n_orders' THEN n_orders WHEN 'cents' THEN cents WHEN 'max_cents' THEN max_cents ELSE n_months END AS HUGEINT) * CASE v.b WHEN 'n_orders' THEN n_orders WHEN 'cents' THEN cents WHEN 'max_cents' THEN max_cents ELSE n_months END)")} AS sxy,
+         {_split_sql("SUM(CAST(CASE v.a WHEN 'n_orders' THEN n_orders WHEN 'cents' THEN cents WHEN 'max_cents' THEN max_cents ELSE n_months END AS HUGEINT) * CASE v.a WHEN 'n_orders' THEN n_orders WHEN 'cents' THEN cents WHEN 'max_cents' THEN max_cents ELSE n_months END)")} AS sxx,
+         {_split_sql("SUM(CAST(CASE v.b WHEN 'n_orders' THEN n_orders WHEN 'cents' THEN cents WHEN 'max_cents' THEN max_cents ELSE n_months END AS HUGEINT) * CASE v.b WHEN 'n_orders' THEN n_orders WHEN 'cents' THEN cents WHEN 'max_cents' THEN max_cents ELSE n_months END)")} AS syy
+  FROM cust
+  CROSS JOIN (
+    SELECT a.m AS a, b.m AS b
+    FROM (SELECT unnest(['n_orders','cents','max_cents','n_months']) AS m) a
+    JOIN (SELECT unnest(['n_orders','cents','max_cents','n_months']) AS m) b
+      ON a.m < b.m) v
+  GROUP BY v.a, v.b)
+SELECT a AS metric_x, b AS metric_y, n,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS pearson_r
+FROM m
+"""
+
+
+@register("stats_corr_matrix", oracle=_CORRM_SQL)
+def q_stats_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix (upper triangle, 6 pairs)
+    over four per-customer metrics — order count, revenue cents, max
+    order cents, active months — the one-query profiling step a feature
+    platform runs before model training to catch collinear features.
+
+    All moments are EXACT integer sums (cents via FLOOR·100; HUGEINT /
+    DECIMAL(38,0) with the shared split-cast conversion), so Pearson is
+    the single closed-form double chain per pair — identical in both
+    engines. Plan: one groupBy(custkey) rollup scans the facts, then
+    the 6 metric pairs fan out via a 6-row broadcast crossJoin over the
+    customer rollup (map-side-combinable moment aggregate per pair) —
+    at 100 TB the fact scan dominates and the pair fan-out rides it.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.max(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("max_cents"),
+        F.countDistinct(F.date_trunc("month", "o_orderdate"))
+        .cast("long")
+        .alias("n_months"),
+    )
+    names = list(_CORRM_METRICS)
+    pairs = [(a, b) for a in names for b in names if a < b]
+    pv = spark.createDataFrame(pairs, "a string, b string")
+    dec = "decimal(38,0)"
+
+    def pickx(side):
+        c = F.when(F.col(side) == "n_orders", F.col("n_orders"))
+        c = c.when(F.col(side) == "cents", F.col("cents"))
+        c = c.when(F.col(side) == "max_cents", F.col("max_cents"))
+        return c.otherwise(F.col("n_months"))
+
+    j = cust.crossJoin(F.broadcast(pv)).select(
+        "a", "b",
+        pickx("a").cast(dec).alias("x"),
+        pickx("b").cast(dec).alias("y"),
+    )
+    m = j.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _split_dbl(F.sum("x")).alias("sx"),
+        _split_dbl(F.sum("y")).alias("sy"),
+        _split_dbl(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        _split_dbl(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        _split_dbl(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    r = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(nn * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(nn * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("a").alias("metric_x"),
+        F.col("b").alias("metric_y"),
+        "n",
+        F.round(r, 9).alias("pearson_r"),
+    )

@@ -3215,3 +3215,118 @@ def q_dedup_cluster_keep_best(spark, sf_dir):
         "n_members",
         (F.col("n_members") - 1).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (round 9): PageRank on the word
+# co-occurrence graph — graph family × text family composition.
+# ---------------------------------------------------------------------------
+
+_TR_ITER = """
+i{n} AS (
+  SELECT e.dst AS node, CAST(SUM((r.r * e.w) // o.ow) AS BIGINT) AS s
+  FROM edges e
+  JOIN r{p} r ON e.src = r.node
+  JOIN outw o ON e.src = o.src
+  GROUP BY e.dst),
+r{n} AS (
+  SELECT n.node, CAST(6000 + COALESCE(i.s, 0) * 85 // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN i{n} i ON n.node = i.node)"""
+
+_TEXTRANK_SQL = (
+    """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+co AS (
+  SELECT t[i] AS a, t[i + g.g] AS b
+  FROM toks
+  CROSS JOIN (SELECT unnest(range(1, 3)) AS g) g,
+       unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE i + g.g <= len(t)),
+edges AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT a AS src, b AS dst, COUNT(*) AS w FROM co WHERE a <> b GROUP BY 1, 2
+    UNION ALL
+    SELECT b AS src, a AS dst, COUNT(*) AS w FROM co WHERE a <> b GROUP BY 1, 2)
+  GROUP BY src, dst),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST(40000 AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_TR_ITER.format(n=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node AS word, r AS rank_micros
+FROM r3 ORDER BY r DESC, node LIMIT 10
+"""
+)
+
+
+@register("text_textrank_keywords", oracle=_TEXTRANK_SQL)
+def q_text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph (undirected edges between words
+    within a ±2-token window, weighted by corpus co-occurrence count),
+    3 damped power iterations, top-10 words — the graph-based
+    alternative to `text_rake_keywords`'s degree scoring and
+    `text_pmi_cooccurrence`'s pointwise association.
+
+    Reuses the `graph_pagerank_nations` INTEGER device verbatim
+    (per-node micro-units: r0 = 40000, teleport 6000, damp 85//100,
+    truncating contribution division) so three unrolled iterations are
+    bit-identical cross-engine — float TextRank would diverge in
+    summation order. Plan: one corpus scan explodes the window pairs
+    (the only corpus-scale stage), the edge list collapses to
+    vocabulary² max (KB here), and each iteration is a broadcast join
+    of the rank vector against it — the `graph family deployment map's
+    cost model applies with |E| = vocab-co-occurrence, not corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
+    )
+    co = toks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(array(1, 2), g -> "
+                "zip_with(slice(t, 1, size(t) - g), slice(t, g + 1, size(t) - g),"
+                " (a, b) -> struct(a, b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    half = co.groupBy(F.col("a").alias("src"), F.col("b").alias("dst")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    edges = (
+        half.unionByName(
+            half.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("r", F.lit(40000).cast("bigint"))
+    for _ in range(3):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
+            .join(F.broadcast(outw), "src")
+            .select("dst", F.expr("(r * w) div ow").alias("c"))
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(inc, nodes["node"] == inc["dst"], "left").select(
+            "node",
+            (
+                F.lit(6000).cast("bigint")
+                + F.expr("coalesce(s, 0) * 85 div 100")
+            ).alias("r"),
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), "node")
+        .limit(10)
+        .select(F.col("node").alias("word"), F.col("r").alias("rank_micros"))
+    )

@@ -626,3 +626,28 @@ def test_drift_embedding_mean_invariants(spark, sf_small):
     assert shifts == sorted(shifts, reverse=True)
     for r in rows:
         assert abs(abs(r.mean_a - r.mean_b) - r.dim_shift) < 2e-9
+
+
+def test_text_textrank_keywords_invariants(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    rows = load_all()["text_textrank_keywords"].fn(spark, sf_small).collect()
+    assert len(rows) == 10
+    ranks = [r.rank_micros for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.rank_micros >= 6000 for r in rows)  # teleport floor
+    assert len({r.word for r in rows}) == 10
+
+
+def test_stats_corr_matrix_invariants(spark, sf_small):
+    from dataframe_differ_spark.queries import load_all
+
+    rows = load_all()["stats_corr_matrix"].fn(spark, sf_small).collect()
+    assert len(rows) == 6  # upper triangle of 4 metrics
+    for r in rows:
+        assert -1.0 <= r.pearson_r <= 1.0
+        assert r.metric_x < r.metric_y
+    # n_orders and active months must correlate positively (more orders
+    # -> more distinct months, mechanically)
+    nm = {(r.metric_x, r.metric_y): r.pearson_r for r in rows}
+    assert nm[("n_months", "n_orders")] > 0.3 or nm.get(("n_orders", "n_months"), 1) > 0.3

@@ -252,6 +252,8 @@ HEADLINE = [
     "retrieval_mmr_rerank",
     "dedup_cluster_keep_best",
     "drift_embedding_mean",
+    "text_textrank_keywords",
+    "stats_corr_matrix",
 ]
 
 
