@@ -95,6 +95,10 @@ ARTIFACT_KINDS: dict[str, dict[str, tuple[str, ...]]] = {
         "coef": ("string",),
         "weight": ("double",),
     },
+    "unigram_vocab": {
+        "piece": ("string",),
+        "logp": ("double",),
+    },
 }
 
 # Params a kind's consumer cannot run without.

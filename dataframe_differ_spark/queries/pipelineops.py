@@ -2045,3 +2045,52 @@ def q_eval_pr_auc(spark, sf_dir):
         F.round("avg_precision", 9).alias("avg_precision"),
         "best_f1",
     )
+
+
+@register("unigram_vocab_persisted", oracle=_UG_APPLY_SQL)
+def q_unigram_vocab_persisted(spark, sf_dir):
+    """`unigram_apply_segment` through the persistence layer: the
+    trained unigram vocabulary is SAVED (`save_artifact`, kind
+    ``unigram_vocab`` — piece + logp, the schema `unigram_segment`
+    consumes), RELOADED fresh, and segmentation runs off the loaded
+    frame. Same oracle as the apply query — save → load must be
+    identity on the model (the sixth artifact kind, joining bpe_merges /
+    ivf_centroids / bloom_bits / fastss_signatures / logreg_weights).
+
+    Train-once-segment-everywhere: the EM scans run in the producing
+    job; every consumer loads a ≤vocab-row parquet and segments with a
+    broadcast join.
+    """
+    import os
+
+    from dataframe_differ_spark.operators.persistence import (
+        load_artifact,
+        save_artifact,
+    )
+    from dataframe_differ_spark.operators.tokenize import (
+        train_unigram,
+        unigram_segment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = train_unigram(
+        docs, "text",
+        max_piece_len=_UG_L, seed_multi=_UG_SEED, vocab_multi=_UG_VOCAB,
+        n_iters=_UG_ITERS, max_word_len=_UG_MAXW,
+    ).select("piece", "logp")
+    path = os.path.join(
+        "/tmp", "dds_artifacts", f"ugv_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    save_artifact(
+        vocab, path, "unigram_vocab",
+        params={"max_piece_len": _UG_L, "max_word_len": _UG_MAXW},
+    )
+    art = load_artifact(spark, path, "unigram_vocab")
+    seg = unigram_segment(
+        docs, "text", art.df,
+        max_piece_len=art.params["max_piece_len"],
+        max_word_len=art.params["max_word_len"],
+    )
+    return seg.select(
+        "word", "freq", "seg", F.col("n_pieces").cast("long").alias("n_pieces")
+    )
