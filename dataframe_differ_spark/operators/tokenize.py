@@ -675,9 +675,14 @@ def unigram_segment(
 
     Same vocabulary-sized plan as training's E-step; words containing a
     character absent from ``vocab`` (possible when applying a vocab
-    trained elsewhere) would be unsegmentable — they surface loudly as
-    an empty ``seg`` with ``n_pieces = 0`` rather than silently
-    dropping.
+    trained elsewhere) are unsegmentable — they surface loudly as an
+    empty ``seg`` with ``n_pieces = 0`` rather than silently dropping.
+    The Viterbi inner join on ``piece`` removes a word whose candidate
+    pieces ALL miss the vocab before it can reach the DP, so the word
+    histogram is left-joined back after segmentation to honor that
+    contract (ADVICE r9: with a TRAINED vocab every single character is
+    in the vocab and this branch is unreachable, but the contract must
+    hold for foreign vocabs too).
     """
     _check_reserved(df)
     words = _unigram_words(df, text_col, max_word_len)
@@ -688,11 +693,11 @@ def unigram_segment(
     )
     v = vocab.select("piece", F.col("logp").alias("lp"))
     segs = _unigram_viterbi(cands, v, max_piece_len)
-    return segs.select(
+    return words.join(segs.select("w", "pieces"), "w", "left").select(
         F.col("w").alias("word"),
         "freq",
         F.concat_ws("|", "pieces").alias("seg"),
-        F.size("pieces").alias("n_pieces"),
+        F.coalesce(F.size("pieces"), F.lit(0)).alias("n_pieces"),
     )
 
 

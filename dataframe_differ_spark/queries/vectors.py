@@ -1416,7 +1416,7 @@ red{k} AS (
   FROM cand c
   JOIN pairsim ps ON ps.a = c.doc_id
   JOIN ({prev}) s ON ps.b = s.doc_id
-  WHERE c.doc_id NOT IN ({prev.replace('SELECT doc_id FROM', 'SELECT doc_id FROM')})
+  WHERE c.doc_id NOT IN ({prev})
   GROUP BY c.doc_id, c.rel),
 sel{k} AS (
   SELECT doc_id, rel, redundancy,
