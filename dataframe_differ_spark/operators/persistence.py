@@ -45,6 +45,12 @@ everywhere — contracts pin the columns consumers rely on):
 - ``fastss_signatures`` — :func:`operators.dedup.fastss_signatures`
   output: ``sig bigint`` plus the carried entity columns. Consumer:
   :func:`operators.dedup.fastss_pairs`.
+- ``minhash_signatures`` — :func:`operators.dedup.minhash_signatures`
+  output in long format: ``doc_id bigint``, ``j int``, ``s bigint``;
+  params MUST carry ``num_perm``, ``bands`` and ``shingle_n`` (a probe
+  re-derives batch hashes and band keys — mismatched params silently
+  band-join garbage). Consumer: the incremental-dedup probe
+  (``dedup_incremental_persisted``).
 
 Scale note: ``save`` is one parquet write of an already-small frame
 (merge tables are n_merges rows, centroid tables K ≈ √N rows, bit
@@ -99,6 +105,15 @@ ARTIFACT_KINDS: dict[str, dict[str, tuple[str, ...]]] = {
         "piece": ("string",),
         "logp": ("double",),
     },
+    # The corpus MinHash signature store (round 10, VERDICT r9 item #2):
+    # long-format (doc_id, j, s) from operators.dedup.minhash_signatures.
+    # The most expensive recomputed object in the engine — at 100 TB one
+    # job signs the corpus, every later ingest probes this table.
+    "minhash_signatures": {
+        "doc_id": ("bigint", "int"),
+        "j": ("int", "bigint"),
+        "s": ("bigint",),
+    },
 }
 
 # Params a kind's consumer cannot run without.
@@ -107,6 +122,10 @@ _REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
     # feature order IS the model: scoring with re-ordered features would
     # silently apply the wrong coefficient to every column.
     "logreg_weights": ("features",),
+    # a probe must re-derive the SAME hashes (num_perm, shingle_n) and
+    # the SAME band layout (bands) or the band-join silently matches
+    # nothing / garbage.
+    "minhash_signatures": ("num_perm", "bands", "shingle_n"),
 }
 
 

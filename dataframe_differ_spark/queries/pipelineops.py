@@ -1002,6 +1002,202 @@ def q_dedup_incremental(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Incremental NEAR-dup dedup against the persisted MinHash signature store
+# (round 10, VERDICT r9 item #2 — the production day-N loop)
+# --------------------------------------------------------------------------
+
+_IMH_PERM = 12
+_IMH_BANDS = 6
+
+_IMH_SHINGLES = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' ||
+                string_split(text,' ')[i+2])) AS shingles
+  FROM {src}"""
+
+_IMH_SIG = """
+  SELECT doc_id, r.j,
+         MIN(('0x' || substr(md5(CAST(r.j AS VARCHAR) || '~' || shingle),
+                             1, 12))::BIGINT) AS s
+  FROM {tok} CROSS JOIN (SELECT unnest(range({nperm})) AS j) r
+  GROUP BY doc_id, r.j"""
+
+_INCR_MH_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+  FROM documents WHERE doc_id % 10 < 8 AND doc_id % 9 = 0),
+csh AS ({_IMH_SHINGLES.format(src="corpus")}),
+bsh AS ({_IMH_SHINGLES.format(src="batch")}),
+ctok AS (SELECT doc_id, unnest(shingles) AS shingle FROM csh),
+btok AS (SELECT doc_id, unnest(shingles) AS shingle FROM bsh),
+csig AS ({_IMH_SIG.format(tok="ctok", nperm=_IMH_PERM)}),
+bsig AS ({_IMH_SIG.format(tok="btok", nperm=_IMH_PERM)}),
+cband AS (
+  SELECT doc_id AS corpus_id, j // {_IMH_PERM // _IMH_BANDS} AS band,
+         string_agg(CAST(s AS VARCHAR), '-' ORDER BY j) AS bkey
+  FROM csig GROUP BY doc_id, j // {_IMH_PERM // _IMH_BANDS}),
+bband AS (
+  SELECT doc_id AS batch_id, j // {_IMH_PERM // _IMH_BANDS} AS band,
+         string_agg(CAST(s AS VARCHAR), '-' ORDER BY j) AS bkey
+  FROM bsig GROUP BY doc_id, j // {_IMH_PERM // _IMH_BANDS}),
+cand AS (
+  SELECT DISTINCT b.batch_id, c.corpus_id
+  FROM bband b JOIN cband c ON b.band = c.band AND b.bkey = c.bkey),
+est AS (
+  SELECT cd.batch_id, cd.corpus_id,
+         AVG(CASE WHEN sb.s = sc.s THEN 1.0 ELSE 0.0 END) AS est
+  FROM cand cd
+  JOIN bsig sb ON sb.doc_id = cd.batch_id
+  JOIN csig sc ON sc.doc_id = cd.corpus_id AND sc.j = sb.j
+  GROUP BY cd.batch_id, cd.corpus_id)
+SELECT batch_id, corpus_id, ROUND(est, 6) AS est_jaccard FROM est
+"""
+
+
+@register("dedup_incremental_persisted", oracle=_INCR_MH_SQL)
+def q_dedup_incremental_persisted(spark, sf_dir):
+    """Incremental NEAR-dup dedup against the PERSISTED MinHash signature
+    store — the production day-N loop `dedup_incremental` (exact hashes)
+    could not express: yesterday's corpus is represented ONLY by its
+    signature artifact (kind ``minhash_signatures``, saved + reloaded
+    through `operators.persistence` in-query, so save→load is verified
+    to be identity on the index), and today's batch is signed with the
+    STORED params and band-joined against band keys rebuilt from the
+    loaded store — the corpus text is never re-read.
+
+    Fixture: corpus = docs with doc_id % 10 < 8; batch = the remaining
+    docs plus planted truncated twins of every 9th corpus doc
+    (doc_id + 300000, first two tokens dropped) so cross matches
+    provably exist. Output: every LSH candidate (batch_id, corpus_id)
+    with its signature-agreement Jaccard estimate — the estimate needs
+    only the store (no shingle re-read), which is exactly what makes
+    the persisted index sufficient for day-N probing. Downstream either
+    thresholds the estimate or fetches the two texts for exact verify
+    (`dedup_near`'s cascade).
+
+    100 TB shape: the store is a plain-parquet fact table partitioned
+    by doc_id hash; signing the batch is explode → groupBy min on batch
+    data only; the band join is equi on (band, bkey); the estimate
+    joins 12-row signature slices of candidates only. Appending today's
+    batch signatures to the store (one parquet append) completes the
+    loop. Full DuckDB oracle replays the identical chain (round-trip
+    identity makes the persistence hop transparent to the oracle).
+    """
+    import os
+
+    from dataframe_differ_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+    from dataframe_differ_spark.operators.persistence import (
+        load_artifact,
+        save_artifact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
+    planted = docs.filter(
+        (F.col("doc_id") % 10 < 8) & (F.col("doc_id") % 9 == 0)
+    ).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.expr("slice(split(text, ' '), 3, size(split(text, ' ')))")
+        ).alias("text"),
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+
+    # Day 0: sign the corpus and persist the store.
+    csh = corpus.select("doc_id", shingles("text", 3).alias("_pp_sh")).filter(
+        F.size("_pp_sh") > 0
+    )
+    store = minhash_signatures(
+        csh, "doc_id", "_pp_sh", num_perm=_IMH_PERM, portable=True
+    )
+    path = os.path.join(
+        "/tmp", "dds_artifacts", f"mhsig_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    save_artifact(
+        store,
+        path,
+        "minhash_signatures",
+        params={"num_perm": _IMH_PERM, "bands": _IMH_BANDS, "shingle_n": 3},
+    )
+
+    # Day N: load the store; all probe parameters come from the ARTIFACT
+    # (probing with different params would band-join garbage — load
+    # refuses a param-less store).
+    art = load_artifact(spark, path, "minhash_signatures")
+    num_perm = int(art.params["num_perm"])
+    bands = int(art.params["bands"])
+    shingle_n = int(art.params["shingle_n"])
+    rpb = num_perm // bands
+
+    def band_keys(sigs, out_id):
+        return sigs.groupBy(
+            F.col("doc_id").alias(out_id),
+            (F.col("j") / rpb).cast("int").alias("band"),
+        ).agg(
+            F.expr(
+                "concat_ws('-', transform(array_sort(collect_list(struct(j, s))), "
+                "x -> cast(x.s as string)))"
+            ).alias("bkey")
+        )
+
+    bsh = batch.select(
+        "doc_id", shingles("text", shingle_n).alias("_pp_sh")
+    ).filter(F.size("_pp_sh") > 0)
+    bsig = minhash_signatures(
+        bsh, "doc_id", "_pp_sh", num_perm=num_perm, portable=True
+    )
+    cband = band_keys(art.df, "corpus_id")
+    bband = band_keys(bsig, "batch_id").withColumnRenamed("bkey", "_pp_bk")
+    cand = (
+        bband.join(
+            cband,
+            (bband["band"] == cband["band"])
+            & (F.col("_pp_bk") == F.col("bkey")),
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sb = bsig.select(
+        F.col("doc_id").alias("batch_id"), "j", F.col("s").alias("_pp_sb")
+    )
+    sc = art.df.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("j").alias("_pp_jc"),
+        F.col("s").alias("_pp_sc"),
+    )
+    return (
+        cand.join(sb, "batch_id")
+        .join(sc, (F.col("_pp_jc") == F.col("j")) & (sc["corpus_id"] == cand["corpus_id"]))
+        .groupBy(cand["batch_id"], cand["corpus_id"])
+        .agg(
+            F.avg(
+                F.when(F.col("_pp_sb") == F.col("_pp_sc"), F.lit(1.0)).otherwise(
+                    0.0
+                )
+            ).alias("_pp_est")
+        )
+        .select(
+            "batch_id", "corpus_id", F.round("_pp_est", 6).alias("est_jaccard")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Blocklist filter (wordlist screening with survival rates)
 # --------------------------------------------------------------------------
 
@@ -1345,7 +1541,10 @@ s0 AS (
 p0 AS (
   SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT freq, string_split(s, '|') AS t FROM s0)
-  CROSS JOIN (SELECT unnest(range(1, 60)) AS i)
+  -- data-derived position spine (ADVICE r9: a fixed 1..59 silently
+  -- undercounts pairs for 61+-char words; Spark scans every adjacency)
+  CROSS JOIN (SELECT unnest(range(1, (SELECT MAX(len(string_split(s, '|')))
+                                      FROM s0))) AS i)
   WHERE i < len(t)
   GROUP BY t[i], t[i + 1]),
 m1 AS (SELECT a, b, cnt FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
@@ -1356,7 +1555,10 @@ s1 AS (
 p1 AS (
   SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT freq, string_split(s, '|') AS t FROM s1)
-  CROSS JOIN (SELECT unnest(range(1, 60)) AS i)
+  -- data-derived position spine (ADVICE r9: a fixed 1..59 silently
+  -- undercounts pairs for 61+-char words; Spark scans every adjacency)
+  CROSS JOIN (SELECT unnest(range(1, (SELECT MAX(len(string_split(s, '|')))
+                                      FROM s1))) AS i)
   WHERE i < len(t)
   GROUP BY t[i], t[i + 1]),
 m2 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
@@ -1428,9 +1630,14 @@ def _wp_round_sql(t: int) -> str:
     p = t - 1
     return f"""
 p{t} AS (
+  -- position spine sized from the DATA (max token count of s{p}), not a
+  -- fixed constant: a 61+-char word would silently fall off a hard-coded
+  -- 1..59 scan (ADVICE r9); Spark's side scans every adjacency by
+  -- construction, so the oracle must too.
   SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT freq, string_split(s, '|') AS t FROM s{p})
-  CROSS JOIN (SELECT unnest(range(1, 60)) AS i)
+  CROSS JOIN (SELECT unnest(range(1, (SELECT MAX(len(string_split(s, '|')))
+                                      FROM s{p}))) AS i)
   WHERE i < len(t)
   GROUP BY t[i], t[i + 1]),
 u{t} AS (
@@ -1908,7 +2115,10 @@ s0 AS (
 p0 AS (
   SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT freq, string_split(s, '|') AS t FROM s0)
-  CROSS JOIN (SELECT unnest(range(1, 60)) AS i)
+  -- data-derived position spine (ADVICE r9: a fixed 1..59 silently
+  -- undercounts pairs for 61+-char words; Spark scans every adjacency)
+  CROSS JOIN (SELECT unnest(range(1, (SELECT MAX(len(string_split(s, '|')))
+                                      FROM s0))) AS i)
   WHERE i < len(t)
   GROUP BY t[i], t[i + 1]),
 m1 AS (SELECT a, b FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
@@ -1919,7 +2129,10 @@ s1 AS (
 p1 AS (
   SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT freq, string_split(s, '|') AS t FROM s1)
-  CROSS JOIN (SELECT unnest(range(1, 60)) AS i)
+  -- data-derived position spine (ADVICE r9: a fixed 1..59 silently
+  -- undercounts pairs for 61+-char words; Spark scans every adjacency)
+  CROSS JOIN (SELECT unnest(range(1, (SELECT MAX(len(string_split(s, '|')))
+                                      FROM s1))) AS i)
   WHERE i < len(t)
   GROUP BY t[i], t[i + 1]),
 m2 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),

@@ -231,3 +231,85 @@ def test_artifact_validation(spark, tmp_path):
         load_artifact(spark, p, "bpe_merges")
     art = load_artifact(spark, p)  # kind=None: accept what's stored
     assert art.kind == "bloom_bits" and art.params["n_bits"] == 8
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature store (round 10, VERDICT r9 item #2)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_signatures_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataframe_differ_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    corpus_texts = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "pack my box with five dozen liquor jugs right now"),
+        (3, "sphinx of black quartz judge my vow and then some"),
+    ]
+    corpus = spark.createDataFrame(corpus_texts, ["doc_id", "text"])
+    csh = corpus.select(
+        "doc_id", shingles("text", 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    store = minhash_signatures(csh, "doc_id", "sh", num_perm=12, portable=True)
+    path = str(tmp_path / "mh")
+
+    # params are REQUIRED — a probe with different num_perm/bands/
+    # shingle_n silently band-joins garbage, so load must refuse.
+    with pytest.raises(ValueError, match="requires params"):
+        save_artifact(store, path, "minhash_signatures")
+    save_artifact(
+        store,
+        path,
+        "minhash_signatures",
+        params={"num_perm": 12, "bands": 6, "shingle_n": 3},
+    )
+
+    fresh = spark.newSession()
+    art = load_artifact(fresh, path, "minhash_signatures")
+    assert art.kind == "minhash_signatures"
+    assert art.params == {"num_perm": 12, "bands": 6, "shingle_n": 3}
+    # save -> load is identity on the signature table
+    assert _rows(art.df.select("doc_id", "j", "s")) == _rows(
+        store.select("doc_id", "j", "s")
+    )
+
+    # Day-N probe: a truncated twin of corpus doc 1 must band-match it
+    # against bands rebuilt purely from the LOADED store.
+    rpb = art.params["num_perm"] // art.params["bands"]
+
+    def bands_of(sigs, out_id):
+        return sigs.groupBy(
+            F.col("doc_id").alias(out_id),
+            (F.col("j") / rpb).cast("int").alias("band"),
+        ).agg(
+            F.expr(
+                "concat_ws('-', transform(array_sort(collect_list(struct(j, s))),"
+                " x -> cast(x.s as string)))"
+            ).alias("bkey")
+        )
+
+    batch = fresh.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    bsh = batch.select(
+        "doc_id", shingles("text", art.params["shingle_n"]).alias("sh")
+    ).filter(F.size("sh") > 0)
+    bsig = minhash_signatures(
+        bsh, "doc_id", "sh", num_perm=art.params["num_perm"], portable=True
+    )
+    hits = (
+        bands_of(bsig, "batch_id")
+        .withColumnRenamed("bkey", "bk")
+        .join(bands_of(art.df, "corpus_id"), "band")
+        .filter(F.col("bk") == F.col("bkey"))
+        .select("batch_id", "corpus_id")
+        .distinct()
+        .collect()
+    )
+    assert (101, 1) in {(r.batch_id, r.corpus_id) for r in hits}

@@ -254,6 +254,8 @@ HEADLINE = [
     "drift_embedding_mean",
     "text_textrank_keywords",
     "stats_corr_matrix",
+    # round-10 additions
+    "dedup_incremental_persisted",
 ]
 
 
