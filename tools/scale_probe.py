@@ -256,6 +256,7 @@ HEADLINE = [
     "stats_corr_matrix",
     # round-10 additions
     "dedup_incremental_persisted",
+    "ann_drift_refresh",
 ]
 
 
