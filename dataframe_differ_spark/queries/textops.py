@@ -3359,3 +3359,115 @@ def q_text_textrank_keywords(spark, sf_dir):
         .limit(10)
         .select(F.col("node").alias("word"), F.col("r").alias("rank_micros"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (round 10): dedup components are the
+# split unit, so near-duplicates can never straddle a split boundary.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SAFE_SQL = f"""
+WITH RECURSIVE np AS ({_NEAR_SQL}),
+corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id
+  FROM documents WHERE doc_id % 13 = 0),
+und AS (SELECT doc_a AS src, doc_b AS dst FROM np
+        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM np),
+reach(v, label) AS (
+  SELECT doc_id AS v, doc_id AS label FROM corpus
+  UNION
+  SELECT und.dst AS v, reach.label
+  FROM reach JOIN und ON reach.v = und.src),
+comp AS (SELECT v, MIN(label) AS component_id FROM reach GROUP BY v),
+asg AS (
+  SELECT v AS doc_id, component_id,
+         CASE WHEN h <= 7 THEN 'train'
+              WHEN h = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT v, component_id,
+               ('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 6))
+                 ::BIGINT % 10 AS h
+        FROM comp)),
+per AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_components
+  FROM asg GROUP BY split),
+lk AS (
+  SELECT a.split AS split, CAST(COUNT(*) AS BIGINT) AS leak_pairs
+  FROM np
+  JOIN asg a ON a.doc_id = np.doc_a
+  JOIN asg b ON b.doc_id = np.doc_b
+  WHERE a.split <> b.split
+  GROUP BY a.split)
+SELECT p.split, p.n_docs, p.n_components,
+       COALESCE(lk.leak_pairs, CAST(0 AS BIGINT)) AS leak_pairs
+FROM per p LEFT JOIN lk ON lk.split = p.split
+"""
+
+
+@register("split_leakage_safe", oracle=_SPLIT_SAFE_SQL)
+def q_split_leakage_safe(spark, sf_dir):
+    """Dedup-aware train/val/test split: the split unit is the NEAR-DUP
+    COMPONENT, not the document — a naive per-doc hash split leaks a
+    training doc's near-duplicate into eval and inflates every metric
+    (the `contamination_check` failure mode, prevented at split time
+    instead of detected after).
+
+    Pipeline: the shared MinHash chain (`_near_dup_chain_cached`) →
+    `connected_components` over ALL corpus docs (isolated docs are
+    their own singleton component) → 80/10/10 assignment by a portable
+    md5 hash of component_id (every member inherits the component's
+    split) → per-split doc/component counts PLUS an in-query leakage
+    audit: the count of near-dup pairs straddling this split and any
+    other — structurally zero, and the query proves it on every run
+    rather than asserting it in a comment.
+
+    100 TB: CC is the O(diameter) checkpointed loop; the split
+    assignment is one map-side hash; the audit join keys on doc_id
+    (uniform). The pair table and components are the same cached
+    frames every other dedup query shares. Full-oracle: recursive-CTE
+    closure + identical md5 bucketing.
+    """
+    from dataframe_differ_spark.operators.dedup import connected_components
+
+    corpus, chain_pairs = _near_dup_chain_cached(spark, sf_dir)
+    pairs = chain_pairs.select("doc_a", "doc_b")
+    vertices = corpus.select(F.col("doc_id").alias("v"))
+    comp = connected_components(pairs, "doc_a", "doc_b", vertices=vertices)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("component_id").cast("string")), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    asg = comp.select(
+        F.col("v").alias("doc_id"),
+        "component_id",
+        F.when(h <= 7, F.lit("train"))
+        .when(h == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per = asg.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component_id").alias("n_components"),
+    )
+    sa = asg.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = asg.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    lk = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count(F.lit(1)).alias("lp"))
+    )
+    return per.join(lk, "split", "left").select(
+        "split",
+        "n_docs",
+        "n_components",
+        F.coalesce(F.col("lp"), F.lit(0).cast("long")).alias("leak_pairs"),
+    )

@@ -257,6 +257,7 @@ HEADLINE = [
     # round-10 additions
     "dedup_incremental_persisted",
     "ann_drift_refresh",
+    "split_leakage_safe",
 ]
 
 
