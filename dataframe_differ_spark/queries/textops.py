@@ -3471,3 +3471,198 @@ def q_split_leakage_safe(spark, sf_dir):
         "n_components",
         F.coalesce(F.col("lp"), F.lit(0).cast("long")).alias("leak_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1/2 F1 pair grading (round 10): the recall-oriented twin of
+# eval_bleu_pairs over the same cached near-dup pair table.
+# ---------------------------------------------------------------------------
+
+_ROUGE_SQL = f"""
+WITH np AS ({_NEAR_SQL}),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text, ' ')
+           [1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ') AS text
+  FROM documents WHERE doc_id % 13 = 0),
+used AS (SELECT DISTINCT doc_a AS id FROM np
+         UNION SELECT DISTINCT doc_b FROM np),
+toks AS (
+  SELECT c.doc_id, string_split(c.text, ' ') AS t
+  FROM corpus c JOIN used u ON u.id = c.doc_id),
+g AS (
+  SELECT doc_id, 1 AS n, t[i] AS gram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+  GROUP BY doc_id, t[i]
+  UNION ALL
+  SELECT doc_id, 2 AS n, t[i] || ' ' || t[i + 1] AS gram,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+  GROUP BY doc_id, t[i] || ' ' || t[i + 1]),
+tots AS (SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS tot
+         FROM g GROUP BY doc_id, n),
+clip AS (
+  SELECT p.doc_a, p.doc_b, gc.n,
+         CAST(SUM(LEAST(gc.c, gr.c)) AS BIGINT) AS m
+  FROM np p
+  JOIN g gc ON gc.doc_id = p.doc_b
+  JOIN g gr ON gr.doc_id = p.doc_a AND gr.n = gc.n AND gr.gram = gc.gram
+  GROUP BY p.doc_a, p.doc_b, gc.n),
+stats AS (
+  SELECT p.doc_a, p.doc_b,
+         COALESCE(c1.m, CAST(0 AS BIGINT)) AS m1,
+         COALESCE(c2.m, CAST(0 AS BIGINT)) AS m2,
+         t1r.tot AS uni_ref, t1c.tot AS uni_cand,
+         COALESCE(t2r.tot, CAST(0 AS BIGINT)) AS big_ref,
+         COALESCE(t2c.tot, CAST(0 AS BIGINT)) AS big_cand
+  FROM np p
+  LEFT JOIN clip c1 ON c1.doc_a = p.doc_a AND c1.doc_b = p.doc_b AND c1.n = 1
+  LEFT JOIN clip c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b AND c2.n = 2
+  JOIN tots t1r ON t1r.doc_id = p.doc_a AND t1r.n = 1
+  JOIN tots t1c ON t1c.doc_id = p.doc_b AND t1c.n = 1
+  LEFT JOIN tots t2r ON t2r.doc_id = p.doc_a AND t2r.n = 2
+  LEFT JOIN tots t2c ON t2c.doc_id = p.doc_b AND t2c.n = 2)
+SELECT doc_a, doc_b, m1, m2,
+       ROUND(CAST(2 * m1 AS DOUBLE) / (uni_cand + uni_ref), 9) AS rouge1_f1,
+       CASE WHEN big_cand + big_ref = 0 THEN 0.0
+            ELSE ROUND(CAST(2 * m2 AS DOUBLE) / (big_cand + big_ref), 9)
+       END AS rouge2_f1
+FROM stats
+"""
+
+
+@register("eval_rouge_pairs", oracle=_ROUGE_SQL)
+def q_eval_rouge_pairs(spark, sf_dir):
+    """ROUGE-1/ROUGE-2 F1 (Lin 2004) for every near-duplicate pair the
+    MinHash detector surfaces — the recall-oriented twin of
+    `eval_bleu_pairs` (BLEU asks "how much of the candidate is in the
+    reference", ROUGE asks the reverse; a truncated twin scores high
+    BLEU precision but its ROUGE recall exposes how much was lost).
+    Lower doc_id is the reference, higher the candidate.
+
+    Determinism: F1 = 2·P·R/(P+R) collapses algebraically to
+    2·overlap / (cand_total + ref_total) — ONE division of exact
+    BIGINTs (the `eval_dedup_pr` device), so unlike BLEU there is no
+    libm at all; the zero-bigram degenerate (both docs single-token)
+    pins F1 = 0.0 in both engines. Plan: identical to BLEU's — pairs
+    come from the session-cached chain, gram tables semi-join to used
+    docs, every join keys on (pair, n, gram); pair-bounded, nothing
+    quadratic.
+    """
+    corpus, pairs = _near_dup_chain_cached(spark, sf_dir)
+    np_pairs = pairs.select("doc_a", "doc_b")
+    used = (
+        np_pairs.select(F.col("doc_a").alias("id"))
+        .union(np_pairs.select("doc_b"))
+        .distinct()
+    )
+    toks = corpus.join(used, corpus["doc_id"] == used["id"]).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    uni = toks.select(
+        "doc_id", F.lit(1).alias("n"), F.explode("t").alias("gram")
+    )
+    big = toks.select(
+        "doc_id",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("gram"),
+    )
+    g = (
+        uni.unionByName(big)
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tots = g.groupBy("doc_id", "n").agg(F.sum("c").cast("long").alias("tot"))
+    gc = g.select(
+        F.col("doc_id").alias("_b"), "n", "gram", F.col("c").alias("cc")
+    )
+    gr = g.select(
+        F.col("doc_id").alias("_a"),
+        F.col("n").alias("_n"),
+        F.col("gram").alias("_g"),
+        F.col("c").alias("cr"),
+    )
+    clip = (
+        np_pairs.join(gc, F.col("_b") == F.col("doc_b"))
+        .join(
+            gr,
+            (F.col("_a") == F.col("doc_a"))
+            & (F.col("_n") == F.col("n"))
+            & (F.col("_g") == F.col("gram")),
+        )
+        .groupBy("doc_a", "doc_b", "n")
+        .agg(F.sum(F.least("cc", "cr")).cast("long").alias("m"))
+    )
+    c1 = clip.filter(F.col("n") == 1).select(
+        F.col("doc_a").alias("a1"), F.col("doc_b").alias("b1"),
+        F.col("m").alias("m1"),
+    )
+    c2 = clip.filter(F.col("n") == 2).select(
+        F.col("doc_a").alias("a2"), F.col("doc_b").alias("b2"),
+        F.col("m").alias("m2"),
+    )
+
+    def tot_of(n, idc, out):
+        return tots.filter(F.col("n") == n).select(
+            F.col("doc_id").alias(idc), F.col("tot").alias(out)
+        )
+
+    stats = (
+        np_pairs.join(
+            c1,
+            (F.col("a1") == F.col("doc_a")) & (F.col("b1") == F.col("doc_b")),
+            "left",
+        )
+        .join(
+            c2,
+            (F.col("a2") == F.col("doc_a")) & (F.col("b2") == F.col("doc_b")),
+            "left",
+        )
+        .join(tot_of(1, "r1", "uni_ref"), F.col("r1") == F.col("doc_a"))
+        .join(tot_of(1, "k1", "uni_cand"), F.col("k1") == F.col("doc_b"))
+        .join(
+            tot_of(2, "r2", "big_ref"), F.col("r2") == F.col("doc_a"), "left"
+        )
+        .join(
+            tot_of(2, "k2", "big_cand"), F.col("k2") == F.col("doc_b"), "left"
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("m1"), F.lit(0).cast("long")).alias("m1"),
+            F.coalesce(F.col("m2"), F.lit(0).cast("long")).alias("m2"),
+            "uni_ref",
+            "uni_cand",
+            F.coalesce(F.col("big_ref"), F.lit(0).cast("long")).alias("big_ref"),
+            F.coalesce(F.col("big_cand"), F.lit(0).cast("long")).alias(
+                "big_cand"
+            ),
+        )
+    )
+    return stats.select(
+        "doc_a",
+        "doc_b",
+        "m1",
+        "m2",
+        F.round(
+            (F.lit(2) * F.col("m1")).cast("double")
+            / (F.col("uni_cand") + F.col("uni_ref")),
+            9,
+        ).alias("rouge1_f1"),
+        F.when(F.col("big_cand") + F.col("big_ref") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.lit(2) * F.col("m2")).cast("double")
+                / (F.col("big_cand") + F.col("big_ref")),
+                9,
+            )
+        )
+        .alias("rouge2_f1"),
+    )

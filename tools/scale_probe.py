@@ -258,6 +258,7 @@ HEADLINE = [
     "dedup_incremental_persisted",
     "ann_drift_refresh",
     "split_leakage_safe",
+    "eval_rouge_pairs",
 ]
 
 
