@@ -1694,3 +1694,82 @@ def q_warehouse_ivm_agg(spark, sf_dir):
             & (F.col("cents_view") == F.col("cents_direct"))
         ).alias("ivm_matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (round 10): privacy risk gate before a data release.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_SQL = f"""
+WITH qi AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+  FROM customer),
+classes AS (
+  SELECT nation, segment, bal_band, CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM qi GROUP BY nation, segment, bal_band)
+SELECT CAST({_KANON_K} AS BIGINT) AS k,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_risky_classes,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_risky_rows,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+       ROUND(CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size
+                           ELSE 0 END) AS DOUBLE)
+             / SUM(class_size), 9) AS risky_share
+FROM classes
+"""
+
+
+@register("dq_k_anonymity", oracle=_KANON_SQL)
+def q_dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002) over `customer`'s
+    quasi-identifiers — the privacy gate a pipeline runs before
+    releasing or training on user-adjacent data: every row must be
+    indistinguishable from ≥ k−1 others on the QI tuple (nation,
+    market segment, $1000 account-balance band), and the audit reports
+    how many equivalence classes (and rows) violate that.
+
+    One row out: k, total rows/classes, risky classes (size < k),
+    rows inside them, the minimum class size (the dataset's actual
+    anonymity level), and the risky-row share — everything a release
+    gate thresholds on. Determinism: pure integer counts plus one
+    division; the balance band is FLOOR of an exact division of a
+    parquet double — identical in both engines.
+
+    100 TB plan: one groupBy on the QI tuple (map-side combinable,
+    uniform keys) + one 1-row rollup — no joins, no windows. The
+    follow-up action (generalize a QI, suppress risky rows) reuses the
+    same class table.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    )
+    classes = qi.groupBy("nation", "segment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    risky = F.col("class_size") < _KANON_K
+    return classes.agg(
+        F.lit(_KANON_K).cast("long").alias("k"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(risky.cast("long")).cast("long").alias("n_risky_classes"),
+        F.sum(F.when(risky, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.round(
+            F.sum(F.when(risky, F.col("class_size")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("class_size"),
+            9,
+        ).alias("risky_share"),
+    )

@@ -259,6 +259,7 @@ HEADLINE = [
     "ann_drift_refresh",
     "split_leakage_safe",
     "eval_rouge_pairs",
+    "dq_k_anonymity",
 ]
 
 
