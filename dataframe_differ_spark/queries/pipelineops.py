@@ -2307,3 +2307,139 @@ def q_unigram_vocab_persisted(spark, sf_dir):
     return seg.select(
         "word", "freq", "seg", F.col("n_pieces").cast("long").alias("n_pieces")
     )
+
+
+# --------------------------------------------------------------------------
+# Signature-store APPEND consistency (round 10): the day-N loop's write
+# half — prove merged store == from-scratch signing, in-query.
+# --------------------------------------------------------------------------
+
+_STORE_APPEND_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+  FROM documents WHERE doc_id % 10 < 8 AND doc_id % 9 = 0),
+csh AS ({_IMH_SHINGLES.format(src="corpus")}),
+bsh AS ({_IMH_SHINGLES.format(src="batch")}),
+ctok AS (SELECT doc_id, unnest(shingles) AS shingle FROM csh),
+btok AS (SELECT doc_id, unnest(shingles) AS shingle FROM bsh),
+csig AS ({_IMH_SIG.format(tok="ctok", nperm=_IMH_PERM)}),
+bsig AS ({_IMH_SIG.format(tok="btok", nperm=_IMH_PERM)}),
+merged AS (SELECT * FROM csig UNION ALL SELECT * FROM bsig),
+alltok AS (SELECT * FROM ctok UNION ALL SELECT * FROM btok),
+scratch AS ({_IMH_SIG.format(tok="alltok", nperm=_IMH_PERM)}),
+agree AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_agree
+  FROM merged m JOIN scratch s
+    ON m.doc_id = s.doc_id AND m.j = s.j AND m.s = s.s),
+cnt AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM csig) AS n_store,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bsig) AS n_batch,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM merged) AS n_merged,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM scratch) AS n_scratch,
+         (SELECT n_agree FROM agree) AS n_agree)
+SELECT n_store, n_batch, n_merged, n_scratch, n_agree,
+       (n_merged = n_scratch AND n_agree = n_scratch) AS append_consistent
+FROM cnt
+"""
+
+
+@register("dedup_store_append", oracle=_STORE_APPEND_SQL)
+def q_dedup_store_append(spark, sf_dir):
+    """The WRITE half of the signature-store day-N loop
+    (`dedup_incremental_persisted` is the read half): append today's
+    batch signatures to the store and PROVE, in-query, that the merged
+    store is byte-identical to signing the whole corpus from scratch —
+    the decomposability property (each doc's MinHash signature depends
+    on that doc alone) that makes append-only maintenance valid, never
+    requiring a full re-sign. The `warehouse_ivm_agg` pattern applied
+    to the dedup index: the maintenance shortcut ships WITH its own
+    equivalence verification.
+
+    Output one row: store/batch/merged/from-scratch signature counts,
+    the count of (doc_id, j, s)-exact agreements between merged and
+    scratch, and the consistency verdict (merged = scratch on every
+    row). At 100 TB the scratch side is the one-time backfill job and
+    this query is its acceptance test; day N only ever runs the batch
+    sign + parquet append.
+    """
+    from dataframe_differ_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
+    planted = docs.filter(
+        (F.col("doc_id") % 10 < 8) & (F.col("doc_id") % 9 == 0)
+    ).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.expr("slice(split(text, ' '), 3, size(split(text, ' ')))")
+        ).alias("text"),
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+
+    def sig_of(df):
+        sh = df.select("doc_id", shingles("text", 3).alias("_pp_sh")).filter(
+            F.size("_pp_sh") > 0
+        )
+        return minhash_signatures(
+            sh, "doc_id", "_pp_sh", num_perm=_IMH_PERM, portable=True
+        )
+
+    csig = sig_of(corpus)
+    bsig = sig_of(batch)
+    merged = csig.unionByName(bsig)
+    scratch = sig_of(corpus.unionByName(batch))
+    sc = scratch.select(
+        F.col("doc_id").alias("_pp_d"),
+        F.col("j").alias("_pp_j"),
+        F.col("s").alias("_pp_s"),
+    )
+    agree = merged.join(
+        sc,
+        (F.col("doc_id") == F.col("_pp_d"))
+        & (F.col("j") == F.col("_pp_j"))
+        & (F.col("s") == F.col("_pp_s")),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_agree"))
+    counts = (
+        csig.agg(F.count(F.lit(1)).cast("long").alias("n_store"))
+        .crossJoin(
+            F.broadcast(
+                bsig.agg(F.count(F.lit(1)).cast("long").alias("n_batch"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                merged.agg(F.count(F.lit(1)).cast("long").alias("n_merged"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                scratch.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_scratch")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(agree))
+    )
+    return counts.select(
+        "n_store",
+        "n_batch",
+        "n_merged",
+        "n_scratch",
+        "n_agree",
+        (
+            (F.col("n_merged") == F.col("n_scratch"))
+            & (F.col("n_agree") == F.col("n_scratch"))
+        ).alias("append_consistent"),
+    )

@@ -260,6 +260,7 @@ HEADLINE = [
     "split_leakage_safe",
     "eval_rouge_pairs",
     "dq_k_anonymity",
+    "dedup_store_append",
 ]
 
 
