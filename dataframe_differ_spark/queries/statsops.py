@@ -2074,6 +2074,32 @@ def q_orders_hhi_concentration(spark, sf_dir):
 # Wald-Wolfowitz runs test on the daily volume series (round 7)
 # ---------------------------------------------------------------------------
 
+def _daily_volume_pts_cached(spark, sf_dir):
+    """Daily event-volume points (day index i from the min day, count x),
+    built ONCE per (session, sf_dir): `events_runs_test` and
+    `stats_mann_kendall` read the identical KB-sized frame, and the
+    events scan + daily rollup behind it was each query's whole cost
+    (round-10 session-cache application)."""
+    import os
+
+    from dataframe_differ_spark.operators.session_cache import session_cached
+
+    def build():
+        e = load_table(spark, sf_dir, "events")
+        daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+            F.count(F.lit(1)).alias("x")
+        )
+        m = daily.agg(F.min("d").alias("d0"))
+        return daily.crossJoin(F.broadcast(m)).select(
+            F.datediff("d", "d0").cast("long").alias("i"), "x"
+        )
+
+    (pts,) = session_cached(
+        spark, ("daily_volume_pts", os.path.abspath(sf_dir)), build
+    )
+    return pts
+
+
 _RUNS_SQL = """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
@@ -2129,14 +2155,7 @@ def q_events_runs_test(spark, sf_dir):
     """
     from dataframe_differ_spark.operators.ranks import ranked
 
-    e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count(F.lit(1)).alias("x")
-    )
-    m = daily.agg(F.min("d").alias("d0"))
-    pts = daily.crossJoin(F.broadcast(m)).select(
-        F.datediff("d", "d0").cast("long").alias("i"), "x"
-    )
+    pts = _daily_volume_pts_cached(spark, sf_dir)
     b = pts.select(F.col("i").alias("j"), F.col("x").alias("y"))
     signs = (
         pts.join(b, F.col("j") == F.col("i") + 1)
@@ -3573,14 +3592,7 @@ def q_stats_mann_kendall(spark, sf_dir):
     contract as `ranked`'s triangle join; the corpus itself is touched
     exactly once by the daily rollup.
     """
-    e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count(F.lit(1)).alias("x")
-    )
-    m = daily.agg(F.min("d").alias("d0"))
-    pts = daily.crossJoin(F.broadcast(m)).select(
-        F.datediff("d", "d0").cast("long").alias("i"), "x"
-    )
+    pts = _daily_volume_pts_cached(spark, sf_dir)
     b = pts.select(F.col("i").alias("j"), F.col("x").alias("y"))
     s = pts.join(F.broadcast(b), F.col("i") < F.col("j")).agg(
         F.sum(
