@@ -1730,6 +1730,36 @@ _UG_VOCAB = 32     # final multi-char pieces
 _UG_ITERS = 2      # EM iterations
 _UG_MAXW = 16      # training word-length cap
 
+def _ug_vocab_cached(spark, sf_dir):
+    """The trained unigram vocabulary, built ONCE per (session, sf_dir):
+    `unigram_train_vocab`, `unigram_apply_segment` and
+    `unigram_vocab_persisted` all train the IDENTICAL model (same
+    corpus, same hyperparameters), and the EM chain was each binding's
+    dominant cost (round-10 session-cache application)."""
+    import os
+
+    from dataframe_differ_spark.operators.session_cache import session_cached
+    from dataframe_differ_spark.operators.tokenize import train_unigram
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return train_unigram(
+            docs,
+            "text",
+            max_piece_len=_UG_L,
+            seed_multi=_UG_SEED,
+            vocab_multi=_UG_VOCAB,
+            n_iters=_UG_ITERS,
+            max_word_len=_UG_MAXW,
+        )
+
+    (vocab,) = session_cached(
+        spark, ("unigram_vocab", os.path.abspath(sf_dir)), build
+    )
+    return vocab
+
+
+
 
 def _ug_best_sql() -> str:
     """Best candidate struct at position ``v.i + 1``: piece lengths
@@ -1890,18 +1920,7 @@ def q_unigram_train_vocab(spark, sf_dir):
     including 12-dp log-probs; pure-Python EM reference in
     tests/test_operator_properties_r9.py triangulates all three.
     """
-    from dataframe_differ_spark.operators.tokenize import train_unigram
-
-    docs = load_table(spark, sf_dir, "documents")
-    return train_unigram(
-        docs,
-        "text",
-        max_piece_len=_UG_L,
-        seed_multi=_UG_SEED,
-        vocab_multi=_UG_VOCAB,
-        n_iters=_UG_ITERS,
-        max_word_len=_UG_MAXW,
-    )
+    return _ug_vocab_cached(spark, sf_dir)
 
 
 _UG_APPLY_SQL = f"""
@@ -1936,21 +1955,10 @@ def q_unigram_apply_segment(spark, sf_dir):
     replay plus one more recursive-CTE Viterbi pass under the final
     renormalized vocabulary.
     """
-    from dataframe_differ_spark.operators.tokenize import (
-        train_unigram,
-        unigram_segment,
-    )
+    from dataframe_differ_spark.operators.tokenize import unigram_segment
 
     docs = load_table(spark, sf_dir, "documents")
-    vocab = train_unigram(
-        docs,
-        "text",
-        max_piece_len=_UG_L,
-        seed_multi=_UG_SEED,
-        vocab_multi=_UG_VOCAB,
-        n_iters=_UG_ITERS,
-        max_word_len=_UG_MAXW,
-    )
+    vocab = _ug_vocab_cached(spark, sf_dir)
     seg = unigram_segment(
         docs, "text", vocab, max_piece_len=_UG_L, max_word_len=_UG_MAXW
     )
@@ -2280,17 +2288,10 @@ def q_unigram_vocab_persisted(spark, sf_dir):
         load_artifact,
         save_artifact,
     )
-    from dataframe_differ_spark.operators.tokenize import (
-        train_unigram,
-        unigram_segment,
-    )
+    from dataframe_differ_spark.operators.tokenize import unigram_segment
 
     docs = load_table(spark, sf_dir, "documents")
-    vocab = train_unigram(
-        docs, "text",
-        max_piece_len=_UG_L, seed_multi=_UG_SEED, vocab_multi=_UG_VOCAB,
-        n_iters=_UG_ITERS, max_word_len=_UG_MAXW,
-    ).select("piece", "logp")
+    vocab = _ug_vocab_cached(spark, sf_dir).select("piece", "logp")
     path = os.path.join(
         "/tmp", "dds_artifacts", f"ugv_{os.path.basename(sf_dir.rstrip('/'))}"
     )

@@ -1678,6 +1678,26 @@ def _qlr_feats(spark, sf_dir):
     )
 
 
+def _qlr_model_cached(spark, sf_dir):
+    """(feats, weights) of the quality-LR model, built ONCE per
+    (session, sf_dir): `quality_lr_train`, `quality_lr_score` and
+    `quality_lr_persisted` all train the IDENTICAL model on the same
+    feature frame (round-10 session-cache application)."""
+    from dataframe_differ_spark.operators.session_cache import session_cached
+    from dataframe_differ_spark.operators.stats import train_logreg
+
+    def build():
+        feats = _qlr_feats(spark, sf_dir)
+        weights = train_logreg(
+            feats, _QLR_FEATURES, "y", iters=_QLR_ITERS, lr=_QLR_LR
+        )
+        return feats, weights
+
+    return session_cached(
+        spark, ("qlr_model", os.path.abspath(sf_dir)), build
+    )
+
+
 @register("quality_lr_train", oracle=_QLR_TRAIN_SQL)
 def q_quality_lr_train(spark, sf_dir):
     """TRAIN the model-based quality filter in-engine: full-batch
@@ -1701,15 +1721,8 @@ def q_quality_lr_train(spark, sf_dir):
     replayed exactly.
     Thin binding over :func:`operators.stats.train_logreg`.
     """
-    from dataframe_differ_spark.operators.stats import train_logreg
-
-    return train_logreg(
-        _qlr_feats(spark, sf_dir),
-        _QLR_FEATURES,
-        "y",
-        iters=_QLR_ITERS,
-        lr=_QLR_LR,
-    )
+    _feats, weights = _qlr_model_cached(spark, sf_dir)
+    return weights
 
 
 @register("quality_lr_score", oracle=_QLR_SCORE_SQL)
@@ -1728,12 +1741,9 @@ def q_quality_lr_score(spark, sf_dir):
     `text_quality_classifier_lr` convention) so a boundary ulp cannot
     flip engines apart.
     """
-    from dataframe_differ_spark.operators.stats import logreg_score, train_logreg
+    from dataframe_differ_spark.operators.stats import logreg_score
 
-    feats = _qlr_feats(spark, sf_dir)
-    weights = train_logreg(
-        feats, _QLR_FEATURES, "y", iters=_QLR_ITERS, lr=_QLR_LR
-    )
+    feats, weights = _qlr_model_cached(spark, sf_dir)
     scored = logreg_score(
         feats, weights, _QLR_FEATURES, score_col="q_score", score_dp=6
     )
@@ -1764,12 +1774,9 @@ def q_quality_lr_persisted(spark, sf_dir):
         load_artifact,
         save_artifact,
     )
-    from dataframe_differ_spark.operators.stats import logreg_score, train_logreg
+    from dataframe_differ_spark.operators.stats import logreg_score
 
-    feats = _qlr_feats(spark, sf_dir)
-    weights = train_logreg(
-        feats, _QLR_FEATURES, "y", iters=_QLR_ITERS, lr=_QLR_LR
-    )
+    feats, weights = _qlr_model_cached(spark, sf_dir)
     path = os.path.join(
         "/tmp", "dds_artifacts", f"qlr_{os.path.basename(sf_dir.rstrip('/'))}"
     )
