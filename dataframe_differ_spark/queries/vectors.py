@@ -1833,6 +1833,7 @@ def q_ann_drift_refresh(spark, sf_dir):
     row is O(1). Composes: ivf_index + assign_clusters +
     topk_cosine_ivf + topk_cosine, all individually oracle-verified.
     """
+    from dataframe_differ_spark.operators.session_cache import session_cached
     from dataframe_differ_spark.operators.similarity import (
         assign_clusters,
         ivf_index,
@@ -1861,6 +1862,17 @@ def q_ann_drift_refresh(spark, sf_dir):
         )
     )
     newc = oldc.unionByName(drifted)
+
+    # Both quantizers + both posting-list assignments materialize once per
+    # (session, sf_dir) — the `_ivf_index_cached` discipline: each
+    # centroid table is consumed twice (assignment + probe ranking), and
+    # without the checkpoint Spark would replay the Lloyd chain (and its
+    # 16-row post-limit seed windows) per consumer.
+    def _build_indexes():
+        _stale, c_old = ivf_index(oldc, "vec_id", "e", n_clusters=_ADR_K)
+        i_old = assign_clusters(newc, c_old, "vec_id", "e")
+        i_new, c_new = ivf_index(newc, "vec_id", "e", n_clusters=_ADR_K)
+        return c_old, i_old, c_new, i_new
 
     # Drift monitor: sequential per-dim means (ordered by vec_id), then a
     # dim-ordered fold of squared deltas — deterministic in both engines.
@@ -1896,9 +1908,9 @@ def q_ann_drift_refresh(spark, sf_dir):
         )
     )
 
-    _stale_idx, cent_old = ivf_index(oldc, "vec_id", "e", n_clusters=_ADR_K)
-    idx_old = assign_clusters(newc, cent_old, "vec_id", "e")
-    idx_new, cent_new = ivf_index(newc, "vec_id", "e", n_clusters=_ADR_K)
+    cent_old, idx_old, cent_new, idx_new = session_cached(
+        spark, ("ann_drift_indexes", os.path.abspath(sf_dir)), _build_indexes
+    )
 
     qs = drifted.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
