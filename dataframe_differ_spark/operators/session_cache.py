@@ -19,9 +19,13 @@ The cache is deliberately session-scoped and weak:
   session drops its checkpointed blocks, and the cache entry must die
   with them (a strong key would hand consumer #2 a frame whose blocks
   are gone).
-- **Lock**: first-miss builds serialize. Concurrent bench threads
-  racing an unguarded setdefault+insert would double-build (and leak)
-  checkpointed frames — the same hazard class as ``tables._TABLE_LOCK``.
+- **Locks**: a global lock guards only the cache DICTIONARIES; each
+  key gets its own build lock, so two pipelined bench threads
+  first-missing DIFFERENT chains build concurrently, while two threads
+  racing the SAME key still build it exactly once. (The first version
+  held one global lock across the whole build; with eight cached
+  chains that serialized ~60 s of unrelated builds across the bench's
+  4 threads and showed up directly in the pipelined wall.)
 
 This is the SESSION half of reuse; the CROSS-JOB half is
 ``operators.persistence`` (plain-parquet artifacts). At 100 TB the
@@ -41,6 +45,9 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["session_cached"]
 
 _CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_KEY_LOCKS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
 _LOCK = threading.Lock()
@@ -64,11 +71,22 @@ def session_cached(
     """
     with _LOCK:
         cache = _CACHE.setdefault(spark, {})
-        if key not in cache:
-            built = builder()
-            if isinstance(built, DataFrame):
-                built = (built,)
-            cache[key] = tuple(
-                df.localCheckpoint(eager=True) for df in built
-            )
-        return cache[key]
+        got = cache.get(key)
+        if got is not None:
+            return got
+        key_lock = _KEY_LOCKS.setdefault(spark, {}).setdefault(
+            key, threading.Lock()
+        )
+    with key_lock:
+        # double-check: a racing thread may have built while we waited
+        with _LOCK:
+            got = cache.get(key)
+        if got is not None:
+            return got
+        built = builder()
+        if isinstance(built, DataFrame):
+            built = (built,)
+        frames = tuple(df.localCheckpoint(eager=True) for df in built)
+        with _LOCK:
+            cache[key] = frames
+        return frames
