@@ -1923,20 +1923,27 @@ def q_unigram_train_vocab(spark, sf_dir):
     return _ug_vocab_cached(spark, sf_dir)
 
 
-_UG_APPLY_SQL = f"""
-WITH RECURSIVE
+# Shared CTE chain: train replay -> final vocab -> Viterbi segmentation of
+# the word histogram, ending in `segf(word, freq, seg, n_pieces)` — the
+# apply oracle SELECTs it verbatim; the fertility oracle aggregates it.
+_UG_SEG_CTES = f"""
 {_UG_PRELUDE},
 vfinal AS MATERIALIZED (
   SELECT piece, ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 12) AS lp
   FROM fin CROSS JOIN ftt),
-{_ug_vit_sql("f", "vfinal")}
-SELECT b.w AS word, ww.freq,
-       COALESCE(array_to_string(list(b.piece ORDER BY b.pos)
-                                FILTER (WHERE b.piece IS NOT NULL), '|'),
-                '') AS seg,
-       CAST(COUNT(b.piece) AS BIGINT) AS n_pieces
-FROM btf b JOIN words2 ww USING (w)
-GROUP BY b.w, ww.freq
+{_ug_vit_sql("f", "vfinal")},
+segf AS (
+  SELECT b.w AS word, ww.freq,
+         COALESCE(array_to_string(list(b.piece ORDER BY b.pos)
+                                  FILTER (WHERE b.piece IS NOT NULL), '|'),
+                  '') AS seg,
+         CAST(COUNT(b.piece) AS BIGINT) AS n_pieces
+  FROM btf b JOIN words2 ww USING (w)
+  GROUP BY b.w, ww.freq)"""
+
+_UG_APPLY_SQL = f"""
+WITH RECURSIVE {_UG_SEG_CTES}
+SELECT word, freq, seg, n_pieces FROM segf
 """
 
 
@@ -2443,4 +2450,77 @@ def q_dedup_store_append(spark, sf_dir):
             (F.col("n_merged") == F.col("n_scratch"))
             & (F.col("n_agree") == F.col("n_scratch"))
         ).alias("append_consistent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility / compression eval (round 10): the quality metric a
+# tokenizer review actually reads, over the trained unigram model.
+# --------------------------------------------------------------------------
+
+_UG_FERT_SQL = f"""
+WITH RECURSIVE {_UG_SEG_CTES}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * n_pieces) AS BIGINT) AS n_pieces_total,
+       ROUND(CAST(SUM(freq * n_pieces) AS DOUBLE) / SUM(freq), 9)
+         AS fertility,
+       ROUND(CAST(SUM(freq * length(word)) AS DOUBLE)
+             / SUM(freq * n_pieces), 9) AS chars_per_piece,
+       ROUND(CAST(SUM(CASE WHEN n_pieces = 1 THEN freq ELSE 0 END) AS DOUBLE)
+             / SUM(freq), 9) AS pct_single_piece
+FROM segf
+"""
+
+
+@register("eval_tokenizer_fertility", oracle=_UG_FERT_SQL)
+def q_eval_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY eval (pieces per word, corpus-weighted) for
+    the trained unigram model — the one-row metric a tokenizer review
+    reads before shipping a vocab: fertility near 1.0 means the vocab
+    covers the corpus with whole words (cheap sequences), high
+    fertility means text shatters into characters (long sequences,
+    wasted context window). Also reports chars-per-piece (compression)
+    and the share of corpus tokens kept whole.
+
+    Composes the cached trained vocab (`_ug_vocab_cached` — shared with
+    the train/apply/persisted triple) + `unigram_segment`, then ONE
+    aggregate over the word histogram: every metric is an exact-BIGINT
+    ratio with a single division (no libm). Scope note: the histogram
+    caps words at max_word_len=16 chars, the same population the
+    trainer and apply queries see — the metric grades the tokenizer on
+    its own training distribution. Oracle: the shared `_UG_SEG_CTES`
+    replay aggregated instead of SELECTed.
+
+    100 TB: segmentation is vocabulary-sized work over the DISTINCT
+    word histogram (built once, the trainers' device); the eval is a
+    1-row rollup of it. Nothing rescans the corpus.
+    """
+    from dataframe_differ_spark.operators.tokenize import unigram_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _ug_vocab_cached(spark, sf_dir)
+    seg = unigram_segment(
+        docs, "text", vocab, max_piece_len=_UG_L, max_word_len=_UG_MAXW
+    )
+    single = F.when(F.col("n_pieces") == 1, F.col("freq")).otherwise(0)
+    return seg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_pieces"))
+        .cast("long")
+        .alias("n_pieces_total"),
+        F.round(
+            F.sum(F.col("freq") * F.col("n_pieces")).cast("double")
+            / F.sum("freq"),
+            9,
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("freq") * F.length("word")).cast("double")
+            / F.sum(F.col("freq") * F.col("n_pieces")),
+            9,
+        ).alias("chars_per_piece"),
+        F.round(F.sum(single).cast("double") / F.sum("freq"), 9).alias(
+            "pct_single_piece"
+        ),
     )

@@ -261,6 +261,7 @@ HEADLINE = [
     "eval_rouge_pairs",
     "dq_k_anonymity",
     "dedup_store_append",
+    "eval_tokenizer_fertility",
 ]
 
 
