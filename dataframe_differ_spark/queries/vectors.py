@@ -1946,3 +1946,103 @@ def q_ann_drift_refresh(spark, sf_dir):
             ).alias("recall_delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-level) benchmark contamination (round 10): the
+# near-match screen exact n-gram contamination_check cannot see.
+# ---------------------------------------------------------------------------
+
+_CSEM_THRESH = "0.95"
+# Deterministic "paraphrase" of a train copy: nudge dim 1 by +0.05 and
+# renormalize — cosine to the source stays >> threshold, and the chain is
+# exact IEEE in both engines (the ann_drift_refresh device).
+_CSEM_NUDGE = (
+    "list_transform(range(1, 65), i -> e[i] + CASE WHEN i = 2 "
+    "THEN CAST(0.05 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+)
+
+_CSEM_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bench AS (SELECT vec_id AS bench_id, e AS qe FROM base
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+leak0 AS (
+  SELECT vec_id + 700000 AS vec_id, {_CSEM_NUDGE} AS d
+  FROM base WHERE vec_id % 100 = 0),
+leaked AS (
+  SELECT vec_id, {_ADR_RENORM.format(d='d')} AS e FROM leak0),
+train AS (
+  SELECT vec_id, e FROM base WHERE vec_id % 50 <> 0
+  UNION ALL SELECT vec_id, e FROM leaked),
+scored AS (
+  SELECT b.bench_id, t.vec_id, {SQL_COS('b.qe', 't.e')} AS cs
+  FROM bench b JOIN train t ON TRUE),
+best AS (
+  SELECT bench_id, vec_id AS nearest_train_id, cs AS max_cos
+  FROM (SELECT bench_id, vec_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY bench_id
+                                  ORDER BY cs DESC, vec_id) AS rn
+        FROM scored)
+  WHERE rn = 1)
+SELECT bench_id, nearest_train_id, ROUND(max_cos, 9) AS max_cos,
+       max_cos >= {_CSEM_THRESH} AS contaminated
+FROM best
+"""
+
+
+@register("contamination_semantic", oracle=_CSEM_SQL)
+def q_contamination_semantic(spark, sf_dir):
+    """SEMANTIC benchmark-contamination screen: for every benchmark
+    embedding, the nearest TRAIN embedding by cosine and whether it
+    clears the near-match threshold (0.95) — the leak detector
+    `contamination_check` (exact n-gram containment) cannot see: a
+    paraphrased or lightly-edited copy of an eval item embeds next to
+    it while sharing few exact n-grams.
+
+    Fixture: every 50th embedding below id 500 is the benchmark — a
+    FIXED query set at any corpus scale, because real benchmarks are
+    constant-size while train corpora grow (the `sim_topk` bounded
+    contract; an unbounded %50 slice made the screen quadratic — the
+    10x probe caught it at ratio 6.8 before this pin). The train side
+    is the rest PLUS a planted near-copy of every 100th vector (dim-1
+    nudged +0.05, renormalized — the `ann_drift_refresh` exact-IEEE
+    device), so half the benchmark provably leaks and the detector's
+    positives/negatives are both exercised. max-cos via `topk_cosine`
+    with k=1 (broadcast query set, one corpus scan, two-phase top-k —
+    the `sim_topk` bounded-verifier shape; the 100 TB screen swaps in
+    the IVF/LSH candidate path like `sim_topk_ivf`).
+    """
+    from dataframe_differ_spark.operators.similarity import topk_cosine
+
+    e = _emb_double(spark, sf_dir).select("vec_id", "e")
+    bench = e.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    leaked = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .withColumn(
+            "d",
+            F.expr(
+                "transform(sequence(1, 64), i -> element_at(e, i) + "
+                "IF(i = 2, CAST(0.05 AS DOUBLE), CAST(0.0 AS DOUBLE)))"
+            ),
+        )
+        .select(
+            (F.col("vec_id") + 700000).alias("vec_id"),
+            F.expr(
+                "transform(d, x -> x / sqrt(aggregate("
+                "zip_with(d, d, (a, b) -> a * b), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+            ).alias("e"),
+        )
+    )
+    train = e.filter(F.col("vec_id") % 50 != 0).unionByName(leaked)
+    best = topk_cosine(train, bench, 1, exclude_self=False)
+    return best.select(
+        F.col("query_id").alias("bench_id"),
+        F.col("vec_id").alias("nearest_train_id"),
+        F.round("cos_sim", 9).alias("max_cos"),
+        (F.col("cos_sim") >= F.lit(float(_CSEM_THRESH))).alias("contaminated"),
+    )

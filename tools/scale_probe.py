@@ -262,6 +262,7 @@ HEADLINE = [
     "dq_k_anonymity",
     "dedup_store_append",
     "eval_tokenizer_fertility",
+    "contamination_semantic",
 ]
 
 
