@@ -1773,3 +1773,67 @@ def q_dq_k_anonymity(spark, sf_dir):
             9,
         ).alias("risky_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness monitor (round 10): per-stream staleness vs the corpus
+# watermark — the ingest-health gate next to dq_constraint_suite.
+# ---------------------------------------------------------------------------
+
+_FRESH_STALE_DAYS = 7
+
+_FRESH_SQL = f"""
+WITH wm AS (SELECT MAX(ts) AS corpus_max FROM events),
+per AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM events GROUP BY event_type)
+SELECT p.event_type,
+       p.n_rows,
+       strftime(p.first_ts, '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(p.last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+       CAST(date_diff('day', p.last_ts, wm.corpus_max) AS BIGINT)
+         AS lag_days,
+       date_diff('day', p.last_ts, wm.corpus_max) > {_FRESH_STALE_DAYS}
+         AS stale
+FROM per p CROSS JOIN wm
+"""
+
+
+@register("dq_freshness", oracle=_FRESH_SQL)
+def q_dq_freshness(spark, sf_dir):
+    """Per-stream data-FRESHNESS monitor over `events`: each event
+    type's row count, first/last arrival, staleness lag against the
+    corpus watermark (max ts across all types), and a stale flag
+    (> {_FRESH_STALE_DAYS} days behind) — the ingest-health gate that
+    catches a silently-dead upstream before the diff/dedup stages
+    process a partial day. The lag is measured against the CORPUS
+    watermark, not wall-clock, so the check is reproducible on any
+    snapshot (and the oracle needs no now()).
+
+    One scan with per-type min/max/count (map-side combinable) + a
+    1-row watermark broadcast. Timestamps format to strings on output
+    (the driver-compare date device); the day lag is an exact integer
+    in both engines. At 100 TB: the rollup is |event_type| rows, the
+    watermark is one MAX — partition-pruned to the tail if ts is the
+    partition key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wm = e.agg(F.max("ts").alias("corpus_max"))
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    lag = F.datediff(F.to_date("corpus_max"), F.to_date("last_ts")).cast(
+        "long"
+    )
+    return per.crossJoin(F.broadcast(wm)).select(
+        "event_type",
+        "n_rows",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        lag.alias("lag_days"),
+        (lag > _FRESH_STALE_DAYS).alias("stale"),
+    )

@@ -263,6 +263,7 @@ HEADLINE = [
     "dedup_store_append",
     "eval_tokenizer_fertility",
     "contamination_semantic",
+    "dq_freshness",
 ]
 
 
