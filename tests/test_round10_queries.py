@@ -102,3 +102,37 @@ def test_dq_k_anonymity_accounting(spark, sf_small, registry):
     assert 0.0 <= row.risky_share <= 1.0
     # risky rows live in risky classes: each has fewer than k members
     assert row.n_risky_rows < row.k * (row.n_risky_classes + 1)
+
+
+def test_eval_tokenizer_fertility_identities(spark, sf_small, registry):
+    row = registry["eval_tokenizer_fertility"].fn(spark, sf_small).collect()[0]
+    assert row.n_words >= row.n_distinct_words > 0
+    # a trained vocab always covers single chars: every word segments
+    assert row.n_pieces_total >= row.n_words
+    assert row.fertility >= 1.0
+    assert row.chars_per_piece >= 1.0
+    assert 0.0 <= row.pct_single_piece <= 1.0
+    assert row.fertility == pytest.approx(
+        row.n_pieces_total / row.n_words, abs=1e-8
+    )
+
+
+def test_contamination_semantic_planted_leaks(spark, sf_small, registry):
+    rows = registry["contamination_semantic"].fn(spark, sf_small).collect()
+    by_id = {r.bench_id: r for r in rows}
+    # fixed benchmark set: every 50th vec below 500
+    assert set(by_id) == {i for i in range(0, 500, 50)}
+    # every %100 benchmark vec has a planted noisy copy in train -> leaks
+    for bid in range(0, 500, 100):
+        assert by_id[bid].contaminated, bid
+        assert by_id[bid].nearest_train_id == bid + 700000
+    assert all(-1.0 <= r.max_cos <= 1.0 for r in rows)
+
+
+def test_dq_freshness_watermark(spark, sf_small, registry):
+    rows = registry["dq_freshness"].fn(spark, sf_small).collect()
+    assert rows and all(r.n_rows > 0 for r in rows)
+    assert all(r.lag_days >= 0 for r in rows)
+    # the watermark-owning stream has zero lag and is never stale
+    assert any(r.lag_days == 0 and not r.stale for r in rows)
+    assert all(r.stale == (r.lag_days > 7) for r in rows)
