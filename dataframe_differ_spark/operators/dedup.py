@@ -464,6 +464,14 @@ def connected_components(
     rather than returning a partially-propagated labeling. Fixture
     binding + full (recursive-CTE) oracle: ``dedup_clusters``.
     """
+    if checkpoint_every < 1:
+        # 0 would ZeroDivisionError mid-loop; a negative value would
+        # silently defer every convergence check / lineage cut to the
+        # final iteration — the unbounded-lineage replay the parameter
+        # exists to prevent. Same fail-loud contract as max_iter.
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     if vertices is None:
         vertices = (
             edges.select(F.col(src).alias(vertex_col))
@@ -476,20 +484,33 @@ def connected_components(
     )
     changed = -1
     for it in range(max_iter):
+        # Explicit aliases everywhere: with checkpoint_every > 1 the
+        # off-cadence ``labels`` is a lazy plan that EMBEDS
+        # ``undirected``, making both joins below self-joins — resolved
+        # correctly today by DeduplicateRelations, but qualified names
+        # keep correctness independent of that rule (ADVICE r10).
         neighbor_min = (
-            undirected.join(labels, undirected[src] == labels[vertex_col])
-            .groupBy(dst)
-            .agg(F.min("label").alias("_dd_nmin"))
+            undirected.alias("_dd_e")
+            .join(
+                labels.alias("_dd_l"),
+                F.col(f"_dd_e.{src}") == F.col(f"_dd_l.{vertex_col}"),
+            )
+            .groupBy(F.col(f"_dd_e.{dst}").alias(dst))
+            .agg(F.min(f"_dd_l.label").alias("_dd_nmin"))
         )
-        new_labels = labels.join(
-            neighbor_min, labels[vertex_col] == neighbor_min[dst], "left"
+        new_labels = labels.alias("_dd_c").join(
+            neighbor_min.alias("_dd_n"),
+            F.col(f"_dd_c.{vertex_col}") == F.col(f"_dd_n.{dst}"),
+            "left",
         ).select(
-            vertex_col,
+            f"_dd_c.{vertex_col}",
             F.least(
-                F.col("label"), F.coalesce(F.col("_dd_nmin"), F.col("label"))
+                F.col("_dd_c.label"),
+                F.coalesce(F.col("_dd_nmin"), F.col("_dd_c.label")),
             ).alias("label"),
             (
-                F.coalesce(F.col("_dd_nmin"), F.col("label")) < F.col("label")
+                F.coalesce(F.col("_dd_nmin"), F.col("_dd_c.label"))
+                < F.col("_dd_c.label")
             ).alias("_dd_chg"),
         )
         # Materialize + count only at the cadence (and on the last

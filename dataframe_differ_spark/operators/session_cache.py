@@ -64,10 +64,13 @@ def session_cached(
     ``builder`` returns a DataFrame or a sequence of them; the result is
     always a tuple (a single frame comes back as a 1-tuple, so call
     sites destructure uniformly). Frames the builder has ALREADY
-    checkpointed are not double-checkpointed — ``localCheckpoint`` on a
-    checkpointed frame is a cheap no-op-shaped copy, but eager=True
-    would still schedule a job, so the builder should hand back lazy
-    frames and let this function materialize them.
+    checkpointed are detected (analyzed plan is a bare ``LogicalRDD``
+    scan, i.e. nothing but materialized blocks) and NOT re-checkpointed
+    — eager=True on such a frame would schedule a redundant
+    materialization job per frame (ADVICE r10: ``scaleops._mh_parts``
+    checkpoints internally because its two frames must materialize in a
+    specific order; the guard lets such builders coexist with the lazy-
+    frames contract instead of silently double-paying).
     """
     with _LOCK:
         cache = _CACHE.setdefault(spark, {})
@@ -86,7 +89,31 @@ def session_cached(
         built = builder()
         if isinstance(built, DataFrame):
             built = (built,)
-        frames = tuple(df.localCheckpoint(eager=True) for df in built)
+        frames = tuple(
+            df if _already_materialized(df) else df.localCheckpoint(eager=True)
+            for df in built
+        )
         with _LOCK:
             cache[key] = frames
+            # The key's build lock has done its job: later callers hit
+            # the cache before ever reaching for a lock, and waiters on
+            # THIS lock object re-check the cache under it — so the
+            # entry can be dropped instead of accumulating one mutex
+            # per key for the session lifetime (ADVICE r10).
+            locks = _KEY_LOCKS.get(spark)
+            if locks is not None:
+                locks.pop(key, None)
         return frames
+
+
+def _already_materialized(df: DataFrame) -> bool:
+    """True if ``df``'s analyzed plan is nothing but a ``LogicalRDD``
+    scan — the shape ``localCheckpoint`` leaves behind, meaning the
+    frame is already backed by materialized blocks and an eager
+    re-checkpoint would only copy them."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - defensive: treat as lazy
+        return False
+    lines = [ln for ln in plan.strip().splitlines() if ln.strip()]
+    return len(lines) == 1 and lines[0].lstrip().startswith("LogicalRDD")

@@ -32,6 +32,15 @@ class PlanFeatures:
     #: (post-limit seeds, ≤B-row offset frames). Gated per-query by
     #: tools/plan_audit.py against an explicit bounded-input whitelist.
     global_windows: int = 0
+    #: collect_list / collect_set aggregations — each materializes one
+    #: in-memory array PER GROUP on a single reducer and defeats partial
+    #: aggregation, so it is safe only when the GROUP SIZE is bounded by
+    #: something other than the corpus (a doc's length, a 64-dim spine, a
+    #: post-limit seed set). Gated per-query by tools/plan_audit.py
+    #: against an explicit bounded-group whitelist with a stated bound
+    #: (round-10 verdict item #2 — the ann_drift_refresh dim_means fold
+    #: grouped a corpus-sized set and was OOM-by-construction at 100 TB).
+    collect_folds: int = 0
 
     @property
     def broadcast_joins(self) -> int:
@@ -89,4 +98,5 @@ def plan_features(df: DataFrame) -> PlanFeatures:
         ),
         pushed_filters=[p for p in pushed if p],
         global_windows=len(global_window_lines(plan)),
+        collect_folds=len(re.findall(r"collect_(?:list|set)\(", plan)),
     )

@@ -1091,17 +1091,52 @@ def q_dedup_incremental_persisted(spark, sf_dir):
     loop. Full DuckDB oracle replays the identical chain (round-trip
     identity makes the persistence hop transparent to the oracle).
     """
-    import os
-
-    from dataframe_differ_spark.operators.dedup import (
-        minhash_signatures,
-        shingles,
-    )
     from dataframe_differ_spark.operators.persistence import (
         load_artifact,
+        run_scoped_artifact_path,
         save_artifact,
     )
 
+    corpus, batch = _imh_corpus_batch(spark, sf_dir)
+
+    # Day 0: sign the corpus and persist the store.
+    store = _imh_sign(corpus, 3, _IMH_PERM)
+    path = run_scoped_artifact_path("mhsig", sf_dir)
+    save_artifact(
+        store,
+        path,
+        "minhash_signatures",
+        params={"num_perm": _IMH_PERM, "bands": _IMH_BANDS, "shingle_n": 3},
+    )
+
+    # Day N: load the store; all probe parameters come from the ARTIFACT
+    # (probing with different params would band-join garbage — load
+    # refuses a param-less store), and `expect_params` pins the
+    # pipeline's own config against the store's — a store whose signing
+    # params drifted from this query's constants fails LOUDLY at load
+    # (round 11 param-drift contract) instead of band-joining garbage.
+    art = load_artifact(
+        spark,
+        path,
+        "minhash_signatures",
+        expect_params={
+            "num_perm": _IMH_PERM,
+            "bands": _IMH_BANDS,
+            "shingle_n": 3,
+        },
+    )
+    num_perm = int(art.params["num_perm"])
+    bands = int(art.params["bands"])
+    shingle_n = int(art.params["shingle_n"])
+    bsig = _imh_sign(batch, shingle_n, num_perm)
+    return _imh_probe(art.df, bsig, num_perm // bands)
+
+
+def _imh_corpus_batch(spark, sf_dir):
+    """The shared store-loop fixture: (corpus, batch) document splits —
+    corpus = doc_id % 10 < 8; batch = the rest plus planted truncated
+    twins of every 9th corpus doc (doc_id + 300000, first two tokens
+    dropped) so cross matches provably exist."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
     planted = docs.filter(
@@ -1117,32 +1152,31 @@ def q_dedup_incremental_persisted(spark, sf_dir):
         .select("doc_id", "text")
         .unionByName(planted)
     )
+    return corpus, batch
 
-    # Day 0: sign the corpus and persist the store.
-    csh = corpus.select("doc_id", shingles("text", 3).alias("_pp_sh")).filter(
-        F.size("_pp_sh") > 0
-    )
-    store = minhash_signatures(
-        csh, "doc_id", "_pp_sh", num_perm=_IMH_PERM, portable=True
-    )
-    path = os.path.join(
-        "/tmp", "dds_artifacts", f"mhsig_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    save_artifact(
-        store,
-        path,
-        "minhash_signatures",
-        params={"num_perm": _IMH_PERM, "bands": _IMH_BANDS, "shingle_n": 3},
+
+def _imh_sign(df, shingle_n, num_perm):
+    """Portable MinHash signatures (doc_id, j, s) of a (doc_id, text)
+    frame — the signing half every store-loop query shares."""
+    from dataframe_differ_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
     )
 
-    # Day N: load the store; all probe parameters come from the ARTIFACT
-    # (probing with different params would band-join garbage — load
-    # refuses a param-less store).
-    art = load_artifact(spark, path, "minhash_signatures")
-    num_perm = int(art.params["num_perm"])
-    bands = int(art.params["bands"])
-    shingle_n = int(art.params["shingle_n"])
-    rpb = num_perm // bands
+    sh = df.select(
+        "doc_id", shingles("text", shingle_n).alias("_pp_sh")
+    ).filter(F.size("_pp_sh") > 0)
+    return minhash_signatures(
+        sh, "doc_id", "_pp_sh", num_perm=num_perm, portable=True
+    )
+
+
+def _imh_probe(store_df, bsig, rpb):
+    """LSH-probe batch signatures against a signature store: band keys
+    on both sides → candidate pairs → signature-agreement Jaccard
+    estimate. Needs ONLY the two signature tables (no text re-read) —
+    the property that makes the persisted index sufficient for day-N
+    probing."""
 
     def band_keys(sigs, out_id):
         return sigs.groupBy(
@@ -1155,13 +1189,7 @@ def q_dedup_incremental_persisted(spark, sf_dir):
             ).alias("bkey")
         )
 
-    bsh = batch.select(
-        "doc_id", shingles("text", shingle_n).alias("_pp_sh")
-    ).filter(F.size("_pp_sh") > 0)
-    bsig = minhash_signatures(
-        bsh, "doc_id", "_pp_sh", num_perm=num_perm, portable=True
-    )
-    cband = band_keys(art.df, "corpus_id")
+    cband = band_keys(store_df, "corpus_id")
     bband = band_keys(bsig, "batch_id").withColumnRenamed("bkey", "_pp_bk")
     cand = (
         bband.join(
@@ -1175,7 +1203,7 @@ def q_dedup_incremental_persisted(spark, sf_dir):
     sb = bsig.select(
         F.col("doc_id").alias("batch_id"), "j", F.col("s").alias("_pp_sb")
     )
-    sc = art.df.select(
+    sc = store_df.select(
         F.col("doc_id").alias("corpus_id"),
         F.col("j").alias("_pp_jc"),
         F.col("s").alias("_pp_sc"),
@@ -2289,19 +2317,16 @@ def q_unigram_vocab_persisted(spark, sf_dir):
     job; every consumer loads a ≤vocab-row parquet and segments with a
     broadcast join.
     """
-    import os
-
     from dataframe_differ_spark.operators.persistence import (
         load_artifact,
+        run_scoped_artifact_path,
         save_artifact,
     )
     from dataframe_differ_spark.operators.tokenize import unigram_segment
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = _ug_vocab_cached(spark, sf_dir).select("piece", "logp")
-    path = os.path.join(
-        "/tmp", "dds_artifacts", f"ugv_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    path = run_scoped_artifact_path("ugv", sf_dir)
     save_artifact(
         vocab, path, "unigram_vocab",
         params={"max_piece_len": _UG_L, "max_word_len": _UG_MAXW},
@@ -2375,34 +2400,10 @@ def q_dedup_store_append(spark, sf_dir):
     this query is its acceptance test; day N only ever runs the batch
     sign + parquet append.
     """
-    from dataframe_differ_spark.operators.dedup import (
-        minhash_signatures,
-        shingles,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
-    planted = docs.filter(
-        (F.col("doc_id") % 10 < 8) & (F.col("doc_id") % 9 == 0)
-    ).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.concat_ws(
-            " ", F.expr("slice(split(text, ' '), 3, size(split(text, ' ')))")
-        ).alias("text"),
-    )
-    batch = (
-        docs.filter(F.col("doc_id") % 10 >= 8)
-        .select("doc_id", "text")
-        .unionByName(planted)
-    )
+    corpus, batch = _imh_corpus_batch(spark, sf_dir)
 
     def sig_of(df):
-        sh = df.select("doc_id", shingles("text", 3).alias("_pp_sh")).filter(
-            F.size("_pp_sh") > 0
-        )
-        return minhash_signatures(
-            sh, "doc_id", "_pp_sh", num_perm=_IMH_PERM, portable=True
-        )
+        return _imh_sign(df, 3, _IMH_PERM)
 
     csig = sig_of(corpus)
     bsig = sig_of(batch)
@@ -2450,6 +2451,82 @@ def q_dedup_store_append(spark, sf_dir):
             (F.col("n_merged") == F.col("n_scratch"))
             & (F.col("n_agree") == F.col("n_scratch"))
         ).alias("append_consistent"),
+    )
+
+
+@register("dedup_store_compacted", oracle=_INCR_MH_SQL)
+def q_dedup_store_compacted(spark, sf_dir):
+    """Store COMPACTION under a full oracle (round 11, VERDICT r10 item
+    #4 — lifecycle beyond append): the signature store lives through a
+    whole maintenance cycle — day-0 save, a day-N batch append, a
+    REPLAYED append (the at-least-once sink retry that leaves exact-
+    duplicate rows), then `compact_artifact` (dedup + re-shard to one
+    file set) — and the post-compaction LSH probe of the batch against
+    the store's corpus side must STILL equal `dedup_incremental_
+    persisted`'s probe of the never-compacted store (same oracle SQL):
+    compaction is invisible to queries, which is its entire contract.
+
+    The mechanism checks run in-query and fail loudly: rows_before
+    must exceed rows_after by exactly one batch-signature set (the
+    replayed append, removed by dedup — proving dedup removed ONLY the
+    duplicates), and the rewrite must land in a single file set. At
+    100 TB this is the weekend maintenance job: a grown store of
+    thousands of small daily appends becomes one well-sharded scan
+    again, with the probe-equality gate this query encodes as its
+    acceptance test.
+    """
+    from dataframe_differ_spark.operators.persistence import (
+        compact_artifact,
+        load_artifact,
+        run_scoped_artifact_path,
+        save_artifact,
+    )
+
+    corpus, batch = _imh_corpus_batch(spark, sf_dir)
+    params = {"num_perm": _IMH_PERM, "bands": _IMH_BANDS, "shingle_n": 3}
+
+    # Day 0: persist the corpus store.
+    path = run_scoped_artifact_path("mhsigc", sf_dir)
+    save_artifact(
+        _imh_sign(corpus, 3, _IMH_PERM), path, "minhash_signatures",
+        params=params,
+    )
+
+    # Day N: sign the batch once (materialized — appended twice below
+    # and probed after, so the signatures must be computed exactly once
+    # and byte-stable across those uses), then append it twice: the
+    # second write simulates an at-least-once delivery retry.
+    bsig = _imh_sign(batch, 3, _IMH_PERM).localCheckpoint(eager=True)
+    n_batch_sig = bsig.count()
+    bsig.write.mode("append").parquet(f"{path}/data")
+    bsig.write.mode("append").parquet(f"{path}/data")
+
+    # Maintenance: compact (dedup duplicates, re-shard), then verify the
+    # lifecycle arithmetic loudly — dedup must have removed EXACTLY the
+    # replayed batch rows, nothing else.
+    stats = compact_artifact(spark, path, "minhash_signatures", num_files=1)
+    if stats.rows_before - stats.rows_after != n_batch_sig:
+        raise RuntimeError(
+            "compaction removed a row set different from the replayed "
+            f"append: before={stats.rows_before} after={stats.rows_after} "
+            f"batch_sigs={n_batch_sig}"
+        )
+    if stats.files_after != 1:
+        raise RuntimeError(
+            f"compaction left {stats.files_after} file sets, expected 1"
+        )
+
+    # Post-compaction probe: batch vs the store's CORPUS side (the
+    # store now also holds the appended batch signatures; corpus rows
+    # are doc_id % 10 < 8 under 300000 by the fixture's construction).
+    art = load_artifact(
+        spark, path, "minhash_signatures", expect_params=params
+    )
+    corpus_side = art.df.filter(
+        (F.col("doc_id") % 10 < 8) & (F.col("doc_id") < 300000)
+    )
+    return _imh_probe(
+        corpus_side, bsig, int(art.params["num_perm"]) // int(art.params["bands"])
     )
 
 

@@ -2366,10 +2366,9 @@ def q_sketch_bloom_persisted(spark, sf_dir):
     concurrent scales don't collide; overwrite mode makes reruns
     idempotent.
     """
-    import os
-
     from dataframe_differ_spark.operators.persistence import (
         load_artifact,
+        run_scoped_artifact_path,
         save_artifact,
     )
     from dataframe_differ_spark.operators.sketches import (
@@ -2380,9 +2379,7 @@ def q_sketch_bloom_persisted(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     a = cust.filter(F.col("c_acctbal") < 0).select("c_custkey").distinct()
     bits = bloom_build(a, "c_custkey", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K)
-    path = os.path.join(
-        "/tmp", "dds_artifacts", f"bloom_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    path = run_scoped_artifact_path("bloom", sf_dir)
     save_artifact(
         bits, path, "bloom_bits",
         params={"n_bits": _BLOOM_BITS, "n_hashes": _BLOOM_K},

@@ -1768,18 +1768,15 @@ def q_quality_lr_persisted(spark, sf_dir):
     The train-once-score-everywhere shape: training's 3 aggregate scans
     run in the producing job only; every consumer loads a 5-row parquet.
     """
-    import os
-
     from dataframe_differ_spark.operators.persistence import (
         load_artifact,
+        run_scoped_artifact_path,
         save_artifact,
     )
     from dataframe_differ_spark.operators.stats import logreg_score
 
     feats, weights = _qlr_model_cached(spark, sf_dir)
-    path = os.path.join(
-        "/tmp", "dds_artifacts", f"qlr_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    path = run_scoped_artifact_path("qlr", sf_dir)
     save_artifact(
         weights,
         path,

@@ -510,10 +510,9 @@ def q_sim_topk_ivf_persisted(spark, sf_dir):
     crossJoin + max_by — no retraining, no shuffle of the corpus); the
     cluster_id becomes the on-disk partition key.
     """
-    import os
-
     from dataframe_differ_spark.operators.persistence import (
         load_artifact,
+        run_scoped_artifact_path,
         save_artifact,
     )
     from dataframe_differ_spark.operators.similarity import assign_clusters
@@ -521,9 +520,7 @@ def q_sim_topk_ivf_persisted(spark, sf_dir):
     n_clusters, n_probe, k = 16, 6, 10
     e = _emb_double(spark, sf_dir)
     _, centroids = _ivf_index_cached(spark, sf_dir, e, n_clusters)
-    path = os.path.join(
-        "/tmp", "dds_artifacts", f"ivf_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    path = run_scoped_artifact_path("ivf", sf_dir)
     save_artifact(
         centroids, path, "ivf_centroids",
         params={"n_clusters": n_clusters, "dim": 64},
@@ -1759,17 +1756,17 @@ dr0 AS (
   FROM base WHERE vec_id % 10 = 0),
 drift AS (SELECT vec_id, {_ADR_RENORM.format(d='d')} AS e FROM dr0),
 newc AS (SELECT vec_id, e FROM oldc UNION ALL SELECT vec_id, e FROM drift),
-omd AS (SELECT vec_id, i AS dim, e[i + 1] AS val
+omd AS (SELECT i AS dim, e[i + 1] AS val
         FROM oldc CROSS JOIN (SELECT unnest(range(64)) AS i)),
-dmd AS (SELECT vec_id, i AS dim, e[i + 1] AS val
+dmd AS (SELECT i AS dim, e[i + 1] AS val
         FROM drift CROSS JOIN (SELECT unnest(range(64)) AS i)),
 omean AS (
-  SELECT dim, list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
-                          (a, b) -> a + b) / COUNT(*) AS m
+  SELECT dim, CAST(SUM(CAST(FLOOR(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+                / COUNT(*) / 1000000.0 AS m
   FROM omd GROUP BY dim),
 dmean AS (
-  SELECT dim, list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
-                          (a, b) -> a + b) / COUNT(*) AS m
+  SELECT dim, CAST(SUM(CAST(FLOOR(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+                / COUNT(*) / 1000000.0 AS m
   FROM dmd GROUP BY dim),
 dl AS (SELECT o.dim, d.m - o.m AS dl
        FROM omean o JOIN dmean d ON o.dim = d.dim),
@@ -1816,8 +1813,15 @@ def q_ann_drift_refresh(spark, sf_dir):
     Fixture: 90% of embeddings are "yesterday's" corpus; the other 10%
     arrive drifted (add 0.5 to dim 0, renormalize — deterministic, no
     libm beyond IEEE sqrt). Drift stat = L2 norm of the per-dim mean
-    delta between arrivals and corpus (sequential folds ordered by
-    vec_id/dim — bit-identical cross-engine, the Lloyd-mean device).
+    delta between arrivals and corpus. The per-dim means use the
+    FLOOR-micro BIGINT device (`emb_dim_stats`): floor(val*1e6) summed
+    as BIGINT is order-free and exactly reproducible cross-engine, so
+    the monitor is a genuine partial-aggregated 64-group pass — no
+    corpus-sized array ever materializes (VERDICT r10 item #1 replaced
+    the earlier vec_id-ordered collect_list fold, which held the whole
+    corpus per dim on one reducer). Only the 64 per-dim deltas — bounded
+    by the dimensionality, not the corpus — go through a dim-ordered
+    fold for the final L2.
     The stale index assigns ALL current vectors to yesterday's
     centroids (what an un-refreshed index does on ingest); the
     refreshed index retrains on the full corpus (`ivf_index`, shared
@@ -1874,20 +1878,22 @@ def q_ann_drift_refresh(spark, sf_dir):
         i_new, c_new = ivf_index(newc, "vec_id", "e", n_clusters=_ADR_K)
         return c_old, i_old, c_new, i_new
 
-    # Drift monitor: sequential per-dim means (ordered by vec_id), then a
-    # dim-ordered fold of squared deltas — deterministic in both engines.
+    # Drift monitor: order-free FLOOR-micro per-dim means (map-side
+    # combinable — the emb_dim_stats device), then a dim-ordered fold of
+    # the 64 squared deltas (bounded by dimensionality, never the corpus).
     def dim_means(df):
         return (
-            df.select("vec_id", F.posexplode("e").alias("dim", "val"))
+            df.select(F.posexplode("e").alias("dim", "val"))
             .groupBy("dim")
             .agg(
                 (
-                    F.expr(
-                        "aggregate(transform(array_sort("
-                        "collect_list(struct(vec_id, val))), x -> x.val), "
-                        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-                    )
+                    F.sum(
+                        F.floor(F.col("val") * F.lit(1000000.0)).cast(
+                            "bigint"
+                        )
+                    ).cast("double")
                     / F.count(F.lit(1))
+                    / F.lit(1000000.0)
                 ).alias("m")
             )
         )

@@ -313,3 +313,87 @@ def test_minhash_signatures_roundtrip(spark, tmp_path):
         .collect()
     )
     assert (101, 1) in {(r.batch_id, r.corpus_id) for r in hits}
+
+
+# ---------------------------------------------------------------------------
+# Store lifecycle: param-drift contract + compaction (round 11, VERDICT r10
+# item #4)
+# ---------------------------------------------------------------------------
+
+
+def test_load_artifact_param_drift_raises(spark, tmp_path):
+    """`expect_params` must REFUSE a store whose stored params differ from
+    the caller's pipeline config — silently probing with drifted params
+    band-joins garbage, which is exactly the failure the contract names."""
+    from pyspark.sql import Row
+
+    store = spark.createDataFrame([Row(doc_id=1, j=0, s=7)])
+    p = str(tmp_path / "mh")
+    save_artifact(
+        store,
+        p,
+        "minhash_signatures",
+        params={"num_perm": 12, "bands": 6, "shingle_n": 3},
+    )
+    # matching expectations load fine (subset pinning allowed)
+    art = load_artifact(
+        spark, p, "minhash_signatures", expect_params={"num_perm": 12}
+    )
+    assert art.params["bands"] == 6
+    # planted drift: pipeline was reconfigured to num_perm=24 but the
+    # store on disk was signed with 12 -> loud, named failure
+    with pytest.raises(ValueError, match="param drift.*num_perm"):
+        load_artifact(
+            spark,
+            p,
+            "minhash_signatures",
+            expect_params={"num_perm": 24, "bands": 6},
+        )
+    # expecting a param the store never recorded is also drift
+    with pytest.raises(ValueError, match="param drift.*salt"):
+        load_artifact(
+            spark, p, "minhash_signatures", expect_params={"salt": 1}
+        )
+
+
+def test_compact_artifact_roundtrip(spark, tmp_path):
+    """Append-grown store (with a planted at-least-once double-append) →
+    compact → same logical content, fewer files, duplicates gone; meta
+    params untouched."""
+    from pyspark.sql import functions as F
+
+    from dataframe_differ_spark.operators.persistence import (
+        compact_artifact,
+        load_artifact,
+        save_artifact,
+    )
+
+    base = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("int").alias("j"),
+        (F.col("id") * 7 % 101).alias("s"),
+    )
+    p = str(tmp_path / "mh")
+    params = {"num_perm": 4, "bands": 2, "shingle_n": 3}
+    save_artifact(
+        base.filter("doc_id < 10"), p, "minhash_signatures", params=params
+    )
+    # three daily appends, one delivered twice (sink retry)
+    day1 = base.filter("doc_id >= 10 and doc_id < 20")
+    day2 = base.filter("doc_id >= 20")
+    for chunk in (day1, day2, day2):
+        chunk.write.mode("append").parquet(f"{p}/data")
+
+    before = load_artifact(spark, p, "minhash_signatures")
+    n_before = before.df.count()
+    assert n_before == 40  # 10 + 10 + 10 + 10 (the replayed chunk)
+    probe_before = _rows(before.df.select("doc_id", "j", "s").distinct())
+
+    stats = compact_artifact(spark, p, "minhash_signatures", num_files=1)
+    assert stats.rows_before == 40 and stats.rows_after == 30
+    assert stats.files_after <= stats.files_before
+    assert stats.files_after == 1
+
+    after = load_artifact(spark, p, "minhash_signatures")
+    assert after.params == params  # compaction never touches meta
+    assert _rows(after.df.select("doc_id", "j", "s")) == probe_before

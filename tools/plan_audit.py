@@ -99,12 +99,72 @@ GLOBAL_WINDOW_OK = {
 }
 
 
+# Queries ALLOWED to carry a collect_list/collect_set aggregation, each
+# with the reason its GROUP SIZE is bounded by something other than the
+# corpus (round-10 verdict item #2: a collect fold materializes one
+# in-memory array per group on a single reducer and defeats partial
+# aggregation — ann_drift_refresh's dim_means grouped a corpus-sized set
+# and was OOM-by-construction at 100 TB; fixed r11 to a FLOOR-micro
+# sum/count). Everything else: a collect fold in the plan is a hard audit
+# failure — either bound the group, switch to an order-free aggregate
+# device, or whitelist here with the stated bound. Source-level fold
+# sites hidden behind localCheckpoint cuts are inventoried in
+# BASELINE.md's per-site bound table (same round item).
+COLLECT_FOLD_OK = {
+    "agg_collect": "collect_set of o_orderstatus per customer (≤3 distinct)",
+    "agg_string_agg": "collect_set of ≤3 distinct statuses per priority",
+    "ann_drift_refresh": "64 per-dim mean deltas (dimension-bounded; the "
+    "corpus pass is FLOOR-micro sum/count since r11)",
+    "dedup_fuzzy_names": "FastSS candidate buckets — declared exact "
+    "verifier; scale sibling dedup_fuzzy_names_capped caps buckets",
+    "dedup_fuzzy_names_capped": "FastSS buckets capped at top-64 members "
+    "(md5 election, two-phase partitioned_topk)",
+    "dedup_incremental_persisted": "per-doc MinHash band concat "
+    "(n_perms-bounded signature, one array per document)",
+    "dedup_store_compacted": "per-doc MinHash band concat "
+    "(n_perms-bounded; same probe chain as dedup_incremental_persisted)",
+    "dedup_substring_excise": "per-doc token-position list "
+    "(doc-length bounded)",
+    "eval_pr_auc": "distinct-score spine (integer stopword counts — tens "
+    "of rows at any SF)",
+    "eval_tokenizer_fertility": "per-doc subword fold (doc-length bounded)",
+    "events_changepoint_cusum": "calendar-bounded day spine per series",
+    "events_holt_linear": "calendar-bounded day spine per series",
+    "events_holt_winters": "calendar-bounded day spine per series",
+    "events_kalman_level": "calendar-bounded day spine per series",
+    "events_lz78_complexity": "one user's event-type history (fixture "
+    "~60 events; production windows by time)",
+    "events_pattern_sequence": "one user's event-type history (fixture "
+    "~60 events; production windows by time)",
+    "join_bloom_prune": "≤8192 bloom slot positions, one group",
+    "km_survival_users": "day-spine risk table (calendar-bounded)",
+    "privacy_t_closeness": "per-(QI,class) distribution over the "
+    "quantized sensitive-value grid",
+    "sample_neyman_allocation": "per-stratum summary rows (#strata "
+    "bounded)",
+    "sim_join_lsh": "one (band,sig) LSH bucket — E[|bucket|]=n/2^bits by "
+    "plane construction; hot-bucket hazard documented in cosine_join_lsh",
+    "stats_anova_f": "per-group summary rows (#groups bounded)",
+    "stats_chi2_independence": "contingency cells (~35)",
+    "stats_levene_bf": "per-group summary rows (#groups bounded)",
+    "text_rake_keywords": "per-doc phrase folds (doc-length bounded)",
+    "text_tokenize_greedy": "per-doc position spine (doc-length bounded)",
+    "timeseries_ewma": "calendar-bounded day spine per series",
+    "unigram_apply_segment": "per-(doc,word) Viterbi DP edges "
+    "(word-length × vocab-candidate bounded)",
+    "unigram_vocab_persisted": "per-(doc,word) Viterbi DP edges "
+    "(word-length × vocab-candidate bounded)",
+    "vec_top_pc": "64×64 covariance cells (dimension-bounded)",
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF
     spark = get_spark("plan_audit")
     registry = load_all()
     failures: list[str] = []
     gw_seen: set[str] = set()
+    cf_seen: set[str] = set()
     for name, q in registry.items():
         if name in SKIP:
             continue
@@ -129,6 +189,14 @@ def main() -> int:
                     "ship a rankops sibling or whitelist with a "
                     "bounded-input reason in GLOBAL_WINDOW_OK"
                 )
+        if f.collect_folds:
+            cf_seen.add(name)
+            if name not in COLLECT_FOLD_OK:
+                failures.append(
+                    f"{name}: collect_list/set aggregation in plan — "
+                    "bound the group (or use an order-free device) and "
+                    "whitelist with the stated bound in COLLECT_FOLD_OK"
+                )
         if name in MUST_BROADCAST and f.broadcast_joins == 0:
             failures.append(f"{name}: expected a broadcast join, found none")
         want = MUST_PUSH_FILTER.get(name)
@@ -142,6 +210,12 @@ def main() -> int:
             failures.append(
                 f"{name}: GLOBAL_WINDOW_OK entry is STALE — plan has no "
                 "partition-less Window; remove the whitelist row"
+            )
+    for name in sorted(set(COLLECT_FOLD_OK) - cf_seen):
+        if name in registry and name not in SKIP:
+            failures.append(
+                f"{name}: COLLECT_FOLD_OK entry is STALE — plan has no "
+                "collect_list/set aggregation; remove the whitelist row"
             )
     print()
     if failures:

@@ -261,6 +261,7 @@ HEADLINE = [
     "eval_rouge_pairs",
     "dq_k_anonymity",
     "dedup_store_append",
+    "dedup_store_compacted",
     "eval_tokenizer_fertility",
     "contamination_semantic",
     "dq_freshness",
