@@ -31,44 +31,51 @@ from pyspark.sql import functions as F
 
 from dataframe_differ_spark.tables import load_table
 
-_SPLIT_CACHE: dict[tuple[str, int], str] = {}
+_SPLIT_CACHE: dict[tuple[str, str, int], str] = {}
 _SPLIT_LOCK = threading.Lock()
 
 
-def split_events_files(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
-    """Materialize events as ``n_files`` parquet part-files; return the dir.
+def split_frame_files(
+    name: str,
+    sf_dir: str,
+    n_files: int,
+    build,
+    split_key: str,
+) -> str:
+    """Materialize ``build()``'s frame as ``n_files`` parquet part-files
+    hash-split on ``split_key``; return the directory (round 11: the
+    events-specific splitter generalized so any table slice — e.g. the
+    store-loop document batch — can be replayed incrementally).
 
-    The ns→µs timestamp normalization is applied BEFORE writing, so the
-    split copy carries a plain timestamp column readable by the stream
-    schema without the nanosAsLong detour. Files are hash-split on
-    event_id: deterministic, and every micro-batch sees a mix of users and
-    event times (like a real arrival stream, no artificial time ordering).
-
-    Publication is race-safe (the bench pipelines queries on threads, and
-    two replay queries share this cache): the split is written to a unique
-    temp dir and atomically renamed into place; losers discard their copy.
-    A lock serializes in-process callers so only one Spark write runs.
+    Hash-splitting is deterministic, and every micro-batch sees a mix of
+    keys (like a real arrival stream, no artificial ordering).
+    Publication is race-safe (the bench pipelines queries on threads,
+    and replay queries share this cache): the split is written to a
+    unique temp dir and atomically renamed into place; losers discard
+    their copy. A lock serializes in-process callers so only one Spark
+    write runs.
     """
-    key = (os.path.abspath(sf_dir), n_files)
+    key = (name, os.path.abspath(sf_dir), n_files)
     with _SPLIT_LOCK:
         if key in _SPLIT_CACHE and os.path.isdir(_SPLIT_CACHE[key]):
             return _SPLIT_CACHE[key]
         # Content-stable tag: Python's str hash() is per-process
         # randomized, which would give every process a private path —
         # defeating both the cross-process rename race handling and the
-        # on-disk reuse (each run would leak a fresh events copy).
-        tag = hashlib.md5(f"{key[0]}|{key[1]}".encode()).hexdigest()[:10]
+        # on-disk reuse (each run would leak a fresh copy).
+        tag = hashlib.md5(f"{key[0]}|{key[1]}|{key[2]}".encode()).hexdigest()[
+            :10
+        ]
         out = os.path.join(
-            tempfile.gettempdir(), f"ddspark_events_split_{tag}_{n_files}"
+            tempfile.gettempdir(), f"ddspark_{name}_split_{tag}_{n_files}"
         )
         if not os.path.isdir(out) or not any(
             f.endswith(".parquet") for f in os.listdir(out)
         ):
             tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
-            e = load_table(spark, sf_dir, "events").withColumn(
-                "ts", F.col("ts").cast("timestamp")
-            )
-            e.repartition(n_files, "event_id").write.mode("overwrite").parquet(tmp)
+            build().repartition(n_files, split_key).write.mode(
+                "overwrite"
+            ).parquet(tmp)
             # Pin DETERMINISTIC ascending mtimes in part-file path order:
             # FileStreamSource packs micro-batches by modification time,
             # and parallel writers finish in nondeterministic thread
@@ -103,6 +110,23 @@ def split_events_files(spark: SparkSession, sf_dir: str, n_files: int = 8) -> st
                     raise
         _SPLIT_CACHE[key] = out
         return out
+
+
+def split_events_files(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Materialize events as ``n_files`` parquet part-files; return the dir.
+
+    The ns→µs timestamp normalization is applied BEFORE writing, so the
+    split copy carries a plain timestamp column readable by the stream
+    schema without the nanosAsLong detour. Hash-split on event_id:
+    every micro-batch sees a mix of users and event times.
+    """
+
+    def build() -> DataFrame:
+        return load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    return split_frame_files("events", sf_dir, n_files, build, "event_id")
 
 
 def incremental_events_stream(

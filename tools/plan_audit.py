@@ -115,6 +115,9 @@ COLLECT_FOLD_OK = {
     "agg_string_agg": "collect_set of ≤3 distinct statuses per priority",
     "ann_drift_refresh": "64 per-dim mean deltas (dimension-bounded; the "
     "corpus pass is FLOOR-micro sum/count since r11)",
+    "corpus_data_card": "inherits its components' bounded folds (per-doc "
+    "n_perms-bounded band concat from the near-dup chain; each "
+    "component is audited and whitelisted individually)",
     "dedup_fuzzy_names": "FastSS candidate buckets — declared exact "
     "verifier; scale sibling dedup_fuzzy_names_capped caps buckets",
     "dedup_fuzzy_names_capped": "FastSS buckets capped at top-64 members "

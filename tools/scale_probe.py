@@ -262,6 +262,7 @@ HEADLINE = [
     "dq_k_anonymity",
     "dedup_store_append",
     "dedup_store_compacted",
+    "corpus_data_card",
     "eval_tokenizer_fertility",
     "contamination_semantic",
     "dq_freshness",
