@@ -77,6 +77,9 @@ def load_all() -> dict[str, Query]:
             scaleops,
             rankops,
             statsops,
+            # LAST: composes other queries' registered oracles (any
+            # module above may be a component).
+            datacard,
         )
 
         _LOADED = True

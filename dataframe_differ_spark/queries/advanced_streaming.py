@@ -388,3 +388,165 @@ def _register_stream_dedup_persisted():
 
 
 q_stream_dedup_persisted = _register_stream_dedup_persisted()
+
+# ---------------------------------------------------------------------------
+# Streaming ingest x persisted ANN index (round 11): the vector sibling of
+# stream_dedup_persisted — arriving embeddings assigned to yesterday's
+# persisted IVF quantizer, drift stats accumulated exactly across batches.
+# ---------------------------------------------------------------------------
+
+
+def _register_stream_ann_ingest():
+    from dataframe_differ_spark.functions.vector import SQL_DOT
+    from dataframe_differ_spark.queries.vectors import (
+        _ADR_K,
+        _ADR_RENORM,
+        _adr_assign_sql,
+        _adr_cent_sql,
+    )
+
+    oracle = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+oldc AS (SELECT vec_id, e FROM base WHERE vec_id % 10 <> 0),
+dr0 AS (
+  SELECT vec_id,
+         list_transform(range(1, 65),
+           i -> e[i] + CASE WHEN i = 1 THEN CAST(0.5 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END) AS d
+  FROM base WHERE vec_id % 10 = 0),
+drift AS (SELECT vec_id, {_ADR_RENORM.format(d='d')} AS e FROM dr0),{_adr_cent_sql('oldc', 'o_')},{_adr_assign_sql('drift', 'o_cent', 'asg')},
+dots AS (
+  SELECT a.cluster_id, {SQL_DOT('c.ce', 'a.e')} AS dot
+  FROM asg a JOIN o_cent c ON c.cluster_id = a.cluster_id)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       ROUND(CAST(SUM(CAST(FLOOR(dot * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000.0, 9) AS mean_dot
+FROM dots GROUP BY cluster_id
+"""
+
+    @register("stream_ann_ingest", oracle=oracle)
+    def q_stream_ann_ingest(spark, sf_dir):
+        """STREAMING vector ingest against the PERSISTED IVF quantizer —
+        the ANN sibling of `stream_dedup_persisted`: yesterday's corpus
+        trains the coarse quantizer (the `ann_drift_refresh` stale
+        index, shared session-cached build), the centroids persist as
+        an `ivf_centroids` artifact, and today's DRIFTED arrivals
+        stream in 4 micro-batches, each one (a) loading the artifact
+        with `expect_params` (n_clusters/dim pinned — a re-trained
+        store with different K fails loudly mid-stream), (b) assigning
+        its vectors to their max-dot centroid (broadcast K-row
+        crossJoin — map-only, zero shuffle of the arrivals), and (c)
+        appending PARTIAL per-cluster aggregates to the monitor log:
+        (cluster_id, n, FLOOR-micro BIGINT dot sum). The registered
+        output merges the partials: per-cluster arrival count and mean
+        assignment similarity.
+
+        The FLOOR-micro device is what makes the streaming monitor
+        EXACT, not approximate: integer partial sums merge
+        associatively across micro-batches, so the streamed per-cluster
+        means are bit-identical to the one-shot batch computation — and
+        the query carries a full DuckDB oracle (Lloyd chain + assign +
+        the same micro-unit mean) to prove it. This is the production
+        drift monitor an un-refreshed index runs on ingest: arrivals
+        concentrating into few clusters with falling mean_dot is the
+        retrain trigger `ann_drift_refresh` then acts on.
+
+        100 TB: the quantizer is K~√N rows (broadcast); each
+        micro-batch is map-only + a K-group partial aggregate; the
+        monitor log grows by ≤K rows per batch. No corpus-sized state
+        anywhere.
+        """
+        from dataframe_differ_spark.functions.vector import dot
+        from dataframe_differ_spark.operators.persistence import (
+            load_artifact,
+            run_scoped_artifact_path,
+            save_artifact,
+        )
+        from dataframe_differ_spark.operators.similarity import (
+            assign_clusters,
+        )
+        from dataframe_differ_spark.queries.vectors import (
+            _adr_fixture,
+            _adr_indexes_cached,
+        )
+        from dataframe_differ_spark.sources.replay import split_frame_files
+
+        params = {"n_clusters": _ADR_K, "dim": 64}
+        cent_old, _, _, _ = _adr_indexes_cached(spark, sf_dir)
+        store_path = run_scoped_artifact_path("ivfstream", sf_dir)
+        save_artifact(cent_old, store_path, "ivf_centroids", params=params)
+
+        _, drifted = _adr_fixture(spark, sf_dir)
+        split_dir = split_frame_files(
+            "embdrift", sf_dir, 4, lambda: drifted, "vec_id"
+        )
+        schema = spark.read.parquet(split_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(split_dir)
+        )
+
+        run_tag = uuid.uuid4().hex[:8]
+        mon_log = os.path.join(
+            tempfile.gettempdir(), f"ddspark_sai_mon_{run_tag}"
+        )
+
+        def assign_and_monitor(bdf, batch_id):
+            art = load_artifact(
+                spark, store_path, "ivf_centroids", expect_params=params
+            )
+            asg = assign_clusters(bdf, art.df, "vec_id", "e")
+            part = (
+                asg.join(F.broadcast(art.df), "cluster_id")
+                .withColumn("_sai_dot", dot("ce", "e"))
+                .groupBy("cluster_id")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(
+                        F.floor(F.col("_sai_dot") * F.lit(1000000.0)).cast(
+                            "bigint"
+                        )
+                    ).alias("micro_sum"),
+                )
+                .withColumn("micro_batch", F.lit(int(batch_id)))
+            )
+            part.write.mode("append").parquet(mon_log)
+
+        with STREAM_CONF_LOCK:
+            saved = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                q = (
+                    stream.writeStream.foreachBatch(assign_and_monitor)
+                    .option(
+                        "checkpointLocation",
+                        os.path.join(
+                            tempfile.gettempdir(),
+                            f"ddspark_ckpt_sai_{run_tag}",
+                        ),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                record_progress("sai", q)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+        mon = spark.read.parquet(mon_log)
+        return mon.groupBy("cluster_id").agg(
+            F.sum("n").cast("long").alias("n_assigned"),
+            F.round(
+                F.sum("micro_sum").cast("double")
+                / F.sum("n")
+                / F.lit(1000000.0),
+                9,
+            ).alias("mean_dot"),
+        )
+
+    return q_stream_ann_ingest
+
+
+q_stream_ann_ingest = _register_stream_ann_ingest()

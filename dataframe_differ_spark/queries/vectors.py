@@ -1801,6 +1801,61 @@ FROM nq, dstat, ho, hn
 """
 
 
+def _adr_fixture(spark, sf_dir):
+    """The ANN-maintenance fixture shared by `ann_drift_refresh` and
+    `stream_ann_ingest`: (oldc, drifted) — yesterday's corpus (90% of
+    embeddings) and today's arrivals (the other 10%, dim-0 nudged +0.5
+    and renormalized — deterministic, no libm beyond IEEE sqrt)."""
+    e = _emb_double(spark, sf_dir).select("vec_id", "e")
+    oldc = e.filter(F.col("vec_id") % 10 != 0)
+    drifted = (
+        e.filter(F.col("vec_id") % 10 == 0)
+        .withColumn(
+            "d",
+            F.expr(
+                "transform(sequence(1, 64), i -> element_at(e, i) + "
+                "IF(i = 1, CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE)))"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(d, x -> x / sqrt(aggregate("
+                "zip_with(d, d, (a, b) -> a * b), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+            ).alias("e"),
+        )
+    )
+    return oldc, drifted
+
+
+def _adr_indexes_cached(spark, sf_dir):
+    """(cent_old, idx_old, cent_new, idx_new), built once per
+    (session, sf_dir) — shared by `ann_drift_refresh` and
+    `stream_ann_ingest` (the stream only needs cent_old; sharing the
+    builder means whichever query runs first pays the build once)."""
+    import os
+
+    from dataframe_differ_spark.operators.session_cache import session_cached
+    from dataframe_differ_spark.operators.similarity import (
+        assign_clusters,
+        ivf_index,
+    )
+
+    oldc, drifted = _adr_fixture(spark, sf_dir)
+    newc = oldc.unionByName(drifted)
+
+    def _build_indexes():
+        _stale, c_old = ivf_index(oldc, "vec_id", "e", n_clusters=_ADR_K)
+        i_old = assign_clusters(newc, c_old, "vec_id", "e")
+        i_new, c_new = ivf_index(newc, "vec_id", "e", n_clusters=_ADR_K)
+        return c_old, i_old, c_new, i_new
+
+    return session_cached(
+        spark, ("ann_drift_indexes", os.path.abspath(sf_dir)), _build_indexes
+    )
+
+
 @register("ann_drift_refresh", oracle=_ADR_SQL)
 def q_ann_drift_refresh(spark, sf_dir):
     """ANN index MAINTENANCE, end-to-end: detect embedding drift ->
@@ -1837,46 +1892,13 @@ def q_ann_drift_refresh(spark, sf_dir):
     row is O(1). Composes: ivf_index + assign_clusters +
     topk_cosine_ivf + topk_cosine, all individually oracle-verified.
     """
-    from dataframe_differ_spark.operators.session_cache import session_cached
     from dataframe_differ_spark.operators.similarity import (
-        assign_clusters,
-        ivf_index,
         topk_cosine,
         topk_cosine_ivf,
     )
 
-    e = _emb_double(spark, sf_dir).select("vec_id", "e")
-    oldc = e.filter(F.col("vec_id") % 10 != 0)
-    drifted = (
-        e.filter(F.col("vec_id") % 10 == 0)
-        .withColumn(
-            "d",
-            F.expr(
-                "transform(sequence(1, 64), i -> element_at(e, i) + "
-                "IF(i = 1, CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE)))"
-            ),
-        )
-        .select(
-            "vec_id",
-            F.expr(
-                "transform(d, x -> x / sqrt(aggregate("
-                "zip_with(d, d, (a, b) -> a * b), "
-                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
-            ).alias("e"),
-        )
-    )
+    oldc, drifted = _adr_fixture(spark, sf_dir)
     newc = oldc.unionByName(drifted)
-
-    # Both quantizers + both posting-list assignments materialize once per
-    # (session, sf_dir) — the `_ivf_index_cached` discipline: each
-    # centroid table is consumed twice (assignment + probe ranking), and
-    # without the checkpoint Spark would replay the Lloyd chain (and its
-    # 16-row post-limit seed windows) per consumer.
-    def _build_indexes():
-        _stale, c_old = ivf_index(oldc, "vec_id", "e", n_clusters=_ADR_K)
-        i_old = assign_clusters(newc, c_old, "vec_id", "e")
-        i_new, c_new = ivf_index(newc, "vec_id", "e", n_clusters=_ADR_K)
-        return c_old, i_old, c_new, i_new
 
     # Drift monitor: order-free FLOOR-micro per-dim means (map-side
     # combinable — the emb_dim_stats device), then a dim-ordered fold of
@@ -1914,9 +1936,12 @@ def q_ann_drift_refresh(spark, sf_dir):
         )
     )
 
-    cent_old, idx_old, cent_new, idx_new = session_cached(
-        spark, ("ann_drift_indexes", os.path.abspath(sf_dir)), _build_indexes
-    )
+    # Both quantizers + both posting-list assignments materialize once per
+    # (session, sf_dir) — the `_ivf_index_cached` discipline: each
+    # centroid table is consumed twice (assignment + probe ranking), and
+    # without the checkpoint Spark would replay the Lloyd chain (and its
+    # 16-row post-limit seed windows) per consumer.
+    cent_old, idx_old, cent_new, idx_new = _adr_indexes_cached(spark, sf_dir)
 
     qs = drifted.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")

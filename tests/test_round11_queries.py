@@ -120,3 +120,140 @@ def test_connected_components_checkpoint_every_validation(spark):
     )
     got = {(r.v, r.component_id) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_stream_ann_ingest_partials_merge_exactly(spark, sf_small):
+    """The monitor log must hold PARTIAL per-cluster aggregates from >1
+    micro-batches, and the registered output (merged partials) must be
+    bit-identical to a one-shot batch assignment of all arrivals — the
+    FLOOR-micro BIGINT device's streaming-exactness claim."""
+    from dataframe_differ_spark.functions.vector import dot
+    from dataframe_differ_spark.operators.similarity import assign_clusters
+    from dataframe_differ_spark.queries import load_all
+    from dataframe_differ_spark.queries.vectors import (
+        _adr_fixture,
+        _adr_indexes_cached,
+    )
+
+    out = load_all()["stream_ann_ingest"].fn(spark, sf_small)
+    cent_old, _, _, _ = _adr_indexes_cached(spark, sf_small)
+    _, drifted = _adr_fixture(spark, sf_small)
+    asg = assign_clusters(drifted, cent_old, "vec_id", "e")
+    batch = (
+        asg.join(F.broadcast(cent_old), "cluster_id")
+        .withColumn("_t_dot", dot("ce", "e"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("_t_dot") * F.lit(1000000.0)).cast("bigint")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                9,
+            ).alias("mean_dot"),
+        )
+    )
+    assert _rows(out) == _rows(batch)
+    # arrivals actually spanned multiple micro-batches: with 4 one-file
+    # triggers over a hash split, the drifted set cannot fit one batch
+    assert out.agg(F.sum("n_assigned")).collect()[0][0] == drifted.count()
+
+
+def test_session_cached_skips_recheckpoint_and_drops_lock(spark):
+    """ADVICE r10 items: a builder returning an ALREADY-checkpointed
+    frame must not be re-checkpointed (same object handed back), and a
+    key's build lock must be dropped once its cache slot is populated."""
+    from dataframe_differ_spark.operators import session_cache as sc
+
+    key = ("r11_test_chain", "x")
+    pre = spark.range(5).localCheckpoint(eager=True)
+    built = {}
+
+    def build():
+        lazy = spark.range(3).selectExpr("id * 2 AS id")
+        built["frames"] = (pre, lazy)
+        return (pre, lazy)
+
+    got = sc.session_cached(spark, key, build)
+    # pre-checkpointed frame passed through untouched; lazy frame got
+    # materialized into a new checkpointed frame
+    assert got[0] is pre
+    assert got[1] is not built["frames"][1]
+    assert sorted(r.id for r in got[1].collect()) == [0, 2, 4]
+    # the per-key lock entry is gone once the slot is populated
+    assert key not in sc._KEY_LOCKS.get(spark, {})
+    # second call is a pure cache hit
+    assert sc.session_cached(spark, key, lambda: 1 / 0) is got
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_hyp = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+@_hyp
+@given(
+    n_rows=st.integers(min_value=1, max_value=40),
+    dup_mask=st.lists(st.booleans(), min_size=1, max_size=5),
+    n_files=st.integers(min_value=1, max_value=3),
+)
+def test_compact_artifact_property(spark, tmp_path_factory, n_rows, dup_mask, n_files):
+    """For ANY base store, ANY append pattern (each chunk optionally
+    replayed), and ANY target shard count: compaction preserves the
+    distinct row set, removes exactly the duplicates, keeps params, and
+    is idempotent (a second compaction is a no-op on content)."""
+    from pyspark.sql import functions as F
+
+    from dataframe_differ_spark.operators.persistence import (
+        compact_artifact,
+        load_artifact,
+        save_artifact,
+    )
+
+    p = str(tmp_path_factory.mktemp("cmp") / "store")
+    params = {"num_perm": 4, "bands": 2, "shingle_n": 3}
+    base = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("int").alias("j"),
+        (F.col("id") * 13 % 97).alias("s"),
+    )
+    save_artifact(base, p, "minhash_signatures", params=params)
+    expected = n_rows
+    for k, replay in enumerate(dup_mask):
+        chunk = spark.range(n_rows, n_rows + 3).select(
+            (F.col("id") + 100 * (k + 1)).alias("doc_id"),
+            F.lit(k).cast("int").alias("j"),
+            F.lit(7).cast("long").alias("s"),
+        )
+        for _ in range(2 if replay else 1):
+            chunk.write.mode("append").parquet(f"{p}/data")
+        expected += 3
+
+    before = load_artifact(spark, p, "minhash_signatures")
+    distinct_rows = _rows(before.df.distinct())
+    stats = compact_artifact(
+        spark, p, "minhash_signatures", num_files=n_files
+    )
+    assert stats.rows_after == expected == len(distinct_rows)
+    assert stats.files_after <= max(n_files, stats.files_before)
+    after = load_artifact(spark, p, "minhash_signatures")
+    assert after.params == params
+    assert _rows(after.df) == distinct_rows
+    # idempotence: compacting an already-compact store changes nothing
+    stats2 = compact_artifact(
+        spark, p, "minhash_signatures", num_files=n_files
+    )
+    assert stats2.rows_before == stats2.rows_after == expected
+    assert _rows(load_artifact(spark, p, "minhash_signatures").df) == (
+        distinct_rows
+    )
