@@ -137,26 +137,32 @@ def minhash_signatures(
     portable: bool = True,
 ) -> DataFrame:
     """Long-format MinHash signatures: ``(id_col, j, s)``, one row per
-    (document, permutation). ``min`` over exploded shingle hashes — a
-    map-side-combinable groupBy on (id, j), uniform keys. At 100 TB this
-    table IS the persisted near-dup index.
+    (document, permutation). At 100 TB this table IS the persisted
+    near-dup index.
+
+    Round 11 (guide §2.3 "aggregate before you shuffle" / "shuffle fewer
+    bytes"): the ``num_perm`` permutation hashes are computed as COLUMNS
+    of one projection over the shingle rows and min-aggregated in a
+    single ``groupBy(id)`` — the previous form exploded every shingle
+    ``num_perm``× into (shingle, j) rows before the min, paying the
+    row-expansion through the hash aggregate for no informational gain
+    (the hash values are identical either way). The wide mins then
+    unpivot (``stack``) to the same long ``(id, j, s)`` contract — a
+    map-side projection, no extra shuffle. Values are bit-identical:
+    ``min`` over the same multiset per (id, j).
     """
     tok = df.select(id_col, F.explode(shingle_col).alias("_dd_s"))
-    return (
-        tok.select(
-            id_col,
-            "_dd_s",
-            F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("j"),
-        )
-        .select(
-            id_col,
-            "j",
-            _minhash_value(F.col("j"), F.col("_dd_s"), portable=portable).alias(
-                "_dd_h"
-            ),
-        )
-        .groupBy(id_col, "j")
-        .agg(F.min("_dd_h").alias("s"))
+    mins = tok.groupBy(id_col).agg(
+        *[
+            F.min(
+                _minhash_value(F.lit(j), F.col("_dd_s"), portable=portable)
+            ).alias(f"_dd_m{j}")
+            for j in range(num_perm)
+        ]
+    )
+    stack_args = ", ".join(f"{j}, _dd_m{j}" for j in range(num_perm))
+    return mins.selectExpr(
+        id_col, f"stack({num_perm}, {stack_args}) AS (j, s)"
     )
 
 
@@ -479,9 +485,12 @@ def connected_components(
             .distinct()
         )
     labels = vertices.select(vertex_col).withColumn("label", F.col(vertex_col))
+    # Referenced by every iteration's join: the lazy cut stops the caller's
+    # upstream (often a whole near-dup candidate chain) from being
+    # re-derived at each cadence materialization (round 11, guide §5).
     undirected = edges.select(src, dst).unionByName(
         edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
-    )
+    ).localCheckpoint(eager=False)
     changed = -1
     for it in range(max_iter):
         # Explicit aliases everywhere: with checkpoint_every > 1 the
@@ -522,7 +531,14 @@ def connected_components(
             if changed == 0:
                 break
         else:
-            labels = new_labels.drop("_dd_chg")
+            # Off-cadence: LAZY cut (no extra job — materializes inside
+            # the next action) so the next iteration's two consumers of
+            # ``labels`` (neighbor_min join + left join) read blocks
+            # instead of re-executing this iteration's plan twice. The
+            # round-10 cadence halved the EAGER materialization jobs;
+            # this keeps that while removing the off-cadence double
+            # execution (round 11).
+            labels = new_labels.drop("_dd_chg").localCheckpoint(eager=False)
     if changed != 0:
         raise RuntimeError(f"CC did not converge within bound ({changed} moving)")
     return labels.withColumnRenamed("label", "component_id")

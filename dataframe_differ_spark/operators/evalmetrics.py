@@ -75,9 +75,13 @@ def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.col(score_col).alias("_ev_s"),
         F.when(F.col(label_col).cast("boolean"), 1).otherwise(0).alias("_ev_y"),
     )
+    # The histogram feeds two plan branches (the broadcast spine and the
+    # cumulative join); without a lineage cut each branch re-scans the
+    # scored corpus to rebuild it (measured round 11, guide §3.3 /
+    # §5 localCheckpoint). It is one row per distinct score — tiny.
     hist = sc.groupBy("_ev_s").agg(
         F.count(F.lit(1)).alias("_ev_ns"), F.sum("_ev_y").alias("_ev_ps")
-    )
+    ).localCheckpoint(eager=False)
     lower = hist.select(
         F.col("_ev_s").alias("_ev_sb"), F.col("_ev_ns").alias("_ev_nsb")
     )
@@ -129,9 +133,11 @@ def pr_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.col(score_col).alias("_ev_s"),
         F.when(F.col(label_col).cast("boolean"), 1).otherwise(0).alias("_ev_y"),
     )
+    # Three consumers (upper spine, cumulative join, totals) — cut the
+    # lineage so the corpus scan behind the histogram runs once.
     hist = sc.groupBy("_ev_s").agg(
         F.count(F.lit(1)).alias("_ev_ns"), F.sum("_ev_y").alias("_ev_ps")
-    )
+    ).localCheckpoint(eager=False)
     upper = hist.select(
         F.col("_ev_s").alias("_ev_sb"),
         F.col("_ev_ns").alias("_ev_nsb"),
@@ -209,11 +215,13 @@ def calibration_bins(
         F.col(score_col).cast(qd_t).alias("_ev_qd"),
         F.when(F.col(label_col).cast("boolean"), 1).otherwise(0).alias("_ev_y"),
     )
+    # ≤ n_bins rows, two consumers (ECE total + final select): cut the
+    # lineage so the corpus scan behind the binning runs once.
     grp = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_ev_y").alias("_ev_p"),
         F.sum("_ev_qd").alias("_ev_sp"),
-    )
+    ).localCheckpoint(eager=False)
     gap_dec = F.abs(F.col("_ev_sp") - F.col("_ev_p").cast(qd_t))
     tot = grp.agg(
         F.sum("n").alias("_ev_nt"), F.sum(gap_dec).alias("_ev_gap_sum")
@@ -250,6 +258,9 @@ def retrieval_recall(
     ap = results.select(
         F.col(query_col).alias("_ev_q"), F.col(item_col).alias("_ev_i")
     ).withColumn("_ev_hit", F.lit(1))
+    # Per-query rows, two consumers (macro total + final select): cut the
+    # lineage so the truth/run frames (often whole registered queries)
+    # execute once instead of once per branch (measured round 11).
     per = (
         ex.join(ap, ["_ev_q", "_ev_i"], "left")
         .groupBy("_ev_q")
@@ -257,6 +268,7 @@ def retrieval_recall(
             F.count(F.lit(1)).alias("n_exact"),
             F.coalesce(F.sum("_ev_hit"), F.lit(0)).cast("long").alias("n_hit"),
         )
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(F.sum("n_hit").alias("_ev_th"), F.sum("n_exact").alias("_ev_te"))
     return per.crossJoin(F.broadcast(tot)).select(
@@ -292,11 +304,14 @@ def ndcg_at_k(
     _check_reserved(results)
     gain = F.round(F.lit(1.0) / F.log2(F.col("_ev_r") + 1), gain_decimals)
     dec = f"decimal(20,{gain_decimals})"
+    # ``truth`` feeds two branches (hit membership + IDCG); it is usually
+    # a whole registered top-k query — cut its lineage so it executes
+    # once (measured round 11).
     ex = truth.select(
         F.col(query_col).alias("_ev_q"),
         F.col(item_col).alias("_ev_i"),
         F.col(rank_col).alias("_ev_r"),
-    )
+    ).localCheckpoint(eager=False)
     ap = results.select(
         F.col(query_col).alias("_ev_q"),
         F.col(item_col).alias("_ev_i"),
@@ -343,9 +358,14 @@ def mrr(
     """
     _check_reserved(truth)
     _check_reserved(results)
+    # ``truth`` feeds two branches (hit join + query spine) and ``per``
+    # two more (macro total + final select): without the cuts the two
+    # registered top-k queries behind them re-execute per branch — this
+    # was 4× sim_topk / 2× sim_topk_lsh in eval_mrr_retrieval's plan
+    # (52 Exchanges, measured round 11).
     ex = truth.select(
         F.col(query_col).alias("_ev_q"), F.col(item_col).alias("_ev_i")
-    )
+    ).localCheckpoint(eager=False)
     ap = results.select(
         F.col(query_col).alias("_ev_q"),
         F.col(item_col).alias("_ev_i"),

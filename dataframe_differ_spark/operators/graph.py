@@ -133,10 +133,18 @@ def pagerank(
     sym = e.unionAll(
         e.select(F.col("_g_v").alias("_g_u"), F.col("_g_u").alias("_g_v"))
     ).localCheckpoint(eager=False)
-    nodes = sym.select(F.col("_g_u").alias("node")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).alias("_g_nn"))
-    deg = sym.groupBy(F.col("_g_u").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    # nodes/nn/deg are invariants of the loop but are referenced in EVERY
+    # iteration's plan (nn's broadcast + deg's contribution join) — without
+    # lineage cuts the distinct and the degree rollup re-execute once per
+    # iteration (measured round 11; guide §2.4 "remove shuffles outright").
+    nodes = sym.select(F.col("_g_u").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("_g_nn")).localCheckpoint(eager=False)
+    deg = (
+        sym.groupBy(F.col("_g_u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
     )
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("_g_nn")).alias("pagerank")
@@ -150,9 +158,14 @@ def pagerank(
             )
         else:
             contrib_col = (F.col("pagerank") / F.col("degree")).alias("_g_c")
+        # Join rank and degree on the NODE-sized frames first, then touch
+        # the edge list once — one edge-scale join per iteration instead
+        # of two (guide §3: reduce the big side's joins).
         contrib = (
-            sym.join(pr.withColumnRenamed("node", "_g_u"), "_g_u")
-            .join(deg.withColumnRenamed("node", "_g_u"), "_g_u")
+            sym.join(
+                pr.join(deg, "node").withColumnRenamed("node", "_g_u"),
+                "_g_u",
+            )
             .select(F.col("_g_v").alias("node"), contrib_col)
         )
         pr = (
@@ -252,11 +265,18 @@ def triangle_count(
     no per-vertex window ever sees more than ~k·partitions rows.
     """
     e = _norm(edges, src, dst)
+    # deg feeds three branches (both orientation sides + the final join),
+    # ori three (the wedge sides w1/w2/w3 — with cap= that is the whole
+    # two-window top-k chain), tri three (the per-corner unions). Without
+    # lineage cuts each branch re-executes its subtree — measured 3× the
+    # orientation join and 3× the wedge join in one plan (round 11,
+    # guide §5 localCheckpoint).
     deg = (
         e.select(F.col("_g_u").alias("node"))
         .unionAll(e.select(F.col("_g_v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
     )
     du = deg.select(F.col("node").alias("_g_u"), F.col("degree").alias("_g_du"))
     dv = deg.select(F.col("node").alias("_g_v"), F.col("degree").alias("_g_dv"))
@@ -279,11 +299,16 @@ def triangle_count(
                 ":", F.col("_g_a").cast("string"), F.col("_g_b").cast("string")
             )
         )
-        ori = partitioned_topk(ori, ["_g_a"], [hkey, "_g_b"], cap)
+        ori = partitioned_topk(
+            ori.withColumn("_g_hk", hkey), ["_g_a"], ["_g_hk", "_g_b"], cap
+        ).drop("_g_hk")
+    ori = ori.localCheckpoint(eager=False)
     w1 = ori.select(F.col("_g_a").alias("_g_x"), F.col("_g_b").alias("_g_y"))
     w2 = ori.select(F.col("_g_a").alias("_g_y"), F.col("_g_b").alias("_g_z"))
     w3 = ori.select(F.col("_g_a").alias("_g_x"), F.col("_g_b").alias("_g_z"))
-    tri = w1.join(w2, "_g_y").join(w3, ["_g_x", "_g_z"])
+    tri = w1.join(w2, "_g_y").join(w3, ["_g_x", "_g_z"]).localCheckpoint(
+        eager=False
+    )
     pernode = (
         tri.select(F.col("_g_x").alias("node"))
         .unionAll(tri.select(F.col("_g_y").alias("node")))
@@ -333,6 +358,11 @@ def kcore(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("_g_d"))
         )
+        # keep feeds both semi joins, but do NOT checkpoint it: the
+        # rollup is map-side-combinable over checkpointed `cur`, Spark's
+        # ReuseExchange dedupes the shared subtree, and a localCheckpoint
+        # here erases the size estimate that lets both semi joins
+        # broadcast `keep` (measured +40% wall in round 11 when cut).
         keep = deg.filter(F.col("_g_d") >= k).select("node")
         cur = (
             cur.join(
@@ -454,7 +484,22 @@ def link_prediction(
                 ":", F.col("_g_u").cast("string"), F.col("_g_v").cast("string")
             )
         )
-        sym = partitioned_topk(sym, ["_g_u"], [hkey, "_g_v"], cap)
+        # The capped neighborhood frame is consumed THREE times below
+        # (degrees + both wedge sides); without a lineage cut each
+        # consumer re-executes the two-window top-k chain (3× the md5 +
+        # sort work in one job — measured round 11). Materialize it once.
+        # The md5 election key is likewise computed ONCE as a column
+        # instead of once per ranking window.
+        sym = (
+            partitioned_topk(
+                sym.withColumn("_g_hk", hkey),
+                ["_g_u"],
+                ["_g_hk", "_g_v"],
+                cap,
+            )
+            .drop("_g_hk")
+            .localCheckpoint(eager=False)
+        )
     deg = sym.groupBy(F.col("_g_u").alias("_g_n")).agg(
         F.count(F.lit(1)).alias("_g_d")
     )
@@ -606,6 +651,10 @@ def hits(
             )
             .groupBy("node")
             .agg(F.sum("_g_c").alias("_g_s"))
+            # Two consumers (the L1 total + the score projection): cut the
+            # lineage or the edge join + rollup execute twice per
+            # iteration (measured round 11).
+            .localCheckpoint(eager=False)
         )
         atot = araw.agg(F.sum("_g_s").alias("_g_t"))
         a = araw.crossJoin(F.broadcast(atot)).select(
@@ -622,6 +671,7 @@ def hits(
             )
             .groupBy("node")
             .agg(F.sum("_g_c").alias("_g_s"))
+            .localCheckpoint(eager=False)
         )
         htot = hraw.agg(F.sum("_g_s").alias("_g_t"))
         h = hraw.crossJoin(F.broadcast(htot)).select(

@@ -457,15 +457,23 @@ def spearman(
     _check_reserved(df)
     xe = x_exact_col or x_col
     ye = y_exact_col or y_col
+    # ``pairs`` feeds SEVEN plan branches (each midrank2's `ranked` scans
+    # its input three times — boundaries, stats, window — plus the final
+    # join), so without a lineage cut the caller's upstream join/aggregate
+    # re-executes per branch (measured 3× wall on stats_spearman_corr,
+    # round 11). One lazy materialization of the narrow 4-column frame
+    # feeds them all; same for each distinct-value frame.
     pairs = df.select(
         F.col(x_col).alias("_st_x"),
         F.col(y_col).alias("_st_y"),
         F.col(xe).alias("_st_xe"),
         F.col(ye).alias("_st_ye"),
-    )
+    ).localCheckpoint(eager=False)
 
     def midrank2(col: str, out: str) -> DataFrame:
-        vals = pairs.groupBy(col).agg(F.count(F.lit(1)).alias("_st_c"))
+        vals = pairs.groupBy(col).agg(
+            F.count(F.lit(1)).alias("_st_c")
+        ).localCheckpoint(eager=False)
         r = ranked(
             vals,
             F.col(col),

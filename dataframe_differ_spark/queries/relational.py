@@ -1548,26 +1548,66 @@ def q_agg_winsorize(spark, sf_dir):
     `percentile_cont` form differs at the last ulp cross-engine).
     Clipped values keep the data's 2 decimals → exact-decimal sum.
     """
+    from dataframe_differ_spark.operators.ranks import ranked
+
     o = load_table(spark, sf_dir, "orders")
-    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = o.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    # Round 11 (guide §2.5): the per-priority row_number window shuffled
+    # the WHOLE orders table into 5 partitions (one per priority) — a
+    # parallelism-5 sort that only worsens with scale. The fences are
+    # per-group order statistics, so compute them from ONE distributed
+    # two-phase rank (operators/ranks.ranked, 32-way buckets) over the
+    # total order (priority, price, orderkey): the bucket key is a
+    # composite double MONOTONE in (priority, price) — the priority's
+    # leading digit ('1-URGENT'…'5-NOT SPECIFIED' sort by their first
+    # char) scaled far above any price — and the per-group rank is the
+    # global rank minus the count of all earlier priorities (a 5-row
+    # broadcast triangle). Rank semantics are identical to the window
+    # (same total order, same integer fence arithmetic), so the fences —
+    # and everything downstream — are value-identical.
+    base = o.select("o_orderpriority", "o_totalprice", "o_orderkey")
+    bkey = (
+        F.substring("o_orderpriority", 1, 1).cast("double") * F.lit(2.0**40)
+        + F.col("o_totalprice") * 100.0
     )
-    b = ranked.groupBy("o_orderpriority").agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("o_totalprice")
-            )
-        ).alias("p05"),
-        F.max(
-            F.when(
-                F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("o_totalprice")
-            )
-        ).alias("p95"),
+    r = ranked(
+        base,
+        bkey,
+        ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        rank_col="rk",
+    )
+    cnt = (
+        base.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    lower = cnt.select(
+        F.col("o_orderpriority").alias("_wz_p"), F.col("n").alias("_wz_n")
+    )
+    off = (
+        cnt.join(
+            F.broadcast(lower), F.col("_wz_p") < F.col("o_orderpriority"), "left"
+        )
+        .groupBy("o_orderpriority", "n")
+        .agg(F.coalesce(F.sum("_wz_n"), F.lit(0)).cast("long").alias("off"))
+    )
+    b = (
+        r.join(F.broadcast(off), "o_orderpriority")
+        .withColumn("rn", F.col("rk") - F.col("off"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n * 5 + 99) div 100"),
+                    F.col("o_totalprice"),
+                )
+            ).alias("p05"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n * 95 + 99) div 100"),
+                    F.col("o_totalprice"),
+                )
+            ).alias("p95"),
+        )
     )
     w = o.join(F.broadcast(b), "o_orderpriority").select(
         "o_orderpriority",

@@ -292,41 +292,51 @@ def _mh_parts(spark, sf_dir):
         )
     )
     tok = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    sigs = (
-        tok.select(
-            "doc_id",
-            "shingle",
-            F.explode(F.sequence(F.lit(0), F.lit(_MH_K - 1))).alias("j"),
-        )
-        .select(
-            "doc_id",
-            "j",
+    # Round 11 (guide §2.3): the 16 permutation hashes are columns of one
+    # projection min-aggregated in a single groupBy(doc_id), then stacked
+    # back to the long (doc_id, j, s) contract — the previous form
+    # exploded every shingle 16× into (shingle, j) rows before the min.
+    # Values are bit-identical: min over the same md5("j~shingle") ints.
+    def _h(j: int):
+        return (
             F.conv(
                 F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("j").cast("string"), F.lit("~"), F.col("shingle")
-                        )
-                    ),
-                    1,
-                    12,
+                    F.md5(F.concat(F.lit(f"{j}~"), F.col("shingle"))), 1, 12
                 ),
                 16,
                 10,
             )
             .cast("long")
-            .alias("h"),
+            .alias(f"m{j}")
         )
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("s"))
+
+    # Consumed by both the long-format sigs and the band keys below; the
+    # lazy checkpoint keeps the shingle+md5 pass (the chain's real cost)
+    # from running once per consumer when session_cached materializes
+    # sigs and cand separately.
+    mins = tok.groupBy("doc_id").agg(
+        *[F.min(_h(j)).alias(f"m{j}") for j in range(_MH_K)]
+    ).localCheckpoint(eager=False)
+    stack_args = ", ".join(f"{j}, m{j}" for j in range(_MH_K))
+    sigs = mins.selectExpr(
+        "doc_id", f"stack({_MH_K}, {stack_args}) AS (j, s)"
     )
-    bands = sigs.groupBy(
-        "doc_id", (F.col("j") / _MH_BAND_ROWS).cast("int").alias("band")
-    ).agg(
-        F.expr(
-            "concat_ws('-', transform(array_sort(collect_list(struct(j, s))), "
-            "x -> cast(x.s as string)))"
-        ).alias("bkey")
+    # Bands straight from the wide mins row: bkey for band b is the '-'
+    # join of s_{4b}..s_{4b+3} in j order — exactly what the previous
+    # groupBy(doc_id, band) + array_sort(collect_list) produced, minus
+    # its whole extra shuffle (guide §2.4 "remove shuffles outright").
+    band_args = ", ".join(
+        f"{b}, concat_ws('-', "
+        + ", ".join(
+            f"cast(m{j} as string)"
+            for j in range(b * _MH_BAND_ROWS, (b + 1) * _MH_BAND_ROWS)
+        )
+        + ")"
+        for b in range(_MH_K // _MH_BAND_ROWS)
+    )
+    bands = mins.selectExpr(
+        "doc_id",
+        f"stack({_MH_K // _MH_BAND_ROWS}, {band_args}) AS (band, bkey)",
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1503,49 +1513,56 @@ def q_sketch_set_intersect_est(spark, sf_dir):
     the checkable contract is the standard one for sketches in this repo
     (cf. `agg_approx_distinct`): exact values as full-oracle columns plus
     a deterministic `inter_within_bound` asserting the estimate landed
-    within 5% of the exact UNION size. At 100 TB each side's sketch is a
-    few KB shipped to the driver — the exact join this query also runs
-    (as its own verifier) is the thing you no longer have to do.
+    within 5% of the exact UNION size.
+
+    Round 11 (optimization): ONE scan, ONE job, no driver collect. The
+    exact intersection is the same inclusion-exclusion identity the
+    sketch estimates — |A∩B| = |A| + |B| - |A∪B| — on the EXACT distinct
+    counts already in the aggregate, so the former second job (distinct
+    + self-join verifier, a full extra pass over the filtered orders)
+    computed a value the first aggregate already determined. Outputs are
+    bit-identical; the plan drops from two actions + a driver round-trip
+    to one distributed aggregate (guide §2.4: remove shuffles outright,
+    §5: no driver hops in query paths).
     """
     orders = load_table(spark, sf_dir, "orders")
     year = F.year("o_orderdate")
     ab = orders.filter(year.isin(1995, 1996)).select(
         F.col("o_custkey").alias("k"), year.alias("y")
     )
-    # ONE scan computes all three exact cardinalities AND all three HLL
-    # sketches (conditional keys hash only their side's rows); the only
-    # second job is the exact-intersection verifier join.
-    ka = F.when(F.col("y") == 1995, F.col("k"))
-    kb = F.when(F.col("y") == 1996, F.col("k"))
-    row = ab.agg(
-        F.countDistinct(ka).alias("exact_a"),
-        F.countDistinct(kb).alias("exact_b"),
-        F.countDistinct("k").alias("exact_union"),
+    # Collapse to one row per distinct key FIRST (map-side combinable
+    # groupBy), then aggregate flags + sketches over the distinct-key
+    # frame: HLL registers are max-based, so a sketch over the distinct
+    # keys is bit-identical to one over the raw rows, the three
+    # countDistincts become plain SUMs (no 4-way Expand of the scan), and
+    # the rsd=0.01 HLL update loop — whose aggregation buffer is 2^14
+    # registers — sees |distinct keys| rows instead of every order row
+    # (guide §2.3: aggregate before you shuffle).
+    g = ab.groupBy("k").agg(
+        F.max((F.col("y") == 1995).cast("int")).alias("ha"),
+        F.max((F.col("y") == 1996).cast("int")).alias("hb"),
+    )
+    ka = F.when(F.col("ha") == 1, F.col("k"))
+    kb = F.when(F.col("hb") == 1, F.col("k"))
+    row = g.agg(
+        F.sum("ha").cast("long").alias("exact_a"),
+        F.sum("hb").cast("long").alias("exact_b"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
         F.approx_count_distinct(ka, 0.01).alias("ea"),
         F.approx_count_distinct(kb, 0.01).alias("eb"),
         F.approx_count_distinct("k", 0.01).alias("eu"),
-    ).collect()[0]
-    exact_inter = (
-        ab.filter(F.col("y") == 1995)
-        .select("k")
-        .distinct()
-        .join(ab.filter(F.col("y") == 1996).select("k").distinct(), "k")
-        .count()
     )
-    est = row.ea + row.eb - row.eu
-    within = abs(est - exact_inter) <= 0.05 * row.exact_union
-    return spark.createDataFrame(
-        [
-            (
-                row.exact_a,
-                row.exact_b,
-                row.exact_union,
-                exact_inter,
-                bool(within),
-            )
-        ],
-        "exact_a long, exact_b long, exact_union long, exact_inter long,"
-        " inter_within_bound boolean",
+    exact_inter = F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
+    est = F.col("ea") + F.col("eb") - F.col("eu")
+    return row.select(
+        F.col("exact_a").cast("long"),
+        F.col("exact_b").cast("long"),
+        F.col("exact_union").cast("long"),
+        exact_inter.cast("long").alias("exact_inter"),
+        (
+            F.abs(est - exact_inter).cast("double")
+            <= F.lit(0.05) * F.col("exact_union").cast("double")
+        ).alias("inter_within_bound"),
     )
 
 

@@ -2443,41 +2443,39 @@ ORDER BY ROUND((mf + mb) / 2.0, 9) DESC, doc_id
 LIMIT 100
 """
 
+# Round 11 (optimization): the fold state is a typed struct
+# (f = completed factors, n = tokens in the current run, s = distinct types
+# seen in the current run) instead of the original space-joined string
+# "f n t1 t2 ...". The string form re-split the GROWING accumulator ~6
+# times per token (O(run-length) string work per token, quadratic per
+# factor run); the struct form does one array_contains per token and all
+# branch tests on integer fields. Branch conditions and the final float
+# expression are term-for-term the same integers/doubles, so the output
+# is bit-identical (oracle unchanged; golden unchanged).
 _MTLD_SPARK_FOLD = """
-aggregate({t}, '0 0', (acc, x) -> CASE
-  WHEN 25 * (size(split(acc, ' ')) - 2
-       + IF(array_contains(slice(split(acc, ' '), 3,
-            size(split(acc, ' ')) - 2), x), 0, 1))
-       < 18 * (CAST(element_at(split(acc, ' '), 2) AS BIGINT) + 1)
-  THEN concat(CAST(CAST(element_at(split(acc, ' '), 1) AS BIGINT) + 1
-              AS STRING), ' 0')
-  ELSE concat(element_at(split(acc, ' '), 1), ' ',
-       CAST(CAST(element_at(split(acc, ' '), 2) AS BIGINT) + 1 AS STRING),
-       CASE WHEN size(split(acc, ' ')) > 2
-            OR NOT array_contains(slice(split(acc, ' '), 3,
-                 size(split(acc, ' ')) - 2), x)
-            THEN concat(' ', array_join(
-              CASE WHEN array_contains(slice(split(acc, ' '), 3,
-                        size(split(acc, ' ')) - 2), x)
-                   THEN slice(split(acc, ' '), 3, size(split(acc, ' ')) - 2)
-                   ELSE concat(slice(split(acc, ' '), 3,
-                        size(split(acc, ' ')) - 2), array(x)) END, ' '))
-            ELSE '' END)
-  END)
+aggregate({t},
+  named_struct('f', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT),
+               's', CAST(array() AS ARRAY<STRING>)),
+  (acc, x) -> IF(
+    25 * (size(acc.s) + IF(array_contains(acc.s, x), 0, 1))
+      < 18 * (acc.n + 1),
+    named_struct('f', acc.f + 1, 'n', CAST(0 AS BIGINT),
+                 's', CAST(array() AS ARRAY<STRING>)),
+    named_struct('f', acc.f, 'n', acc.n + 1,
+                 's', IF(array_contains(acc.s, x), acc.s,
+                         concat(acc.s, array(x))))))
 """
 
 _MTLD_SPARK_VAL = """
-CASE WHEN (CAST(element_at(split({st}, ' '), 1) AS BIGINT)
-           + CASE WHEN CAST(element_at(split({st}, ' '), 2) AS BIGINT) > 0
-                  THEN (1.0D - CAST(size(split({st}, ' ')) - 2 AS DOUBLE)
-                        / CAST(element_at(split({st}, ' '), 2) AS BIGINT))
+CASE WHEN ({st}.f
+           + CASE WHEN {st}.n > 0
+                  THEN (1.0D - CAST(size({st}.s) AS DOUBLE) / {st}.n)
                        / 0.28D
                   ELSE 0.0D END) > 0
      THEN CAST(n AS DOUBLE)
-          / (CAST(element_at(split({st}, ' '), 1) AS BIGINT)
-             + CASE WHEN CAST(element_at(split({st}, ' '), 2) AS BIGINT) > 0
-                    THEN (1.0D - CAST(size(split({st}, ' ')) - 2 AS DOUBLE)
-                          / CAST(element_at(split({st}, ' '), 2) AS BIGINT))
+          / ({st}.f
+             + CASE WHEN {st}.n > 0
+                    THEN (1.0D - CAST(size({st}.s) AS DOUBLE) / {st}.n)
                          / 0.28D
                     ELSE 0.0D END)
      ELSE CAST(n AS DOUBLE) END

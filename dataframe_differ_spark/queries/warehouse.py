@@ -616,22 +616,29 @@ def q_dedup_fuzzy_names_capped(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     variants = _fastss_variants()
     sig60 = F.conv(F.substring(F.md5("v"), 1, 15), 16, 10).cast("long")
+    # The election key is a function of the CUSTOMER alone — computed
+    # here, before the ~113× variant explode, it is one md5 per customer;
+    # left as an expression in partitioned_topk's order_cols it was
+    # re-evaluated per variant row inside BOTH ranking windows (round-11
+    # measurement, guide §2 "per-task work after the shape is right").
+    hkey = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
     sigs = (
         c.repartition("c_custkey")
+        .withColumn("_hk", hkey)
         .select(
             "c_custkey",
             "c_name",
             "c_nationkey",
+            "_hk",
             F.explode(variants).alias("v"),
         )
-        .select("c_custkey", "c_name", "c_nationkey", sig60.alias("sig"))
+        .select("c_custkey", "c_name", "c_nationkey", "_hk", sig60.alias("sig"))
     )
-    hkey = F.conv(
-        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10
-    ).cast("long")
     capped = partitioned_topk(
-        sigs, ["c_nationkey", "sig"], [hkey, "c_custkey"], _FUZZY_CAP
-    )
+        sigs, ["c_nationkey", "sig"], ["_hk", "c_custkey"], _FUZZY_CAP
+    ).drop("_hk")
     buckets = (
         capped.groupBy("c_nationkey", "sig")
         .agg(F.sort_array(F.collect_list(F.struct("c_custkey", "c_name"))).alias("m"))
