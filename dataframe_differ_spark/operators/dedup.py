@@ -404,7 +404,14 @@ def semantic_dedup(
             n_clusters = max(16, int(n**0.5 + 0.999999))
         _, centroids = ivf_index(e, "_dd_id", "_dd_e", n_clusters=n_clusters)
     assigned = assign_clusters(e, centroids, "_dd_id", "_dd_e")
-    n = assigned.withColumn("_dd_nrm", _norm("_dd_e"))
+    # Both self-join sides consume the assignment (an argmax over K
+    # centroids per vector) under DIFFERENT projections, so ReuseExchange
+    # cannot dedupe them — cut the lineage so assignment runs once. Both
+    # sides are cluster-keyed and same-sized (no broadcast estimate to
+    # lose — the kcore lesson, round 11).
+    n = assigned.withColumn("_dd_nrm", _norm("_dd_e")).localCheckpoint(
+        eager=False
+    )
     a = n.select(
         F.col("_dd_id").alias("_dd_a"),
         F.col("_dd_e").alias("_dd_ea"),

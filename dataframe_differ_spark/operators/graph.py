@@ -160,13 +160,19 @@ def pagerank(
             contrib_col = (F.col("pagerank") / F.col("degree")).alias("_g_c")
         # Join rank and degree on the NODE-sized frames first, then touch
         # the edge list once — one edge-scale join per iteration instead
-        # of two (guide §3: reduce the big side's joins).
+        # of two (guide §3: reduce the big side's joins). The rounded
+        # decimal contribution pr(u)/deg(u) is a function of the SOURCE
+        # node alone, so it is also computed here, node-sized — not per
+        # edge row (guide §2 per-task work; value identical: every edge
+        # carries the same rounded decimal either way).
         contrib = (
             sym.join(
-                pr.join(deg, "node").withColumnRenamed("node", "_g_u"),
+                pr.join(deg, "node").select(
+                    F.col("node").alias("_g_u"), contrib_col
+                ),
                 "_g_u",
             )
-            .select(F.col("_g_v").alias("node"), contrib_col)
+            .select(F.col("_g_v").alias("node"), "_g_c")
         )
         pr = (
             contrib.groupBy("node")
@@ -643,12 +649,17 @@ def hits(
     a = None
     dec = f"decimal(38,{contrib_dp})"
     for it in range(iters):
+        # The rounded decimal contribution is a function of the source
+        # node alone — compute it node-sized, not per edge row.
         araw = (
-            e.join(h.withColumnRenamed("node", "_g_u"), "_g_u")
-            .select(
-                F.col("_g_v").alias("node"),
-                F.round(F.col("hub"), contrib_dp).cast(dec).alias("_g_c"),
+            e.join(
+                h.select(
+                    F.col("node").alias("_g_u"),
+                    F.round(F.col("hub"), contrib_dp).cast(dec).alias("_g_c"),
+                ),
+                "_g_u",
             )
+            .select(F.col("_g_v").alias("node"), "_g_c")
             .groupBy("node")
             .agg(F.sum("_g_c").alias("_g_s"))
             # Two consumers (the L1 total + the score projection): cut the
@@ -664,11 +675,16 @@ def hits(
             ).alias("authority"),
         )
         hraw = (
-            e.join(a.withColumnRenamed("node", "_g_v"), "_g_v")
-            .select(
-                F.col("_g_u").alias("node"),
-                F.round(F.col("authority"), contrib_dp).cast(dec).alias("_g_c"),
+            e.join(
+                a.select(
+                    F.col("node").alias("_g_v"),
+                    F.round(F.col("authority"), contrib_dp)
+                    .cast(dec)
+                    .alias("_g_c"),
+                ),
+                "_g_v",
             )
+            .select(F.col("_g_u").alias("node"), "_g_c")
             .groupBy("node")
             .agg(F.sum("_g_c").alias("_g_s"))
             .localCheckpoint(eager=False)

@@ -271,6 +271,19 @@ def _run_stream_dedup_persisted(spark, sf_dir):
     cand_log = os.path.join(tempfile.gettempdir(), f"ddspark_sdp_cand_{run_tag}")
     acc_log = os.path.join(tempfile.gettempdir(), f"ddspark_sdp_acc_{run_tag}")
 
+    # The probe-time store snapshot is carried ACROSS micro-batches:
+    # after batch k it is day-0 ∪ accepted_0..k — exactly the content of
+    # the store directory, but built from frames each batch already
+    # checkpointed, so later batches stop re-reading and re-checkpointing
+    # the whole (growing) store from parquet (round 11: the re-load was
+    # ~3 full store scans of pure overhead per run; guide §2.4/§5). The
+    # disk store is still appended batch-by-batch (the artifact contract
+    # and the pytest growth assertions read the DIRECTORY), and
+    # `load_artifact(expect_params=...)` still runs on every batch so a
+    # store swapped under the stream fails loudly — only its lazy data
+    # frame is no longer rescanned.
+    cur_store = {"df": None}
+
     def probe_and_append(bdf, batch_id):
         # (a) sign the micro-batch once (checkpointed: probed AND
         # appended below — computed once, byte-stable across both uses).
@@ -280,12 +293,12 @@ def _run_stream_dedup_persisted(spark, sf_dir):
         # (b) probe the CURRENT store — day-0 corpus plus everything
         # earlier micro-batches appended. The param-drift contract runs
         # on EVERY batch: a store swapped under the stream fails loudly.
-        # The store snapshot is checkpointed because (c) appends to the
-        # very directory the lazy frame would re-scan.
         art = load_artifact(
             spark, store_path, "minhash_signatures", expect_params=params
         )
-        store_df = art.df.localCheckpoint(eager=True)
+        if cur_store["df"] is None:
+            cur_store["df"] = art.df.localCheckpoint(eager=True)
+        store_df = cur_store["df"]
         cands = (
             _imh_probe(store_df, bsig, rpb)
             .withColumn(
@@ -306,11 +319,17 @@ def _run_stream_dedup_persisted(spark, sf_dir):
             .select(F.col("batch_id").alias("doc_id"))
             .distinct()
         )
-        accepted = bsig.join(dup_ids, "doc_id", "left_anti")
+        accepted = bsig.join(dup_ids, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         accepted.write.mode("append").parquet(f"{store_path}/data")
         accepted.select("doc_id").distinct().withColumn(
             "micro_batch", F.lit(int(batch_id))
         ).write.mode("append").parquet(acc_log)
+        # Next batch's probe-time snapshot: store ∪ this batch's accepted
+        # signatures — identical content to re-reading the appended
+        # directory, without the re-read.
+        cur_store["df"] = store_df.unionByName(accepted)
 
     with STREAM_CONF_LOCK:
         saved = spark.conf.get("spark.sql.shuffle.partitions")

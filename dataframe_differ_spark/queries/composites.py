@@ -1951,14 +1951,18 @@ def _copurchase_edges_build(spark, sf_dir):
     ONE hash aggregation on l_orderkey plus a bounded HOF (C(3,2) = 3
     pairs per order), so edge volume is O(orders) at any scale.
     """
-    lp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # Round 11 (guide §2.4): the former ``.distinct()`` was a second
+    # full shuffle of the lineitem projection keyed almost identically to
+    # the groupBy that follows — ``collect_set`` dedups the same pairs
+    # inside the ONE aggregation (identical result: duplicate (h, p)
+    # structs collapse in the set exactly as the pre-distinct collapsed
+    # them; group size stays basket-bounded).
+    lp = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
     picked = lp.groupBy("l_orderkey").agg(
         F.expr(
-            "slice(transform(array_sort(collect_list(struct("
+            "slice(transform(array_sort(collect_set(struct("
             "md5(concat_ws(':', CAST(l_orderkey AS STRING), "
             "CAST(l_partkey AS STRING))) AS h, l_partkey AS p))), "
             "x -> x.p), 1, 3)"
@@ -2745,14 +2749,18 @@ def q_orders_market_basket_lift(spark, sf_dir):
     one in-basket HOF pair expansion, two broadcast item-support joins,
     top-20 via TakeOrdered.
     """
-    lp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # Round 11 (guide §2.4): the former ``.distinct()`` was a second
+    # full shuffle of the lineitem projection keyed almost identically to
+    # the groupBy that follows — ``collect_set`` dedups the same pairs
+    # inside the ONE aggregation (identical result: duplicate (h, p)
+    # structs collapse in the set exactly as the pre-distinct collapsed
+    # them; group size stays basket-bounded).
+    lp = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
     picked = lp.groupBy("l_orderkey").agg(
         F.expr(
-            "slice(transform(array_sort(collect_list(struct("
+            "slice(transform(array_sort(collect_set(struct("
             "md5(concat_ws(':', CAST(l_orderkey AS STRING), "
             "CAST(l_partkey AS STRING))) AS h, l_partkey AS p))), "
             "x -> x.p), 1, 3)"

@@ -2403,6 +2403,10 @@ def q_dedup_store_append(spark, sf_dir):
     corpus, batch = _imh_corpus_batch(spark, sf_dir)
 
     def sig_of(df):
+        # Deliberately NOT lineage-cut: the signature frames feed 2-3
+        # plan branches each, but ReuseExchange already dedupes the
+        # shared subtrees — cutting them here measured 4.5 → 8.2 s warm
+        # at sf0.1 (round 11; the kcore lesson again).
         return _imh_sign(df, 3, _IMH_PERM)
 
     csig = sig_of(corpus)
