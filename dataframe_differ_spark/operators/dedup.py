@@ -280,13 +280,17 @@ def simhash_fingerprints(
     sums — map-side combinable, uniform keys. Portable md5-64 hashing
     (two's-complement wrap) so a second engine replays it bit-exactly.
     """
-    unsigned = "CAST(conv(substring(md5(_dd_s), 1, 16), 16, 10) AS DECIMAL(21,0))"
+    # Two's-complement wrap of the unsigned 64-bit md5 prefix, assembled
+    # from two 32-bit halves: Java's shiftleft wraps exactly like the
+    # former DECIMAL(21,0) subtract-2^64 dance (verified bit-identical
+    # over every shingle at sf0.1, round 11) without any Decimal128
+    # arithmetic per shingle row (guide §2 per-task work).
     tok = df.select(id_col, F.explode(shingle_col).alias("_dd_s")).withColumn(
         "_dd_h",
         F.expr(
-            f"CAST({unsigned} - CASE WHEN {unsigned} > 9223372036854775807 "
-            "THEN CAST(18446744073709551616 AS DECIMAL(21,0)) "
-            "ELSE 0 END AS BIGINT)"
+            "shiftleft(CAST(conv(substring(md5(_dd_s), 1, 8), 16, 10) "
+            "AS BIGINT), 32) | "
+            "CAST(conv(substring(md5(_dd_s), 9, 8), 16, 10) AS BIGINT)"
         ),
     )
     votes = tok.groupBy(id_col).agg(

@@ -1756,40 +1756,44 @@ def q_dedup_simhash_portable(spark, sf_dir):
         corpus.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
     )
-    # 64-bit token hash: 16 hex chars of md5 parsed as UNSIGNED, then
-    # wrapped into signed BIGINT (subtract 2^64 when above LONG_MAX) —
-    # the same two's-complement value DuckDB's ::UBIGINT::BIGINT yields,
-    # so (h >> b) & 1 extracts identical bits in both engines.
-    unsigned = (
-        "CAST(conv(substring(md5(token), 1, 16), 16, 10) AS DECIMAL(21,0))"
-    )
+    # 64-bit token hash: the md5 prefix's two's-complement wrap assembled
+    # from two 32-bit halves — Java's shiftleft wraps exactly like the
+    # former DECIMAL(21,0) subtract-2^64 dance (verified bit-identical
+    # per shingle, round 11) with no Decimal128 math per token. The same
+    # integer DuckDB's ::UBIGINT::BIGINT yields, so (h >> b) & 1
+    # extracts identical bits in both engines.
     th = tok.select(
         "doc_id",
         F.expr(
-            f"CAST({unsigned} - CASE WHEN {unsigned} > 9223372036854775807 "
-            "THEN CAST(18446744073709551616 AS DECIMAL(21,0)) "
-            "ELSE 0 END AS BIGINT)"
+            "shiftleft(CAST(conv(substring(md5(token), 1, 8), 16, 10) "
+            "AS BIGINT), 32) | "
+            "CAST(conv(substring(md5(token), 9, 8), 16, 10) AS BIGINT)"
         ).alias("h"),
     )
-    bits = (
-        th.select(
-            "doc_id",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(_SH_BITS - 1))).alias("b"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(
+    # Round 11 (guide §2.3): the 64 bit-votes are columns of ONE
+    # groupBy(doc_id) pass — the previous form exploded every token 64×
+    # into (doc, h, b) rows and aggregated twice. Votes and the assembled
+    # signature are value-identical (same per-(doc, b) sums; the lit
+    # values equal shiftleft(1, b) including the negative b=63).
+    votes = th.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
-            ).alias("acc")
-        )
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(_SH_BITS)
+        ]
     )
-    sig = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("acc") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
-            ).otherwise(F.lit(0))
-        ).alias("simhash")
+    sig = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"v{i}") > 0,
+                    F.lit(-(2**63) if i == 63 else 2**i).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(_SH_BITS)
+            ]
+        ).alias("simhash"),
     )
     banded = sig.select(
         "doc_id",
